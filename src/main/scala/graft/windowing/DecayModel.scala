@@ -1,0 +1,205 @@
+package graft.windowing
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
+
+/** Computes the decayed-window decomposition of a stream of N elements.
+  *
+  * The reference maintains this incrementally with a merge heap + RB-tree
+  * index (`/root/reference/core/merger.go:241-260`,
+  * `/root/reference/core/merger_index.go`). The key observation (SURVEY
+  * §7.0) is that the resulting partition of [0, N) into count ranges is a
+  * deterministic function of (windowing policy, sequence of merge-event
+  * sizes) — independent of values, timestamps, and `windowsPerBatch`
+  * (which only batches persistence, not index state). So on Spark we
+  * compute the partition once per distinct N on the driver, broadcast the
+  * O(#windows) boundary array, and assign elements to windows by rank —
+  * no distributed mutable state at all.
+  *
+  * Event-size sequences:
+  *  - unbuffered mode: N events of size 1
+  *    (`/root/reference/core/pipeline.go:109-117`);
+  *  - buffered mode with buffer capacity B = sum(windowsCoveringUpto(b)):
+  *    each full buffer is cut into those lengths largest-first
+  *    (`/root/reference/core/summarizer.go:83-107`), and the tail
+  *    (flush) is appended as size-1 events
+  *    (`/root/reference/core/pipeline.go:119-140`).
+  *
+  * Scale note: the simulation is O(N log W) per *distinct* N and is
+  * memoized; at 100 TB one would fast-forward analytically for the
+  * exponential policy (self-similar state), which is a planned follow-up
+  * — the partition itself stays O(log N) windows regardless.
+  */
+object DecayModel {
+
+  /** One merge event: a freshly summarized window of `size` elements. */
+  private final class Simulator(windowing: GenericWindowing) {
+    // Window id -> count end (inclusive). Ids are creation-order indices;
+    // iteration order == stream order (old -> new).
+    private val index = new java.util.TreeMap[java.lang.Long, Long]()
+    // Scheduled merge times: (time, id, gen). An entry is live iff its gen
+    // equals the window's current gen; rescheduling/unscheduling bumps gen
+    // (lazy deletion — mirrors the reference's explicit heap removal).
+    private val heap = mutable.PriorityQueue.empty[(Long, Long, Long)](
+      Ordering.by[(Long, Long, Long), (Long, Long)](e => (e._1, e._2)).reverse)
+    private val gen = new java.util.HashMap[java.lang.Long, Long]()
+    private var numElements = 0L
+    private var nextId = 0L
+
+    private def cStart(id: java.lang.Long): Long = {
+      val lower = index.lowerEntry(id)
+      if (lower == null) 0L else lower.getValue + 1L
+    }
+
+    private def bumpGen(id: java.lang.Long): Long =
+      gen.merge(id, 1L, (a, b) => a + b)
+
+    /** (Re)schedule the merge of `id` with its successor over the combined
+      * count span [c0, c1]; mirrors `updateMergeCountFor`
+      * (`/root/reference/core/merger.go:116-138`).
+      */
+    private def updateMergeCount(id: java.lang.Long, c0: Long, c1: Long): Unit = {
+      val g = bumpGen(id) // invalidates any previous entry
+      windowing.firstContainingTime(c0, c1, numElements) match {
+        case Some(t) => heap.enqueue((t, id, g))
+        case None    => ()
+      }
+    }
+
+    def process(size: Long): Unit = {
+      numElements += size
+      if (!index.isEmpty) {
+        val last = index.lastKey()
+        updateMergeCount(last, cStart(last), numElements - 1)
+      }
+      val id = nextId
+      nextId += 1
+      index.put(id, numElements - 1)
+
+      // Pop due merges; mirrors `updatePendingMerges`
+      // (/root/reference/core/merger.go:209-239).
+      var continue = true
+      while (continue && heap.nonEmpty) {
+        val (t, _, _) = heap.head
+        if (t > numElements) continue = false
+        else {
+          val (_, w1raw, g) = heap.dequeue()
+          val w1: java.lang.Long = w1raw
+          if (gen.get(w1) == g && index.containsKey(w1)) {
+            bumpGen(w1) // popped == unscheduled
+            val w2 = index.higherKey(w1)
+            if (w2 != null) {
+              val w0 = index.lowerKey(w1)
+              val w3 = index.higherKey(w2)
+              val w1NewStart = cStart(w1)
+              val w1NewEnd = index.get(w2)
+              bumpGen(w2) // drop w2's scheduled entry with it
+              index.remove(w2)
+              index.put(w1, w1NewEnd)
+              if (w0 != null) updateMergeCount(w0, cStart(w0), w1NewEnd)
+              if (w3 != null) updateMergeCount(w1, w1NewStart, index.get(w3))
+            }
+          }
+        }
+      }
+    }
+
+    /** Count spans oldest -> newest as (cStart, cEnd) inclusive. */
+    def result(): Array[(Long, Long)] = {
+      val out = Array.newBuilder[(Long, Long)]
+      var prevEnd = -1L
+      val it = index.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out += ((prevEnd + 1, e.getValue))
+        prevEnd = e.getValue
+      }
+      out.result()
+    }
+  }
+
+  /** Decomposition after an explicit merge-event size sequence (e.g. to
+    * model multiple ingest sessions separated by flushes).
+    */
+  def decomposeEvents(spec: WindowingSpec, sizes: Iterator[Long]): Array[(Long, Long)] =
+    simulate(spec, sizes)
+
+  /** The flush-time merge-event sizes for one ingest session of n
+    * elements through a buffer (0 = unbuffered).
+    */
+  def sessionSizes(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Iterator[Long] =
+    if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
+
+  private def simulate(spec: WindowingSpec, sizes: Iterator[Long]): Array[(Long, Long)] = {
+    val sim = new Simulator(spec.newWindowing())
+    sizes.foreach(sim.process)
+    sim.result()
+  }
+
+  /** Merge-event sizes for N appends in unbuffered mode. */
+  private def unbufferedSizes(n: Long): Iterator[Long] =
+    Iterator.fill(n.toInt)(1L)
+
+  /** Merge-event sizes for N appends through a buffer of nominal size
+    * `bufferSize`, then a flush. Full buffers are cut largest-first into
+    * `windowsCoveringUpto(bufferSize)`. At flush, the partial active
+    * buffer also goes through the summarizer — cut into the longest
+    * descending suffix of the lengths that fits
+    * (`/root/reference/core/summarizer.go:37-52,83-107`) — and only the
+    * leftover is appended unbuffered as size-1 events
+    * (`/root/reference/core/pipeline.go:119-140,185-196`).
+    */
+  private def bufferedSizes(spec: WindowingSpec, bufferSize: Long, n: Long): Iterator[Long] = {
+    val lengths = spec.newWindowing().windowsCoveringUpto(bufferSize)
+    val capacity = lengths.sum
+    if (capacity <= 0) unbufferedSizes(n)
+    else {
+      val cut = lengths.reverse // largest first
+      val fullBuffers = n / capacity
+      val tail = n - fullBuffers * capacity
+      // getNumWindowsCovering: #prefix lengths with cumulative sum <= tail.
+      var acc = 0L
+      val prefix = lengths.takeWhile { len => acc += len; acc <= tail }
+      val tailCut = prefix.reverse
+      val leftover = tail - prefix.sum
+      Iterator.range(0L, fullBuffers).flatMap(_ => cut.iterator) ++
+        tailCut.iterator ++ Iterator.fill(leftover.toInt)(1L)
+    }
+  }
+
+  private val cache = new ConcurrentHashMap[(WindowingSpec, Long, Long), Array[Long]]()
+
+  /** Window start ranks (cStart of each window, ascending; first is 0)
+    * for a stream of `n` elements. `bufferSize <= 0` = unbuffered.
+    * Element with 0-based rank `s` belongs to the window
+    * `upperBound(starts, s) - 1`. Memoized per (spec, bufferSize, n).
+    */
+  def windowStarts(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Array[Long] = {
+    require(n <= Int.MaxValue.toLong * 8, s"decomposition for n=$n not supported yet")
+    cache.computeIfAbsent((spec, bufferSize, n), { _ =>
+      val sizes =
+        if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
+      simulate(spec, sizes).map(_._1)
+    })
+  }
+
+  /** Full (cStart, cEnd) spans, for tests and compaction planning. */
+  def decompose(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Array[(Long, Long)] = {
+    val starts = windowStarts(spec, n, bufferSize)
+    starts.zipWithIndex.map { case (s, i) =>
+      val end = if (i == starts.length - 1) n - 1 else starts(i + 1) - 1
+      (s, end)
+    }
+  }
+
+  /** Window index (0-based, oldest window = 0) of element rank `s`. */
+  def windowIdOf(starts: Array[Long], s: Long): Int = {
+    var lo = 0
+    var hi = starts.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (starts(mid) <= s) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+}
