@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-stream preparation: monotonic-timestamp repair and element-rank
+  * assignment.
+  *
+  * The reference forces timestamps monotonically non-decreasing at
+  * append time — an out-of-order timestamp is rewritten to
+  * `lastTimestamp + 1`, never re-sorted
+  * (`/root/reference/core/pipeline.go:80-95`) — and numbers elements
+  * with a per-stream counter (`numElements`). Batch equivalent: order
+  * each stream by (ts, arrival tiebreaker) and fold the clamp + rank
+  * sequentially per stream.
+  *
+  * Scale: one hash shuffle on streamId + an in-partition sort; each
+  * stream is processed by exactly one task (the fold is inherently
+  * sequential, as in the reference's single writer thread). Streams are
+  * the parallelism unit — fine for many medium streams; a single
+  * pathological multi-TB stream would need a two-pass prefix-offset
+  * scheme instead (documented trade-off, not needed at current scale).
+  */
+object Ingest {
+
+  /** Columns: streamId (long), ts (long), value (double), plus an
+    * arrival tiebreaker column. Produces Dataset[Event] with clamped ts
+    * and dense 0-based seq per stream.
+    */
+  def prepare(
+      raw: DataFrame,
+      streamCol: String = "streamId",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      arrivalCol: String = "arrival"): Dataset[Event] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val narrowed = raw.select(
+      col(streamCol).cast("long").as("streamId"),
+      col(tsCol).cast("long").as("ts"),
+      col(valueCol).cast("double").as("value"),
+      col(arrivalCol).cast("long").as("arrival"))
+    narrowed
+      .repartition(col("streamId"))
+      .sortWithinPartitions("streamId", "ts", "arrival")
+      .as[(Long, Long, Double, Long)]
+      .mapPartitions { it =>
+        var curStream = Long.MinValue
+        var lastTs = Long.MinValue
+        var seq = 0L
+        it.map { case (streamId, ts, value, _) =>
+          if (streamId != curStream) { curStream = streamId; lastTs = Long.MinValue; seq = 0L }
+          val clamped = if (ts < lastTs) lastTs + 1 else ts
+          lastTs = clamped
+          val e = Event(streamId, seq, clamped, value)
+          seq += 1
+          e
+        }
+      }
+  }
+
+  /** Testdata `events` table -> Event stream: streamId = user_id,
+    * ts = event time in epoch micros, tiebreak on event_id.
+    */
+  def fromEventsTable(spark: SparkSession, sfDir: String): Dataset[Event] = {
+    val raw = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .select(
+        col("user_id").as("streamId"),
+        unix_micros(col("ts")).as("ts"),
+        col("value"),
+        col("event_id").as("arrival"))
+    prepare(raw)
+  }
+}
