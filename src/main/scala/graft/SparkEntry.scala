@@ -1,13 +1,131 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.windowing.ExponentialWindowing
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are served from the materialized `summary_windows` /
+  * `landmarks` tables (the engine's whole design: queries never touch
+  * raw events — SURVEY §4 "Pre-aggregation"). The pipelines are memoized
+  * per scale-factor directory so a verify/bench run summarizes once and
+  * every registered query hits the cached tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Decay policy used for the driver-registered queries. */
+  private val Spec = ExponentialWindowing(2.0)
+
+  // Epoch-microsecond constants (UTC) for the registered time ranges.
+  private val Jan10 = 1704844800000000L
+  private val Jan20 = 1705708800000000L
+  // Landmark interval [Jan 5, Jan 8): exact storage for that span.
+  private val LandmarkLo = 1704412800000000L
+  private val LandmarkHi = 1704672000000000L - 1L
+  // Query range strictly inside the landmark interval -> exact answers.
+  private val LQ0 = 1704499200000000L
+  private val LQ1 = 1704585600000000L
+
+  private final case class Tables(
+      summary: Dataset[SummaryWindow],
+      lmSummary: Dataset[SummaryWindow],
+      landmarks: Dataset[LandmarkWindow])
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Tables]()
+
+  private def tables(spark: SparkSession, sfDir: String): Tables =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val events = Ingest.fromEventsTable(spark, sfDir)
+      val summary = Summarizer.summarize(events, Spec).persist()
+      val (lmSummary, landmarks) =
+        Summarizer.summarizeWithLandmarks(events, Spec, Seq((LandmarkLo, LandmarkHi)))
+      Tables(summary, lmSummary.persist(), landmarks.persist())
+    })
+
+  private def emptyLandmarks(spark: SparkSession): Dataset[LandmarkWindow] = {
+    import spark.implicits._
+    spark.emptyDataset[LandmarkWindow]
+  }
+
+  /** Flagship: summarize the sf0.001 events stream into decay windows. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    tables(spark, "/root/testdata/sf0.001").summary.toDF()
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Count/Sum/Max/Min ops: full-range queries answered purely from
+    //    the summary table by monoid re-merge (exact over full coverage).
+    "q_count" -> ((s, dir) => {
+      import s.implicits._
+      tables(s, dir).summary
+        .groupBy($"streamId".as("stream_id"))
+        .agg(sum($"count").cast("long").as("cnt"))
+    }),
+    "q_sum" -> ((s, dir) => {
+      import s.implicits._
+      tables(s, dir).summary
+        .groupBy($"streamId".as("stream_id"))
+        .agg(round(sum($"sum"), 2).as("sum_value"))
+    }),
+    "q_max" -> ((s, dir) => {
+      import s.implicits._
+      tables(s, dir).summary
+        .groupBy($"streamId".as("stream_id"))
+        .agg(max($"max").as("max_value"))
+    }),
+    "q_min" -> ((s, dir) => {
+      import s.implicits._
+      tables(s, dir).summary
+        .groupBy($"streamId".as("stream_id"))
+        .agg(min($"min").as("min_value"))
+    }),
+    // -- Summary compression: N raw elements -> O(log N) windows.
+    "q_window_stats" -> ((s, dir) =>
+      Summarizer.compressionStats(tables(s, dir).summary)),
+    // -- Estimator path: unaligned range -> CI result per stream
+    //    (approximate by design; rows-only check).
+    "q_range_count" -> ((s, dir) =>
+      QueryEngine.rangeQueryAll(
+        tables(s, dir).summary, emptyLandmarks(s), "count", Jan10, Jan20)),
+    "q_range_sum" -> ((s, dir) =>
+      QueryEngine.rangeQueryAll(
+        tables(s, dir).summary, emptyLandmarks(s), "sum", Jan10, Jan20)),
+    // -- Landmark path: query range inside the exact interval; the
+    //    estimator must return error 0 and the exact answer.
+    "q_landmark_count" -> ((s, dir) => {
+      import s.implicits._
+      val t = tables(s, dir)
+      QueryEngine.rangeQueryAll(t.lmSummary, t.landmarks, "count", LQ0, LQ1)
+        .filter($"estimate" > 0 && $"ci_width" === 0.0)
+        .select($"stream_id", $"estimate".cast("long").as("cnt"))
+    }),
+    "q_landmark_sum" -> ((s, dir) => {
+      import s.implicits._
+      val t = tables(s, dir)
+      QueryEngine.rangeQueryAll(t.lmSummary, t.landmarks, "sum", LQ0, LQ1)
+        .filter($"estimate" > 0 && $"ci_width" === 0.0)
+        .select($"stream_id", round($"estimate", 2).as("sum_value"))
+    }),
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables). Omitted for
+    * ops whose output is not SQL-expressible (CI estimates, window
+    * decompositions) — those get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_count" ->
+      "SELECT user_id AS stream_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "q_sum" ->
+      "SELECT user_id AS stream_id, round(sum(value), 2) AS sum_value FROM events GROUP BY user_id",
+    "q_max" ->
+      "SELECT user_id AS stream_id, max(value) AS max_value FROM events GROUP BY user_id",
+    "q_min" ->
+      "SELECT user_id AS stream_id, min(value) AS min_value FROM events GROUP BY user_id",
+    "q_landmark_count" ->
+      s"SELECT user_id AS stream_id, count(*) AS cnt FROM events WHERE epoch_us(ts) BETWEEN $LQ0 AND $LQ1 GROUP BY user_id",
+    "q_landmark_sum" ->
+      s"SELECT user_id AS stream_id, round(sum(value), 2) AS sum_value FROM events WHERE epoch_us(ts) BETWEEN $LQ0 AND $LQ1 GROUP BY user_id",
+  )
 }

@@ -61,15 +61,24 @@ object Ingest {
 
   /** Testdata `events` table -> Event stream: streamId = user_id,
     * ts = event time in epoch micros, tiebreak on event_id.
+    *
+    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads via the nanosAsLong legacy mode (as a LongType of
+    * nanoseconds); micros = floorDiv(ns, 1000), matching DuckDB's
+    * truncation when it reads the same column as TIMESTAMP.
     */
   def fromEventsTable(spark: SparkSession, sfDir: String): Dataset[Event] = {
-    val raw = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .select(
-        col("user_id").as("streamId"),
-        unix_micros(col("ts")).as("ts"),
-        col("value"),
-        col("event_id").as("arrival"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsMicros = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => floor(col("ts") / 1000L).cast("long")
+      case _                                   => unix_micros(col("ts"))
+    }
+    val raw = df.select(
+      col("user_id").as("streamId"),
+      tsMicros.as("ts"),
+      col("value"),
+      col("event_id").as("arrival"))
     prepare(raw)
   }
 }

@@ -1,0 +1,96 @@
+package graft.core
+
+import graft.estimator.SumEstimator
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed range-query execution over the summary + landmark tables.
+  *
+  * The reference answers one stream at a time on a single node
+  * (`/root/reference/core/stream.go:156-192`): probe the time index for
+  * overlapping windows, then run the op's estimator. Here the probe is a
+  * pushed-down range filter (`te >= t0 && ts <= t1` — exactly the
+  * index-probe-plus-edge-filter of
+  * `/root/reference/storage/query_index.go:48-74` +
+  * `/root/reference/core/stream_window_manager.go:78-93`), and the
+  * estimator runs per stream inside `cogroup` on executors — every
+  * stream in parallel, O(log N) window rows each, nothing collected to
+  * the driver.
+  */
+object QueryEngine {
+
+  /** Estimate `op` over [t0, t1] for every stream. Output:
+    * (stream_id, estimate, ci_width). Streams with no overlapping
+    * summary or landmark windows produce no row.
+    */
+  def rangeQueryAll(
+      sw: Dataset[SummaryWindow],
+      lw: Dataset[LandmarkWindow],
+      op: String,
+      t0: Long,
+      t1: Long,
+      params: QueryParams = QueryParams()): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+
+    val swF = sw.filter($"te" >= t0 && $"ts" <= t1)
+    val lwF = lw.filter($"te" >= t0 && $"ts" <= t1)
+
+    swF
+      .groupByKey(_.streamId)
+      .cogroup(lwF.groupByKey(_.streamId)) { (sid, sws, lws) =>
+        val s = sws.toArray.sortBy(_.ts).toSeq
+        val l = lws.toArray.sortBy(_.ts).toSeq
+        if (s.isEmpty && l.isEmpty) Iterator.empty
+        else {
+          val r = SumEstimator.query(op, t0, t1, s, l, params)
+          Iterator((sid, r.value, r.error))
+        }
+      }
+      .toDF("stream_id", "estimate", "ci_width")
+  }
+
+  /** Exact aggregates over element timestamps covered by landmark
+    * windows, restricted to [t0, t1]: (stream_id, cnt, sum_value).
+    * Landmark elements are stored verbatim, so this is error-free by
+    * construction (`/root/reference/core/sum_estimator.go:82-86`).
+    */
+  def landmarkExactAll(
+      lw: Dataset[LandmarkWindow],
+      t0: Long,
+      t1: Long): DataFrame = {
+    val spark = lw.sparkSession
+    import spark.implicits._
+    lw.filter($"te" >= t0 && $"ts" <= t1)
+      .select($"streamId", explode($"elems").as("e"))
+      .filter($"e.ts" >= t0 && $"e.ts" <= t1)
+      .groupBy($"streamId".as("stream_id"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"e.value").as("sum_value"))
+  }
+
+  /** Driver-side single-stream query — the reference's public API shape
+    * (`Stream.Query(op, t0, t1, params)`). Collects the O(log N)
+    * overlapping windows of one stream; for fleet-wide queries use
+    * [[rangeQueryAll]].
+    */
+  def queryOne(
+      sw: Dataset[SummaryWindow],
+      lw: Dataset[LandmarkWindow],
+      streamId: Long,
+      op: String,
+      t0: Long,
+      t1: Long,
+      params: QueryParams = QueryParams()): AggResult = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    val s = sw
+      .filter($"streamId" === streamId && $"te" >= t0 && $"ts" <= t1)
+      .collect().sortBy(_.ts).toSeq
+    val l = lw
+      .filter($"streamId" === streamId && $"te" >= t0 && $"ts" <= t1)
+      .collect().sortBy(_.ts).toSeq
+    SumEstimator.query(op, t0, t1, s, l, params)
+  }
+}

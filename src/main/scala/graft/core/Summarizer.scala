@@ -1,0 +1,148 @@
+package graft.core
+
+import graft.windowing.{DecayModel, WindowingSpec}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The batch summarizer: turns a raw event stream into the decayed
+  * `summary_windows` table — the materialized view every query hits.
+  *
+  * Reference shape: `/root/reference/core/summarizer.go:83-107` cuts
+  * ingest buffers into windows and `/root/reference/core/merger.go`
+  * maintains decay incrementally with a heap + RB-tree. Here (SURVEY
+  * §7.0) the final partition of [0, N) is a deterministic function of
+  * (policy, N), so Spark recomputes window assignment from the element
+  * rank instead of keeping distributed mutable state:
+  *
+  *   1. per-stream element counts (one row per stream — tiny collect);
+  *   2. `DecayModel.windowStarts` per distinct (spec, N) on the driver,
+  *      broadcast as a Map[streamId -> Array[cStart]] (O(streams·log N));
+  *   3. rank → windowId by binary search (scalar UDF over the broadcast;
+  *      O(log windows) per row, no extra shuffle);
+  *   4. one `groupBy(streamId, windowId).agg(...)` — the only shuffle,
+  *      with map-side partial aggregation for free.
+  *
+  * At 100 TB this holds: the broadcast is O(#streams · log N) longs, the
+  * shuffle is the unavoidable per-window aggregation, and AQE handles
+  * skewed streams. No driver-side loop over data rows ever happens.
+  */
+object Summarizer {
+
+  /** Summarize a ranked event stream into decay windows.
+    * Window time spans are [min ts, max ts] of member elements, count
+    * spans [min seq, max seq] — matching the reference's
+    * `InsertIntoSummaryWindow` bookkeeping
+    * (`/root/reference/core/stream_window_manager.go:67-72`).
+    */
+  def summarize(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      bufferSize: Long = 0L): Dataset[SummaryWindow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val counts: Array[(Long, Long)] = events
+      .groupBy($"streamId").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .collect()
+    val starts: Map[Long, Array[Long]] =
+      counts.map { case (sid, n) => sid -> DecayModel.windowStarts(spec, n, bufferSize) }.toMap
+    val bc = spark.sparkContext.broadcast(starts)
+    val widOf = udf((sid: Long, seq: Long) => DecayModel.windowIdOf(bc.value(sid), seq))
+
+    events
+      .withColumn("windowId", widOf($"streamId", $"seq"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"ts").as("te"),
+        min($"seq").as("cs"),
+        max($"seq").as("ce"),
+        count(lit(1)).cast("double").as("count"),
+        sum($"value").as("sum"),
+        max($"value").as("max"),
+        min($"value").as("min"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"count", $"sum", $"max", $"min")
+      .as[SummaryWindow]
+  }
+
+  /** Predicate: ts inside any of the (inclusive) landmark intervals. */
+  private def inAnyInterval(tsCol: Column, intervals: Seq[(Long, Long)]): Column =
+    intervals
+      .map { case (l0, l1) => tsCol >= l0 && tsCol <= l1 }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+  /** Summarize with exact landmark intervals: elements whose timestamp
+    * falls inside a landmark interval are diverted verbatim into the
+    * `landmarks` table instead of being decayed — the batch equivalent of
+    * `StartLandmark`/`EndLandmark` (`/root/reference/core/stream.go:104-137`:
+    * while a landmark is open, appends bypass the summarizer pipeline).
+    *
+    * Landmark window [ts, te] is the declared interval (the reference
+    * stamps the start/end API timestamps, not element times,
+    * `/root/reference/core/landmark_window.go:16-26`); remaining elements
+    * are re-ranked densely per stream before decay, as the reference's
+    * element counter never saw the diverted ones.
+    */
+  def summarizeWithLandmarks(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      intervals: Seq[(Long, Long)],
+      bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val isLandmark = inAnyInterval($"ts", intervals)
+
+    // Interval id for each landmark element (intervals are few; a chained
+    // when() keeps this in codegen rather than a UDF).
+    val intervalId = intervals.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, ((l0, l1), i)) =>
+        when($"ts" >= l0 && $"ts" <= l1, lit(i)).otherwise(acc)
+      }
+    val bounds = intervals.toArray
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+
+    val landmarks = events
+      .filter(isLandmark)
+      .withColumn("intervalId", intervalId)
+      .groupBy($"streamId", $"intervalId")
+      .agg(sort_array(collect_list(struct($"ts", $"value"))).as("elems"))
+      .map { row =>
+        val iv = bcBounds.value(row.getAs[Int]("intervalId"))
+        LandmarkWindow(
+          streamId = row.getAs[Long]("streamId"),
+          ts = iv._1,
+          te = iv._2,
+          elems = row
+            .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("elems")
+            .iterator.map(r => Landmark(r.getLong(0), r.getDouble(1))).toVector)
+      }
+
+    // Dense re-rank of the surviving elements. Scale note: one shuffle on
+    // streamId; each stream sorts within its partition — streams are the
+    // parallelism unit, as in Ingest.prepare.
+    val w = Window.partitionBy($"streamId").orderBy($"seq")
+    val regular = events
+      .filter(!isLandmark)
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .as[Event]
+
+    (summarize(regular, spec, bufferSize), landmarks)
+  }
+
+  /** Per-stream compression stats: raw element count vs emitted windows
+    * (the reference's headline effect: N rows → O(log N) windows,
+    * `/root/reference/core/db_test.go:330-334`).
+    */
+  def compressionStats(sw: Dataset[SummaryWindow]): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    sw.groupBy($"streamId".as("stream_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        (max($"ce") + 1).as("n_elements"))
+  }
+}
