@@ -38,6 +38,16 @@ object Summarizer {
   def summarize(
       events: Dataset[Event],
       spec: WindowingSpec,
+      bufferSize: Long = 0L): Dataset[SummaryWindow] =
+    summarizePerStream(events, _ => spec, bufferSize)
+
+  /** As [[summarize]], but each stream may carry its own decay policy —
+    * the reference's per-stream windowing declared at `NewStream`
+    * (`/root/reference/core/db.go:61-80`).
+    */
+  def summarizePerStream(
+      events: Dataset[Event],
+      specOf: Long => WindowingSpec,
       bufferSize: Long = 0L): Dataset[SummaryWindow] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -47,7 +57,7 @@ object Summarizer {
       .as[(Long, Long)]
       .collect()
     val starts: Map[Long, Array[Long]] =
-      counts.map { case (sid, n) => sid -> DecayModel.windowStarts(spec, n, bufferSize) }.toMap
+      counts.map { case (sid, n) => sid -> DecayModel.windowStarts(specOf(sid), n, bufferSize) }.toMap
     val bc = spark.sparkContext.broadcast(starts)
     val widOf = udf((sid: Long, seq: Long) => DecayModel.windowIdOf(bc.value(sid), seq))
 
@@ -90,6 +100,14 @@ object Summarizer {
       events: Dataset[Event],
       spec: WindowingSpec,
       intervals: Seq[(Long, Long)],
+      bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) =
+    summarizeWithLandmarksPerStream(events, _ => spec, intervals, bufferSize)
+
+  /** Per-stream-policy variant of [[summarizeWithLandmarks]]. */
+  def summarizeWithLandmarksPerStream(
+      events: Dataset[Event],
+      specOf: Long => WindowingSpec,
+      intervals: Seq[(Long, Long)],
       bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -130,7 +148,7 @@ object Summarizer {
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .as[Event]
 
-    (summarize(regular, spec, bufferSize), landmarks)
+    (summarizePerStream(regular, specOf, bufferSize), landmarks)
   }
 
   /** Per-stream compression stats: raw element count vs emitted windows

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+
+/** Library usage sample: the SummaryDB public API end-to-end.
+  * Run: sbt "runMain graft.tools.Demo"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    println(s"DB dir: $dir")
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(1L, 2.0))
+    db.newStream(StreamMeta.power(2L, 1, 1, 10, 1))
+    db.append(
+      (0 until 100).map(i => Event(1L, i, i, i.toDouble)).toDS() union
+      (0 until 100).map(i => Event(2L, i, i, i.toDouble)).toDS())
+    println("windows per stream: " +
+      db.summaryWindows.groupBy("streamId").count().collect().mkString(", "))
+    println("count s1 [0,99]: " + db.query(1L, "count", 0, 99))
+    println("sum   s1 [0,99]: " + db.query(1L, "sum", 0, 99))
+    println("count s2 [0,99]: " + db.query(2L, "count", 0, 99))
+    println("range s1 [10,50] count: " + db.query(1L, "count", 10, 50))
+
+    val db2 = SummaryDB.open(spark, dir) // "second session"
+    println("reopen streams: " + db2.streams.keys.toSeq.sorted)
+    db2.append((100 until 130).map(i => Event(1L, i, i, i.toDouble)).toDS())
+    println("after append count s1 [0,129]: " + db2.query(1L, "count", 0, 129))
+    println("after append count s2 [0,99]:  " + db2.query(2L, "count", 0, 99))
+    println("unknown stream query: " + db2.query(99L, "count", 0, 10))
+    println("empty range query: " + db2.query(1L, "count", 5000, 6000))
+    try { db2.query(1L, "median", 0, 9); () }
+    catch { case e: IllegalArgumentException => println("unknown op -> " + e.getMessage) }
+    println("on-disk layout: " +
+      new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
+    spark.stop()
+  }
+}
