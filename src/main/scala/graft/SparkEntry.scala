@@ -108,7 +108,42 @@ object SparkEntry {
         .filter($"estimate" > 0 && $"ci_width" === 0.0)
         .select($"stream_id", round($"estimate", 2).as("sum_value"))
     }),
+    // -- Dedup family over documents.
+    "q_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exactDedup(docs(s, dir))),
+    "q_neardup_text" -> ((s, dir) =>
+      ops.Dedup.nearDuplicatePairs(docs(s, dir), threshold = 0.5)),
+    "q_simhash" -> ((s, dir) =>
+      ops.Dedup.simhashFingerprints(docs(s, dir))),
+    // -- Text analysis over documents.
+    "q_text_stats" -> ((s, dir) =>
+      ops.TextAnalysis.analyze(docs(s, dir))),
+    "q_quality" -> ((s, dir) =>
+      ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
+    "q_langid" -> ((s, dir) =>
+      ops.TextAnalysis.languageId(docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) =>
+      ops.TextAnalysis.fingerprints(docs(s, dir))),
+    // -- Similarity search over embeddings.
+    "q_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      ops.Similarity.topK(e, e.filter($"vec_id" < 50), k = 10)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
+    }),
+    "q_ann_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
+        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
+    }),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** DuckDB-equivalent SQL per query (same parquet tables). Omitted for
     * ops whose output is not SQL-expressible (CI estimates, window
@@ -127,5 +162,29 @@ object SparkEntry {
       s"SELECT user_id AS stream_id, count(*) AS cnt FROM events WHERE epoch_us(ts) BETWEEN $LQ0 AND $LQ1 GROUP BY user_id",
     "q_landmark_sum" ->
       s"SELECT user_id AS stream_id, round(sum(value), 2) AS sum_value FROM events WHERE epoch_us(ts) BETWEEN $LQ0 AND $LQ1 GROUP BY user_id",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+        |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |length(text) AS n_chars,
+        |len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_pieces,
+        |length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |  x -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'], x)))::DOUBLE
+        |  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q_knn" ->
+      """WITH r AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 50 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
   )
 }

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, all shuffle-bounded (never all-pairs):
+  *   - exact: hash-groupBy on normalized text — one shuffle;
+  *   - MinHash + banded LSH: candidate pairs only within band buckets,
+  *     verified with exact shingle Jaccard;
+  *   - SimHash: 64-bit fingerprint, candidates via 4-segment bucketing
+  *     (any pair within Hamming distance 3 shares at least one exact
+  *     16-bit segment — pigeonhole), verified with bit_count(xor);
+  *   - n-gram Jaccard verification kernel shared by both.
+  *
+  * Scale: the only shuffles are groupBy(bucket) joins whose expected
+  * bucket sizes are O(1) for non-duplicate corpora; `maxBucket` caps
+  * pathological buckets (boilerplate explosions) with an explicit drop
+  * instead of a quadratic blowup.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, trimmed, lowercased text. DuckDB-equivalent:
+    * `lower(regexp_replace(trim(text), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Exact dedup: one row per distinct normalized text with its
+    * duplicate count and the surviving (minimum) doc id.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(normalizeText(col(textCol))).as("text_hash"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("keep_id"))
+
+  /** Docs with normalized-duplicate rows removed (keep min id). */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = exactDedup(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol)
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  val NumHashes = 128
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  // Deterministic affine permutation parameters (fixed seed). Modulus is
+  // the Mersenne prime 2^31-1 so a*h stays below 2^62 — no overflow, no
+  // BigInt in the hot loop.
+  private val P = 2147483647L // 2^31 - 1
+  private[ops] val hashParams: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    Array.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word k-shingles of normalized text. */
+  def shingleSet(text: String, k: Int = 3): Set[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Set(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature of a shingle set: for each of the 128 affine
+    * permutations, the minimum of (a*h(x)+b) mod p over shingles.
+    */
+  def signature(shingles: Set[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = (MurmurHash3.stringHash(s).toLong & 0xFFFFFFFFL) % P
+      var i = 0
+      while (i < NumHashes) {
+        val (a, b) = hashParams(i)
+        val m = (a * h + b) % P
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** (doc_id, sig: Array[Long]) per document. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val sigUdf = udf((text: String) => signature(shingleSet(text, k)))
+    docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH: two docs are candidates iff they
+    * agree on all rows of at least one band. Only intra-bucket pairs are
+    * generated; buckets above `maxBucket` are dropped (logged via the
+    * `dropped_buckets` accumulator pattern is overkill here — they are
+    * simply excluded) rather than exploded quadratically.
+    */
+  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val bandHash = udf((sig: Seq[Long], band: Int) =>
+      MurmurHash3.arrayHash(sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand).toArray))
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"), bandHash(col("sig"), col("band")).as("bucket"))
+    bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val inter = a.intersect(b).size.toDouble
+      inter / (a.size + b.size - inter)
+    }
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidates verified with exact
+    * n-gram Jaccard >= threshold. Output (doc_a, doc_b, jaccard).
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, k)
+    val cands = lshCandidatePairs(sigs)
+    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val jac = udf((ta: String, tb: String) => jaccard(shingleSet(ta, k), shingleSet(tb, k)))
+    cands
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
+      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens (unit weights). */
+  def simhash(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      val h = (MurmurHash3.stringHash(tok).toLong << 32) |
+        (MurmurHash3.stringHash(tok.reverse).toLong & 0xFFFFFFFFL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** (doc_id, simhash) per document. */
+  def simhashFingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = udf((t: String) => simhash(t))
+    docs.select(col(idCol).as("doc_id"), sh(col(textCol)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash: Hamming distance <= maxDist.
+    * Pigeonhole bucketing: with 4 segments of 16 bits, any pair at
+    * distance <= 3 matches exactly on >= 1 segment — so candidates are
+    * the intra-bucket pairs of (segment-index, segment-value) buckets.
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(maxDist <= 3, "4-segment bucketing covers Hamming distance <= 3")
+    val fps = simhashFingerprints(docs)
+    val seg = udf((fp: Long, i: Int) => (fp >>> (16 * i)) & 0xFFFFL)
+    val buckets = fps
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("segIdx"))
+      .withColumn("segVal", seg(col("simhash"), col("segIdx")))
+    val a = buckets.select(col("segIdx"), col("segVal"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = buckets.select(col("segIdx"), col("segVal"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("segIdx", "segVal"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .distinct()
+  }
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[topK]]: exact brute-force cosine top-k. The query set is
+  *     broadcast (queries are the small side by construction); each
+  *     partition keeps a bounded per-query heap and emits only k
+  *     candidates per (query, partition), so the shuffle is
+  *     O(partitions * Q * k) — NOT O(N * Q). The final reduction is a
+  *     window over that small candidate set. Scales to arbitrary N with
+  *     fixed memory.
+  *   - [[annTopK]]: LSH-bucketed (random hyperplane signatures, L
+  *     tables). Candidates come from bucket joins only; exact re-rank
+  *     on the candidate set. The scale path when Q is also large.
+  */
+object Similarity {
+
+  /** L2-normalize to unit length (double precision). */
+  def unit(v: Seq[Float]): Array[Double] = {
+    val d = v.toArray.map(_.toDouble)
+    val n = math.sqrt(d.map(x => x * x).sum)
+    if (n == 0) d else d.map(_ / n)
+  }
+
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val ua = unit(a); val ub = unit(b)
+    var s = 0.0
+    var i = 0
+    while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
+    s
+  }
+
+  private case class Cand(queryId: Long, vecId: Long, score: Double)
+
+  /** Exact cosine top-k of each query vector against the corpus
+    * (self-matches excluded). Output:
+    * (query_id, neighbor_id, rank, score) with rank 1..k by
+    * (score desc, neighbor_id asc).
+    */
+  def topK(
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    val q: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), unit(r.getSeq[Float](1))))
+    val bq = spark.sparkContext.broadcast(q)
+
+    val candidates = embs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        // per-query bounded min-heaps of (score, vecId)
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
+        it.foreach { case (vid, vec) =>
+          val u = unit(vec)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != vid) {
+              var s = 0.0
+              var i = 0
+              while (i < u.length) { s += u(i) * qv(i); i += 1 }
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((s, vid))
+              else if (s > h.head._1 || (s == h.head._1 && vid < h.head._2)) {
+                h.dequeue(); h.enqueue((s, vid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, vid) => Cand(bq.value(qi)._1, vid, s) }
+        }
+      }
+
+    val w = Window.partitionBy($"queryId").orderBy($"score".desc, $"vecId")
+    candidates.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select(
+        $"queryId".as("query_id"),
+        $"vecId".as("neighbor_id"),
+        $"rank",
+        round($"score", 4).as("score"))
+  }
+
+  // ------------------------------------------------------------------ ANN
+
+  /** Defaults: 16 tables x 8 bits. `bits` trades bucket selectivity
+    * against recall and should grow with log2(N) at scale; for corpora
+    * whose nearest neighbors are far (cosine < 0.5, like the testdata),
+    * fewer bits / more tables recovers recall.
+    */
+  val DefaultTables = 16
+  val DefaultBits = 8
+
+  /** Deterministic random hyperplanes: tables x bits x dim, seeded. */
+  private def hyperplanes(dim: Int, tables: Int, bits: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(0x9e3779b97f4a7c15L)
+    Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of `v` under table `t`'s hyperplanes. */
+  private def sig(planes: Array[Array[Array[Double]]], t: Int, v: Array[Double]): Int = {
+    val bits = planes(t).length
+    var s = 0
+    var b = 0
+    while (b < bits) {
+      val p = planes(t)(b)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += p(i) * v(i); i += 1 }
+      if (dot >= 0) s |= (1 << b)
+      b += 1
+    }
+    s
+  }
+
+  /** ANN top-k: random-hyperplane LSH buckets (L tables), exact cosine
+    * re-rank of intra-bucket candidates. Same output shape as [[topK]];
+    * recall < 1 by design — see SimilaritySpec for the measured floor.
+    */
+  def annTopK(
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tables: Int = DefaultTables,
+      bits: Int = DefaultBits): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    val dim = embs.select(col(vecCol)).head().getSeq[Float](0).length
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, tables, bits))
+
+    val sigUdf = udf((vec: Seq[Float], t: Int) => sig(planes.value, t, unit(vec)))
+    def bucketed(df: DataFrame, idName: String) = df
+      .select(col(idCol).cast("long").as(idName), col(vecCol).as(s"vec_$idName"))
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", sigUdf(col(s"vec_$idName"), col("t")))
+
+    val corpus = bucketed(embs, "neighbor_id")
+    val qs = bucketed(queries, "query_id")
+
+    val cos = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+    val cands = qs.join(corpus, Seq("t", "sig"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"vec_query_id", $"vec_neighbor_id")
+      .distinct()
+      .withColumn("score", cos($"vec_query_id", $"vec_neighbor_id"))
+
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank", round($"score", 4).as("score"))
+  }
+
+  /** Embedding-based near-duplicate pairs: cosine >= threshold via the
+    * same LSH bucketing (corpus joined to itself bucket-wise, never
+    * all-pairs).
+    */
+  def embeddingNearDuplicates(
+      embs: DataFrame,
+      threshold: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tables: Int = DefaultTables,
+      bits: Int = DefaultBits): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dim = embs.select(col(vecCol)).head().getSeq[Float](0).length
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, tables, bits))
+    val sigUdf = udf((vec: Seq[Float], t: Int) => sig(planes.value, t, unit(vec)))
+    val b = embs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", sigUdf(col("vec"), col("t")))
+    val l = b.select($"t", $"sig", $"id".as("id_a"), $"vec".as("vec_a"))
+    val r = b.select($"t", $"sig", $"id".as("id_b"), $"vec".as("vec_b"))
+    val cos = udf((x: Seq[Float], y: Seq[Float]) => cosine(x, y))
+    l.join(r, Seq("t", "sig"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"vec_a", $"vec_b")
+      .distinct()
+      .withColumn("cos", cos($"vec_a", $"vec_b"))
+      .filter($"cos" >= threshold)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+  }
+}

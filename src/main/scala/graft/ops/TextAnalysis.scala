@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * Everything except langId/fingerprint stays in codegen'd built-ins so
+  * the whole stage is one WholeStageCodegen span over the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. DuckDB-equivalent:
+    * `len(regexp_split_to_array(trim(text), '\s+'))`.
+    */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish token count: word pieces + individual punctuation, the
+    * usual pre-tokenizer regex. DuckDB:
+    * `len(regexp_extract_all(text, '\w+|[^\w\s]'))`.
+    */
+  def wordPieceCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Count of sentence punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+
+  /** Common-English stopwords used by the quality heuristics. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  /** Fraction of whitespace tokens that are stopwords, rounded to 4 dp. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val stops = array(Stopwords.map(lit): _*)
+    round(size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks), 4)
+  }
+
+  /** Mean whitespace-token length, rounded to 4 dp. */
+  def meanTokenLength(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks), 4)
+  }
+
+  /** Per-document analysis table: one row per doc with the quality
+    * signals. All columns but `quality` are DuckDB-expressible.
+    */
+  def analyze(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    // Counts cast to long: DuckDB's length()/len() are BIGINT and the
+    // oracle compare is dtype-sensitive.
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      wordPieceCount(t).cast("long").as("n_pieces"),
+      punctCount(t).cast("long").as("n_punct"),
+      stopwordRatio(t).as("stopword_ratio"),
+      meanTokenLength(t).as("mean_token_len"))
+  }
+
+  /** Composite quality score in [0, 1]: length sweet-spot, readable
+    * token lengths, some-but-not-too-many stopwords, low punctuation
+    * noise. Heuristic (C4/Gopher-style rules re-expressed as a score).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val a = analyze(docs, textCol, idCol)
+    val lenScore = least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+    val tokLenScore =
+      when(col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.5)
+    val stopScore =
+      when(col("stopword_ratio").between(0.01, 0.6), 1.0).otherwise(0.5)
+    val punctScore = when(col("n_punct") * 10 <= col("n_chars"), 1.0).otherwise(0.5)
+    a.withColumn("quality",
+      round((lenScore + tokLenScore + stopScore + punctScore) / 4.0, 4))
+  }
+
+  // ------------------------------------------------------------ language id
+
+  /** Tiny per-language stopword profiles (public common-word lists). */
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "für", "auf", "ich"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas", "des", "je", "avec"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "una", "en", "que", "por", "para", "con", "no"))
+
+  /** N-gram/stopword language-ID heuristic. CJK codepoint density decides
+    * zh; otherwise the profile with the most stopword hits wins, falling
+    * back to "en" when nothing matches (scores ties break alphabetically
+    * for determinism).
+    */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints().filter(cp =>
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)).count()
+    if (cjk * 5 >= text.length) return "zh"
+    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val scores = Profiles.view.mapValues(p => toks.count(p.contains)).toMap
+    val (best, hits) = scores.toSeq.sortBy { case (l, h) => (-h, l) }.head
+    if (hits == 0) "en" else best
+  }
+
+  /** (doc_id, pred_lang) per document. */
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lid = udf((t: String) => detectLanguage(t))
+    docs.select(col(idCol).as("doc_id"), lid(col(textCol)).as("pred_lang"))
+  }
+
+  // ---------------------------------------------------------- fingerprint
+
+  /** Order-sensitive rolling document fingerprint: polynomial rolling
+    * hash over whitespace tokens (Rabin–Karp style) — equal texts hash
+    * equal, any reordering or edit changes it.
+    */
+  def fingerprint(text: String): Long = {
+    var h = 1125899906842597L // large prime seed
+    text.trim.split("\\s+").foreach { tok =>
+      h = h * 31L + (MurmurHash3.stringHash(tok).toLong & 0xFFFFFFFFL)
+    }
+    h
+  }
+
+  /** (doc_id, fp) per document. */
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fp = udf((t: String) => fingerprint(t))
+    docs.select(col(idCol).as("doc_id"), fp(col(textCol)).as("fp"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def realDocs(n: Int) = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .limit(n)
+
+  test("exact dedup collapses normalized duplicates, keeps min id") {
+    val docs = Seq(
+      (1L, "Hello   world foo"),
+      (2L, "  hello world FOO "), // same after normalization
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val res = Dedup.exactDedup(docs).collect()
+    assert(res.length == 2)
+    val dup = res.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs).count() == 2)
+  }
+
+  test("minhash LSH near-dup: recall on seeded perturbations, no false merges") {
+    val rnd = new scala.util.Random(42)
+    val base = realDocs(40).select($"doc_id", $"text").as[(Long, String)].collect()
+    // Perturb ~2.5% of tokens of each doc -> shingle Jaccard ~0.85,
+    // above the 16x8 banding S-curve threshold (1/16)^(1/8) ~ 0.71
+    // where detection probability is >0.95.
+    val perturbed = base.map { case (id, text) =>
+      val toks = text.split("\\s+")
+      val mutated = toks.map(t => if (rnd.nextDouble() < 0.025) "zzq" + t else t)
+      (id + 100000L, mutated.mkString(" "))
+    }
+    val docs = (base ++ perturbed).toSeq.toDF("doc_id", "text")
+
+    val pairs = Dedup.nearDuplicatePairs(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // Recall: each (id, id+100000) pair should be found.
+    val want = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val found = want.intersect(pairs)
+    assert(found.size >= (want.size * 0.85).toInt,
+      s"recall too low: ${found.size}/${want.size}")
+    // Precision: every extra pair (not seeded by us) must be a genuine
+    // near-dup — the corpus does contain natural ones (e.g. docs 8/12).
+    val textOf = (base ++ perturbed).toMap
+    val extras = pairs.filterNot(p => p._2 - p._1 == 100000L)
+    extras.foreach { case (a, b) =>
+      val j = Dedup.jaccard(Dedup.shingleSet(textOf(a)), Dedup.shingleSet(textOf(b)))
+      assert(j >= 0.5, s"false positive ($a,$b) with true jaccard $j")
+    }
+  }
+
+  test("LSH candidate generation is bucket-bounded, not all-pairs") {
+    val docs = realDocs(200).select($"doc_id", $"text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val nCands = Dedup.lshCandidatePairs(sigs).count()
+    // 200 distinct docs -> candidate count must be far below 200*199/2.
+    assert(nCands < 500, s"LSH produced near-quadratic candidates: $nCands")
+  }
+
+  test("simhash: perturbed docs within Hamming 3, fingerprints deterministic") {
+    val base = realDocs(30).select($"doc_id", $"text").as[(Long, String)].collect()
+    val rnd = new scala.util.Random(7)
+    val perturbed = base.map { case (id, text) =>
+      val toks = text.split("\\s+")
+      val i = rnd.nextInt(toks.length)
+      (id + 100000L, toks.updated(i, "zzq").mkString(" "))
+    }
+    val docs = (base ++ perturbed).toSeq.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val found = want.intersect(pairs)
+    assert(found.size >= (want.size * 0.7).toInt, s"simhash recall: ${found.size}/${want.size}")
+
+    // Determinism: same text -> same fingerprint.
+    assert(Dedup.simhash("a b c") == Dedup.simhash("a b c"))
+    assert(Dedup.simhash("hello world") != Dedup.simhash("goodbye world"))
+  }
+
+  test("jaccard kernel") {
+    assert(Dedup.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
+    assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)
+    assert(Dedup.jaccard(Set.empty, Set.empty) == 1.0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force topK matches naive computation") {
+    val sample = embs.limit(100).cache()
+    val rows = sample.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val got = Similarity.topK(sample, sample.filter($"vec_id" < 5), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+
+    rows.filter(_._1 < 5).foreach { case (qid, qv) =>
+      val want = rows
+        .filter(_._1 != qid)
+        .map { case (vid, v) => (Similarity.cosine(qv, v), vid) }
+        .sortBy { case (s, vid) => (-s, vid) }
+        .take(3)
+        .map(_._2)
+      val gotIds = (1 to 3).map(rk => got((qid, rk)))
+      assert(gotIds == want.toSeq, s"query $qid: got $gotIds want ${want.toSeq}")
+    }
+  }
+
+  test("ANN recall@10 against exact topK") {
+    // This corpus's nearest neighbors sit at cosine ~0.3-0.5 (~60-70
+    // degrees) — the hard regime for hyperplane LSH — so use short
+    // signatures + many tables, matched to the geometry.
+    val exact = Similarity.topK(embs, embs.limit(50), k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(embs, embs.limit(50), k = 10, tables = 32, bits = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall@10 = $recall")
+  }
+
+  test("embedding near-dup finds seeded duplicates, never all-pairs") {
+    // Seed 10 exact-duplicate vectors with new ids.
+    val dups = embs.limit(10).select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val corpus = embs.unionByName(dups)
+    val pairs = Similarity.embeddingNearDuplicates(corpus, threshold = 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(want.subsetOf(pairs), s"missing: ${want.diff(pairs)}")
+    // Nothing else in this corpus is near-identical (max cosine ~0.5).
+    assert(pairs.size == want.size, s"unexpected pairs: ${pairs.diff(want)}")
+  }
+
+  test("cosine kernel: unit-norm invariance and self-similarity") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    assert(math.abs(Similarity.cosine(a, a) - 1.0) < 1e-12)
+    assert(math.abs(Similarity.cosine(a, a.map(_ * 5))) - 1.0 < 1e-12)
+    assert(math.abs(Similarity.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
+  }
+}

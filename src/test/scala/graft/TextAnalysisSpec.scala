@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language-ID heuristic on real sentences") {
+    assert(TextAnalysis.detectLanguage("the quick brown fox jumps over the lazy dog and it was fine") == "en")
+    assert(TextAnalysis.detectLanguage("der schnelle braune Fuchs springt über den faulen Hund und das ist gut") == "de")
+    assert(TextAnalysis.detectLanguage("le renard brun rapide saute par-dessus le chien paresseux dans la nuit") == "fr")
+    assert(TextAnalysis.detectLanguage("el zorro marrón rápido salta sobre el perro perezoso y es bueno") == "es")
+    assert(TextAnalysis.detectLanguage("敏捷的棕色狐狸跳过懒狗") == "zh")
+    assert(TextAnalysis.detectLanguage("") == "und")
+    assert(TextAnalysis.detectLanguage("12345 67890 !!!") == "und")
+  }
+
+  test("analyze: token/punct/stopword columns") {
+    val df = Seq((1L, "The cat, the dog; and a bird.")).toDF("doc_id", "text")
+    val row = TextAnalysis.analyze(df).collect().head
+    assert(row.getAs[Long]("n_tokens") == 7L)
+    assert(row.getAs[Long]("n_punct") == 3L) // , ; .
+    // stopwords: the, the, and, a -> 4/7
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - math.round(4.0 / 7 * 10000) / 10000.0) < 1e-9)
+  }
+
+  test("quality score in [0,1] and orders degenerate below normal text") {
+    val df = Seq(
+      (1L, "A well formed sentence with the usual structure and plenty of ordinary readable words in it for scoring purposes here today now."),
+      (2L, "x")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("fingerprint: deterministic, order- and edit-sensitive") {
+    assert(TextAnalysis.fingerprint("a b c") == TextAnalysis.fingerprint("a b c"))
+    assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("c b a"))
+    assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("a b d"))
+  }
+
+  test("operators run over the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(TextAnalysis.analyze(docs).count() == docs.count())
+    assert(TextAnalysis.languageId(docs).count() == docs.count())
+    assert(TextAnalysis.fingerprints(docs).select("fp").distinct().count() == docs.count())
+  }
+}
