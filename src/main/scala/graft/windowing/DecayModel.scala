@@ -127,8 +127,10 @@ object DecayModel {
   /** The flush-time merge-event sizes for one ingest session of n
     * elements through a buffer (0 = unbuffered).
     */
-  def sessionSizes(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Iterator[Long] =
+  def sessionSizes(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Iterator[Long] = {
+    require(n <= Int.MaxValue.toLong, s"session of n=$n elements: simulate path is capped at Int.MaxValue")
     if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
+  }
 
   private def simulate(spec: WindowingSpec, sizes: Iterator[Long]): Array[(Long, Long)] = {
     val sim = new Simulator(spec.newWindowing())
@@ -136,9 +138,11 @@ object DecayModel {
     sim.result()
   }
 
-  /** Merge-event sizes for N appends in unbuffered mode. */
+  /** Merge-event sizes for N appends in unbuffered mode. Long-counted:
+    * Iterator.fill(n.toInt) would silently truncate for n > Int.MaxValue.
+    */
   private def unbufferedSizes(n: Long): Iterator[Long] =
-    Iterator.fill(n.toInt)(1L)
+    Iterator.range(0L, n).map(_ => 1L)
 
   /** Merge-event sizes for N appends through a buffer of nominal size
     * `bufferSize`, then a flush. Full buffers are cut largest-first into
@@ -163,8 +167,44 @@ object DecayModel {
       val tailCut = prefix.reverse
       val leftover = tail - prefix.sum
       Iterator.range(0L, fullBuffers).flatMap(_ => cut.iterator) ++
-        tailCut.iterator ++ Iterator.fill(leftover.toInt)(1L)
+        tailCut.iterator ++ Iterator.range(0L, leftover).map(_ => 1L)
     }
+  }
+
+  /** Closed-form decomposition for exponential windowing with an
+    * integral base b and unbuffered ingest, via the self-similarity
+    *
+    *   D(b*m + s) = b * D(m) ++ D(s)   for 1 <= s <= b, m >= 1,
+    *
+    * (sizes oldest -> newest; b*D scales every window size). The state
+    * after n appends is a scaled copy of the state after floor((n-s)/b)
+    * appends plus a fresh tail — O(log_b n) recursion instead of the
+    * O(n) heap simulation. Verified against the simulator for all
+    * n <= 4096 and sampled n <= 10^5 (DecayModelScaleSuite); the base
+    * cases n <= b^2 come from the simulator itself.
+    */
+  private def sizesClosedForm(base: Long, n: Long): Array[Long] = {
+    require(n >= 1)
+    if (n <= base * base)
+      simulate(ExponentialWindowing(base.toDouble), unbufferedSizes(n))
+        .map { case (s, e) => e - s + 1 }
+    else {
+      val s = (n - 1) % base + 1
+      val m = (n - s) / base
+      val head = sizesClosedForm(base, m)
+      val tail = sizesClosedForm(base, s)
+      val out = new Array[Long](head.length + tail.length)
+      var i = 0
+      while (i < head.length) { out(i) = head(i) * base; i += 1 }
+      System.arraycopy(tail, 0, out, head.length, tail.length)
+      out
+    }
+  }
+
+  private def integralBase(spec: WindowingSpec): Option[Long] = spec match {
+    case ExponentialWindowing(b) if b >= 2.0 && b == math.rint(b) && b <= 1e6 =>
+      Some(b.toLong)
+    case _ => None
   }
 
   private val cache = new ConcurrentHashMap[(WindowingSpec, Long, Long), Array[Long]]()
@@ -175,11 +215,25 @@ object DecayModel {
     * `upperBound(starts, s) - 1`. Memoized per (spec, bufferSize, n).
     */
   def windowStarts(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Array[Long] = {
-    require(n <= Int.MaxValue.toLong * 8, s"decomposition for n=$n not supported yet")
+    val fast = bufferSize <= 0 && integralBase(spec).isDefined
+    // The O(n) simulation path is driver-side; cap it rather than wrap.
+    require(fast || n <= Int.MaxValue.toLong,
+      s"simulated decomposition for n=$n not supported (use an integral exponential base for the O(log n) path)")
+    if (cache.size > 4096) cache.clear() // bound the memo (ADVICE r1)
     cache.computeIfAbsent((spec, bufferSize, n), { _ =>
-      val sizes =
-        if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
-      simulate(spec, sizes).map(_._1)
+      integralBase(spec).filter(_ => bufferSize <= 0) match {
+        case Some(b) =>
+          val sizes = sizesClosedForm(b, n)
+          val starts = new Array[Long](sizes.length)
+          var acc = 0L
+          var i = 0
+          while (i < sizes.length) { starts(i) = acc; acc += sizes(i); i += 1 }
+          starts
+        case None =>
+          val sizes =
+            if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
+          simulate(spec, sizes).map(_._1)
+      }
     })
   }
 
