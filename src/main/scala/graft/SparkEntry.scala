@@ -137,6 +137,29 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // -- Stream statistics (Welford aggregator, distributed merge).
+    // Oracle-compare note: means/variances are rounded via decimally-
+    // exact derived quantities (mean*n = the 2-decimal input sum) —
+    // rounding a mean directly can land exactly on a rounding boundary
+    // (e.g. sum/80 terminating in ...5) where two correct FP paths split.
+    "q_stats" -> ((s, dir) => {
+      import s.implicits._
+      StreamStats.perStream(Ingest.fromEventsTable(s, dir))
+        .select(
+          $"stream_id", $"n",
+          round($"value_mean" * $"n", 2).as("value_sum"),
+          round($"value_svar", 2).as("value_svar"))
+    }),
+    "q_interval_stats" -> ((s, dir) => {
+      import s.implicits._
+      StreamStats.perStream(Ingest.fromEventsTable(s, dir))
+        .filter($"n" > 1) // single-element streams have no intervals
+        .select(
+          $"stream_id",
+          ($"n" - 1).as("n_intervals"),
+          // Telescoped interval sum — integer-exact, unlike mean*(n-1).
+          ($"last_ts" - $"first_ts").as("interval_total_us"))
+    }),
   )
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -186,5 +209,18 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 50 AND n.vec_id != q.vec_id)
         |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+    "q_stats" ->
+      """SELECT user_id AS stream_id, count(*) AS n,
+        |round(sum(value), 2) AS value_sum,
+        |round(var_samp(value), 2) AS value_svar
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_interval_stats" ->
+      """WITH i AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS iv
+        |  FROM events)
+        |SELECT user_id AS stream_id, count(iv) AS n_intervals,
+        |sum(iv)::BIGINT AS interval_total_us
+        |FROM i WHERE iv IS NOT NULL GROUP BY user_id""".stripMargin,
   )
 }

@@ -71,7 +71,9 @@ object Ingest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     val tsMicros = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => floor(col("ts") / 1000L).cast("long")
+      // Integral `div`, NOT floor(ts/1000): the double division loses
+      // microsecond precision at epoch-nanos magnitude (ULP ~256 ns).
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _                                   => unix_micros(col("ts"))
     }
     val raw = df.select(

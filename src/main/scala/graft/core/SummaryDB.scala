@@ -96,13 +96,13 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     fs.rename(new Path(tmp), dst)
   }
 
-  /** Re-rank the persisted events into dense per-stream (seq, ts) order.
-    * The stored seq values are per-batch; ranking by (seq batch order,
-    * ts) reproduces a global append order.
+  /** Re-rank the persisted events into dense per-stream order. The
+    * stored per-batch seq is the tiebreak for equal timestamps — stable
+    * across refreshes (monotonically_increasing_id would not be).
     */
   private def readEvents(): Dataset[Event] = {
     val raw = spark.read.parquet(p("events"))
-      .withColumn("arrival", monotonically_increasing_id())
+      .withColumn("arrival", col("seq"))
     Ingest.prepare(raw)
   }
 
