@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query latencies plus the
+  * engine's two headline metrics — ingest→summarize throughput and the
+  * summary compression ratio (the reference's N → O(log N) effect,
+  * `/root/reference/core/db_test.go:330-334`). Failures are reported as
+  * explicit error entries, never as fake timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,51 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val timings = collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+
+    // Pipeline materialization: events -> summary/landmark tables. A
+    // failure here must still produce the JSON line (with an error
+    // entry), never a bare crash the driver can't parse.
+    val tIngest0 = System.nanoTime()
+    val (rawRows, windowRows) =
+      try SparkEntry.materialize(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          errors("__materialize") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          (0L, 0L)
+      }
+    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
+    val rowsPerSec = if (ingestSec > 0) rawRows / ingestSec else 0.0
+    val compression = if (windowRows > 0) rawRows.toDouble / windowRows else 0.0
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val total = ingestSec + timings.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$es,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$rowsPerSec,""" +
+      s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
+      s""""sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

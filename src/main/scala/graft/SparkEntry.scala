@@ -137,6 +137,10 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // -- Multimodal plumbing: synthetic binary payloads -> batch decode
+    //    stub -> fixed-dim features (deterministic; rows-only check).
+    "q_media_features" -> ((s, dir) =>
+      ops.Multimodal.extractFeatures(ops.Multimodal.syntheticMedia(docs(s, dir)))),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
     // exact derived quantities (mean*n = the 2-decimal input sum) —
@@ -161,6 +165,18 @@ object SparkEntry {
           ($"last_ts" - $"first_ts").as("interval_total_us"))
     }),
   )
+
+  /** Materialize the summary pipeline; returns (raw events, summary
+    * windows) row counts. Used by Bench for ingest-throughput and
+    * compression metrics.
+    */
+  def materialize(s: SparkSession, dir: String): (Long, Long) = {
+    val t = tables(s, dir)
+    val windows = t.summary.count()
+    t.landmarks.count(); t.lmSummary.count()
+    val raw = Ingest.fromEventsTable(s, dir).count()
+    (raw, windows)
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
