@@ -37,7 +37,8 @@ object SparkEntry {
 
   private def tables(spark: SparkSession, sfDir: String): Tables =
     cache.computeIfAbsent(sfDir, { _ =>
-      val events = Ingest.fromEventsTable(spark, sfDir)
+      // The ranked event stream feeds both pipelines — rank once.
+      val events = Ingest.fromEventsTable(spark, sfDir).persist()
       val summary = Summarizer.summarize(events, Spec).persist()
       val (lmSummary, landmarks) =
         Summarizer.summarizeWithLandmarks(events, Spec, Seq((LandmarkLo, LandmarkHi)))
@@ -137,6 +138,29 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // -- Sketch ops (declared-but-absent in the reference: bloom/cms/freq).
+    "q_distinct_exact" -> ((s, dir) => {
+      import s.implicits._
+      ops.Frequency.distinctExact(rawEvents(s, dir), "user_id", "event_type")
+        .withColumnRenamed("group_id", "stream_id")
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      ops.Frequency.distinctApprox(rawEvents(s, dir), "user_id", "event_type")
+        .withColumnRenamed("group_id", "stream_id")),
+    "q_top_type" -> ((s, dir) =>
+      ops.Frequency.topKeyExact(rawEvents(s, dir), "user_id", "event_type")
+        .withColumnRenamed("group_id", "stream_id")),
+    // Sketch sizes matched to per-stream cardinality (~100 elements):
+    // an eps=0.001 CMS is 112 KB/stream and would dominate the shuffle.
+    "q_heavy_hitters" -> ((s, dir) =>
+      ops.Frequency.heavyHittersCms(rawEvents(s, dir), "user_id", "event_type", eps = 0.01)
+        .withColumnRenamed("group_id", "stream_id")),
+    "q_bloom" -> ((s, dir) =>
+      ops.Frequency.bloomMembership(
+        rawEvents(s, dir), "user_id", "event_type",
+        Seq("click", "view", "purchase", "signup", "error", "zz_absent_type"),
+        expectedItems = 2048L)
+        .withColumnRenamed("group_id", "stream_id")),
     // -- Multimodal plumbing: synthetic binary payloads -> batch decode
     //    stub -> fixed-dim features (deterministic; rows-only check).
     "q_media_features" -> ((s, dir) =>
@@ -180,6 +204,11 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  private def rawEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -238,5 +267,16 @@ object SparkEntry {
         |SELECT user_id AS stream_id, count(iv) AS n_intervals,
         |sum(iv)::BIGINT AS interval_total_us
         |FROM i WHERE iv IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q_distinct_exact" ->
+      "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
+    "q_top_type" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id AS stream_id, event_type AS top_key, cnt AS top_cnt
+        |FROM r WHERE rk = 1""".stripMargin,
   )
 }

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * append time — an out-of-order timestamp is rewritten to
   * `lastTimestamp + 1`, never re-sorted
   * (`/root/reference/core/pipeline.go:80-95`) — and numbers elements
-  * with a per-stream counter (`numElements`). Batch equivalent: order
-  * each stream by (ts, arrival tiebreaker) and fold the clamp + rank
-  * sequentially per stream.
+  * with a per-stream counter (`numElements`).
+  *
+  * DIVERGENCE (documented, ADVICE r1): this batch path orders each
+  * stream by (ts, arrival) before the clamp, so for out-of-order input
+  * it produces a different element ordering (and thus different window
+  * contents) than the reference's arrival-order clamp. The two agree
+  * exactly for in-order data — which is what every cross-check uses.
+  * For reference-faithful out-of-order semantics use the streaming
+  * path, `graft.streaming.StatefulClamp`, which clamps in arrival
+  * order with persistent per-stream state.
   *
   * Scale: one hash shuffle on streamId + an in-partition sort; each
   * stream is processed by exactly one task (the fold is inherently

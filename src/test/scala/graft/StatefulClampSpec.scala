@@ -1,0 +1,34 @@
+package graft
+
+import graft.streaming.StatefulClamp
+import graft.streaming.StatefulClamp.Raw
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StatefulClampSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clamp rewrites out-of-order ts to last+1 and keeps state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val q = StatefulClamp(source.toDS())
+      .writeStream.format("memory").queryName("clamped")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // Reference behavior (core/pipeline.go:81-84): 5, 3 -> 5, 6; 10 stays.
+    source.addData(Raw(1L, 5, 1.0), Raw(1L, 3, 2.0), Raw(1L, 10, 3.0))
+    q.processAllAvailable()
+    // Next batch: state carries lastTs=10 -> 7 clamps to 11.
+    source.addData(Raw(1L, 7, 4.0), Raw(1L, 20, 5.0), Raw(2L, 1, 6.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("clamped").as[graft.core.Event]
+      .collect().sortBy(e => (e.streamId, e.seq))
+    val s1 = rows.filter(_.streamId == 1L)
+    assert(s1.map(_.ts).toSeq == Seq(5L, 6L, 10L, 11L, 20L))
+    assert(s1.map(_.seq).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // dense across batches
+    assert(rows.filter(_.streamId == 2L).map(_.seq).toSeq == Seq(0L))
+  }
+}
