@@ -57,12 +57,51 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     * (per append batch, applied to all touched streams) whose elements
     * are stored exactly instead of decayed — the batch form of
     * `StartLandmark`/`EndLandmark`.
+    *
+    * Without landmarks the append is INCREMENTAL: the batch becomes
+    * per-element fine windows and the summary table re-coarsens by
+    * monoid merge ([[Compactor]]) — raw events are retained (WAL role)
+    * but never re-read to maintain decay. With landmarks in play the
+    * summaries are recomputed from events (the landmark split changes
+    * element ranks).
     */
   def append(
       events: Dataset[Event],
       landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
     events.write.mode(SaveMode.Append).parquet(p("events"))
-    refreshSummaries(landmarkIntervals)
+    if (landmarkIntervals.nonEmpty || landmarks.head(1).nonEmpty)
+      refreshSummaries(landmarkIntervals)
+    else
+      appendIncremental(events)
+  }
+
+  private def specOf: Long => WindowingSpec =
+    sid => metas.getOrElse(sid, StreamMeta.exponential(sid, 2.0)).spec
+
+  /** Old summary + fine windows of the new batch -> canonical partition
+    * at the new N, by pure monoid re-merge. Batch timestamps are clamped
+    * to each stream's stored time frontier so window time spans stay
+    * ordered (reference monotonic repair, `core/pipeline.go:81-84`).
+    */
+  private def appendIncremental(batch: Dataset[Event]): Unit = {
+    val old = summaryWindows
+    val baseInfo: Map[Long, (Long, Long)] = old
+      .groupBy($"streamId")
+      .agg((max($"ce") + 1L).as("n"), max($"te").as("lastTs"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (sid, n, lastTs) => sid -> ((n, lastTs)) }
+      .toMap
+    val bc = spark.sparkContext.broadcast(baseInfo)
+
+    val prepared = Ingest.prepare(batch.toDF().withColumn("arrival", col("seq")))
+      .map { e =>
+        val lastTs = bc.value.get(e.streamId).map(_._2).getOrElse(Long.MinValue)
+        if (e.ts < lastTs) e.copy(ts = lastTs) else e
+      }
+    val fine = Compactor.fineWindows(prepared, baseInfo.map { case (k, v) => k -> v._1 })
+    val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
+    writeAtomic("summary_windows", merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
   /** Recompute summary + landmark tables from the persisted events.
@@ -72,8 +111,6 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     */
   private def refreshSummaries(landmarkIntervals: Seq[(Long, Long)]): Unit = {
     val events = readEvents()
-    val specOf: Long => WindowingSpec =
-      sid => metas.getOrElse(sid, StreamMeta.exponential(sid, 2.0)).spec
     val (sw, lw) =
       if (landmarkIntervals.isEmpty)
         (Summarizer.summarizePerStream(events, specOf), spark.emptyDataset[LandmarkWindow])

@@ -40,6 +40,11 @@ object Demo {
     println("empty range query: " + db2.query(1L, "count", 5000, 6000))
     try { db2.query(1L, "median", 0, 9); () }
     catch { case e: IllegalArgumentException => println("unknown op -> " + e.getMessage) }
+    // Out-of-order batch: ts 50..59 arrive after frontier 129 -> clamped
+    // to the frontier (reference monotonic repair); totals stay exact.
+    db2.append((0 until 10).map(i => Event(1L, i.toLong, 50L + i, 1000.0 + i)).toDS())
+    println("after ooo append count s1 full: " + db2.query(1L, "count", 0, Long.MaxValue / 2))
+    println("after ooo append max  s1 full: " + db2.query(1L, "max", 0, Long.MaxValue / 2))
     println("on-disk layout: " +
       new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
     spark.stop()

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core._
+import graft.windowing.{DecayModel, ExponentialWindowing, PowerWindowing}
+import java.nio.file.Files
+
+class CompactorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(from: Int, until: Int, sid: Long = 0L) =
+    (from until until).map(i => Event(sid, i.toLong, i.toLong, i.toDouble)).toDS()
+
+  private def windowSet(ds: org.apache.spark.sql.Dataset[SummaryWindow]) =
+    ds.collect().map(w => (w.streamId, w.cs, w.ce, w.ts, w.te, w.count, w.sum, w.max, w.min)).toSet
+
+  test("recoarsen(old canonical + fine) == summarize(all), exp-2") {
+    val exp2 = ExponentialWindowing(2.0)
+    val old = Summarizer.summarize(mkEvents(0, 60), exp2)
+    val fine = Compactor.fineWindows(mkEvents(0, 40).map(e => e.copy(seq = e.seq, ts = e.ts + 60, value = e.value + 60)), Map(0L -> 60L))
+    val merged = Compactor.recoarsen(old.unionByName(fine), _ => exp2)
+    val direct = Summarizer.summarize(mkEvents(0, 100), exp2)
+    assert(windowSet(merged) == windowSet(direct))
+  }
+
+  test("recoarsen equivalence holds for power windowing") {
+    val pw = PowerWindowing(1, 1, 10, 1)
+    val old = Summarizer.summarize(mkEvents(0, 70), pw)
+    val fine = Compactor.fineWindows(
+      mkEvents(0, 30).map(e => e.copy(ts = e.ts + 70, value = e.value + 70)), Map(0L -> 70L))
+    val merged = Compactor.recoarsen(old.unionByName(fine), _ => pw)
+    val direct = Summarizer.summarize(mkEvents(0, 100), pw)
+    assert(windowSet(merged) == windowSet(direct))
+  }
+
+  test("repeated incremental compaction == one-shot, multi-stream") {
+    val exp2 = ExponentialWindowing(2.0)
+    def ev(sid: Long, from: Int, until: Int) =
+      (from until until).map(i => Event(sid, (i - from).toLong, i.toLong, i.toDouble)).toDS()
+
+    // Stream 1 grows in 3 steps; stream 2 in one.
+    var sw = Summarizer.summarize(
+      ev(1L, 0, 25).map(e => e.copy(seq = e.seq)), exp2)
+    for ((from, until) <- Seq((25, 60), (60, 100))) {
+      val base = sw.groupBy($"streamId").agg(org.apache.spark.sql.functions.max($"ce") + 1L)
+        .as[(Long, Long)].collect().toMap
+      val fine = Compactor.fineWindows(ev(1L, from, until), base)
+      sw = Compactor.recoarsen(sw.unionByName(fine), _ => exp2)
+    }
+    val fine2 = Compactor.fineWindows(ev(2L, 0, 50), Map.empty)
+    sw = Compactor.recoarsen(sw.unionByName(fine2), _ => exp2)
+
+    val direct = Summarizer.summarize(
+      ev(1L, 0, 100).unionByName(ev(2L, 0, 50)), exp2)
+    assert(windowSet(sw) == windowSet(direct))
+  }
+
+  test("SummaryDB incremental append matches full-recompute semantics") {
+    val dir = Files.createTempDirectory("graft_inc").toString
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(3L, 2.0))
+    db.append(mkEvents(0, 30, sid = 3L))
+    db.append((30 until 75).map(i => Event(3L, (i - 30).toLong, i.toLong, i.toDouble)).toDS())
+    db.append((75 until 100).map(i => Event(3L, (i - 75).toLong, i.toLong, i.toDouble)).toDS())
+
+    assert(db.summaryWindows.count() == 9) // canonical N=100
+    val c = db.query(3L, "count", 0, 99)
+    assert(c.value == 100.0 && c.error == 0.0)
+    val s = db.query(3L, "sum", 0, 99)
+    assert(s.value == 4950.0 && s.error == 0.0)
+  }
+
+  test("buffered summarize matches model decomposition") {
+    val exp2 = ExponentialWindowing(2.0)
+    val sw = Summarizer.summarize(mkEvents(0, 1000), exp2, bufferSize = 32L)
+    val want = DecayModel.windowStarts(exp2, 1000L, bufferSize = 32L)
+    val got = sw.collect().sortBy(_.cs)
+    assert(got.map(_.cs).toSeq == want.toSeq)
+    assert(got.map(_.count).sum == 1000.0)
+  }
+}
