@@ -138,6 +138,21 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // -- Relational surface: broadcast-joined star query (small dims are
+    //    broadcast explicitly; no shuffle join for dimension tables).
+    "q_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("revenue"))
+        .withColumnRenamed("n_name", "nation")
+    }),
     // -- Sketch ops (declared-but-absent in the reference: bloom/cms/freq).
     "q_distinct_exact" -> ((s, dir) => {
       import s.implicits._
@@ -267,6 +282,13 @@ object SparkEntry {
         |SELECT user_id AS stream_id, count(iv) AS n_intervals,
         |sum(iv)::BIGINT AS interval_total_us
         |FROM i WHERE iv IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q_join" ->
+      """SELECT n_name AS nation, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_top_type" ->

@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+/** SQL-surface registration: expose the engine's scalar kernels and
+  * aggregators to `spark.sql` users under a `graft_` prefix, so the
+  * library is usable from pure SQL (the reference has no SQL surface;
+  * this is part of being a complete Spark citizen).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("graft_simhash", (t: String) => Dedup.simhash(t))
+    u.register("graft_fingerprint", (t: String) => TextAnalysis.fingerprint(t))
+    u.register("graft_lang_id", (t: String) => TextAnalysis.detectLanguage(t))
+    u.register("graft_jaccard", (a: String, b: String) =>
+      Dedup.jaccard(Dedup.shingleSet(a), Dedup.shingleSet(b)))
+    u.register("graft_minhash", (t: String) => Dedup.signature(Dedup.shingleSet(t)))
+    u.register("graft_cosine", (a: Seq[Float], b: Seq[Float]) => Similarity.cosine(a, b))
+    u.register("graft_welford", udaf(new WelfordAggregator))
+    u.register("graft_bloom_agg", udaf(new Sketches.BloomAggregator()))
+    u.register("graft_cms_agg", udaf(new Sketches.CmsAggregator()))
+    u.register("graft_bloom_contains", (bloom: Array[Byte], item: String) =>
+      Sketches.mightContain(bloom, item))
+    u.register("graft_cms_estimate", (cms: Array[Byte], item: String) =>
+      Sketches.cmsEstimate(cms, item))
+  }
+}

@@ -47,6 +47,16 @@ object Demo {
     println("after ooo append max  s1 full: " + db2.query(1L, "max", 0, Long.MaxValue / 2))
     println("on-disk layout: " +
       new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
+
+    // SQL surface tour.
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT graft_lang_id(text) AS lang, count(*) AS n,
+        |  round(avg(graft_jaccard(text, text)), 1) AS self_jaccard
+        |FROM documents GROUP BY 1 ORDER BY n DESC LIMIT 3""".stripMargin)
+      .collect().foreach(r => println(s"sql: lang=${r.getString(0)} n=${r.getLong(1)} selfJ=${r.getDouble(2)}"))
     spark.stop()
   }
 }
