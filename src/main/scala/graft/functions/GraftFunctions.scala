@@ -27,5 +27,14 @@ object GraftFunctions {
       Sketches.mightContain(bloom, item))
     u.register("graft_cms_estimate", (cms: Array[Byte], item: String) =>
       Sketches.cmsEstimate(cms, item))
+
+    // Native codegen expression (not a UDF): registered straight into
+    // the function registry so `expr("graft_cosine_native(a, b)")` and
+    // SQL both compile to the tight primitive loop.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_native",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children(0), children(1)),
+      "built-in")
   }
 }

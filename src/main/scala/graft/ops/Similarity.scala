@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  /** Codegen'd cosine column (native Catalyst expression — no per-row
+    * boxing, stays inside WholeStageCodegen). Resolved through the
+    * function registry; [[ensureNative]] registers it idempotently.
+    */
+  def cosineCol(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureNative(spark)
+    call_function("graft_cosine_native", a, b)
+  }
+
+  private def ensureNative(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_native",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(children(0), children(1)),
+      "built-in")
+
   /** L2-normalize to unit length (double precision). */
   def unit(v: Seq[Float]): Array[Double] = {
     val d = v.toArray.map(_.toDouble)
@@ -159,12 +177,11 @@ object Similarity {
     val corpus = bucketed(embs, "neighbor_id")
     val qs = bucketed(queries, "query_id")
 
-    val cos = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
     val cands = qs.join(corpus, Seq("t", "sig"))
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id", $"vec_query_id", $"vec_neighbor_id")
       .distinct()
-      .withColumn("score", cos($"vec_query_id", $"vec_neighbor_id"))
+      .withColumn("score", cosineCol(spark, $"vec_query_id", $"vec_neighbor_id"))
 
     val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
     cands
@@ -195,12 +212,11 @@ object Similarity {
       .withColumn("sig", sigUdf(col("vec"), col("t")))
     val l = b.select($"t", $"sig", $"id".as("id_a"), $"vec".as("vec_a"))
     val r = b.select($"t", $"sig", $"id".as("id_b"), $"vec".as("vec_b"))
-    val cos = udf((x: Seq[Float], y: Seq[Float]) => cosine(x, y))
     l.join(r, Seq("t", "sig"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"vec_a", $"vec_b")
       .distinct()
-      .withColumn("cos", cos($"vec_a", $"vec_b"))
+      .withColumn("cos", cosineCol(spark, $"vec_a", $"vec_b"))
       .filter($"cos" >= threshold)
       .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
   }
