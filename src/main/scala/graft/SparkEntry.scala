@@ -33,10 +33,13 @@ object SparkEntry {
       lmSummary: Dataset[SummaryWindow],
       landmarks: Dataset[LandmarkWindow])
 
+  // Keyed by (session identity, dir): cached Datasets are bound to the
+  // SparkSession that built them — reusing them from a later session in
+  // the same JVM would fail with "SparkContext has been shut down".
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Tables]()
 
   private def tables(spark: SparkSession, sfDir: String): Tables =
-    cache.computeIfAbsent(sfDir, { _ =>
+    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", { _ =>
       // The ranked event stream feeds both pipelines — rank once.
       val events = Ingest.fromEventsTable(spark, sfDir).persist()
       val summary = Summarizer.summarize(events, Spec).persist()

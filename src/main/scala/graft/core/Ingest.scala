@@ -34,14 +34,21 @@ object Ingest {
     * arrival tiebreaker column. Produces Dataset[Event] with clamped ts
     * and dense 0-based seq per stream.
     */
+  /** `baseTs` seeds each stream's monotonic frontier (e.g. the stored
+    * max te when appending a batch to an existing store): elements
+    * earlier than the frontier are bumped to frontier+1, sequentially —
+    * exactly the reference's repair.
+    */
   def prepare(
       raw: DataFrame,
       streamCol: String = "streamId",
       tsCol: String = "ts",
       valueCol: String = "value",
-      arrivalCol: String = "arrival"): Dataset[Event] = {
+      arrivalCol: String = "arrival",
+      baseTs: Map[Long, Long] = Map.empty): Dataset[Event] = {
     val spark = raw.sparkSession
     import spark.implicits._
+    val bcBase = spark.sparkContext.broadcast(baseTs)
     val narrowed = raw.select(
       col(streamCol).cast("long").as("streamId"),
       col(tsCol).cast("long").as("ts"),
@@ -56,8 +63,12 @@ object Ingest {
         var lastTs = Long.MinValue
         var seq = 0L
         it.map { case (streamId, ts, value, _) =>
-          if (streamId != curStream) { curStream = streamId; lastTs = Long.MinValue; seq = 0L }
-          val clamped = if (ts < lastTs) lastTs + 1 else ts
+          if (streamId != curStream) {
+            curStream = streamId
+            lastTs = bcBase.value.getOrElse(streamId, Long.MinValue)
+            seq = 0L
+          }
+          val clamped = if (lastTs != Long.MinValue && ts < lastTs) lastTs + 1 else ts
           lastTs = clamped
           val e = Event(streamId, seq, clamped, value)
           seq += 1

@@ -1,7 +1,7 @@
 package graft.core
 
 import graft.windowing.WindowingSpec
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,36 +11,66 @@ import org.apache.spark.sql.functions._
   * per `protos/summarydb.capnp:47-54`).
   *
   * Layout (all Parquet):
-  *   dir/stream_meta/       one row per declared stream
-  *   dir/events/            raw appends (the reference's WAL role)
-  *   dir/summary_windows/   the decayed materialized view
-  *   dir/landmarks/         exact landmark windows
+  *   dir/stream_meta__vN        one row per declared stream
+  *   dir/events                 raw appends (the reference's WAL role)
+  *   dir/summary_windows__vN    the decayed materialized view
+  *   dir/landmarks__vN          exact landmark windows
+  *   dir/landmark_intervals__vN declared exact [t0,t1] spans
+  *   dir/commits                batch-id markers for streaming replay
   *
-  * Appends recompute the summaries of the affected streams from their
-  * full event history — the deterministic (policy, N) -> partition
-  * recomputation that replaces the reference's heap/RB-tree incremental
-  * merger (SURVEY §7.0). Aggregates are monoids, so an incremental
-  * fine-window + periodic re-coarsen compaction produces identical
-  * tables; recomputation is the batch-simple form of the same design.
+  * Crash safety (the reference's atomic "brew" commits,
+  * `/root/reference/storage/badger_backend.go:210-263`): every table
+  * rewrite lands in a fresh `__v<stamp>` directory; readers resolve the
+  * highest version that carries Spark's `_SUCCESS` marker, so a crash at
+  * any point leaves a complete older or newer table — never a partial
+  * one. Older versions are pruned best-effort after a successful write.
   */
 final class SummaryDB private (val spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private def p(name: String) = s"$dir/$name"
 
+  private def fs: FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------- versioned tables
+
+  /** Newest complete version directory of `name`, if any. */
+  private def currentVersion(name: String): Option[Path] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) return None
+    val prefix = name + "__v"
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .sortBy(s => s.getPath.getName.stripPrefix(prefix).toLong)
+    versions.lastOption.map(_.getPath)
+  }
+
+  /** Write a fresh version of `name`, then prune older versions. */
+  private def writeVersioned(name: String, write: String => Unit): Unit = {
+    val stamp = System.nanoTime()
+    val target = p(s"${name}__v$stamp")
+    write(target)
+    // prune older complete/partial versions (best-effort)
+    val prefix = name + "__v"
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .filter(s => s.getPath.getName.stripPrefix(prefix).toLong < stamp)
+      .foreach(s => try fs.delete(s.getPath, true) catch { case _: Throwable => () })
+  }
+
+  private def readVersioned[T](name: String)(read: String => Dataset[T])(empty: => Dataset[T]): Dataset[T] =
+    currentVersion(name).map(path => read(path.toString)).getOrElse(empty)
+
+  // --------------------------------------------------------------- catalog
+
   private var metas: Map[Long, StreamMeta] = loadMetas()
 
   private def loadMetas(): Map[Long, StreamMeta] =
-    if (exists("stream_meta"))
-      spark.read.parquet(p("stream_meta")).as[StreamMeta].collect()
-        .map(m => m.streamId -> m).toMap
-    else Map.empty
-
-  private def exists(name: String): Boolean = {
-    val path = new Path(p(name))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path)
-  }
+    readVersioned("stream_meta")(path => spark.read.parquet(path).as[StreamMeta])(
+      spark.emptyDataset[StreamMeta])
+      .collect().map(m => m.streamId -> m).toMap
 
   def streams: Map[Long, StreamMeta] = metas
 
@@ -49,39 +79,75 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     */
   def newStream(meta: StreamMeta): Unit = {
     metas += meta.streamId -> meta
-    metas.values.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(p("stream_meta"))
-  }
-
-  /** Append a batch of raw elements and refresh the summaries of the
-    * streams the batch touches. `landmarkIntervals` marks [t0, t1] spans
-    * (per append batch, applied to all touched streams) whose elements
-    * are stored exactly instead of decayed — the batch form of
-    * `StartLandmark`/`EndLandmark`.
-    *
-    * Without landmarks the append is INCREMENTAL: the batch becomes
-    * per-element fine windows and the summary table re-coarsens by
-    * monoid merge ([[Compactor]]) — raw events are retained (WAL role)
-    * but never re-read to maintain decay. With landmarks in play the
-    * summaries are recomputed from events (the landmark split changes
-    * element ranks).
-    */
-  def append(
-      events: Dataset[Event],
-      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
-    events.write.mode(SaveMode.Append).parquet(p("events"))
-    if (landmarkIntervals.nonEmpty || landmarks.head(1).nonEmpty)
-      refreshSummaries(landmarkIntervals)
-    else
-      appendIncremental(events)
+    writeVersioned("stream_meta",
+      metas.values.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
   private def specOf: Long => WindowingSpec =
     sid => metas.getOrElse(sid, StreamMeta.exponential(sid, 2.0)).spec
 
+  // ------------------------------------------------------------- intervals
+
+  /** All landmark intervals ever declared (they are properties of the
+    * DB's timeline, persisted so later appends keep honoring them).
+    */
+  def landmarkIntervals: Seq[(Long, Long)] =
+    readVersioned("landmark_intervals")(path => spark.read.parquet(path).as[(Long, Long)])(
+      spark.emptyDataset[(Long, Long)])
+      .collect().toSeq.sorted
+
+  private def saveIntervals(intervals: Seq[(Long, Long)]): Unit =
+    writeVersioned("landmark_intervals",
+      intervals.toDS().write.mode(SaveMode.Overwrite).parquet(_))
+
+  // ---------------------------------------------------------------- append
+
+  /** Append a batch of raw elements and refresh the summaries.
+    * `landmarkIntervals` declares additional exact [t0, t1] spans; all
+    * previously declared spans stay in force (they are persisted), so a
+    * later plain append never un-landmarks data.
+    *
+    * Without any landmark intervals the append is INCREMENTAL: the
+    * batch becomes per-element fine windows and the summary table
+    * re-coarsens by monoid merge ([[Compactor]]) — raw events are
+    * retained (WAL role) but never re-read to maintain decay. With
+    * landmarks in force the summaries are recomputed from events (the
+    * landmark split changes element ranks).
+    */
+  def append(
+      events: Dataset[Event],
+      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
+    events.write.mode(SaveMode.Append).parquet(p("events"))
+    val all = (this.landmarkIntervals ++ landmarkIntervals).distinct.sorted
+    if (all.nonEmpty) {
+      if (landmarkIntervals.nonEmpty) saveIntervals(all)
+      refreshSummaries(all)
+    } else appendIncremental(events)
+  }
+
+  /** Idempotent append keyed by a streaming micro-batch id: a batch id
+    * that already committed is skipped, so checkpoint REPLAY of
+    * committed batches cannot double-count. The residual window — a
+    * crash after the data append but before the marker — remains
+    * at-least-once (a transactional log, e.g. Delta, would close it).
+    */
+  def appendOnce(
+      batchId: Long,
+      events: Dataset[Event],
+      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
+    val marker = new Path(p("commits"), s"batch-$batchId")
+    if (fs.exists(marker)) return
+    append(events, landmarkIntervals)
+    fs.mkdirs(new Path(p("commits")))
+    fs.create(marker, true).close()
+  }
+
   /** Old summary + fine windows of the new batch -> canonical partition
     * at the new N, by pure monoid re-merge. Batch timestamps are clamped
-    * to each stream's stored time frontier so window time spans stay
-    * ordered (reference monotonic repair, `core/pipeline.go:81-84`).
+    * against each stream's stored time frontier with the reference's
+    * monotonic repair (`core/pipeline.go:81-84`): an out-of-order
+    * timestamp becomes lastTimestamp + 1, sequentially, so window time
+    * spans stay ordered and range queries keep reference semantics.
     */
   private def appendIncremental(batch: Dataset[Event]): Unit = {
     val old = summaryWindows
@@ -92,45 +158,28 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       .collect()
       .map { case (sid, n, lastTs) => sid -> ((n, lastTs)) }
       .toMap
-    val bc = spark.sparkContext.broadcast(baseInfo)
 
-    val prepared = Ingest.prepare(batch.toDF().withColumn("arrival", col("seq")))
-      .map { e =>
-        val lastTs = bc.value.get(e.streamId).map(_._2).getOrElse(Long.MinValue)
-        if (e.ts < lastTs) e.copy(ts = lastTs) else e
-      }
+    val prepared = Ingest.prepare(
+      batch.toDF().withColumn("arrival", col("seq")),
+      baseTs = baseInfo.map { case (k, v) => k -> v._2 })
     val fine = Compactor.fineWindows(prepared, baseInfo.map { case (k, v) => k -> v._1 })
     val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
-    writeAtomic("summary_windows", merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+    writeVersioned("summary_windows",
+      merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
-  /** Recompute summary + landmark tables from the persisted events.
-    * Writes to a fresh subdirectory then swaps — queries see either the
-    * old or the new table, never a partial one (the reference's atomic
-    * "brew" commits, `/root/reference/storage/badger_backend.go:210-263`).
-    */
-  private def refreshSummaries(landmarkIntervals: Seq[(Long, Long)]): Unit = {
+  /** Recompute summary + landmark tables from the persisted events. */
+  private def refreshSummaries(intervals: Seq[(Long, Long)]): Unit = {
     val events = readEvents()
     val (sw, lw) =
-      if (landmarkIntervals.isEmpty)
+      if (intervals.isEmpty)
         (Summarizer.summarizePerStream(events, specOf), spark.emptyDataset[LandmarkWindow])
       else {
-        // Per-stream specs with landmark diversion: split once, then
-        // summarize the regular remainder per stream.
-        val pair = Summarizer.summarizeWithLandmarksPerStream(events, specOf, landmarkIntervals)
+        val pair = Summarizer.summarizeWithLandmarksPerStream(events, specOf, intervals)
         (pair._1, pair._2)
       }
-    writeAtomic("summary_windows", sw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
-    writeAtomic("landmarks", lw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
-  }
-
-  private def writeAtomic(name: String, write: String => Unit): Unit = {
-    val tmp = p(name + "__tmp")
-    write(tmp)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new Path(p(name))
-    fs.delete(dst, true)
-    fs.rename(new Path(tmp), dst)
+    writeVersioned("summary_windows", sw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+    writeVersioned("landmarks", lw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
   /** Re-rank the persisted events into dense per-stream order. The
@@ -144,12 +193,12 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
   }
 
   def summaryWindows: Dataset[SummaryWindow] =
-    if (exists("summary_windows")) spark.read.parquet(p("summary_windows")).as[SummaryWindow]
-    else spark.emptyDataset[SummaryWindow]
+    readVersioned("summary_windows")(path => spark.read.parquet(path).as[SummaryWindow])(
+      spark.emptyDataset[SummaryWindow])
 
   def landmarks: Dataset[LandmarkWindow] =
-    if (exists("landmarks")) spark.read.parquet(p("landmarks")).as[LandmarkWindow]
-    else spark.emptyDataset[LandmarkWindow]
+    readVersioned("landmarks")(path => spark.read.parquet(path).as[LandmarkWindow])(
+      spark.emptyDataset[LandmarkWindow])
 
   /** The reference's public query API
     * (`/root/reference/core/stream.go:156-192`).

@@ -143,7 +143,8 @@ object Multimodal {
   def balanceBySize(media: DataFrame, targetBytes: Long = 64L << 20): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val total = media.select(sum(col("meta.n_bytes"))).head().getLong(0)
+    // sum() over zero rows is NULL — coalesce before getLong.
+    val total = media.select(coalesce(sum(col("meta.n_bytes")), lit(0L))).head().getLong(0)
     val parts = math.max(1, (total / targetBytes).toInt)
     // Salt by cumulative-size bucket approximation: hash on doc_id into
     // enough partitions that expected bytes/partition <= targetBytes.

@@ -47,9 +47,12 @@ object Similarity {
 
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     val ua = unit(a); val ub = unit(b)
+    // Ragged inputs truncate to the common prefix — same behavior as
+    // the native CosineSimilarity expression; never throws.
+    val n = math.min(ua.length, ub.length)
     var s = 0.0
     var i = 0
-    while (i < ua.length) { s += ua(i) * ub(i); i += 1 }
+    while (i < n) { s += ua(i) * ub(i); i += 1 }
     s
   }
 

@@ -17,10 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulClamp {
 
-  final case class Raw(streamId: Long, ts: Long, value: Double)
+  /** `arrival` is the caller-supplied arrival order within the batch:
+    * Spark does NOT guarantee the within-group iterator follows source
+    * order for multi-partition sources, so the operator sorts each
+    * group by it before clamping — making the result deterministic.
+    */
+  final case class Raw(streamId: Long, ts: Long, value: Double, arrival: Long = 0L)
   final case class ClampState(lastTs: Long, nextSeq: Long)
 
-  /** raw (streamId, ts, value) stream -> clamped, ranked Event stream. */
+  /** raw (streamId, ts, value, arrival) stream -> clamped, ranked
+    * Event stream.
+    */
   def apply(raw: Dataset[Raw]): Dataset[Event] = {
     val spark = raw.sparkSession
     import spark.implicits._
@@ -31,7 +38,7 @@ object StatefulClamp {
         (sid: Long, it: Iterator[Raw], state: GroupState[ClampState]) =>
           var st = state.getOption.getOrElse(ClampState(Long.MinValue, 0L))
           val out = Vector.newBuilder[Event]
-          it.foreach { r =>
+          it.toArray.sortBy(_.arrival).foreach { r =>
             val clamped = if (st.lastTs != Long.MinValue && r.ts < st.lastTs) st.lastTs + 1 else r.ts
             out += Event(sid, st.nextSeq, clamped, r.value)
             st = ClampState(math.max(clamped, st.lastTs), st.nextSeq + 1)

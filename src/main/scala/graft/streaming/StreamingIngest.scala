@@ -15,9 +15,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the reference's state at flush points (SURVEY §7.0).
   *
   * Recovery: the checkpoint plays the WAL's role
-  * (`/root/reference/core/pipeline.go:266-335`) — on restart the source
-  * replays uncommitted batches and the events table is append-idempotent
-  * per epoch.
+  * (`/root/reference/core/pipeline.go:266-335`). Each micro-batch
+  * commits through `SummaryDB.appendOnce(batchId, ...)`, so checkpoint
+  * REPLAY of an already-committed batch is a no-op. The residual
+  * at-least-once window (crash after the data append but before the
+  * batch marker) is documented on appendOnce.
   */
 object StreamingIngest {
 
@@ -32,8 +34,8 @@ object StreamingIngest {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Event], _: Long) =>
-        db.append(batch)
+      .foreachBatch { (batch: Dataset[Event], batchId: Long) =>
+        db.appendOnce(batchId, batch)
       }
       .start()
 }

@@ -69,6 +69,39 @@ class CompactorSpec extends SparkSpec {
     assert(s.value == 4950.0 && s.error == 0.0)
   }
 
+  test("landmark intervals persist across plain appends (wipe regression)") {
+    val dir = Files.createTempDirectory("graft_lm").toString
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(4L, 2.0))
+    // Landmark over ts [40, 59]; first batch covers it.
+    db.append(mkEvents(0, 80, sid = 4L), landmarkIntervals = Seq((40L, 59L)))
+    val before = db.query(4L, "sum", 45, 55)
+    assert(before.error == 0.0 && before.value == (45 to 55).sum.toDouble)
+
+    // A later PLAIN append must not un-landmark the span.
+    db.append((80 until 120).map(i => Event(4L, (i - 80).toLong, i.toLong, i.toDouble)).toDS())
+    val after = db.query(4L, "sum", 45, 55)
+    assert(after.error == 0.0 && after.value == (45 to 55).sum.toDouble,
+      s"landmark exactness lost after plain append: $after")
+    // And reopened DBs still know the intervals.
+    assert(SummaryDB.open(spark, dir).landmarkIntervals == Seq((40L, 59L)))
+  }
+
+  test("out-of-order cross-batch append keeps reference range semantics") {
+    val dir = Files.createTempDirectory("graft_ooo").toString
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(6L, 2.0))
+    db.append(mkEvents(0, 100, sid = 6L))
+    // Late batch (ts 50..59 below frontier 99) -> clamped to 100, 101, ...
+    db.append((0 until 10).map(i => Event(6L, i.toLong, 50L + i, 1.0)).toDS())
+    // The original range must NOT absorb the late elements...
+    val orig = db.query(6L, "count", 0, 99)
+    assert(orig.value == 100.0 && orig.error == 0.0, s"late events leaked into [0,99]: $orig")
+    // ...they live right after the frontier.
+    val late = db.query(6L, "count", 100, 109)
+    assert(late.value == 10.0 && late.error == 0.0, s"clamped batch misplaced: $late")
+  }
+
   test("buffered summarize matches model decomposition") {
     val exp2 = ExponentialWindowing(2.0)
     val sw = Summarizer.summarize(mkEvents(0, 1000), exp2, bufferSize = 32L)

@@ -17,10 +17,10 @@ class StatefulClampSpec extends SparkSpec {
       .start()
 
     // Reference behavior (core/pipeline.go:81-84): 5, 3 -> 5, 6; 10 stays.
-    source.addData(Raw(1L, 5, 1.0), Raw(1L, 3, 2.0), Raw(1L, 10, 3.0))
+    source.addData(Raw(1L, 5, 1.0, 0), Raw(1L, 3, 2.0, 1), Raw(1L, 10, 3.0, 2))
     q.processAllAvailable()
     // Next batch: state carries lastTs=10 -> 7 clamps to 11.
-    source.addData(Raw(1L, 7, 4.0), Raw(1L, 20, 5.0), Raw(2L, 1, 6.0))
+    source.addData(Raw(1L, 7, 4.0, 3), Raw(1L, 20, 5.0, 4), Raw(2L, 1, 6.0, 0))
     q.processAllAvailable()
     q.stop()
 
