@@ -16,6 +16,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,6 +50,24 @@ object Bench {
       }
     }
 
+    // Big-stream anchor: one synthetic 1M-element stream summarizes at
+    // full pipeline throughput (no per-stream overhead), shows the
+    // N -> O(log N) compression the engine exists for.
+    val (bigRowsPerSec, bigWindows) = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
+      val n = 1000000L
+      val events = spark.range(n)
+        .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))
+        .withColumn("streamId", lit(999L))
+        .as[graft.core.Event]
+      val t0 = System.nanoTime()
+      val w = graft.core.Summarizer
+        .summarize(events, graft.windowing.ExponentialWindowing(2.0)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n / sec, w)
+    }
+
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -59,6 +79,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$es,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$rowsPerSec,""" +
       s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
+      s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +
       s""""sf":${jq(sfDir)}}""")
     spark.stop()
   }
