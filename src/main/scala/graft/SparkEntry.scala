@@ -33,13 +33,17 @@ object SparkEntry {
       lmSummary: Dataset[SummaryWindow],
       landmarks: Dataset[LandmarkWindow])
 
-  // Keyed by (session identity, dir): cached Datasets are bound to the
-  // SparkSession that built them — reusing them from a later session in
-  // the same JVM would fail with "SparkContext has been shut down".
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Tables]()
+  // Keyed weakly by the owning SparkSession: cached Datasets are bound
+  // to the session that built them (a later session reusing them would
+  // hit "SparkContext has been shut down"), and entries die with their
+  // session instead of leaking persisted Datasets for the JVM lifetime.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Tables]]()
 
   private def tables(spark: SparkSession, sfDir: String): Tables =
-    cache.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", { _ =>
+    cache.synchronized {
+      cache.computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap[String, Tables]())
+    }.computeIfAbsent(sfDir, { _ =>
       // The ranked event stream feeds both pipelines — rank once.
       val events = Ingest.fromEventsTable(spark, sfDir).persist()
       val summary = Summarizer.summarize(events, Spec).persist()

@@ -33,8 +33,8 @@ object Ingest {
   /** Columns: streamId (long), ts (long), value (double), plus an
     * arrival tiebreaker column. Produces Dataset[Event] with clamped ts
     * and dense 0-based seq per stream.
-    */
-  /** `baseTs` seeds each stream's monotonic frontier (e.g. the stored
+    *
+    * `baseTs` seeds each stream's monotonic frontier (e.g. the stored
     * max te when appending a batch to an existing store): elements
     * earlier than the frontier are bumped to frontier+1, sequentially —
     * exactly the reference's repair.

@@ -47,17 +47,25 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     versions.lastOption.map(_.getPath)
   }
 
-  /** Write a fresh version of `name`, then prune older versions. */
+  /** Write a fresh version of `name`, then prune older versions
+    * (keeping one predecessor so a reader whose lazy plan still points
+    * at the previous version is not yanked mid-query; older ones go).
+    * Stamps are max(wall clock, newest existing + 1) — monotonic across
+    * JVM restarts, unlike nanoTime whose origin resets on reboot.
+    */
   private def writeVersioned(name: String, write: String => Unit): Unit = {
-    val stamp = System.nanoTime()
-    val target = p(s"${name}__v$stamp")
-    write(target)
-    // prune older complete/partial versions (best-effort)
     val prefix = name + "__v"
-    fs.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .filter(s => s.getPath.getName.stripPrefix(prefix).toLong < stamp)
-      .foreach(s => try fs.delete(s.getPath, true) catch { case _: Throwable => () })
+    def versionsOnDisk(): Seq[Long] =
+      if (!fs.exists(new Path(dir))) Seq.empty
+      else fs.listStatus(new Path(dir)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    val stamp = math.max(System.currentTimeMillis(), versionsOnDisk().maxOption.getOrElse(0L) + 1L)
+    write(p(s"$prefix$stamp"))
+    val stale = versionsOnDisk().filter(_ < stamp).sorted.dropRight(1)
+    stale.foreach { v =>
+      try fs.delete(new Path(p(s"$prefix$v")), true) catch { case _: Throwable => () }
+    }
   }
 
   private def readVersioned[T](name: String)(read: String => Dataset[T])(empty: => Dataset[T]): Dataset[T] =
@@ -107,29 +115,34 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     * previously declared spans stay in force (they are persisted), so a
     * later plain append never un-landmarks data.
     *
+    * The batch is clamped against the stored time frontier (reference
+    * monotonic repair, `core/pipeline.go:81-84`) BEFORE it is persisted,
+    * so the events WAL and the summaries always agree — a later full
+    * recompute (landmark declaration) reproduces exactly what the
+    * incremental path built. Each batch lands in its own
+    * `events/<tag>` directory carrying a monotone batch stamp, making
+    * the WAL order deterministic for equal timestamps and the write
+    * idempotent per tag.
+    *
     * Without any landmark intervals the append is INCREMENTAL: the
     * batch becomes per-element fine windows and the summary table
-    * re-coarsens by monoid merge ([[Compactor]]) — raw events are
-    * retained (WAL role) but never re-read to maintain decay. With
-    * landmarks in force the summaries are recomputed from events (the
-    * landmark split changes element ranks).
+    * re-coarsens by monoid merge ([[Compactor]]) — the WAL is never
+    * re-read to maintain decay.
     */
   def append(
       events: Dataset[Event],
       landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
-    events.write.mode(SaveMode.Append).parquet(p("events"))
-    val all = (this.landmarkIntervals ++ landmarkIntervals).distinct.sorted
-    if (all.nonEmpty) {
-      if (landmarkIntervals.nonEmpty) saveIntervals(all)
-      refreshSummaries(all)
-    } else appendIncremental(events)
+    val tag = f"adhoc-${nextBatchStamp()}%09d"
+    appendTagged(tag, events, landmarkIntervals, forceRecompute = false)
   }
 
-  /** Idempotent append keyed by a streaming micro-batch id: a batch id
-    * that already committed is skipped, so checkpoint REPLAY of
-    * committed batches cannot double-count. The residual window — a
-    * crash after the data append but before the marker — remains
-    * at-least-once (a transactional log, e.g. Delta, would close it).
+  /** Idempotent append keyed by a streaming micro-batch id. A batch id
+    * with a commit marker is skipped entirely (checkpoint REPLAY of
+    * committed batches is a no-op). If the batch's events directory
+    * exists without a marker — a crash landed between the data write
+    * and the marker — the events are overwritten (same data, same tag)
+    * and the summaries are recomputed from the WAL, which de-duplicates
+    * the possibly-half-applied summary state.
     */
   def appendOnce(
       batchId: Long,
@@ -137,35 +150,58 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
     val marker = new Path(p("commits"), s"batch-$batchId")
     if (fs.exists(marker)) return
-    append(events, landmarkIntervals)
+    val tag = s"batch-$batchId"
+    val partialReplay = fs.exists(new Path(p("events"), tag))
+    appendTagged(tag, events, landmarkIntervals, forceRecompute = partialReplay)
     fs.mkdirs(new Path(p("commits")))
     fs.create(marker, true).close()
   }
 
-  /** Old summary + fine windows of the new batch -> canonical partition
-    * at the new N, by pure monoid re-merge. Batch timestamps are clamped
-    * against each stream's stored time frontier with the reference's
-    * monotonic repair (`core/pipeline.go:81-84`): an out-of-order
-    * timestamp becomes lastTimestamp + 1, sequentially, so window time
-    * spans stay ordered and range queries keep reference semantics.
-    */
-  private def appendIncremental(batch: Dataset[Event]): Unit = {
-    val old = summaryWindows
-    val baseInfo: Map[Long, (Long, Long)] = old
-      .groupBy($"streamId")
-      .agg((max($"ce") + 1L).as("n"), max($"te").as("lastTs"))
-      .as[(Long, Long, Long)]
-      .collect()
-      .map { case (sid, n, lastTs) => sid -> ((n, lastTs)) }
-      .toMap
+  private def nextBatchStamp(): Long = {
+    val eventsDir = new Path(p("events"))
+    if (!fs.exists(eventsDir)) 0L
+    else fs.listStatus(eventsDir).count(_.isDirectory).toLong
+  }
 
+  private def appendTagged(
+      tag: String,
+      batch: Dataset[Event],
+      newIntervals: Seq[(Long, Long)],
+      forceRecompute: Boolean): Unit = {
+    // Frontier: newest stored timestamp per stream (summary + landmarks).
+    val fromSummary = summaryWindows.groupBy($"streamId").agg(max($"te").as("t"))
+    val fromLandmarks = landmarks.toDF().groupBy($"streamId").agg(max($"te").as("t"))
+    val frontier: Map[Long, Long] = fromSummary.unionByName(fromLandmarks)
+      .groupBy($"streamId").agg(max($"t"))
+      .as[(Long, Long)].collect().toMap
+
+    val bstamp = nextBatchStamp()
     val prepared = Ingest.prepare(
-      batch.toDF().withColumn("arrival", col("seq")),
-      baseTs = baseInfo.map { case (k, v) => k -> v._2 })
-    val fine = Compactor.fineWindows(prepared, baseInfo.map { case (k, v) => k -> v._1 })
-    val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
-    writeVersioned("summary_windows",
-      merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+      batch.toDF().withColumn("arrival", col("seq")), baseTs = frontier)
+    prepared.toDF()
+      .withColumn("bstamp", lit(bstamp))
+      .write.mode(SaveMode.Overwrite).parquet(s"${p("events")}/$tag")
+
+    val all = (this.landmarkIntervals ++ newIntervals).distinct.sorted
+    if (newIntervals.nonEmpty) saveIntervals(all)
+    if (all.nonEmpty || forceRecompute) refreshSummaries(all)
+    else appendIncremental(prepared)
+  }
+
+  /** Old summary + fine windows of the (already clamped) batch ->
+    * canonical partition at the new N, by pure monoid re-merge.
+    */
+  private def appendIncremental(prepared: Dataset[Event]): Unit = {
+    val old = summaryWindows.persist()
+    try {
+      val baseCount: Map[Long, Long] = old
+        .groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+        .as[(Long, Long)].collect().toMap
+      val fine = Compactor.fineWindows(prepared, baseCount)
+      val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
+      writeVersioned("summary_windows",
+        merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+    } finally old.unpersist()
   }
 
   /** Recompute summary + landmark tables from the persisted events. */
@@ -182,13 +218,17 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     writeVersioned("landmarks", lw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
-  /** Re-rank the persisted events into dense per-stream order. The
-    * stored per-batch seq is the tiebreak for equal timestamps — stable
-    * across refreshes (monotonically_increasing_id would not be).
+  /** Re-rank the persisted events into dense per-stream order. Arrival
+    * order = (batch stamp, in-batch seq) — globally unique, so the
+    * equal-timestamp tiebreak is deterministic across refreshes.
+    * Timestamps were clamped at append time, so sorting by ts
+    * reproduces the append order exactly.
     */
   private def readEvents(): Dataset[Event] = {
-    val raw = spark.read.parquet(p("events"))
-      .withColumn("arrival", col("seq"))
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(p("events"))
+      .withColumn("arrival", expr("shiftleft(bstamp, 40) + seq"))
     Ingest.prepare(raw)
   }
 

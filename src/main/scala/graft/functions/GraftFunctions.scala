@@ -28,13 +28,18 @@ object GraftFunctions {
     u.register("graft_cms_estimate", (cms: Array[Byte], item: String) =>
       Sketches.cmsEstimate(cms, item))
 
-    // Native codegen expression (not a UDF): registered straight into
-    // the function registry so `expr("graft_cosine_native(a, b)")` and
-    // SQL both compile to the tight primitive loop.
+    registerNativeCosine(spark)
+  }
+
+  /** Native codegen expression (not a UDF): registered straight into
+    * the function registry so `expr("graft_cosine_native(a, b)")` and
+    * SQL both compile to the tight primitive loop. The single shared
+    * registration point for the SQL and Column paths.
+    */
+  def registerNativeCosine(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_native",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1)),
       "built-in")
-  }
 }

@@ -23,20 +23,13 @@ object Similarity {
   import org.apache.spark.sql.{Column, SparkSession}
 
   /** Codegen'd cosine column (native Catalyst expression — no per-row
-    * boxing, stays inside WholeStageCodegen). Resolved through the
-    * function registry; [[ensureNative]] registers it idempotently.
+    * boxing, stays inside WholeStageCodegen). Registration is shared
+    * with the SQL surface in [[graft.functions.GraftFunctions]].
     */
   def cosineCol(spark: SparkSession, a: Column, b: Column): Column = {
-    ensureNative(spark)
+    graft.functions.GraftFunctions.registerNativeCosine(spark)
     call_function("graft_cosine_native", a, b)
   }
-
-  private def ensureNative(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine_native",
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSimilarity(children(0), children(1)),
-      "built-in")
 
   /** L2-normalize to unit length (double precision). */
   def unit(v: Seq[Float]): Array[Double] = {
@@ -45,15 +38,20 @@ object Similarity {
     if (n == 0) d else d.map(_ / n)
   }
 
+  /** Ragged inputs truncate to the common prefix, and norms are taken
+    * over that prefix — bit-for-bit the same semantics as the native
+    * CosineSimilarity expression; never throws.
+    */
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
-    val ua = unit(a); val ub = unit(b)
-    // Ragged inputs truncate to the common prefix — same behavior as
-    // the native CosineSimilarity expression; never throws.
-    val n = math.min(ua.length, ub.length)
-    var s = 0.0
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) { s += ua(i) * ub(i); i += 1 }
-    s
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private case class Cand(queryId: Long, vecId: Long, score: Double)

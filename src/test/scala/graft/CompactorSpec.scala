@@ -102,6 +102,31 @@ class CompactorSpec extends SparkSpec {
     assert(late.value == 10.0 && late.error == 0.0, s"clamped batch misplaced: $late")
   }
 
+  test("WAL and summary agree: landmark declared AFTER an ooo append keeps history") {
+    val dir = Files.createTempDirectory("graft_wal").toString
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(8L, 2.0))
+    db.append(mkEvents(0, 100, sid = 8L))
+    // Late batch clamps to ts 100..109 in BOTH the WAL and the summary.
+    db.append((0 until 10).map(i => Event(8L, i.toLong, 50L + i, 1.0)).toDS())
+    assert(db.query(8L, "count", 0, 99).value == 100.0)
+    // Declaring a landmark forces a full recompute from the WAL; the
+    // previously-answered ranges must not change (pre-fix: the raw WAL
+    // still held ts 50..59 and the recompute flipped [0,99] to 110).
+    db.append((110 until 120).map(i => Event(8L, (i - 110).toLong, i.toLong, i.toDouble)).toDS(),
+      landmarkIntervals = Seq((115L, 119L)))
+    // At N=120 the decay boundaries move, so [0,99] may cut mid-window
+    // (CI > 0 is correct); the regression is the VALUE: pre-fix the raw
+    // WAL still held ts 50..59 and the estimate flipped toward 110.
+    val c = db.query(8L, "count", 0, 99)
+    assert(math.abs(c.value - 100.0) < 1.0, s"recompute rewrote history: $c")
+    val late = db.query(8L, "count", 100, 109)
+    assert(math.abs(late.value - 10.0) <= late.error + 1e-9 && late.value < 15.0,
+      s"clamped batch lost: $late")
+    val lm = db.query(8L, "count", 115, 119)
+    assert(lm.value == 5.0 && lm.error == 0.0, s"landmark wrong: $lm")
+  }
+
   test("buffered summarize matches model decomposition") {
     val exp2 = ExponentialWindowing(2.0)
     val sw = Summarizer.summarize(mkEvents(0, 1000), exp2, bufferSize = 32L)

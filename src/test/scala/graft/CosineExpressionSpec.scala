@@ -42,6 +42,16 @@ class CosineExpressionSpec extends SparkSpec {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("ragged vectors: kernel and native expression agree (prefix norms)") {
+    val a = Seq(1f, 1f)
+    val b = Seq(1f)
+    val kernel = Similarity.cosine(a, b)
+    val native = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      .select(Similarity.cosineCol(spark, $"a", $"b")).head().getDouble(0)
+    assert(kernel == native, s"kernel $kernel != native $native")
+    assert(kernel == 1.0) // prefix [1] vs [1]
+  }
+
   test("matches real embedding scores against the driver-side kernel") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20).cache()
     val pairs = embs.select($"vec_id".as("ia"), $"embedding".as("va"))
