@@ -89,6 +89,21 @@ object SparkEntry {
         .groupBy($"streamId".as("stream_id"))
         .agg(min($"min").as("min_value"))
     }),
+    // -- Alternate decay paths, same exact full-range answer: buffered
+    //    ingest cut (summarizer buffer semantics) and power-law policy.
+    "q_count_buffered" -> ((s, dir) => {
+      import s.implicits._
+      Summarizer.summarize(Ingest.fromEventsTable(s, dir), Spec, bufferSize = 32L)
+        .groupBy($"streamId".as("stream_id"))
+        .agg(sum($"count").cast("long").as("cnt"))
+    }),
+    "q_count_power" -> ((s, dir) => {
+      import s.implicits._
+      Summarizer.summarize(
+        Ingest.fromEventsTable(s, dir), graft.windowing.PowerWindowing(1, 1, 10, 1))
+        .groupBy($"streamId".as("stream_id"))
+        .agg(sum($"count").cast("long").as("cnt"))
+    }),
     // -- Summary compression: N raw elements -> O(log N) windows.
     "q_window_stats" -> ((s, dir) =>
       Summarizer.compressionStats(tables(s, dir).summary)),
@@ -241,6 +256,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_count" ->
+      "SELECT user_id AS stream_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "q_count_buffered" ->
+      "SELECT user_id AS stream_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "q_count_power" ->
       "SELECT user_id AS stream_id, count(*) AS cnt FROM events GROUP BY user_id",
     "q_sum" ->
       "SELECT user_id AS stream_id, round(sum(value), 2) AS sum_value FROM events GROUP BY user_id",
