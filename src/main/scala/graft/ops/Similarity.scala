@@ -178,10 +178,18 @@ object Similarity {
     val corpus = bucketed(embs, "neighbor_id")
     val qs = bucketed(queries, "query_id")
 
-    val cands = qs.join(corpus, Seq("t", "sig"))
+    // Dedupe candidate PAIRS before touching vectors: distinct() over
+    // bare ids shuffles 16 bytes/row instead of two embedded vectors.
+    val candIds = qs.select($"t", $"sig", $"query_id")
+      .join(corpus.select($"t", $"sig", $"neighbor_id"), Seq("t", "sig"))
       .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id", $"vec_query_id", $"vec_neighbor_id")
+      .select($"query_id", $"neighbor_id")
       .distinct()
+    val qVecs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("vec_query_id"))
+    val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("vec_neighbor_id"))
+    val cands = candIds
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
       .withColumn("score", cosineCol(spark, $"vec_query_id", $"vec_neighbor_id"))
 
     val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
@@ -211,12 +219,15 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("sig", sigUdf(col("vec"), col("t")))
-    val l = b.select($"t", $"sig", $"id".as("id_a"), $"vec".as("vec_a"))
-    val r = b.select($"t", $"sig", $"id".as("id_b"), $"vec".as("vec_b"))
+    val l = b.select($"t", $"sig", $"id".as("id_a"))
+    val r = b.select($"t", $"sig", $"id".as("id_b"))
+    val vecs = embs.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"))
     l.join(r, Seq("t", "sig"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"vec_a", $"vec_b")
-      .distinct()
+      .select($"id_a", $"id_b")
+      .distinct() // ids only — vectors join in after dedupe
+      .join(vecs.withColumnsRenamed(Map("vid" -> "id_a", "v" -> "vec_a")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("vid" -> "id_b", "v" -> "vec_b")), "id_b")
       .withColumn("cos", cosineCol(spark, $"vec_a", $"vec_b"))
       .filter($"cos" >= threshold)
       .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
