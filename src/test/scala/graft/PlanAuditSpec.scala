@@ -16,4 +16,8 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"scale-hostile join shapes: $offenders")
   }
+
+  test("flagship entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
