@@ -160,6 +160,16 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // -- Classic relational aggregation (driver's canonical example).
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+    }),
     // -- Relational surface: broadcast-joined star query (small dims are
     //    broadcast explicitly; no shuffle join for dimension tables).
     "q_join" -> ((s, dir) => {
@@ -308,6 +318,10 @@ object SparkEntry {
         |SELECT user_id AS stream_id, count(iv) AS n_intervals,
         |sum(iv)::BIGINT AS interval_total_us
         |FROM i WHERE iv IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_join" ->
       """SELECT n_name AS nation, count(*) AS n_orders,
         |round(sum(o_totalprice), 2) AS revenue

@@ -77,13 +77,6 @@ object Summarizer {
       .as[SummaryWindow]
   }
 
-  /** Predicate: ts inside any of the (inclusive) landmark intervals. */
-  private def inAnyInterval(tsCol: Column, intervals: Seq[(Long, Long)]): Column =
-    intervals
-      .map { case (l0, l1) => tsCol >= l0 && tsCol <= l1 }
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
-
   /** Summarize with exact landmark intervals: elements whose timestamp
     * falls inside a landmark interval are diverted verbatim into the
     * `landmarks` table instead of being decayed — the batch equivalent of
@@ -103,35 +96,41 @@ object Summarizer {
       bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) =
     summarizeWithLandmarksPerStream(events, _ => spec, intervals, bufferSize)
 
-  /** Per-stream-policy variant of [[summarizeWithLandmarks]]. */
+  /** Per-stream-policy variant of [[summarizeWithLandmarks]].
+    * `perStream` adds stream-specific exact intervals on top of the
+    * global ones — the per-stream `StartLandmark`/`EndLandmark` surface
+    * of the reference (`/root/reference/core/stream.go:121-137`).
+    */
   def summarizeWithLandmarksPerStream(
       events: Dataset[Event],
       specOf: Long => WindowingSpec,
       intervals: Seq[(Long, Long)],
-      bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) = {
+      bufferSize: Long = 0L,
+      perStream: Map[Long, Seq[(Long, Long)]] = Map.empty): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    val isLandmark = inAnyInterval($"ts", intervals)
+    // Combined interval list per stream: global intervals first (shared
+    // indices), then the stream's own. Broadcast for both the element
+    // classifier and the window-bounds lookup.
+    val bcIv = spark.sparkContext.broadcast((intervals.toArray, perStream))
+    def ivsOf(sid: Long): Seq[(Long, Long)] =
+      bcIv.value._1.toSeq ++ bcIv.value._2.getOrElse(sid, Nil)
+    val ivId = udf((sid: Long, ts: Long) =>
+      ivsOf(sid).indexWhere { case (l0, l1) => ts >= l0 && ts <= l1 })
 
-    // Interval id for each landmark element (intervals are few; a chained
-    // when() keeps this in codegen rather than a UDF).
-    val intervalId = intervals.zipWithIndex
-      .foldLeft(lit(-1)) { case (acc, ((l0, l1), i)) =>
-        when($"ts" >= l0 && $"ts" <= l1, lit(i)).otherwise(acc)
-      }
-    val bounds = intervals.toArray
-    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val classified = events.withColumn("intervalId", ivId($"streamId", $"ts"))
+    val isLandmark = $"intervalId" >= 0
 
-    val landmarks = events
+    val landmarks = classified
       .filter(isLandmark)
-      .withColumn("intervalId", intervalId)
       .groupBy($"streamId", $"intervalId")
       .agg(sort_array(collect_list(struct($"ts", $"value"))).as("elems"))
       .map { row =>
-        val iv = bcBounds.value(row.getAs[Int]("intervalId"))
+        val sid = row.getAs[Long]("streamId")
+        val iv = ivsOf(sid)(row.getAs[Int]("intervalId"))
         LandmarkWindow(
-          streamId = row.getAs[Long]("streamId"),
+          streamId = sid,
           ts = iv._1,
           te = iv._2,
           elems = row
@@ -143,8 +142,9 @@ object Summarizer {
     // streamId; each stream sorts within its partition — streams are the
     // parallelism unit, as in Ingest.prepare.
     val w = Window.partitionBy($"streamId").orderBy($"seq")
-    val regular = events
+    val regular = classified
       .filter(!isLandmark)
+      .drop("intervalId")
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .as[Event]
 

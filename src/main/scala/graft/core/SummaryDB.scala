@@ -98,15 +98,37 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
 
   /** All landmark intervals ever declared (they are properties of the
     * DB's timeline, persisted so later appends keep honoring them).
+    * Stored rows are (streamId, t0, t1); streamId = -1 means global
+    * (applies to every stream).
     */
-  def landmarkIntervals: Seq[(Long, Long)] =
-    readVersioned("landmark_intervals")(path => spark.read.parquet(path).as[(Long, Long)])(
-      spark.emptyDataset[(Long, Long)])
+  private def storedIntervals: Seq[(Long, Long, Long)] =
+    readVersioned("landmark_intervals")(path => spark.read.parquet(path).as[(Long, Long, Long)])(
+      spark.emptyDataset[(Long, Long, Long)])
       .collect().toSeq.sorted
 
-  private def saveIntervals(intervals: Seq[(Long, Long)]): Unit =
+  def landmarkIntervals: Seq[(Long, Long)] =
+    storedIntervals.filter(_._1 == -1L).map(r => (r._2, r._3))
+
+  /** Per-stream exact intervals (the reference's per-stream
+    * StartLandmark/EndLandmark surface).
+    */
+  def streamLandmarks: Map[Long, Seq[(Long, Long)]] =
+    storedIntervals.filter(_._1 != -1L)
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+
+  /** Declare an exact interval for one stream and re-summarize —
+    * `StartLandmark(t0)` + `EndLandmark(t1)` in one call
+    * (`/root/reference/core/stream.go:121-137`).
+    */
+  def newLandmark(streamId: Long, t0: Long, t1: Long): Unit = {
+    require(t0 <= t1, s"bad landmark interval [$t0, $t1]")
+    saveIntervals((storedIntervals :+ ((streamId, t0, t1))).distinct)
+    refreshSummaries(landmarkIntervals)
+  }
+
+  private def saveIntervals(rows: Seq[(Long, Long, Long)]): Unit =
     writeVersioned("landmark_intervals",
-      intervals.toDS().write.mode(SaveMode.Overwrite).parquet(_))
+      rows.toDS().write.mode(SaveMode.Overwrite).parquet(_))
 
   // ---------------------------------------------------------------- append
 
@@ -182,9 +204,10 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       .withColumn("bstamp", lit(bstamp))
       .write.mode(SaveMode.Overwrite).parquet(s"${p("events")}/$tag")
 
-    val all = (this.landmarkIntervals ++ newIntervals).distinct.sorted
-    if (newIntervals.nonEmpty) saveIntervals(all)
-    if (all.nonEmpty || forceRecompute) refreshSummaries(all)
+    if (newIntervals.nonEmpty)
+      saveIntervals((storedIntervals ++ newIntervals.map(iv => (-1L, iv._1, iv._2))).distinct)
+    val all = this.landmarkIntervals
+    if (all.nonEmpty || streamLandmarks.nonEmpty || forceRecompute) refreshSummaries(all)
     else appendIncremental(prepared)
   }
 
@@ -207,11 +230,13 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
   /** Recompute summary + landmark tables from the persisted events. */
   private def refreshSummaries(intervals: Seq[(Long, Long)]): Unit = {
     val events = readEvents()
+    val perStream = streamLandmarks
     val (sw, lw) =
-      if (intervals.isEmpty)
+      if (intervals.isEmpty && perStream.isEmpty)
         (Summarizer.summarizePerStream(events, specOf), spark.emptyDataset[LandmarkWindow])
       else {
-        val pair = Summarizer.summarizeWithLandmarksPerStream(events, specOf, intervals)
+        val pair = Summarizer.summarizeWithLandmarksPerStream(
+          events, specOf, intervals, perStream = perStream)
         (pair._1, pair._2)
       }
     writeVersioned("summary_windows", sw.toDF().write.mode(SaveMode.Overwrite).parquet(_))

@@ -48,6 +48,11 @@ object Demo {
     println("on-disk layout: " +
       new java.io.File(dir).listFiles().map(_.getName).sorted.mkString(", "))
 
+    // Per-stream landmark: mark [10,39] exact on stream 1 only.
+    db2.newLandmark(1L, 10L, 39L)
+    println("landmark s1 sum[15,30]: " + db2.query(1L, "sum", 15, 30) + " (exact)")
+    println("no landmark s2 sum[15,30]: " + db2.query(2L, "sum", 15, 30) + " (approx)")
+
     // SQL surface tour.
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

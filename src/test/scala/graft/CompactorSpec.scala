@@ -127,6 +127,29 @@ class CompactorSpec extends SparkSpec {
     assert(lm.value == 5.0 && lm.error == 0.0, s"landmark wrong: $lm")
   }
 
+  test("per-stream landmark (StartLandmark/EndLandmark parity)") {
+    val dir = Files.createTempDirectory("graft_psl").toString
+    val db = SummaryDB.open(spark, dir)
+    db.newStream(StreamMeta.exponential(1L, 2.0))
+    db.newStream(StreamMeta.exponential(2L, 2.0))
+    db.append(
+      mkEvents(0, 100, sid = 1L).unionByName(mkEvents(0, 100, sid = 2L)))
+    // Landmark over an OLD span [10,39] on stream 1 ONLY — old ranks
+    // live in coarse windows, so without a landmark they are estimated.
+    db.newLandmark(1L, 10L, 39L)
+
+    val c1 = db.query(1L, "count", 0, 99)
+    assert(c1.value == 100.0 && c1.error == 0.0)
+    // Stream 1 range inside the landmark: exact.
+    val lm = db.query(1L, "sum", 15, 30)
+    assert(lm.error == 0.0 && lm.value == (15 to 30).sum.toDouble, s"not exact: $lm")
+    // Stream 2 untouched: same old range is approximate.
+    val s2 = db.query(2L, "sum", 15, 30)
+    assert(s2.error > 0.0, s"stream 2 should be approximate here: $s2")
+    // Reopen: per-stream landmark persists.
+    assert(SummaryDB.open(spark, dir).streamLandmarks == Map(1L -> Seq((10L, 39L))))
+  }
+
   test("buffered summarize matches model decomposition") {
     val exp2 = ExponentialWindowing(2.0)
     val sw = Summarizer.summarize(mkEvents(0, 1000), exp2, bufferSize = 32L)
