@@ -4,6 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Candidate (query, neighbor, score) triple emitted by the per-partition
+  * bounded heaps in [[Similarity.topK]]. Top-level and public so the
+  * Dataset encoder's generated code can construct it (Janino cannot
+  * instantiate a private nested case class — Spark would silently fall
+  * back to interpreted evaluation).
+  */
+case class Cand(queryId: Long, vecId: Long, score: Double)
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
@@ -54,7 +62,10 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private case class Cand(queryId: Long, vecId: Long, score: Double)
+  // NOTE: must stay top-level-visible (not private-nested): the Dataset
+  // encoder's generated code instantiates it, and Janino can't reach a
+  // private nested class — a fallback there drops the whole candidate
+  // aggregation out of codegen.
 
   /** Exact cosine top-k of each query vector against the corpus
     * (self-matches excluded). Output:
@@ -93,7 +104,8 @@ object Similarity {
             if (qid != vid) {
               var s = 0.0
               var i = 0
-              while (i < u.length) { s += u(i) * qv(i); i += 1 }
+              val n = math.min(u.length, qv.length) // ragged inputs: common prefix, like cosine()
+              while (i < n) { s += u(i) * qv(i); i += 1 }
               val h = heaps(qi)
               if (h.size < k) h.enqueue((s, vid))
               else if (s > h.head._1 || (s == h.head._1 && vid < h.head._2)) {
@@ -166,7 +178,11 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
 
-    val dim = embs.select(col(vecCol)).head().getSeq[Float](0).length
+    val first = embs.select(col(vecCol)).head(1)
+    if (first.isEmpty) // empty corpus: empty result, not NoSuchElementException
+      return spark.emptyDataset[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rank", "score")
+    val dim = first(0).getSeq[Float](0).length
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, tables, bits))
 
     val sigUdf = udf((vec: Seq[Float], t: Int) => sig(planes.value, t, unit(vec)))
@@ -212,7 +228,10 @@ object Similarity {
       bits: Int = DefaultBits): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val dim = embs.select(col(vecCol)).head().getSeq[Float](0).length
+    val first = embs.select(col(vecCol)).head(1)
+    if (first.isEmpty) // empty corpus: empty result, not NoSuchElementException
+      return spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    val dim = first(0).getSeq[Float](0).length
     val planes = spark.sparkContext.broadcast(hyperplanes(dim, tables, bits))
     val sigUdf = udf((vec: Seq[Float], t: Int) => sig(planes.value, t, unit(vec)))
     val b = embs

@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.size == want.size, s"unexpected pairs: ${pairs.diff(want)}")
   }
 
+  test("empty corpus: ANN and near-dup return empty, no exception") {
+    val empty = embs.filter($"vec_id" < 0)
+    assert(Similarity.annTopK(empty, embs.limit(3), k = 5).isEmpty)
+    assert(Similarity.embeddingNearDuplicates(empty).isEmpty)
+  }
+
+  test("ragged corpus vector longer than query does not throw in topK") {
+    val qs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq(1f, 0f, 3f, 4f)), (2L, Seq(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.topK(corpus, qs, k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(got.size == 2) // both corpus vectors scored, prefix-truncated
+  }
+
   test("cosine kernel: unit-norm invariance and self-similarity") {
     val a = Seq(1.0f, 2.0f, 3.0f)
     assert(math.abs(Similarity.cosine(a, a) - 1.0) < 1e-12)

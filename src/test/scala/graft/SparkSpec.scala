@@ -21,6 +21,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true") // testdata ts is TIMESTAMP(NANOS)
+    // Fail tests instead of silently degrading to interpreted evaluation:
+    // any Janino compile error in generated code becomes a hard failure.
+    .config("spark.sql.codegen.fallback", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
