@@ -209,9 +209,15 @@ object SparkEntry {
         expectedItems = 2048L)
         .withColumnRenamed("group_id", "stream_id")),
     // -- Multimodal plumbing: synthetic binary payloads -> batch decode
-    //    stub -> fixed-dim features (deterministic; rows-only check).
+    //    stub -> scalar per-doc feature stats (norm + bit-hash; raw
+    //    vectors stay in extractFeatures for library users — comparison
+    //    harnesses need scalar cells).
     "q_media_features" -> ((s, dir) =>
-      ops.Multimodal.extractFeatures(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+      ops.Multimodal.extractFeatureStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    // -- Media metadata surface: sizes/types follow SQL-expressible
+    //    rules, so this one is fully oracle-checkable.
+    "q_media_meta" -> ((s, dir) =>
+      ops.Multimodal.mediaSummary(ops.Multimodal.syntheticMedia(docs(s, dir)))),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
     // exact derived quantities (mean*n = the 2-decimal input sum) —
@@ -329,6 +335,11 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |256 + (doc_id * 2654435761) % 768 AS n_bytes
+        |FROM documents""".stripMargin,
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_top_type" ->

@@ -40,6 +40,12 @@ object Multimodal {
       duration_ms: Option[Long], n_bytes: Long)
   final case class GenMedia(media_type: String, payload: Array[Byte], meta: MediaMeta)
 
+  /** Payload size rule: SQL-expressible on purpose (Knuth multiplicative
+    * hash, mod range) so the media table's sizes can be oracled by an
+    * external engine: `256 + (doc_id * 2654435761) % 768`.
+    */
+  def payloadBytes(id: Long): Long = 256L + math.floorMod(id * 2654435761L, 768L)
+
   /** Deterministic synthetic media table derived from a documents table
     * — test/bench stand-in for a real ingest of binary files.
     */
@@ -48,7 +54,7 @@ object Multimodal {
       val rnd = new scala.util.Random(id * 0x9E3779B9L)
       val kinds = Array("image", "audio", "video")
       val mt = kinds(math.floorMod(id, 3L).toInt)
-      val n = 256 + rnd.nextInt(768)
+      val n = payloadBytes(id).toInt
       val bytes = new Array[Byte](n)
       rnd.nextBytes(bytes)
       val meta = mt match {
@@ -119,6 +125,44 @@ object Multimodal {
       }
       .toDF("doc_id", "media_type", "features")
   }
+
+  /** Comparison-friendly shape of the decode pipeline: scalar derived
+    * columns only — a raw `array<float>` column breaks columnar
+    * comparison harnesses (pandas cannot sort ndarray cells). Same
+    * batch-per-partition decode as [[extractFeatures]]; the vector is
+    * reduced in-task to an L2 norm and an FNV-1a hash of its bits, so
+    * any change to the decode kernel still flips the output.
+    */
+  def extractFeatureStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select($"doc_id".cast("long"), $"media_type", $"payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // (real codec: initialize decoder context here, once per task)
+        it.map { case (id, mt, payload) =>
+          val f = decodeToFeaturesStub(payload)
+          var norm = 0.0
+          var h = -3750763034362895579L // FNV-1a 64-bit offset basis
+          var i = 0
+          while (i < f.length) {
+            norm += f(i).toDouble * f(i)
+            h = (h ^ java.lang.Float.floatToIntBits(f(i))) * 1099511628211L
+            i += 1
+          }
+          (id, mt, payload.length.toLong, math.rint(math.sqrt(norm) * 1e4) / 1e4, h)
+        }
+      }
+      .toDF("doc_id", "media_type", "n_bytes", "feature_norm", "features_hash")
+  }
+
+  /** Scalar metadata projection of a media table: the oracle-checkable
+    * surface (sizes follow [[payloadBytes]], types follow doc_id mod 3).
+    */
+  def mediaSummary(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"), col("meta.n_bytes").as("n_bytes"))
 
   /** Resize pass for image rows; non-image rows pass through unchanged. */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {

@@ -45,6 +45,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy($"doc_id").count().filter($"count" =!= 4).count() == 0)
   }
 
+  test("feature stats are scalar, deterministic, and size-consistent") {
+    val stats = Multimodal.extractFeatureStats(media).cache()
+    assert(stats.count() == media.count())
+    // All cells are scalar (sortable by a columnar comparison harness).
+    assert(stats.schema.fields.forall(!_.dataType.typeName.startsWith("array")))
+    // n_bytes follows the SQL-expressible sizing rule.
+    val bad = stats.filter(
+      $"n_bytes" =!= (lit(256L) + pmod($"doc_id" * 2654435761L, lit(768L))))
+    assert(bad.count() == 0)
+    // Hash/norm are pure functions of the payload: re-run matches.
+    val again = Multimodal.extractFeatureStats(media)
+    assert(stats.exceptAll(again).isEmpty && again.exceptAll(stats).isEmpty)
+  }
+
   test("size balancing keeps all rows") {
     assert(Multimodal.balanceBySize(media).count() == media.count())
   }
