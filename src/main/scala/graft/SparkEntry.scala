@@ -131,6 +131,14 @@ object SparkEntry {
         .filter($"estimate" > 0 && $"ci_width" === 0.0)
         .select($"stream_id", round($"estimate", 2).as("sum_value"))
     }),
+    // -- Boundary-aligned ranges: the estimator over the oldest 1 / 2
+    //    windows must be EXACT (error 0), and the covered element prefix
+    //    must match a raw-data prefix cut at the decomposition boundary —
+    //    the only oracle that can see a shifted window boundary.
+    "q_aligned_range" -> ((s, dir) =>
+      QueryEngine.alignedPrefixAll(tables(s, dir).summary, numWindows = 1)),
+    "q_aligned_range2" -> ((s, dir) =>
+      QueryEngine.alignedPrefixAll(tables(s, dir).summary, numWindows = 2)),
     // -- Dedup family over documents.
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(docs(s, dir))),
@@ -335,6 +343,48 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // Boundary oracles: DuckDB independently recomputes the base-2 decay
+    // decomposition's first-window size via the self-similar recurrence
+    // D(n) = 2*D(floor((n-1)/2)) ++ D(s) — the chain cur -> (cur-1)//2
+    // bottoms out at cur <= 4 with first-window size {1,1,2,2} and
+    // two-window prefix {_,2,3,3}, each scaled by 2^depth — then cuts the
+    // raw per-stream element prefix at that rank and aggregates it.
+    "q_aligned_range" ->
+      """WITH RECURSIVE
+        |ranked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |chain(user_id, cur, d) AS (
+        |  SELECT DISTINCT user_id, n, 0 FROM ranked
+        |  UNION ALL
+        |  SELECT user_id, (cur - 1) // 2, d + 1 FROM chain WHERE cur > 4),
+        |k AS (
+        |  SELECT user_id, ((CASE WHEN cur <= 2 THEN 1 ELSE 2 END)::BIGINT << d) AS kk
+        |  FROM chain WHERE cur <= 4)
+        |SELECT r.user_id AS stream_id, count(*) AS cnt, round(sum(r.value), 2) AS sum_value
+        |FROM ranked r JOIN k ON r.user_id = k.user_id
+        |WHERE r.rn <= k.kk
+        |GROUP BY r.user_id""".stripMargin,
+    "q_aligned_range2" ->
+      """WITH RECURSIVE
+        |ranked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |chain(user_id, cur, d) AS (
+        |  SELECT DISTINCT user_id, n, 0 FROM ranked WHERE n >= 2
+        |  UNION ALL
+        |  SELECT user_id, (cur - 1) // 2, d + 1 FROM chain WHERE cur > 4),
+        |k AS (
+        |  SELECT user_id, ((CASE WHEN cur = 2 THEN 2 ELSE 3 END)::BIGINT << d) AS kk
+        |  FROM chain WHERE cur <= 4)
+        |SELECT r.user_id AS stream_id, count(*) AS cnt, round(sum(r.value), 2) AS sum_value
+        |FROM ranked r JOIN k ON r.user_id = k.user_id
+        |WHERE r.rn <= k.kk
+        |GROUP BY r.user_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

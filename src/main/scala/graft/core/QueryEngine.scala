@@ -50,6 +50,37 @@ object QueryEngine {
       .toDF("stream_id", "estimate", "ci_width")
   }
 
+  /** Exact estimator answers over each stream's oldest `numWindows`
+    * summary windows. The query range [w0.ts, w_{numWindows-1}.te] is
+    * aligned to window boundaries, so the estimator must return
+    * ci_width = 0 and exactly the raw prefix aggregate — the
+    * boundary-sensitive hard-signal check: a summarizer that shifted any
+    * boundary would either report nonzero error (stream vanishes →
+    * row-count mismatch) or aggregate the wrong element prefix (value
+    * mismatch). Streams with fewer windows emit nothing. Output:
+    * (stream_id, cnt, sum_value).
+    */
+  def alignedPrefixAll(sw: Dataset[SummaryWindow], numWindows: Int): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    sw.groupByKey(_.streamId)
+      .flatMapGroups { (sid, it) =>
+        val s = it.toArray.sortBy(_.ts).toSeq
+        if (s.length < numWindows) Iterator.empty
+        else {
+          val t0 = s.head.ts
+          val t1 = s(numWindows - 1).te
+          val overlapping = s.filter(w => w.te >= t0 && w.ts <= t1)
+          val c = SumEstimator.countQuery(t0, t1, overlapping, Nil, QueryParams())
+          val m = SumEstimator.sumQuery(t0, t1, overlapping, Nil, QueryParams())
+          if (c.error != 0.0 || m.error != 0.0) Iterator.empty
+          else Iterator((sid, math.rint(c.value).toLong, m.value))
+        }
+      }
+      .toDF("stream_id", "cnt", "sum_raw")
+      .select($"stream_id", $"cnt", round($"sum_raw", 2).as("sum_value"))
+  }
+
   /** Exact aggregates over element timestamps covered by landmark
     * windows, restricted to [t0, t1]: (stream_id, cnt, sum_value).
     * Landmark elements are stored verbatim, so this is error-free by
