@@ -155,6 +155,18 @@ object SparkEntry {
       ops.TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprints(docs(s, dir))),
+    // Fingerprint equality structure: docs sharing a fingerprint share a
+    // representative (min doc_id). The fp values themselves are not
+    // SQL-portable (murmur), but the induced partition is: it must equal
+    // grouping by whitespace-normalized text. An order-insensitive or
+    // collision-happy fingerprint changes the partition and fails.
+    "q_fingerprint_groups" -> ((s, dir) => {
+      import s.implicits._
+      val fp = ops.TextAnalysis.fingerprints(docs(s, dir))
+      fp.withColumn("rep_id", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .select($"doc_id", $"rep_id")
+    }),
     // -- Similarity search over embeddings.
     "q_knn" -> ((s, dir) => {
       import s.implicits._
@@ -199,9 +211,19 @@ object SparkEntry {
       ops.Frequency.distinctExact(rawEvents(s, dir), "user_id", "event_type")
         .withColumnRenamed("group_id", "stream_id")
     }),
-    "q_approx_distinct" -> ((s, dir) =>
-      ops.Frequency.distinctApprox(rawEvents(s, dir), "user_id", "event_type")
-        .withColumnRenamed("group_id", "stream_id")),
+    // Approx distinct: HLL++ values won't hash-match another engine's
+    // sketch, but the error contract is checkable — emit whether the
+    // estimate is within rsd + 1 of exact; the oracle asserts all-true.
+    "q_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      rawEvents(s, dir)
+        .groupBy($"user_id".as("stream_id"))
+        .agg(
+          countDistinct($"event_type").as("exact"),
+          approx_count_distinct($"event_type", 0.05).as("approx"))
+        .select($"stream_id",
+          (abs($"approx" - $"exact") <= $"exact" * 0.05 + lit(1.0)).as("within_bound"))
+    }),
     "q_top_type" -> ((s, dir) =>
       ops.Frequency.topKeyExact(rawEvents(s, dir), "user_id", "event_type")
         .withColumnRenamed("group_id", "stream_id")),
@@ -392,6 +414,33 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
+    "q_approx_distinct" ->
+      "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
+    // Quality score: every component is 2-decimal (n_tokens/50 capped,
+    // 0.5/1.0 rule scores), so sum/4 terminates within 4 decimals and
+    // round(,4) is FP-safe on both engines.
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'], x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |    round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((least(n_tokens::DOUBLE / 50.0, 1.0)
+        |    + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        |    + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
+        |    + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+        |FROM t""".stripMargin,
+    "q_fingerprint_groups" ->
+      """SELECT doc_id,
+        |min(doc_id) OVER (PARTITION BY concat_ws(' ', regexp_split_to_array(trim(text), '\s+'))) AS rep_id
+        |FROM documents""".stripMargin,
     "q_top_type" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),

@@ -32,29 +32,66 @@ object Frequency {
       .select(col("group_id"), col("key").as("top_key"), col("cnt").as("top_cnt"))
   }
 
-  /** CMS-estimated counts of the candidate keys per group. Candidates
-    * are the domain's distinct keys (collected once — heavy-hitter
-    * candidates must come from a side channel at 100 TB; here the key
-    * domain is small by construction). Estimates over-count by at most
-    * eps*N with the configured confidence.
+  /** CMS-estimated counts of each group's heavy-hitter candidates.
+    *
+    * Candidate generation is fully distributed: every partition keeps a
+    * bounded Misra-Gries summary per group (capacity 4*topK counters)
+    * and emits its local top-K keys; the union of local candidates is
+    * deduplicated and re-probed against the per-group CMS. Any key with
+    * global frequency > N/(capacity+1) survives Misra-Gries in at least
+    * the partition(s) carrying its mass, so true heavy hitters are never
+    * lost, while memory is O(groups-per-task * capacity) regardless of
+    * key cardinality — no driver-side collect of the key domain (a
+    * high-cardinality key column at 100 TB would OOM the driver).
+    *
+    * `groupCol` must be integral (cast to long). Estimates over-count by
+    * at most eps*N with the configured confidence.
     */
   def heavyHittersCms(
       df: DataFrame,
       groupCol: String,
       keyCol: String,
-      eps: Double = 0.001): DataFrame = {
+      eps: Double = 0.001,
+      topK: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val candidates = df.select(col(keyCol).cast("string")).distinct()
-      .as[String].collect().sorted
-    val bc = spark.sparkContext.broadcast(candidates)
+    val cap = 4 * topK
+
+    val kv = df
+      .select(col(groupCol).cast("long").as("g"), col(keyCol).cast("string").as("k"))
+      .as[(Long, String)]
+    val candidates = kv
+      .mapPartitions { it =>
+        val mg = collection.mutable.HashMap
+          .empty[Long, collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, k) =>
+          val m = mg.getOrElseUpdate(g, collection.mutable.HashMap.empty)
+          if (m.contains(k) || m.size < cap) m.update(k, m.getOrElse(k, 0L) + 1L)
+          else {
+            // Misra-Gries eviction: decrement all counters, drop zeros.
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+          }
+        }
+        mg.iterator.flatMap { case (g, m) =>
+          m.toSeq.sortBy { case (k, c) => (-c, k) }.take(topK)
+            .map { case (k, _) => (g, k) }
+        }
+      }
+      .toDF("group_id", "key")
+      .distinct()
+
     val sketches = df
-      .groupBy(col(groupCol).as("group_id"))
+      .groupBy(col(groupCol).cast("long").as("group_id"))
       .agg(Sketches.cmsAgg(col(keyCol).cast("string"), eps).as("cms"))
-    val probe = udf((cms: Array[Byte]) =>
-      bc.value.map(k => (k, Sketches.cmsEstimate(cms, k))).toSeq)
+    val candLists = candidates
+      .groupBy(col("group_id"))
+      .agg(collect_list(col("key")).as("cands"))
+    val probe = udf((cms: Array[Byte], cands: Seq[String]) =>
+      cands.sorted.map(k => (k, Sketches.cmsEstimate(cms, k))))
     sketches
-      .select(col("group_id"), explode(probe(col("cms"))).as("kv"))
+      .join(candLists, "group_id")
+      .select(col("group_id"), explode(probe(col("cms"), col("cands"))).as("kv"))
       .select(col("group_id"), col("kv._1").as("key"), col("kv._2").as("est_cnt"))
   }
 

@@ -25,6 +25,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters survive a high-cardinality key domain (no driver collect)") {
+    // 5 heavy keys (8k occurrences each) buried in 160k unique tail keys.
+    // The old implementation collected all ~160k distinct keys to the
+    // driver; the Misra-Gries path must find the heavies with bounded
+    // output and bounded task memory.
+    val heavy = (0 until 5).flatMap(i => Seq.fill(8000)(s"heavy_$i"))
+    val tail = (0 until 160000).map(i => s"tail_$i")
+    val rows = (heavy ++ tail).map(k => (1L, k))
+    val df = spark.createDataset(rows).toDF("g", "k").repartition(8)
+    val got = Frequency.heavyHittersCms(df, "g", "k", eps = 0.001, topK = 8)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    (0 until 5).foreach { i =>
+      val k = s"heavy_$i"
+      assert(got.contains(k), s"$k missing from candidates")
+      assert(got(k) >= 8000L, s"$k underestimated: ${got(k)}")
+    }
+    // Output is candidate-bounded, not domain-bounded.
+    assert(got.size <= 8 * 8, s"candidate set exploded: ${got.size}")
+  }
+
   test("bloom membership: no false negatives, few false positives") {
     val present = events.select($"user_id", $"event_type").distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
