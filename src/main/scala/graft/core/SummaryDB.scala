@@ -126,6 +126,42 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     refreshSummaries(landmarkIntervals)
   }
 
+  /** The open-interval sentinel: an un-ended landmark absorbs every
+    * element with ts >= t0 until [[endLandmark]] closes it.
+    */
+  private val OpenT1 = Long.MaxValue
+
+  /** True iff the stream has a started-but-not-ended landmark. */
+  def hasOpenLandmark(streamId: Long): Boolean =
+    storedIntervals.exists(r => r._1 == streamId && r._3 == OpenT1)
+
+  /** Open-ended landmark: from here on, the stream's elements with
+    * ts >= t0 are stored exactly (diverted from decay), across any
+    * number of appends, until [[endLandmark]] — the reference's
+    * `StartLandmark` (`/root/reference/core/stream.go:121-128`).
+    * Callable before any append (an empty DB just records the interval).
+    */
+  def startLandmark(streamId: Long, t0: Long): Unit = {
+    require(!hasOpenLandmark(streamId),
+      s"stream $streamId already has an open landmark")
+    saveIntervals((storedIntervals :+ ((streamId, t0, OpenT1))).distinct)
+    refreshSummaries(landmarkIntervals)
+  }
+
+  /** Close the stream's open landmark at t1 — the reference's
+    * `EndLandmark` (`/root/reference/core/stream.go:130-137`). Elements
+    * appended while it was open stay exact; later ones decay normally.
+    */
+  def endLandmark(streamId: Long, t1: Long): Unit = {
+    val open = storedIntervals
+      .find(r => r._1 == streamId && r._3 == OpenT1)
+      .getOrElse(throw new IllegalStateException(
+        s"stream $streamId has no open landmark"))
+    require(t1 >= open._2, s"endLandmark($t1) precedes startLandmark(${open._2})")
+    saveIntervals(storedIntervals.filterNot(_ == open) :+ ((streamId, open._2, t1)))
+    refreshSummaries(landmarkIntervals)
+  }
+
   private def saveIntervals(rows: Seq[(Long, Long, Long)]): Unit =
     writeVersioned("landmark_intervals",
       rows.toDS().write.mode(SaveMode.Overwrite).parquet(_))
@@ -174,9 +210,9 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     if (fs.exists(marker)) return
     val tag = s"batch-$batchId"
     val partialReplay = fs.exists(new Path(p("events"), tag))
+    // appendTagged writes the commit marker itself (same path) once the
+    // summaries reflect the batch.
     appendTagged(tag, events, landmarkIntervals, forceRecompute = partialReplay)
-    fs.mkdirs(new Path(p("commits")))
-    fs.create(marker, true).close()
   }
 
   private def nextBatchStamp(): Long = {
@@ -207,8 +243,16 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     if (newIntervals.nonEmpty)
       saveIntervals((storedIntervals ++ newIntervals.map(iv => (-1L, iv._1, iv._2))).distinct)
     val all = this.landmarkIntervals
-    if (all.nonEmpty || streamLandmarks.nonEmpty || forceRecompute) refreshSummaries(all)
+    if (all.nonEmpty || streamLandmarks.nonEmpty || forceRecompute)
+      refreshSummaries(all, includeUncommittedTag = Some(tag))
     else appendIncremental(prepared)
+    // The summaries now reflect this batch: commit it. A crash before
+    // this line leaves an unmarked events/<tag> dir that readEvents
+    // skips, so a later recompute can never resurrect a batch the
+    // incremental summaries never absorbed (ADVICE r2: the WAL and the
+    // summary table must agree under every crash point).
+    fs.mkdirs(new Path(p("commits")))
+    fs.create(new Path(p("commits"), tag), true).close()
   }
 
   /** Old summary + fine windows of the (already clamped) batch ->
@@ -227,9 +271,15 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     } finally old.unpersist()
   }
 
-  /** Recompute summary + landmark tables from the persisted events. */
-  private def refreshSummaries(intervals: Seq[(Long, Long)]): Unit = {
-    val events = readEvents()
+  /** Recompute summary + landmark tables from the persisted events.
+    * `includeUncommittedTag`: the batch currently being applied — its
+    * events dir exists but its commit marker is written only after this
+    * refresh succeeds.
+    */
+  private def refreshSummaries(
+      intervals: Seq[(Long, Long)],
+      includeUncommittedTag: Option[String] = None): Unit = {
+    val events = readEvents(includeUncommittedTag)
     val perStream = streamLandmarks
     val (sw, lw) =
       if (intervals.isEmpty && perStream.isEmpty)
@@ -248,11 +298,25 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     * equal-timestamp tiebreak is deterministic across refreshes.
     * Timestamps were clamped at append time, so sorting by ts
     * reproduces the append order exactly.
+    *
+    * Only COMMITTED batch dirs are read (plus `includeTag`, the batch
+    * being applied right now): an events dir without a commit marker is
+    * a crash orphan whose data never reached the summaries, and reading
+    * it would silently change previously-answered ranges. Returns empty
+    * on a fresh DB with no events yet (ADVICE r2: StartLandmark before
+    * any append must work).
     */
-  private def readEvents(): Dataset[Event] = {
+  private def readEvents(includeTag: Option[String] = None): Dataset[Event] = {
+    val eventsDir = new Path(p("events"))
+    if (!fs.exists(eventsDir)) return spark.emptyDataset[Event]
+    val committed = fs.listStatus(eventsDir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(d => includeTag.contains(d.getName) ||
+        fs.exists(new Path(p("commits"), d.getName)))
+    if (committed.isEmpty) return spark.emptyDataset[Event]
     val raw = spark.read
-      .option("recursiveFileLookup", "true")
-      .parquet(p("events"))
+      .parquet(committed.map(_.toString): _*)
       .withColumn("arrival", expr("shiftleft(bstamp, 40) + seq"))
     Ingest.prepare(raw)
   }
@@ -266,15 +330,26 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       spark.emptyDataset[LandmarkWindow])
 
   /** The reference's public query API
-    * (`/root/reference/core/stream.go:156-192`).
+    * (`/root/reference/core/stream.go:156-192`). Streams declared via
+    * [[newStream]] only answer their declared operators — an undeclared
+    * op is an error, as in the reference's OpSet lookup
+    * (`/root/reference/core/op_set.go:14-18`). Undeclared streams (data
+    * ingested without a catalog entry) answer all ops.
     */
   def query(
       streamId: Long,
       op: String,
       t0: Long,
       t1: Long,
-      params: QueryParams = QueryParams()): AggResult =
+      params: QueryParams = QueryParams()): AggResult = {
+    metas.get(streamId).foreach { m =>
+      if (!m.operators.contains(op))
+        throw new IllegalArgumentException(
+          s"operator '$op' not declared for stream $streamId " +
+            s"(declared: ${m.operators.mkString(", ")})")
+    }
     QueryEngine.queryOne(summaryWindows, landmarks, streamId, op, t0, t1, params)
+  }
 }
 
 object SummaryDB {
