@@ -39,11 +39,21 @@ object Bench {
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     val rowsPerSec = if (ingestSec > 0) rawRows / ingestSec else 0.0
     val compression = if (windowRows > 0) rawRows.toDouble / windowRows else 0.0
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Stable timing protocol: deterministic (sorted) query order, one
+    // untimed warm-up execution (first-touch parquet footers, codegen
+    // compilation, persisted-table materialization), then the median of
+    // 3 timed runs. Map-iteration-order single-run timings made r3's
+    // numbers unattributable (first query to touch a cold table paid
+    // the whole materialization).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        fn(spark, sfDir).count() // warm-up, untimed
+        val runs = Array.fill(3) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = runs.sorted.apply(1) // median of 3
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -61,11 +71,16 @@ object Bench {
         .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))
         .withColumn("streamId", lit(999L))
         .as[graft.core.Event]
-      val t0 = System.nanoTime()
-      val w = graft.core.Summarizer
-        .summarize(events, graft.windowing.ExponentialWindowing(2.0)).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (n / sec, w)
+      def run(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val w = graft.core.Summarizer
+          .summarize(events, graft.windowing.ExponentialWindowing(2.0)).count()
+        ((System.nanoTime() - t0) / 1e9, w)
+      }
+      run() // warm-up, untimed
+      val runs = Array.fill(3)(run())
+      val sec = runs.map(_._1).sorted.apply(1)
+      (n / sec, runs.head._2)
     }
 
     def jq(s: String): String = "\"" + s.flatMap {

@@ -107,14 +107,40 @@ object SparkEntry {
     // -- Summary compression: N raw elements -> O(log N) windows.
     "q_window_stats" -> ((s, dir) =>
       Summarizer.compressionStats(tables(s, dir).summary)),
-    // -- Estimator path: unaligned range -> CI result per stream
-    //    (approximate by design; rows-only check).
-    "q_range_count" -> ((s, dir) =>
-      QueryEngine.rangeQueryAll(
-        tables(s, dir).summary, emptyLandmarks(s), "count", Jan10, Jan20)),
-    "q_range_sum" -> ((s, dir) =>
-      QueryEngine.rangeQueryAll(
-        tables(s, dir).summary, emptyLandmarks(s), "sum", Jan10, Jan20)),
+    // -- Estimator path: unaligned range -> hard answer bounds per
+    //    stream. The estimate itself is not SQL-expressible, but the
+    //    CONTRACT is: the exact answer (DuckDB recomputes it from raw
+    //    events) must lie within [bound_lo, bound_hi] — emitted as a
+    //    containment boolean the oracle asserts all-true, plus the
+    //    exact value itself so the raw-side recomputation is also
+    //    hash-checked (reference contract `core/sum_estimator.go:34-118`).
+    "q_range_count" -> ((s, dir) => {
+      import s.implicits._
+      val b = QueryEngine.rangeBoundsAll(
+        tables(s, dir).summary, emptyLandmarks(s), "count", Jan10, Jan20)
+      val exact = Ingest.fromEventsTable(s, dir)
+        .filter($"ts" >= Jan10 && $"ts" <= Jan20)
+        .groupBy($"streamId".as("stream_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      b.join(exact, "stream_id")
+        .select($"stream_id", $"exact_cnt",
+          ($"bound_lo" <= $"exact_cnt" && $"exact_cnt" <= $"bound_hi").as("within_bounds"))
+    }),
+    "q_range_sum" -> ((s, dir) => {
+      import s.implicits._
+      val b = QueryEngine.rangeBoundsAll(
+        tables(s, dir).summary, emptyLandmarks(s), "sum", Jan10, Jan20)
+      val exact = Ingest.fromEventsTable(s, dir)
+        .filter($"ts" >= Jan10 && $"ts" <= Jan20)
+        .groupBy($"streamId".as("stream_id"))
+        .agg(sum($"value").as("raw_sum"))
+      // 1e-6 absolute tolerance: when a stream is FULLY covered the
+      // bounds collapse to the window-ordered sum-of-sums, which may
+      // differ from the raw-order FP sum by a few ULP.
+      b.join(exact, "stream_id")
+        .select($"stream_id", round($"raw_sum", 2).as("exact_sum"),
+          ($"bound_lo" - 1e-6 <= $"raw_sum" && $"raw_sum" <= $"bound_hi" + 1e-6).as("within_bounds"))
+    }),
     // -- Landmark path: query range inside the exact interval; the
     //    estimator must return error 0 and the exact answer.
     "q_landmark_count" -> ((s, dir) => {
@@ -142,10 +168,33 @@ object SparkEntry {
     // -- Dedup family over documents.
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(docs(s, dir))),
-    "q_neardup_text" -> ((s, dir) =>
-      ops.Dedup.nearDuplicatePairs(docs(s, dir), threshold = 0.5)),
-    "q_simhash" -> ((s, dir) =>
-      ops.Dedup.simhashFingerprints(docs(s, dir))),
+    // Near-dup pairs with integer (intersection, union) evidence: the
+    // oracle recomputes the full exact Jaccard >= 0.5 pair set — LSH
+    // recall on this corpus is deterministic (every real pair sits at
+    // J >= 0.9, far above the 16x8 banding knee), so missing candidates
+    // or broken shingling both surface as row mismatches.
+    "q_neardup_text" -> ((s, dir) => {
+      import s.implicits._
+      ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.5)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
+    // SimHash path, same output form but rows-only: Hamming <= 3 is the
+    // standard SimHash operating point (Manku et al. 2007) and this
+    // corpus's J>=0.9 pairs sit at Hamming 4-9, so the simhash pair set
+    // is a legitimate SUBSET of the Jaccard set, not equal to it.
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      ops.Dedup.simhashVerifiedPairCounts(docs(s, dir), threshold = 0.5)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
+    // Exact near-dup join (prefix-filtered inverted index): provably
+    // 100% recall, so its output EQUALS the oracle's all-pairs Jaccard
+    // set by construction, with no probabilistic caveat.
+    "q_neardup_exact" -> ((s, dir) => {
+      import s.implicits._
+      ops.Dedup.exactNearDuplicatePairs(docs(s, dir), threshold = 0.5)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
     // -- Text analysis over documents.
     "q_text_stats" -> ((s, dir) =>
       ops.TextAnalysis.analyze(docs(s, dir))),
@@ -296,6 +345,24 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** All pairs with exact word-3-shingle Jaccard >= 0.5, as integer
+    * (n_inter, n_union) — the independent recomputation both near-dup
+    * paths must match. All-pairs is fine for the oracle's sf0.01 (500
+    * docs); the Spark sides stay candidate-bounded.
+    */
+  private val NeardupOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+      |        FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+      |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.5""".stripMargin
+
   /** DuckDB-equivalent SQL per query (same parquet tables). Omitted for
     * ops whose output is not SQL-expressible (CI estimates, window
     * decompositions) — those get the driver's rows-only check.
@@ -441,6 +508,40 @@ object SparkEntry {
       """SELECT doc_id,
         |min(doc_id) OVER (PARTITION BY concat_ws(' ', regexp_split_to_array(trim(text), '\s+'))) AS rep_id
         |FROM documents""".stripMargin,
+    // Estimator-contract oracles: DuckDB recomputes the exact range
+    // answer; within_bounds must be uniformly true (hard bounds
+    // deterministically contain the exact answer for count, and for sum
+    // over this table's non-negative values).
+    "q_range_count" ->
+      s"""SELECT user_id AS stream_id, count(*) AS exact_cnt, true AS within_bounds
+         |FROM events WHERE epoch_us(ts) BETWEEN $Jan10 AND $Jan20 GROUP BY user_id""".stripMargin,
+    "q_range_sum" ->
+      s"""SELECT user_id AS stream_id, round(sum(value), 2) AS exact_sum, true AS within_bounds
+         |FROM events WHERE epoch_us(ts) BETWEEN $Jan10 AND $Jan20 GROUP BY user_id""".stripMargin,
+    // Window-count oracle: DuckDB recomputes the exp-2 decomposition
+    // LENGTH by the same self-similar recurrence the aligned-range
+    // oracles use — L(n) = L((n-1)//2) + L(s), s = 2 if n even else 1,
+    // with L(1)=1, L(2)=2 — so the N -> O(log N) compression claim is
+    // hard-signal, not just a ratio printed in the bench.
+    "q_window_stats" ->
+      """WITH RECURSIVE
+        |n_per AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+        |chain(user_id, cur, acc) AS (
+        |  SELECT user_id, n, 0::BIGINT FROM n_per
+        |  UNION ALL
+        |  SELECT user_id, (cur - 1) // 2, acc + CASE WHEN cur % 2 = 0 THEN 2 ELSE 1 END
+        |  FROM chain WHERE cur > 2)
+        |SELECT c.user_id AS stream_id, (c.acc + c.cur) AS n_windows, n.n AS n_elements
+        |FROM chain c JOIN n_per n USING (user_id)
+        |WHERE c.cur <= 2""".stripMargin,
+    // Near-dup oracles: the full exact shingle-Jaccard >= 0.5 pair set,
+    // with integer intersection/union sizes (no FP division in the
+    // compared cells). Both the MinHash-LSH and SimHash paths must
+    // reproduce it exactly — possible because candidate recall on this
+    // corpus is deterministic and the verify filter removes false
+    // positives.
+    "q_neardup_text" -> NeardupOracleSql,
+    "q_neardup_exact" -> NeardupOracleSql,
     "q_top_type" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),

@@ -50,6 +50,37 @@ object QueryEngine {
       .toDF("stream_id", "estimate", "ci_width")
   }
 
+  /** Hard deterministic answer bounds per stream over [t0, t1]:
+    * (stream_id, bound_lo, bound_hi). The exact answer is guaranteed
+    * inside [bound_lo, bound_hi] for count (always) and for sum over
+    * non-negative values — the estimator's testable contract, checked
+    * by the `q_range_count`/`q_range_sum` oracles against an external
+    * engine's exact recomputation.
+    */
+  def rangeBoundsAll(
+      sw: Dataset[SummaryWindow],
+      lw: Dataset[LandmarkWindow],
+      op: String,
+      t0: Long,
+      t1: Long): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    val swF = sw.filter($"te" >= t0 && $"ts" <= t1)
+    val lwF = lw.filter($"te" >= t0 && $"ts" <= t1)
+    swF
+      .groupByKey(_.streamId)
+      .cogroup(lwF.groupByKey(_.streamId)) { (sid, sws, lws) =>
+        val s = sws.toArray.sortBy(_.ts).toSeq
+        val l = lws.toArray.sortBy(_.ts).toSeq
+        if (s.isEmpty && l.isEmpty) Iterator.empty
+        else {
+          val b = SumEstimator.boundsQuery(op, t0, t1, s, l)
+          Iterator((sid, b.lower, b.upper))
+        }
+      }
+      .toDF("stream_id", "bound_lo", "bound_hi")
+  }
+
   /** Exact estimator answers over each stream's oldest `numWindows`
     * summary windows. The query range [w0.ts, w_{numWindows-1}.te] is
     * aligned to window boundaries, so the estimator must return

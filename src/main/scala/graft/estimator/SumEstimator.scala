@@ -156,6 +156,22 @@ object SumEstimator {
     AggResult(value, error)
   }
 
+  /** Hard deterministic bounds on a count/sum range answer: lower = the
+    * fully-covered windows plus landmark elements in range, upper = all
+    * overlapping windows (the b-accumulators of [[sumStats]], mirroring
+    * `/root/reference/core/sum_estimator.go:96-101`). For non-negative
+    * contributions the exact answer always lies within — count
+    * contributions are 1 per element, so count bounds are
+    * unconditional; sum bounds require non-negative values.
+    */
+  def boundsQuery(
+      op: String, t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): Bounds =
+    op match {
+      case "count" => sumStats(t0, t1, sw, lw, _.count, _ => 1.0)._1
+      case "sum"   => sumStats(t0, t1, sw, lw, _.sum, identity)._1
+      case other   => throw new IllegalArgumentException(s"no hard bounds for operator: $other")
+    }
+
   /** Dispatch by operator name, as the reference's OpSet does
     * (`/root/reference/core/op_set.go:14-18`).
     */

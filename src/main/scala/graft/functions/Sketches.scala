@@ -86,4 +86,18 @@ object Sketches {
 
   def cmsEstimate(cmsBytes: Array[Byte], item: String): Long =
     cmsFromBytes(cmsBytes).estimateCount(item)
+
+  /** Probe many keys against one serialized sketch, deserializing the
+    * sketch ONCE — `readFrom` copies the full ~eps-sized table, so a
+    * per-key probe loop must not pay it per key.
+    */
+  def cmsEstimateAll(cmsBytes: Array[Byte], items: Seq[String]): Seq[(String, Long)] = {
+    val s = cmsFromBytes(cmsBytes)
+    items.map(k => (k, s.estimateCount(k)))
+  }
+
+  def mightContainAll(bloomBytes: Array[Byte], items: Seq[String]): Seq[(String, Boolean)] = {
+    val bf = bloomFromBytes(bloomBytes)
+    items.map(k => (k, bf.mightContainString(k)))
+  }
 }

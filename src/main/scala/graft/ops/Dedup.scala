@@ -142,6 +142,102 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** As [[nearDuplicatePairs]] but with decimally-exact evidence:
+    * (doc_a, doc_b, n_inter, n_union) — the shingle-set intersection and
+    * union SIZES instead of their ratio. Integer set sizes let an
+    * external engine reproduce rows exactly (no FP-division rounding in
+    * the comparison), and verify the shingle sets themselves, not just
+    * the threshold decision. Threshold filter is the integer form
+    * n_inter >= threshold * n_union (exact for dyadic thresholds).
+    */
+  def nearDuplicatePairCounts(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame =
+    verifyPairCounts(
+      lshCandidatePairs(minhashSignatures(docs, textCol, idCol, k)),
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, k)
+
+  /** SimHash candidate pairs (Hamming <= maxDist) re-verified by exact
+    * shingle Jaccard — the oracle-facing form of the SimHash path: its
+    * output is a pure function of the corpus (an external engine can
+    * recompute it as "all pairs with Jaccard >= threshold"), while its
+    * RECALL depends on SimHash catching every such pair within maxDist,
+    * so a degraded fingerprint shows up as missing rows.
+    */
+  def simhashVerifiedPairCounts(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxDist: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame =
+    verifyPairCounts(
+      simhashNearDuplicates(docs, maxDist).select(col("doc_a"), col("doc_b")),
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold, k)
+
+  /** EXACT near-duplicate pair search via prefix-filtered inverted-index
+    * self-join (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW 2007; Chaudhuri et al. SSJoin): order each document's
+    * shingles by ascending global document frequency (rarest first) and
+    * index only the first |x| - ceil(t*|x|) + 1 of them — any pair with
+    * Jaccard >= t provably shares at least one prefix shingle, so
+    * candidate generation is 100%-recall WITHOUT all-pairs. Prefix
+    * tokens are the RAREST shingles, so inverted-list buckets stay O(1)
+    * on non-degenerate corpora and the join never explodes — this is
+    * the exact-dedup scale path where MinHash's probabilistic recall is
+    * not acceptable. Output (doc_a, doc_b, n_inter, n_union).
+    */
+  def exactNearDuplicatePairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val shUdf = udf((text: String) => shingleSet(text, k).toSeq)
+    val sh = docs.select(col(idCol).as("doc_id"), explode(shUdf(col(textCol))).as("shingle"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .join(df, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("shingle"), col("doc_id"))
+    val cands = prefix.as("a").join(prefix.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairCounts(
+      cands, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold, k)
+  }
+
+  /** Shared verification kernel: join candidate pairs back to texts and
+    * keep those with exact shingle Jaccard >= threshold, reported as
+    * integer (n_inter, n_union).
+    */
+  private def verifyPairCounts(
+      cands: DataFrame, texts: DataFrame, threshold: Double, k: Int): DataFrame = {
+    val iu = udf { (ta: String, tb: String) =>
+      val a = shingleSet(ta, k)
+      val b = shingleSet(tb, k)
+      val inter = a.intersect(b).size.toLong
+      (inter, a.size + b.size - inter)
+    }
+    cands
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
+      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
+      .withColumn("iu", iu(col("text_a"), col("text_b")))
+      .select(col("doc_a"), col("doc_b"), col("iu._1").as("n_inter"), col("iu._2").as("n_union"))
+      .filter(col("n_inter").cast("double") >= col("n_union") * threshold)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens (unit weights). */

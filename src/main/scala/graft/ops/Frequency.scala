@@ -88,7 +88,7 @@ object Frequency {
       .groupBy(col("group_id"))
       .agg(collect_list(col("key")).as("cands"))
     val probe = udf((cms: Array[Byte], cands: Seq[String]) =>
-      cands.sorted.map(k => (k, Sketches.cmsEstimate(cms, k))))
+      Sketches.cmsEstimateAll(cms, cands.sorted))
     sketches
       .join(candLists, "group_id")
       .select(col("group_id"), explode(probe(col("cms"), col("cands"))).as("kv"))
@@ -110,7 +110,7 @@ object Frequency {
       .groupBy(col(groupCol).as("group_id"))
       .agg(Sketches.bloomAgg(col(keyCol).cast("string"), expectedItems).as("bloom"))
     val probe = udf((bloom: Array[Byte]) =>
-      bc.value.map(k => (k, Sketches.mightContain(bloom, k))))
+      Sketches.mightContainAll(bloom, bc.value))
     blooms
       .select(col("group_id"), explode(probe(col("bloom"))).as("kv"))
       .select(col("group_id"), col("kv._1").as("key"), col("kv._2").as("might_contain"))
