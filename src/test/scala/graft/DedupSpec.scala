@@ -82,6 +82,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhash("hello world") != Dedup.simhash("goodbye world"))
   }
 
+  test("exact near-dup join equals driver-side all-pairs (100% recall by construction)") {
+    val rnd = new scala.util.Random(99)
+    val base = realDocs(60).select($"doc_id", $"text").as[(Long, String)].collect()
+    val perturbed = base.take(20).map { case (id, text) =>
+      val toks = text.split("\\s+")
+      val mutated = toks.map(t => if (rnd.nextDouble() < 0.02) "zzq" + t else t)
+      (id + 100000L, mutated.mkString(" "))
+    }
+    val all = base ++ perturbed
+    val docs = all.toSeq.toDF("doc_id", "text")
+
+    // Ground truth: brute-force all-pairs exact shingle Jaccard.
+    val sh = all.map { case (id, t) => id -> Dedup.shingleSet(t) }.toMap
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = sa.intersect(sb).size
+      union = sa.size + sb.size - inter
+      if union > 0 && inter.toDouble >= union * 0.5
+    } yield (a, b, inter.toLong, union.toLong)).toSet
+
+    val got = Dedup.exactNearDuplicatePairs(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union")))
+      .toSet
+    assert(got == want,
+      s"prefix-filter join != all-pairs: missing=${want -- got} extra=${got -- want}")
+
+    // The LSH path is verify-filtered, so it can never exceed the exact
+    // set; recall is only deterministic ABOVE the 16x8 banding knee
+    // (J ~ 0.71), so full recall is asserted for J >= 0.75 pairs only.
+    val lsh = Dedup.nearDuplicatePairCounts(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_union")))
+      .toSet
+    assert(lsh.subsetOf(want), s"LSH false positives: ${lsh -- want}")
+    val aboveKnee = want.filter { case (_, _, i, u) => i.toDouble >= u * 0.75 }
+    assert(aboveKnee.subsetOf(lsh),
+      s"LSH missed above-knee pairs: ${aboveKnee -- lsh}")
+  }
+
   test("jaccard kernel") {
     assert(Dedup.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
     assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)

@@ -85,6 +85,13 @@ class EstimatorPropertySuite extends AnyFunSuite {
         assert(sb.lower - 1e-6 <= exactSum && exactSum <= sb.upper + 1e-6,
           s"sum bounds violated: trial $trial range [$t0,$t1] exact=$exactSum bounds=$sb")
 
+        // boundsQuery is the oracle-facing wrapper over the same
+        // kernels — it must agree with sumStats exactly.
+        val bq = SumEstimator.boundsQuery("count", t0, t1, swF, lwF)
+        assert(bq == bounds, s"boundsQuery(count) != sumStats bounds: trial $trial")
+        val bqs = SumEstimator.boundsQuery("sum", t0, t1, swF, lwF)
+        assert(bqs == sb, s"boundsQuery(sum) != sumStats bounds: trial $trial")
+
         // Max: upper-biased — reported value must be >= exact max in range.
         if (inRange.nonEmpty) {
           val m = SumEstimator.maxQuery(t0, t1, swF, lwF)
