@@ -26,9 +26,13 @@ import scala.collection.mutable
   *    (`/root/reference/core/pipeline.go:119-140`).
   *
   * Scale note: the simulation is O(N log W) per *distinct* N and is
-  * memoized; at 100 TB one would fast-forward analytically for the
-  * exponential policy (self-similar state), which is a planned follow-up
-  * — the partition itself stays O(log N) windows regardless.
+  * memoized, but two closed forms replace it entirely on the hot specs:
+  * integral-base exponential windowing (self-similar recurrence,
+  * O(log N)) and q=1/s=1/even-R power windowing (banded binary-digit
+  * form, O(#windows) = O(N^(1/(p+1))) — see [[powerSizesClosedForm]]).
+  * Only non-integral exponential bases, exotic power specs, and
+  * buffered-ingest decompositions still simulate, capped at
+  * Int.MaxValue elements.
   */
 object DecayModel {
 
@@ -207,6 +211,91 @@ object DecayModel {
     case _ => None
   }
 
+  // ------------------------------------------- power closed form
+
+  /** Exact Sum_{k=1}^K k^p via the binomial recursion
+    * (p+1)·S_p = (K+1)^(p+1) - 1 - Sum_{i<p} C(p+1,i)·S_i, in BigInt so
+    * band boundaries near 2^63 stay exact.
+    */
+  private def sumPow(k: Long, p: Long): BigInt = {
+    if (k <= 0) return BigInt(0)
+    if (p == 0) BigInt(k)
+    else {
+      var acc = (BigInt(k) + 1).pow(p.toInt + 1) - 1
+      var i = 0L
+      while (i < p) { acc -= binom(p + 1, i) * sumPow(k, i); i += 1 }
+      acc / (p + 1)
+    }
+  }
+
+  private def binom(n: Long, r: Long): BigInt = {
+    var b = BigInt(1)
+    var i = 0L
+    while (i < r) { b = b * (n - i) / (i + 1); i += 1 }
+    b
+  }
+
+  /** Closed-form decomposition for power windowing with q == 1, s == 1
+    * (decay lengths 1,2,3,... with R·k^(p-1) windows of length k) and R
+    * even. Derived from the simulator's steady state and verified
+    * exhaustively against it (DecayModelScaleSuite):
+    *
+    * Summary windows only ever pair-merge, so their sizes are powers of
+    * two; size-2^j windows tile exactly the age band [B_j, B_(j+1))
+    * where B_j = R·Sum_(k<2^j) k^p is the marker at which decay length
+    * reaches 2^j. At stream length n the exact per-class counts are
+    *
+    *   J     = max { j : B_j + 2^j <= n }    (largest class present)
+    *   c_J   = floor((n - B_J) / 2^J)        (head class, still filling)
+    *   c_j   = (B_(j+1) - B_j)/2^j + bit_j(n)  for j < J
+    *
+    * where bit_j(n) is the j-th binary digit of n — the +-1 "phase
+    * wobble" of each saturated class is literally the binary expansion
+    * of n. Total telescopes to B_J + (n mod 2^J) + 2^J·c_J = n exactly
+    * when every B_j = 0 (mod 2^j), which holds for even R (checked at
+    * runtime; any failure falls back to the simulator). Sizes are
+    * emitted largest (oldest) first, matching the simulator's order.
+    *
+    * O(#windows) time and space — #windows is Theta(n^(1/(p+1)))
+    * (the whole point of power decay: polynomially many windows), so a
+    * 10^10-element stream decomposes in ~10^5 array slots instead of an
+    * impossible 10^10-step heap simulation.
+    */
+  private def powerSizesClosedForm(pw: PowerWindowing, n: Long): Option[Array[Long]] = {
+    if (pw.q != 1L || pw.s != 1L || pw.r % 2 != 0 || pw.p < 1 || n < 1) return None
+    def band(j: Int): BigInt = BigInt(pw.r) * sumPow((1L << j) - 1, pw.p)
+    var jMax = 0
+    while (band(jMax + 1) + (BigInt(1) << (jMax + 1)) <= n) jMax += 1
+    var j = 1
+    while (j <= jMax) {
+      if (band(j) % (BigInt(1) << j) != 0) return None
+      j += 1
+    }
+    val bJ = band(jMax).toLong
+    val cJ = (n - bJ) >> jMax
+    var total = cJ
+    var jj = jMax - 1
+    val counts = new Array[Long](jMax)
+    while (jj >= 0) {
+      counts(jj) = ((band(jj + 1) - band(jj)).toLong >> jj) +
+        (if ((n & (1L << jj)) != 0) 1L else 0L)
+      total += counts(jj)
+      jj -= 1
+    }
+    require(total <= Int.MaxValue.toLong, s"power decomposition of n=$n has $total windows")
+    val out = new Array[Long](total.toInt)
+    var idx = 0
+    var c = cJ
+    while (c > 0) { out(idx) = 1L << jMax; idx += 1; c -= 1 }
+    jj = jMax - 1
+    while (jj >= 0) {
+      c = counts(jj)
+      while (c > 0) { out(idx) = 1L << jj; idx += 1; c -= 1 }
+      jj -= 1
+    }
+    if (out.sum == n) Some(out) else None // defensive: never emit a bad partition
+  }
+
   private val cache = new ConcurrentHashMap[(WindowingSpec, Long, Long), Array[Long]]()
 
   /** Window start ranks (cStart of each window, ascending; first is 0)
@@ -214,22 +303,29 @@ object DecayModel {
     * Element with 0-based rank `s` belongs to the window
     * `upperBound(starts, s) - 1`. Memoized per (spec, bufferSize, n).
     */
+  private def toStarts(sizes: Array[Long]): Array[Long] = {
+    val starts = new Array[Long](sizes.length)
+    var acc = 0L
+    var i = 0
+    while (i < sizes.length) { starts(i) = acc; acc += sizes(i); i += 1 }
+    starts
+  }
+
   def windowStarts(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Array[Long] = {
-    val fast = bufferSize <= 0 && integralBase(spec).isDefined
-    // The O(n) simulation path is driver-side; cap it rather than wrap.
-    require(fast || n <= Int.MaxValue.toLong,
-      s"simulated decomposition for n=$n not supported (use an integral exponential base for the O(log n) path)")
     if (cache.size > 4096) cache.clear() // bound the memo (ADVICE r1)
     cache.computeIfAbsent((spec, bufferSize, n), { _ =>
-      integralBase(spec).filter(_ => bufferSize <= 0) match {
-        case Some(b) =>
-          val sizes = sizesClosedForm(b, n)
-          val starts = new Array[Long](sizes.length)
-          var acc = 0L
-          var i = 0
-          while (i < sizes.length) { starts(i) = acc; acc += sizes(i); i += 1 }
-          starts
-        case None =>
+      val fastExp = integralBase(spec).filter(_ => bufferSize <= 0)
+      val fastPower = spec match {
+        case pw: PowerWindowing if bufferSize <= 0 => powerSizesClosedForm(pw, n)
+        case _                                     => None
+      }
+      (fastExp, fastPower) match {
+        case (Some(b), _) => toStarts(sizesClosedForm(b, n))
+        case (_, Some(sizes)) => toStarts(sizes)
+        case _ =>
+          // The O(n) simulation path is driver-side; cap it rather than wrap.
+          require(n <= Int.MaxValue.toLong,
+            s"simulated decomposition for n=$n not supported (integral exponential bases and even-R/q=1/s=1 power specs have O(#windows) closed forms)")
           val sizes =
             if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
           simulate(spec, sizes).map(_._1)

@@ -57,9 +57,58 @@ class DecayModelScaleSuite extends AnyFunSuite {
     assert(sizes.sum == 1000L)
   }
 
+  /** Simulation result for a power spec, forced through the sim path. */
+  private def simulatedPower(pw: PowerWindowing, n: Long): Seq[Long] =
+    DecayModel
+      .decomposeEvents(pw, Iterator.range(0L, n).map(_ => 1L))
+      .map(_._1).toSeq
+
+  test("power closed form == simulation, exhaustive n <= 2048, several specs") {
+    for (pw <- Seq(PowerWindowing(1, 1, 10, 1), PowerWindowing(2, 1, 2, 1),
+        PowerWindowing(3, 1, 6, 1), PowerWindowing(1, 1, 4, 1)); n <- 1L to 2048L) {
+      val fast = DecayModel.windowStarts(pw, n).toSeq
+      assert(fast == simulatedPower(pw, n), s"$pw n=$n")
+    }
+  }
+
+  test("power closed form == simulation, sampled n <= 2e5") {
+    val rnd = new scala.util.Random(23)
+    for (pw <- Seq(PowerWindowing(1, 1, 10, 1), PowerWindowing(2, 1, 2, 1)); _ <- 1 to 10) {
+      val n = 2049L + rnd.nextInt(200000)
+      assert(DecayModel.windowStarts(pw, n).toSeq == simulatedPower(pw, n), s"$pw n=$n")
+    }
+  }
+
+  test("power decomposition at n = 1e10: fast, conserving, nesting") {
+    val pw = PowerWindowing(1, 1, 10, 1)
+    val n = 10000000000L
+    val t0 = System.nanoTime()
+    val starts = DecayModel.windowStarts(pw, n)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000.0, s"n=$n took $ms ms")
+    // Theta(sqrt(n)) windows, ascending from 0, sizes conserve n,
+    // sizes non-increasing old -> new (power-of-two classes).
+    assert(starts.head == 0L && starts.length > 100000 && starts.length < 1000000)
+    val sizes = (starts :+ n).sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(sizes.sum == n)
+    assert(sizes.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // Merges only coalesce: every boundary at n+1 (below n) already
+    // existed at n — the invariant Compactor.recoarsen relies on.
+    val next = DecayModel.windowStarts(pw, n + 1).filter(_ < n).toSet
+    assert(next.subsetOf(starts.toSet), "boundaries at n+1 not nested in n")
+    // windowIdOf consistent at the extremes.
+    assert(DecayModel.windowIdOf(starts, 0L) == 0)
+    assert(DecayModel.windowIdOf(starts, n - 1) == starts.length - 1)
+  }
+
   test("overflow guard: huge n on a simulated-only policy is rejected") {
+    // Odd R fails the band-divisibility check -> must refuse, not garble.
     intercept[IllegalArgumentException] {
-      DecayModel.windowStarts(PowerWindowing(1, 1, 10, 1), Int.MaxValue.toLong * 2)
+      DecayModel.windowStarts(PowerWindowing(1, 1, 9, 1), Int.MaxValue.toLong * 2)
+    }
+    // q != 1 power specs have non-power-of-two classes -> sim only.
+    intercept[IllegalArgumentException] {
+      DecayModel.windowStarts(PowerWindowing(2, 2, 2, 3), Int.MaxValue.toLong * 2)
     }
     intercept[IllegalArgumentException] {
       DecayModel.sessionSizes(ExponentialWindowing(2.0), Int.MaxValue.toLong * 2)
