@@ -36,17 +36,17 @@ object Compactor {
     val spark = sw.sparkSession
     import spark.implicits._
 
-    val counts: Array[(Long, Long)] = sw
-      .groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
-      .as[(Long, Long)]
-      .collect()
-    val starts: Map[Long, Array[Long]] =
-      counts.map { case (sid, n) => sid -> DecayModel.windowStarts(specOf(sid), n, bufferSize) }.toMap
-    val bc = spark.sparkContext.broadcast(starts)
-    val widOf = udf((sid: Long, cs: Long) => DecayModel.windowIdOf(bc.value(sid), cs))
+    // Per-stream element count as a joined column; windowId computed
+    // row-side from (spec, n, cs) — no driver collect, no broadcast map
+    // (see Summarizer's scale notes; same pattern).
+    val counts = sw.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, cs: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
 
     sw.toDF()
-      .withColumn("windowId", widOf($"streamId", $"cs"))
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -64,21 +64,33 @@ object Compactor {
   /** Per-element fine windows for a freshly appended batch, offset by
     * each stream's existing element count — the unbuffered ingest shape
     * (`/root/reference/core/pipeline.go:109-117`) ready for
-    * [[recoarsen]].
+    * [[recoarsen]]. `baseCounts` is a (streamId, n) frame (typically the
+    * aggregate of the existing summary table); streams absent from it
+    * start at 0. All-columnar — no driver map.
     */
+  def fineWindows(
+      batch: Dataset[Event],
+      baseCounts: org.apache.spark.sql.DataFrame): Dataset[SummaryWindow] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch
+      .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
+      .select(
+        $"streamId",
+        $"ts", $"ts".as("te"),
+        ($"seq" + coalesce($"base", lit(0L))).as("cs"),
+        ($"seq" + coalesce($"base", lit(0L))).as("ce"),
+        lit(1.0).as("count"),
+        $"value".as("sum"), $"value".as("max"), $"value".as("min"))
+      .as[SummaryWindow]
+  }
+
+  /** Test-friendly overload with an in-memory base-count map. */
   def fineWindows(
       batch: Dataset[Event],
       baseCount: Map[Long, Long]): Dataset[SummaryWindow] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(baseCount)
-    batch.map { e =>
-      val base = bc.value.getOrElse(e.streamId, 0L)
-      SummaryWindow(
-        streamId = e.streamId,
-        ts = e.ts, te = e.ts,
-        cs = base + e.seq, ce = base + e.seq,
-        count = 1.0, sum = e.value, max = e.value, min = e.value)
-    }
+    fineWindows(batch, baseCount.toSeq.toDF("streamId", "n"))
   }
 }

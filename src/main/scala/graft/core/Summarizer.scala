@@ -15,17 +15,21 @@ import org.apache.spark.sql.functions._
   * (policy, N), so Spark recomputes window assignment from the element
   * rank instead of keeping distributed mutable state:
   *
-  *   1. per-stream element counts (one row per stream — tiny collect);
-  *   2. `DecayModel.windowStarts` per distinct (spec, N) on the driver,
-  *      broadcast as a Map[streamId -> Array[cStart]] (O(streams·log N));
-  *   3. rank → windowId by binary search (scalar UDF over the broadcast;
-  *      O(log windows) per row, no extra shuffle);
-  *   4. one `groupBy(streamId, windowId).agg(...)` — the only shuffle,
-  *      with map-side partial aggregation for free.
+  *   1. per-stream element counts as a COLUMN (`groupBy(streamId).count`
+  *      joined back — AQE broadcasts the tiny aggregated side; at 10^8
+  *      streams it degrades to a co-partitioned shuffle join instead of
+  *      OOMing a driver map);
+  *   2. rank → windowId per row from (spec, n, seq): the scalar UDF
+  *      calls `DecayModel.windowStarts` (closed-form, memoized per
+  *      executor per distinct (spec, n)) and binary-searches — nothing
+  *      is collected to or broadcast from the driver;
+  *   3. one `groupBy(streamId, windowId).agg(...)` — the only required
+  *      shuffle, with map-side partial aggregation for free (the join's
+  *      streamId partitioning already satisfies the grouping).
   *
-  * At 100 TB this holds: the broadcast is O(#streams · log N) longs, the
+  * At 100 TB this holds: no O(#streams) driver structure exists, the
   * shuffle is the unavoidable per-window aggregation, and AQE handles
-  * skewed streams. No driver-side loop over data rows ever happens.
+  * both the join strategy and skewed streams.
   */
 object Summarizer {
 
@@ -52,17 +56,17 @@ object Summarizer {
     val spark = events.sparkSession
     import spark.implicits._
 
-    val counts: Array[(Long, Long)] = events
-      .groupBy($"streamId").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)]
-      .collect()
-    val starts: Map[Long, Array[Long]] =
-      counts.map { case (sid, n) => sid -> DecayModel.windowStarts(specOf(sid), n, bufferSize) }.toMap
-    val bc = spark.sparkContext.broadcast(starts)
-    val widOf = udf((sid: Long, seq: Long) => DecayModel.windowIdOf(bc.value(sid), seq))
+    // `specOf` is shipped inside the UDF, so it must be self-contained
+    // (capture specs, not the catalog owner). windowStarts is memoized
+    // per executor, so each distinct (spec, n) decomposes once per JVM.
+    val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, seq: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
 
     events
-      .withColumn("windowId", widOf($"streamId", $"seq"))
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),

@@ -91,8 +91,16 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       metas.values.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
-  private def specOf: Long => WindowingSpec =
-    sid => metas.getOrElse(sid, StreamMeta.exponential(sid, 2.0)).spec
+  /** Per-stream decay policy as a SELF-CONTAINED serializable closure:
+    * the summarizer/compactor ship it inside a row-level UDF, so it must
+    * capture an immutable spec map — never `this` (SparkSession isn't
+    * serializable) nor the live mutable catalog.
+    */
+  private def specOf: Long => WindowingSpec = {
+    val specs: Map[Long, WindowingSpec] = metas.map { case (k, m) => (k, m.spec) }.toMap
+    val dflt: WindowingSpec = StreamMeta.exponential(0L, 2.0).spec
+    sid => specs.getOrElse(sid, dflt)
+  }
 
   // ------------------------------------------------------------- intervals
 
@@ -261,10 +269,9 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
   private def appendIncremental(prepared: Dataset[Event]): Unit = {
     val old = summaryWindows.persist()
     try {
-      val baseCount: Map[Long, Long] = old
+      val baseCounts = old
         .groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
-        .as[(Long, Long)].collect().toMap
-      val fine = Compactor.fineWindows(prepared, baseCount)
+      val fine = Compactor.fineWindows(prepared, baseCounts)
       val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
       writeVersioned("summary_windows",
         merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))

@@ -46,7 +46,7 @@ class CompactorSpec extends SparkSpec {
       val fine = Compactor.fineWindows(ev(1L, from, until), base)
       sw = Compactor.recoarsen(sw.unionByName(fine), _ => exp2)
     }
-    val fine2 = Compactor.fineWindows(ev(2L, 0, 50), Map.empty)
+    val fine2 = Compactor.fineWindows(ev(2L, 0, 50), Map.empty[Long, Long])
     sw = Compactor.recoarsen(sw.unionByName(fine2), _ => exp2)
 
     val direct = Summarizer.summarize(

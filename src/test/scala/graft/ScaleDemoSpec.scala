@@ -2,6 +2,7 @@ package graft
 
 import graft.core._
 import graft.windowing.{DecayModel, ExponentialWindowing}
+import org.apache.spark.sql.functions.{expr, lit}
 
 /** Scale demonstration: a single 1M-element stream decays to ~40
   * windows (the N -> O(log N) compression that is the engine's reason
@@ -40,5 +41,28 @@ class ScaleDemoSpec extends SparkSpec {
     val exact = (n / 2L - n / 4L + 1).toDouble
     assert(math.abs(part.value - exact) <= part.error + 1e-6 || part.error == 0.0)
     info(f"partial-range query in $qMs%.0f ms -> ${part.value}%.0f +- ${part.error}%.1f (exact $exact%.0f)")
+  }
+
+  test("1M streams summarize without any O(#streams) driver structure") {
+    // 1M distinct streams x 4 elements: the old design built and
+    // broadcast a Map[streamId -> Array[Long]] here (GBs at 10^8
+    // streams); now the count is a joined column and windowId comes
+    // from (spec, n, seq) row-side.
+    val nStreams = 1000000L
+    val events = spark.range(nStreams * 4)
+      .select(
+        ($"id" % nStreams).as("streamId"),
+        expr(s"id div $nStreams").as("seq"),
+        expr(s"(id div $nStreams) * 10").as("ts"),
+        lit(1.0).as("value"))
+      .as[Event]
+    val sw = Summarizer.summarize(events, ExponentialWindowing(2.0)).cache()
+    try {
+      // exp-2 decomposition of n=4 is [2,1,1]: 3 windows per stream.
+      assert(sw.count() == nStreams * 3)
+      val s7 = sw.filter($"streamId" === 7L).collect().sortBy(_.cs)
+      assert(s7.map(w => (w.cs, w.ce)).toSeq == Seq((0L, 1L), (2L, 2L), (3L, 3L)))
+      assert(s7.map(_.count).sum == 4.0)
+    } finally sw.unpersist()
   }
 }
