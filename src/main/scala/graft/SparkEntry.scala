@@ -287,14 +287,15 @@ object SparkEntry {
         Seq("click", "view", "purchase", "signup", "error", "zz_absent_type"),
         expectedItems = 2048L)
         .withColumnRenamed("group_id", "stream_id")),
-    // -- Multimodal plumbing: synthetic binary payloads -> batch decode
-    //    stub -> scalar per-doc feature stats (norm + bit-hash; raw
-    //    vectors stay in extractFeatures for library users — comparison
-    //    harnesses need scalar cells).
+    // -- Multimodal decode: real PNG payloads -> ImageIO decode ->
+    //    integer pixel stats. The oracle recomputes width/height/px_sum
+    //    from the gradient generation rules, so a broken encoder OR
+    //    decoder flips the hard signal.
     "q_media_features" -> ((s, dir) =>
-      ops.Multimodal.extractFeatureStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
-    // -- Media metadata surface: sizes/types follow SQL-expressible
-    //    rules, so this one is fully oracle-checkable.
+      ops.Multimodal.imagePixelStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    // -- Media metadata surface: types/dims/durations (and audio/video
+    //    sizes) follow SQL-expressible rules, so this one is fully
+    //    oracle-checkable; image n_bytes (real PNG size) projects NULL.
     "q_media_meta" -> ((s, dir) =>
       ops.Multimodal.mediaSummary(ops.Multimodal.syntheticMedia(docs(s, dir)))),
     // -- Stream statistics (Welford aggregator, distributed merge).
@@ -477,8 +478,24 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |256 + (doc_id * 2654435761) % 768 AS n_bytes
+        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 128 WHEN 2 THEN 320 END AS width,
+        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 13) % 128 WHEN 2 THEN 240 END AS height,
+        |CASE doc_id % 3 WHEN 1 THEN 1000 + (doc_id * 31) % 60000
+        |                WHEN 2 THEN 1000 + (doc_id * 17) % 120000 END AS duration_ms,
+        |CASE WHEN doc_id % 3 = 0 THEN NULL
+        |     ELSE 256 + (doc_id * 2654435761) % 768 END AS n_bytes
         |FROM documents""".stripMargin,
+    // Decoded-pixel oracle: DuckDB re-derives the gradient PNG's pixel
+    // sums from the generation rules; the Spark side must produce the
+    // same integers from ImageIO.read of the actual encoded bytes.
+    "q_media_features" ->
+      """WITH i AS (
+        |  SELECT doc_id, 64 + (doc_id * 7) % 128 AS w, 64 + (doc_id * 13) % 128 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |y AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM i)
+        |SELECT doc_id, w AS width_px, h AS height_px,
+        |       (w * sum((y + doc_id) % 256))::BIGINT AS px_sum
+        |FROM y GROUP BY doc_id, w, h""".stripMargin,
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_approx_distinct" ->

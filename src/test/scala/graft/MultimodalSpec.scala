@@ -50,8 +50,9 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.count() == media.count())
     // All cells are scalar (sortable by a columnar comparison harness).
     assert(stats.schema.fields.forall(!_.dataType.typeName.startsWith("array")))
-    // n_bytes follows the SQL-expressible sizing rule.
-    val bad = stats.filter(
+    // Audio/video n_bytes follow the SQL-expressible sizing rule
+    // (image payloads are real PNGs — size is the encoder's business).
+    val bad = stats.filter($"media_type" =!= "image").filter(
       $"n_bytes" =!= (lit(256L) + pmod($"doc_id" * 2654435761L, lit(768L))))
     assert(bad.count() == 0)
     // Hash/norm are pure functions of the payload: re-run matches.
@@ -59,7 +60,43 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.exceptAll(again).isEmpty && again.exceptAll(stats).isEmpty)
   }
 
-  test("size balancing keeps all rows") {
+  test("real PNG decode: pixel stats match the generation rules exactly") {
+    val stats = Multimodal.imagePixelStats(media).collect()
+    val nImages = media.filter($"media_type" === "image").count()
+    assert(stats.length == nImages && nImages > 0)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = Multimodal.imageDims(id)
+      assert(r.getAs[Long]("width_px") == w.toLong && r.getAs[Long]("height_px") == h.toLong)
+      val want = w.toLong * (0 until h).map(y => (y + id) % 256L).sum
+      assert(r.getAs[Long]("px_sum") == want, s"decoded pixel sum mismatch for doc $id")
+    }
+  }
+
+  test("real resize: output decodes to the requested dimensions") {
+    val one = Multimodal.resizeImages(media, 48, 32)
+      .filter($"media_type" === "image").select($"payload").head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one))
+    assert(img != null && img.getWidth == 48 && img.getHeight == 32)
+  }
+
+  test("size balancing: keeps rows; oversized payloads land in distinct partitions") {
     assert(Multimodal.balanceBySize(media).count() == media.count())
+    // 5 payloads ~100x the rest must not co-locate: round-robin on the
+    // size-desc rank puts the top-parts rows in distinct partitions.
+    val big = (0 until 5).map { i =>
+      val n = 100000 + i
+      (90000L + i, "video", new Array[Byte](n),
+        Multimodal.MediaMeta(Some(320), Some(240), None, Some(1000L), n.toLong))
+    }
+    val skewed = media.unionByName(
+      big.toDF("doc_id", "media_type", "payload", "meta"))
+    val balanced = Multimodal.balanceBySize(skewed, targetBytes = 64L << 10)
+    assert(balanced.count() == skewed.count())
+    val parts = balanced.select($"doc_id")
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .filter($"doc_id" >= 90000L)
+      .collect().map(_.getAs[Int]("pid"))
+    assert(parts.distinct.length == 5, s"oversized rows co-located: ${parts.mkString(",")}")
   }
 }
