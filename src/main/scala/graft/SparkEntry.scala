@@ -278,15 +278,41 @@ object SparkEntry {
         .withColumnRenamed("group_id", "stream_id")),
     // Sketch sizes matched to per-stream cardinality (~100 elements):
     // an eps=0.001 CMS is 112 KB/stream and would dominate the shuffle.
-    "q_heavy_hitters" -> ((s, dir) =>
-      ops.Frequency.heavyHittersCms(rawEvents(s, dir), "user_id", "event_type", eps = 0.01)
-        .withColumnRenamed("group_id", "stream_id")),
-    "q_bloom" -> ((s, dir) =>
-      ops.Frequency.bloomMembership(
-        rawEvents(s, dir), "user_id", "event_type",
+    // Contract oracle (q_approx_distinct pattern): every EXACT-heavy key
+    // (> 10% of its stream, far above the Misra-Gries no-loss floor of
+    // N/(4*topK+1)) must surface with a CMS estimate within
+    // [exact, exact + ceil(eps*N)] — DuckDB recomputes the exact-heavy
+    // set and asserts within_bounds all-true.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val raw = rawEvents(s, dir)
+      val est = ops.Frequency.heavyHittersCms(raw, "user_id", "event_type", eps = 0.01)
+      val exact = raw.groupBy($"user_id".as("group_id"), $"event_type".as("key"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val tot = raw.groupBy($"user_id".as("group_id")).agg(count(lit(1)).as("n"))
+      exact.join(tot, "group_id")
+        .filter($"exact_cnt" > $"n" * 0.1)
+        .join(est, Seq("group_id", "key"), "left")
+        .select($"group_id".as("stream_id"), $"key", $"exact_cnt",
+          ($"est_cnt".isNotNull && $"est_cnt" >= $"exact_cnt" &&
+            $"est_cnt" <= $"exact_cnt" + ceil($"n" * 0.01)).as("within_bounds"))
+    }),
+    // Contract oracle: a Bloom filter has NO false negatives — every
+    // (stream, key) pair actually present must probe true. (Absent-key
+    // probes stay exercised in SketchesSpec; their false-positive rate
+    // is not a deterministic contract.)
+    "q_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val raw = rawEvents(s, dir)
+      val m = ops.Frequency.bloomMembership(
+        raw, "user_id", "event_type",
         Seq("click", "view", "purchase", "signup", "error", "zz_absent_type"),
         expectedItems = 2048L)
-        .withColumnRenamed("group_id", "stream_id")),
+      val present = raw
+        .select($"user_id".as("group_id"), $"event_type".as("key")).distinct()
+      m.join(present, Seq("group_id", "key"))
+        .select($"group_id".as("stream_id"), $"key", $"might_contain")
+    }),
     // -- Multimodal decode: real PNG payloads -> ImageIO decode ->
     //    integer pixel stats. The oracle recomputes width/height/px_sum
     //    from the gradient generation rules, so a broken encoder OR
@@ -559,6 +585,17 @@ object SparkEntry {
     // positives.
     "q_neardup_text" -> NeardupOracleSql,
     "q_neardup_exact" -> NeardupOracleSql,
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT c.user_id AS stream_id, c.event_type AS key, c.cnt AS exact_cnt,
+        |       true AS within_bounds
+        |FROM c JOIN n USING (user_id) WHERE c.cnt > n.n * 0.1""".stripMargin,
+    "q_bloom" ->
+      """SELECT DISTINCT user_id AS stream_id, event_type AS key, true AS might_contain
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','signup','error')""".stripMargin,
     "q_top_type" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
