@@ -209,9 +209,14 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("shingle"), col("doc_id"))
+      .select(col("shingle"), col("doc_id"), col("n"))
+    // Size-ratio prune (Bayardo §3): J(a,b) >= t forces
+    // t*|b| <= |a| <= |b|/t, so incompatible sizes never even form a
+    // candidate pair — this is what keeps the inverted-list self-join
+    // subquadratic on size-diverse corpora.
     val cands = prefix.as("a").join(prefix.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") >= col("b.n") * threshold && col("b.n") >= col("a.n") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairCounts(

@@ -1,0 +1,170 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Transparent materialized-summary rewrite — the Catalyst analogue of
+  * the reference's core promise (query the O(log N) summary instead of
+  * the N raw elements), expressed as an optimizer `Rule[LogicalPlan]`.
+  *
+  * A registered raw-events parquet location is paired with its decayed
+  * `summary_windows` parquet. Full-stream aggregates over the raw
+  * relation —
+  *
+  *   events.groupBy("streamId").agg(count/sum/min/max/avg of value)
+  *
+  * optionally under a streamId-only filter — are EXACT on the summary
+  * table (every element is in exactly one window; count/sum/max/min are
+  * monoid-merged per window), so the rule rewrites the scan to the
+  * summary relation and remaps the aggregates:
+  *
+  *   count(*)    -> cast(sum(count) as long)
+  *   sum(value)  -> sum(sum)
+  *   max(value)  -> max(max)        min(value) -> min(min)
+  *   avg(value)  -> sum(sum) / sum(count)
+  *
+  * Anything else — time-range predicates (approximate on summaries, so
+  * never silently substituted), other grouping keys, other aggregate
+  * functions — is left untouched. Output names, exprIds and order are
+  * preserved, so parent operators resolve unchanged.
+  *
+  * Register via `spark.sql.extensions=graft.plans.GraftExtensions` (new
+  * sessions) or [[SummaryRewrite.install]] (an existing session, through
+  * `spark.experimental.extraOptimizations`); pair tables with
+  * [[SummaryRewrite.register]].
+  */
+object SummaryRewrite {
+
+  // Normalized events path -> summary path. JVM-wide: rules constructed
+  // by different sessions see the same pairings.
+  private val registry = new ConcurrentHashMap[String, String]()
+
+  private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Pair a raw-events parquet location with its summary parquet. */
+  def register(eventsPath: String, summaryPath: String): Unit =
+    registry.put(norm(eventsPath), norm(summaryPath))
+
+  def unregister(eventsPath: String): Unit = registry.remove(norm(eventsPath))
+  def clear(): Unit = registry.clear()
+
+  /** Install the rule into an already-running session. Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[SummaryRewriteRule]))
+      spark.experimental.extraOptimizations = existing :+ SummaryRewriteRule(spark)
+  }
+
+  private[plans] def summaryFor(relation: LogicalRelation): Option[String] =
+    relation.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.iterator
+          .map(p => registry.get(norm(p.toString)))
+          .collectFirst { case s if s != null => s }
+      case _ => None
+    }
+}
+
+final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+      unwrap(child) match {
+        case Some((rel, filterCond)) =>
+          SummaryRewrite.summaryFor(rel) match {
+            case Some(summaryPath) =>
+              rewrite(agg, groupExprs, aggExprs, rel, filterCond, summaryPath).getOrElse(agg)
+            case None => agg
+          }
+        case None => agg
+      }
+  }
+
+  /** Accept relation, Filter(relation), and pass-through Projects in
+    * between (the optimizer's column pruning inserts them).
+    */
+  private def unwrap(plan: LogicalPlan): Option[(LogicalRelation, Option[Expression])] =
+    plan match {
+      case rel: LogicalRelation => Some((rel, None))
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child)
+      case Filter(cond, child) =>
+        unwrap(child).flatMap {
+          case (rel, None) => Some((rel, Some(cond)))
+          case _           => None // two filters: bail (conservative)
+        }
+      case _ => None
+    }
+
+  private def rewrite(
+      agg: Aggregate,
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      rel: LogicalRelation,
+      filterCond: Option[Expression],
+      summaryPath: String): Option[LogicalPlan] = {
+
+    // Eligibility: grouped by exactly the raw streamId column.
+    val evStream = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => a
+      case _ => return None
+    }
+    // streamId-only predicates transplant exactly; anything else (ts
+    // ranges!) would change semantics on the summary — bail.
+    if (filterCond.exists(c => !c.references.subsetOf(AttributeSet(Seq(evStream)))))
+      return None
+
+    val sumPlan = spark.read.parquet(summaryPath).queryExecution.analyzed
+    def sumAttr(name: String): Option[AttributeReference] =
+      sumPlan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    val attrs = Seq("streamId", "count", "sum", "max", "min").flatMap(sumAttr)
+    if (attrs.length != 5) return None
+    val Seq(sStream, sCount, sSum, sMax, sMin) = attrs
+
+    def merged(af: AggregateFunction): Expression =
+      AggregateExpression(af, Complete, isDistinct = false)
+
+    // Remap each output column, preserving name + exprId so parents
+    // resolve against the rewritten Aggregate unchanged.
+    val newAggs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if a.semanticEquals(evStream) =>
+        Alias(sStream, a.name)(exprId = a.exprId)
+      case al @ Alias(AggregateExpression(af, Complete, false, None, _), name) =>
+        val rewritten: Expression = af match {
+          case Count(Seq(Literal(_, _))) => Cast(merged(Sum(sCount)), LongType)
+          case Sum(v: AttributeReference, _) if v.name == "value" => merged(Sum(sSum))
+          case Max(v: AttributeReference) if v.name == "value" => merged(Max(sMax))
+          case Min(v: AttributeReference) if v.name == "value" => merged(Min(sMin))
+          case Average(v: AttributeReference, _) if v.name == "value" =>
+            Divide(merged(Sum(sSum)), merged(Sum(sCount)))
+          case _ => return None
+        }
+        Alias(rewritten, name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    val newChild = filterCond match {
+      case Some(c) =>
+        Filter(c.transform { case a: AttributeReference if a.semanticEquals(evStream) => sStream },
+          sumPlan)
+      case None => sumPlan
+    }
+    Some(Aggregate(Seq(sStream), newAggs, newChild, None))
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(s => SummaryRewriteRule(s))
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.core.{Event, Summarizer}
+import graft.plans.SummaryRewrite
+import graft.windowing.ExponentialWindowing
+import org.apache.spark.sql.functions._
+
+/** The materialized-summary rewrite rule: full-stream aggregates over a
+  * registered raw-events relation must silently re-plan onto the
+  * summary table (exact by the monoid-merge invariant), while anything
+  * range-filtered or otherwise ineligible keeps scanning raw events.
+  */
+class SummaryRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = java.nio.file.Files.createTempDirectory("graft_rewrite").toString
+  private val eventsPath = s"$base/events"
+  private val summaryPath = s"$base/summary"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val events = spark.range(5000)
+      .select(
+        ($"id" % 7L).as("streamId"),
+        expr("id div 7").as("seq"),
+        expr("(id div 7) * 10").as("ts"),
+        (($"id" % 101L).cast("double") / 2.0).as("value"))
+      .as[Event]
+    events.toDF().write.mode("overwrite").parquet(eventsPath)
+    Summarizer.summarize(events, ExponentialWindowing(2.0))
+      .toDF().write.mode("overwrite").parquet(summaryPath)
+    SummaryRewrite.register(eventsPath, summaryPath)
+    SummaryRewrite.install(spark)
+  }
+
+  override def afterAll(): Unit = {
+    SummaryRewrite.unregister(eventsPath)
+    super.afterAll()
+  }
+
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("full-stream aggregate is rewritten to the summary table and stays exact") {
+    val raw = spark.read.parquet(eventsPath)
+    val q = raw.groupBy($"streamId")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"),
+        max($"value").as("mx"), min($"value").as("mn"), avg($"value").as("av"))
+
+    val plan = scannedPaths(q)
+    assert(plan.contains("summary"), s"summary table not scanned:\n$plan")
+    assert(!plan.contains("/events"), s"raw events still scanned:\n$plan")
+
+    // Exactness: compare against the raw computation with the rule off.
+    val rows = q.orderBy($"streamId").collect()
+    val want = spark.read.parquet(eventsPath)
+      .groupBy($"streamId")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"),
+        max($"value").as("mx"), min($"value").as("mn"), avg($"value").as("av"))
+      .orderBy($"streamId")
+    SummaryRewrite.unregister(eventsPath)
+    val wantRows = try want.collect() finally SummaryRewrite.register(eventsPath, summaryPath)
+    rows.zip(wantRows).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+      assert(a.getDouble(3) == b.getDouble(3) && a.getDouble(4) == b.getDouble(4))
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) < 1e-12)
+    }
+  }
+
+  test("streamId-only filters transplant; the rewrite survives them") {
+    val q = spark.read.parquet(eventsPath)
+      .filter($"streamId" < 3L)
+      .groupBy($"streamId").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q).contains("summary"))
+    // 5000 ids round-robin over 7 streams: 0 and 1 get the 2 leftovers.
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 715L), (1L, 715L), (2L, 714L)))
+  }
+
+  test("time-range filters are NOT rewritten (approximate on summaries)") {
+    val q = spark.read.parquet(eventsPath)
+      .filter($"ts" > 100L)
+      .groupBy($"streamId").agg(count(lit(1)).as("n"))
+    val plan = scannedPaths(q)
+    assert(plan.contains("/events"), s"range query must scan raw events:\n$plan")
+  }
+
+  test("other grouping keys / aggregates are NOT rewritten") {
+    val bySeq = spark.read.parquet(eventsPath)
+      .groupBy($"seq").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(bySeq).contains("/events"))
+
+    val distinctAgg = spark.read.parquet(eventsPath)
+      .groupBy($"streamId").agg(countDistinct($"value").as("d"))
+    assert(scannedPaths(distinctAgg).contains("/events"))
+  }
+
+  test("unregistered relations are untouched") {
+    val other = s"$base/other"
+    spark.read.parquet(eventsPath).write.mode("overwrite").parquet(other)
+    val q = spark.read.parquet(other).groupBy($"streamId").agg(count(lit(1)).as("n"))
+    assert(scannedPaths(q).contains("/other"))
+  }
+}
