@@ -229,6 +229,22 @@ object SparkEntry {
       ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // ANN recall contract (the q_approx_distinct pattern): per query,
+    // the seeded-LSH top-10 must recover >= 6 of the exact top-10.
+    // Deterministic (fixed hyperplane seed), so the oracle asserts
+    // recall_ok all-true over the exact query-id set; a query losing
+    // rows entirely surfaces as a row-count mismatch.
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < 50)
+      val ann = ops.Similarity.annTopK(e, q, k = 10, tables = 32, bits = 4)
+        .select($"query_id", $"neighbor_id")
+      val exact = ops.Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+      ann.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)) >= 6L).as("recall_ok"))
+    }),
     // -- Classic relational aggregation (driver's canonical example).
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -585,6 +601,8 @@ object SparkEntry {
     // positives.
     "q_neardup_text" -> NeardupOracleSql,
     "q_neardup_exact" -> NeardupOracleSql,
+    "q_ann_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_heavy_hitters" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
