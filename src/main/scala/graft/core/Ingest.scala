@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/core/pipeline.go:80-95`) — and numbers elements
   * with a per-stream counter (`numElements`).
   *
-  * DIVERGENCE (documented, ADVICE r1): this batch path orders each
-  * stream by (ts, arrival) before the clamp, so for out-of-order input
-  * it produces a different element ordering (and thus different window
-  * contents) than the reference's arrival-order clamp. The two agree
-  * exactly for in-order data — which is what every cross-check uses.
-  * For reference-faithful out-of-order semantics use the streaming
-  * path, `graft.streaming.StatefulClamp`, which clamps in arrival
-  * order with persistent per-stream state.
+  * Ordering modes: the DEFAULT orders each stream by (ts, arrival)
+  * before the clamp — out-of-order input is re-sorted rather than
+  * clamped, which keeps the element order SQL-recomputable (an external
+  * engine can sort by ts; it cannot cheaply replay the reference's
+  * compounding lastTs+1 repair). `arrivalOrder = true` is the
+  * reference-faithful mode (`/root/reference/core/pipeline.go:80-95`):
+  * elements are processed strictly in arrival order and out-of-order
+  * timestamps are bumped to lastTs+1 — bit-identical to the streaming
+  * path `graft.streaming.StatefulClamp` (parity-tested on shuffled
+  * input). The two modes agree exactly for in-order data.
   *
   * Scale: one hash shuffle on streamId + an in-partition sort; each
   * stream is processed by exactly one task (the fold is inherently
@@ -45,7 +47,8 @@ object Ingest {
       tsCol: String = "ts",
       valueCol: String = "value",
       arrivalCol: String = "arrival",
-      baseTs: Map[Long, Long] = Map.empty): Dataset[Event] = {
+      baseTs: Map[Long, Long] = Map.empty,
+      arrivalOrder: Boolean = false): Dataset[Event] = {
     val spark = raw.sparkSession
     import spark.implicits._
     val bcBase = spark.sparkContext.broadcast(baseTs)
@@ -54,9 +57,11 @@ object Ingest {
       col(tsCol).cast("long").as("ts"),
       col(valueCol).cast("double").as("value"),
       col(arrivalCol).cast("long").as("arrival"))
+    val sortCols =
+      if (arrivalOrder) Seq("streamId", "arrival") else Seq("streamId", "ts", "arrival")
     narrowed
       .repartition(col("streamId"))
-      .sortWithinPartitions("streamId", "ts", "arrival")
+      .sortWithinPartitions(sortCols.map(col): _*)
       .as[(Long, Long, Double, Long)]
       .mapPartitions { it =>
         var curStream = Long.MinValue

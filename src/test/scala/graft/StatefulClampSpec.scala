@@ -31,4 +31,32 @@ class StatefulClampSpec extends SparkSpec {
     assert(s1.map(_.seq).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // dense across batches
     assert(rows.filter(_.streamId == 2L).map(_.seq).toSeq == Seq(0L))
   }
+
+  test("batch arrivalOrder mode is bit-identical to the streaming clamp on shuffled input") {
+    val rnd = new scala.util.Random(1234)
+    val raw = (0 until 400).map { i =>
+      Raw(streamId = i % 5L, ts = rnd.nextInt(1000).toLong, value = i.toDouble, arrival = i.toLong)
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Raw]
+    val q = StatefulClamp(source.toDS())
+      .writeStream.format("memory").queryName("clamp_parity")
+      .outputMode(OutputMode.Append())
+      .start()
+    // Feed in two batches to exercise cross-batch state.
+    source.addData(raw.take(150): _*)
+    q.processAllAvailable()
+    source.addData(raw.drop(150): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clamp_parity").as[graft.core.Event]
+      .collect().sortBy(e => (e.streamId, e.seq)).toSeq
+
+    val batched = graft.core.Ingest
+      .prepare(raw.toDF(), arrivalOrder = true)
+      .collect().sortBy(e => (e.streamId, e.seq)).toSeq
+
+    assert(batched == streamed)
+  }
 }
