@@ -82,6 +82,121 @@ object Ingest {
       }
   }
 
+  /** As [[prepare]] (default ts-order mode), but parallel WITHIN a
+    * stream: rows are globally range-sorted by (streamId, ts, arrival),
+    * so one multi-TB stream spreads over many tasks instead of
+    * serializing into one — the documented trade-off of [[prepare]],
+    * closed.
+    *
+    * Exactness rests on a closed form for the clamp chain on sorted
+    * input: given the incoming frontier L, bumped rows form a PREFIX —
+    * row i (0-based within the stream-partition run) is bumped iff
+    * ts_i < L + i, the first non-bumped row resets the chain to its own
+    * ts, and (ts sorted) no later row can bump again. So a
+    * stream-partition run is summarized by just
+    * (m = #rows, maxDiff = max_i(ts_i - i), last = ts_{m-1}):
+    *
+    *   frontier out = if maxDiff < L then L + m  (all bumped)
+    *                  else ts_{m-1}
+    *
+    * and the per-stream fold over partitions (tiny data: one row per
+    * stream-partition pair) yields each run's starting (L, seq offset).
+    * A second pass over the SAME partitioning assigns
+    * clamped_i = if (ts_i < L + i) L + i + 1 else ts_i and
+    * seq = offset + i. Two passes over the data (the input is persisted
+    * between them so the sampled range boundaries stay fixed), zero
+    * per-stream driver state, identical output to [[prepare]].
+    */
+  def prepareRangeParallel(
+      raw: DataFrame,
+      streamCol: String = "streamId",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      arrivalCol: String = "arrival",
+      baseTs: Map[Long, Long] = Map.empty,
+      numPartitions: Int = 0): Dataset[Event] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val bcBase = spark.sparkContext.broadcast(baseTs)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    // Persisted so pass 1 and pass 2 see the SAME sampled range
+    // boundaries (and the data is read once); evicted LRU afterwards.
+    val sortedRdd = raw
+      .select(
+        col(streamCol).cast("long").as("streamId"),
+        col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("double").as("value"),
+        col(arrivalCol).cast("long").as("arrival"))
+      .repartitionByRange(parts, col("streamId"), col("ts"), col("arrival"))
+      .sortWithinPartitions("streamId", "ts", "arrival")
+      .as[(Long, Long, Double, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Range exchange may produce fewer partitions than requested on
+    // tiny inputs — align the offset partitioner with reality.
+    val actualParts = sortedRdd.getNumPartitions
+
+    {
+      // Pass 1: one summary row per (partition, stream) run, keyed by
+      // stream: (sid -> (pid, m, maxDiff, lastTs)).
+      val summaries = sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val acc = collection.mutable.LinkedHashMap.empty[Long, (Long, Long, Long)]
+          it.foreach { case (sid, ts, _, _) =>
+            val (m, maxDiff, _) = acc.getOrElse(sid, (0L, Long.MinValue, Long.MinValue))
+            acc.update(sid, (m + 1, math.max(maxDiff, ts - m), ts))
+          }
+          acc.iterator.map { case (sid, (m, maxDiff, last)) => (sid, (pid, m, maxDiff, last)) }
+        }
+      // Per-stream fold over its partition runs (a stream spanning p
+      // partitions has p summary rows — tiny), emitting each run's
+      // incoming (frontier, seq offset) keyed by pid. Fully distributed:
+      // no O(#streams) driver structure, no global broadcast.
+      val runStarts = summaries.groupByKey().flatMap { case (sid, runsIt) =>
+        val runs = runsIt.toArray.sortBy(_._1)
+        var l = bcBase.value.getOrElse(sid, Long.MinValue)
+        var off = 0L
+        runs.map { case (pid, m, maxDiff, last) =>
+          val out = (pid, (sid, l, off))
+          // All-bumped run advances the chain by m; otherwise the chain
+          // broke at some row and the frontier resets to the run's last
+          // (sorted) timestamp, which is >= any incoming frontier.
+          l = if (l != Long.MinValue && maxDiff < l) l + m else math.max(last, l)
+          off += m
+          out
+        }
+      }.partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = actualParts
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+
+      // Pass 2: same persisted partitioning; replay the sequential
+      // clamp per run from its known start state.
+      val out = sortedRdd.zipPartitions(runStarts) { (dataIt, startIt) =>
+        val starts = startIt.map { case (_, (sid, l, off)) => sid -> ((l, off)) }.toMap
+        var curSid = Long.MinValue
+        var last = Long.MinValue
+        var seq = 0L
+        dataIt.map { case (sid, ts, value, _) =>
+          if (sid != curSid) {
+            curSid = sid
+            val (l0, o0) = starts(sid)
+            last = l0; seq = o0
+          }
+          val clamped = if (last != Long.MinValue && ts < last) last + 1 else ts
+          last = clamped
+          val e = Event(sid, seq, clamped, value)
+          seq += 1
+          e
+        }
+      }
+      spark.createDataset(out)
+    }
+  }
+
   /** Testdata `events` table -> Event stream: streamId = user_id,
     * ts = event time in epoch micros, tiebreak on event_id.
     *
