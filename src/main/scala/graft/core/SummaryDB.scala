@@ -132,6 +132,7 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     require(t0 <= t1, s"bad landmark interval [$t0, $t1]")
     saveIntervals((storedIntervals :+ ((streamId, t0, t1))).distinct)
     refreshSummaries(landmarkIntervals)
+    refreshRewriteRegistration()
   }
 
   /** The open-interval sentinel: an un-ended landmark absorbs every
@@ -154,6 +155,7 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
       s"stream $streamId already has an open landmark")
     saveIntervals((storedIntervals :+ ((streamId, t0, OpenT1))).distinct)
     refreshSummaries(landmarkIntervals)
+    refreshRewriteRegistration()
   }
 
   /** Close the stream's open landmark at t1 — the reference's
@@ -168,6 +170,7 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     require(t1 >= open._2, s"endLandmark($t1) precedes startLandmark(${open._2})")
     saveIntervals(storedIntervals.filterNot(_ == open) :+ ((streamId, open._2, t1)))
     refreshSummaries(landmarkIntervals)
+    refreshRewriteRegistration()
   }
 
   private def saveIntervals(rows: Seq[(Long, Long, Long)]): Unit =
@@ -261,6 +264,7 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     // summary table must agree under every crash point).
     fs.mkdirs(new Path(p("commits")))
     fs.create(new Path(p("commits"), tag), true).close()
+    refreshRewriteRegistration()
   }
 
   /** Old summary + fine windows of the (already clamped) batch ->
@@ -313,19 +317,67 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
     * on a fresh DB with no events yet (ADVICE r2: StartLandmark before
     * any append must work).
     */
-  private def readEvents(includeTag: Option[String] = None): Dataset[Event] = {
+  private def committedEventDirs(includeTag: Option[String] = None): Seq[Path] = {
     val eventsDir = new Path(p("events"))
-    if (!fs.exists(eventsDir)) return spark.emptyDataset[Event]
-    val committed = fs.listStatus(eventsDir).toSeq
+    if (!fs.exists(eventsDir)) Seq.empty
+    else fs.listStatus(eventsDir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(d => includeTag.contains(d.getName) ||
         fs.exists(new Path(p("commits"), d.getName)))
+  }
+
+  private def readEvents(includeTag: Option[String] = None): Dataset[Event] = {
+    val committed = committedEventDirs(includeTag)
     if (committed.isEmpty) return spark.emptyDataset[Event]
     val raw = spark.read
       .parquet(committed.map(_.toString): _*)
       .withColumn("arrival", expr("shiftleft(bstamp, 40) + seq"))
     Ingest.prepare(raw)
+  }
+
+  /** The committed raw-event rows as a plain relation — the surface a
+    * user scans for ad-hoc SQL over raw data. With [[enableQueryRewrite]]
+    * on, full-stream aggregates over this frame silently re-plan onto
+    * the summary table (clamping happens before persist, so `value`
+    * aggregates agree exactly).
+    */
+  def rawEvents: org.apache.spark.sql.DataFrame = {
+    val committed = committedEventDirs()
+    if (committed.isEmpty) spark.emptyDataset[Event].toDF()
+    else spark.read.parquet(committed.map(_.toString): _*)
+  }
+
+  // ------------------------------------------------- query rewrite hookup
+
+  private var rewriteEnabled = false
+  private var rewriteKey: Option[Set[String]] = None
+
+  /** Install graft.plans.SummaryRewrite for this session and keep this
+    * store's committed-events -> current-summary pairing registered
+    * across appends and landmark changes. After this, full-stream
+    * aggregates over [[rawEvents]] read O(log N) summary rows instead
+    * of the raw table.
+    */
+  def enableQueryRewrite(): Unit = {
+    rewriteEnabled = true
+    graft.plans.SummaryRewrite.install(spark)
+    refreshRewriteRegistration()
+  }
+
+  private def refreshRewriteRegistration(): Unit = if (rewriteEnabled) {
+    rewriteKey.foreach(graft.plans.SummaryRewrite.unregisterSet)
+    rewriteKey = {
+      // Landmark elements live in the landmarks table, NOT in
+      // summary_windows — a full-stream aggregate over raw events is
+      // only answerable from the summary when no landmarks exist.
+      val dirs = committedEventDirs()
+      currentVersion("summary_windows") match {
+        case Some(sv) if dirs.nonEmpty && storedIntervals.isEmpty =>
+          Some(graft.plans.SummaryRewrite.registerSet(dirs.map(_.toString), sv.toString))
+        case _ => None
+      }
+    }
   }
 
   def summaryWindows: Dataset[SummaryWindow] =

@@ -43,17 +43,33 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object SummaryRewrite {
 
-  // Normalized events path -> summary path. JVM-wide: rules constructed
-  // by different sessions see the same pairings.
-  private val registry = new ConcurrentHashMap[String, String]()
+  // Normalized events root-path SET -> summary path. Keyed by the full
+  // set (not a prefix): a relation is rewritten only when it scans
+  // EXACTLY the registered batch directories — a query over a subset of
+  // batches is not a full-stream aggregate and must never silently
+  // become one. JVM-wide: rules constructed by different sessions see
+  // the same pairings.
+  private val registry = new ConcurrentHashMap[Set[String], String]()
 
   private def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Pair a raw-events parquet location with its summary parquet. */
   def register(eventsPath: String, summaryPath: String): Unit =
-    registry.put(norm(eventsPath), norm(summaryPath))
+    registerSet(Seq(eventsPath), summaryPath)
 
-  def unregister(eventsPath: String): Unit = registry.remove(norm(eventsPath))
+  /** Pair a MULTI-DIRECTORY events relation (e.g. a store's committed
+    * batch dirs) with its summary parquet; replaces any previous
+    * registration with the same key returned, so a store can re-register
+    * after each append.
+    */
+  def registerSet(eventsPaths: Seq[String], summaryPath: String): Set[String] = {
+    val key = eventsPaths.map(norm).toSet
+    registry.put(key, norm(summaryPath))
+    key
+  }
+
+  def unregister(eventsPath: String): Unit = registry.remove(Set(norm(eventsPath)))
+  def unregisterSet(key: Set[String]): Unit = registry.remove(key)
   def clear(): Unit = registry.clear()
 
   /** Install the rule into an already-running session. Idempotent. */
@@ -66,9 +82,7 @@ object SummaryRewrite {
   private[plans] def summaryFor(relation: LogicalRelation): Option[String] =
     relation.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.iterator
-          .map(p => registry.get(norm(p.toString)))
-          .collectFirst { case s if s != null => s }
+        Option(registry.get(fs.location.rootPaths.map(p => norm(p.toString)).toSet))
       case _ => None
     }
 }

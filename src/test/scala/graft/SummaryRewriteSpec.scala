@@ -102,4 +102,41 @@ class SummaryRewriteSpec extends SparkSpec {
     val q = spark.read.parquet(other).groupBy($"streamId").agg(count(lit(1)).as("n"))
     assert(scannedPaths(q).contains("/other"))
   }
+
+  test("SummaryDB integration: registration tracks appends, subsets and landmarks stay raw") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_rewrite_db").toString
+    val db = graft.core.SummaryDB.open(spark, dbDir)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(($"id" % 3L).as("streamId"), expr("id div 3").as("seq"),
+        (expr("id div 3") * 5).as("ts"), ($"id" % 13L).cast("double").as("value"))
+      .as[graft.core.Event]
+    db.append(batch(0, 600))
+    db.enableQueryRewrite()
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"streamId").agg(count(lit(1)).as("n"), sum($"value").as("s"))
+
+    // Full-stream aggregate over the store's raw relation -> summary scan.
+    val q1 = agg(db.rawEvents)
+    assert(scannedPaths(q1).contains("summary_windows__v"), scannedPaths(q1))
+    val got1 = q1.orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got1.map(_._2).sum == 600L)
+
+    // Second append: key moves to the new dir set + summary version.
+    db.append(batch(600, 900))
+    val q2 = agg(db.rawEvents)
+    assert(scannedPaths(q2).contains("summary_windows__v"))
+    assert(q2.agg(sum($"n")).head().getLong(0) == 900L)
+
+    // A SUBSET of batch dirs is not a full-stream aggregate: stays raw.
+    val oneBatch = new java.io.File(s"$dbDir/events").listFiles().filter(_.isDirectory).head
+    val qSub = agg(spark.read.parquet(oneBatch.toString).drop("bstamp"))
+    assert(scannedPaths(qSub).contains("/events/"), scannedPaths(qSub))
+
+    // Landmarks divert elements out of the summary table: must unregister.
+    db.newLandmark(0L, 100L, 200L)
+    val q3 = agg(db.rawEvents)
+    assert(scannedPaths(q3).contains("/events/"), "landmarked store must not rewrite")
+    assert(q3.agg(sum($"n")).head().getLong(0) == 900L)
+  }
 }
