@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * any point leaves a complete older or newer table — never a partial
   * one. Older versions are pruned best-effort after a successful write.
   */
-final class SummaryDB private (val spark: SparkSession, dir: String) {
+final class SummaryDB private (
+    val spark: SparkSession,
+    dir: String,
+    mergeEvery: Int = 1) {
   import spark.implicits._
+  require(mergeEvery >= 1, s"mergeEvery must be >= 1: $mergeEvery")
 
   private def p(name: String) = s"$dir/$name"
 
@@ -270,15 +274,24 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
   /** Old summary + fine windows of the (already clamped) batch ->
     * canonical partition at the new N, by pure monoid re-merge.
     */
+  // Incremental appends since the last re-coarsening (see
+  // [[SummaryDB.open]]'s mergeEvery; session-scoped by design).
+  private var sinceMerge = 0
+
   private def appendIncremental(prepared: Dataset[Event]): Unit = {
     val old = summaryWindows.persist()
     try {
       val baseCounts = old
         .groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
       val fine = Compactor.fineWindows(prepared, baseCounts)
-      val merged = Compactor.recoarsen(old.unionByName(fine), specOf)
+      sinceMerge += 1
+      val next =
+        if (sinceMerge >= mergeEvery) {
+          sinceMerge = 0
+          Compactor.recoarsen(old.unionByName(fine), specOf)
+        } else old.unionByName(fine) // merge deferred: fine windows persist as-is
       writeVersioned("summary_windows",
-        merged.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+        next.toDF().write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
   }
 
@@ -412,6 +425,19 @@ final class SummaryDB private (val spark: SparkSession, dir: String) {
 }
 
 object SummaryDB {
-  /** Open an existing DB directory (or start an empty one). */
-  def open(spark: SparkSession, dir: String): SummaryDB = new SummaryDB(spark, dir)
+  /** Open an existing DB directory (or start an empty one).
+    *
+    * `mergeEvery` is the persistence-cadence knob mirroring the
+    * reference's `windowsPerMerge` (`/root/reference/core/pipeline.go`
+    * merge batching): decay re-coarsening runs only every `mergeEvery`-th
+    * incremental append; in between, fresh batches persist as
+    * per-element fine windows. Purely a write-amplification/latency
+    * trade — window aggregates are monoids, so the state after the next
+    * merge is identical to always-merging (CompactorSpec), and queries
+    * over the lagged table stay correct (any nested partition of the
+    * stream answers exactly; estimates only get tighter from finer
+    * windows). Cadence restarts on reopen — it is not durable state.
+    */
+  def open(spark: SparkSession, dir: String, mergeEvery: Int = 1): SummaryDB =
+    new SummaryDB(spark, dir, mergeEvery)
 }
