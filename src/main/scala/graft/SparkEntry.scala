@@ -168,14 +168,16 @@ object SparkEntry {
     // -- Dedup family over documents.
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(docs(s, dir))),
-    // Near-dup pairs with integer (intersection, union) evidence: the
-    // oracle recomputes the full exact Jaccard >= 0.5 pair set — LSH
-    // recall on this corpus is deterministic (every real pair sits at
-    // J >= 0.9, far above the 16x8 banding knee), so missing candidates
-    // or broken shingling both surface as row mismatches.
+    // Near-dup pairs with integer (intersection, union) evidence. The
+    // oracle recomputes the full exact Jaccard >= 0.9 pair set —
+    // threshold chosen ABOVE the 16x8 banding knee (~0.71), where
+    // per-pair detection probability is >= 0.9999, so the equality
+    // oracle does not encode an unchecked corpus property (a regenerated
+    // corpus with a mid-band pair would not spuriously fail). The
+    // J >= 0.5 operating point stays covered by q_neardup_exact.
     "q_neardup_text" -> ((s, dir) => {
       import s.implicits._
-      ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.5)
+      ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.9)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
     // SimHash path, same output form but rows-only: Hamming <= 3 is the
@@ -393,18 +395,18 @@ object SparkEntry {
     * paths must match. All-pairs is fine for the oracle's sf0.01 (500
     * docs); the Spark sides stay candidate-bounded.
     */
-  private val NeardupOracleSql: String =
-    """WITH t AS (
+  private def neardupOracleSql(threshold: Double): String =
+    s"""WITH t AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '') AS toks
       |        FROM documents)),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
       |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
       |  FROM t a, t b WHERE a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.5""".stripMargin
+      |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * $threshold""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same parquet tables). Omitted for
     * ops whose output is not SQL-expressible (CI estimates, window
@@ -599,8 +601,8 @@ object SparkEntry {
     // reproduce it exactly — possible because candidate recall on this
     // corpus is deterministic and the verify filter removes false
     // positives.
-    "q_neardup_text" -> NeardupOracleSql,
-    "q_neardup_exact" -> NeardupOracleSql,
+    "q_neardup_text" -> neardupOracleSql(0.9),
+    "q_neardup_exact" -> neardupOracleSql(0.5),
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_heavy_hitters" ->

@@ -101,11 +101,11 @@ object Ingest {
     *
     * and the per-stream fold over partitions (tiny data: one row per
     * stream-partition pair) yields each run's starting (L, seq offset).
-    * A second pass over the SAME partitioning assigns
-    * clamped_i = if (ts_i < L + i) L + i + 1 else ts_i and
-    * seq = offset + i. Two passes over the data (the input is persisted
-    * between them so the sampled range boundaries stay fixed), zero
-    * per-stream driver state, identical output to [[prepare]].
+    * A second pass over the SAME partitioning replays the clamp from
+    * each run's known start state. Both passes share one compiled RDD,
+    * so the sampled range boundaries are fixed and pass 2 reads the
+    * exchange's shuffle files rather than the source. Zero per-stream
+    * driver state, identical output to [[prepare]].
     */
   def prepareRangeParallel(
       raw: DataFrame,
@@ -122,8 +122,11 @@ object Ingest {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
-    // Persisted so pass 1 and pass 2 see the SAME sampled range
-    // boundaries (and the data is read once); evicted LRU afterwards.
+    // Both passes run over the SAME compiled RDD object, so the range
+    // partitioner (sampled once at plan compilation) and its shuffle
+    // files are shared: pass 2 re-reads the exchange's shuffle output,
+    // not the source, and only the in-partition sort recomputes. No
+    // persist — nothing is pinned in the block store after the job.
     val sortedRdd = raw
       .select(
         col(streamCol).cast("long").as("streamId"),
@@ -134,7 +137,6 @@ object Ingest {
       .sortWithinPartitions("streamId", "ts", "arrival")
       .as[(Long, Long, Double, Long)]
       .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Range exchange may produce fewer partitions than requested on
     // tiny inputs — align the offset partitioner with reality.
     val actualParts = sortedRdd.getNumPartitions

@@ -357,7 +357,10 @@ final class SummaryDB private (
     */
   def rawEvents: org.apache.spark.sql.DataFrame = {
     val committed = committedEventDirs()
-    if (committed.isEmpty) spark.emptyDataset[Event].toDF()
+    // Empty-store schema matches the persisted one (Event + bstamp) so
+    // schema-dependent callers behave identically before/after the
+    // first commit.
+    if (committed.isEmpty) spark.emptyDataset[Event].toDF().withColumn("bstamp", lit(0L))
     else spark.read.parquet(committed.map(_.toString): _*)
   }
 

@@ -131,9 +131,11 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case Seq(a: AttributeReference) if a.name == "streamId" => a
       case _ => return None
     }
-    // streamId-only predicates transplant exactly; anything else (ts
-    // ranges!) would change semantics on the summary — bail.
-    if (filterCond.exists(c => !c.references.subsetOf(AttributeSet(Seq(evStream)))))
+    // streamId-only DETERMINISTIC predicates transplant exactly;
+    // anything else — ts ranges, rand()-style conditions (which would
+    // sample whole windows instead of raw rows) — bails.
+    if (filterCond.exists(c =>
+        !c.references.subsetOf(AttributeSet(Seq(evStream))) || !c.deterministic))
       return None
 
     val sumPlan = spark.read.parquet(summaryPath).queryExecution.analyzed
@@ -155,7 +157,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
         Alias(sStream, a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(af, Complete, false, None, _), name) =>
         val rewritten: Expression = af match {
-          case Count(Seq(Literal(_, _))) => Cast(merged(Sum(sCount)), LongType)
+          case Count(Seq(Literal(v, _))) if v != null => Cast(merged(Sum(sCount)), LongType)
           case Sum(v: AttributeReference, _) if v.name == "value" => merged(Sum(sSum))
           case Max(v: AttributeReference) if v.name == "value" => merged(Max(sMax))
           case Min(v: AttributeReference) if v.name == "value" => merged(Min(sMin))

@@ -296,7 +296,15 @@ object DecayModel {
     if (out.sum == n) Some(out) else None // defensive: never emit a bad partition
   }
 
+  // Memo for windowStarts. Evaluated PER ROW inside executor UDFs
+  // (Summarizer/Compactor), so it must be bounded by memory, not entry
+  // count: a power decomposition at n=10^10 is ~450k longs, while an
+  // exp-2 one is ~34 — bounding entries alone either thrashes small
+  // arrays or OOMs on big ones. Budget ~16M longs (~128 MB); coarse
+  // clear-all on overflow, after which hot keys repopulate.
   private val cache = new ConcurrentHashMap[(WindowingSpec, Long, Long), Array[Long]]()
+  private val cachedSlots = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val MaxCachedSlots = 16L * 1024 * 1024
 
   /** Window start ranks (cStart of each window, ascending; first is 0)
     * for a stream of `n` elements. `bufferSize <= 0` = unbuffered.
@@ -312,14 +320,19 @@ object DecayModel {
   }
 
   def windowStarts(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Array[Long] = {
-    if (cache.size > 4096) cache.clear() // bound the memo (ADVICE r1)
+    if (cachedSlots.get() > MaxCachedSlots) {
+      cache.clear()
+      cachedSlots.set(0L)
+    }
     cache.computeIfAbsent((spec, bufferSize, n), { _ =>
+      // (insertion races may overshoot the budget slightly; the next
+      // call's clear-all corrects it — bound, not invariant)
       val fastExp = integralBase(spec).filter(_ => bufferSize <= 0)
       val fastPower = spec match {
         case pw: PowerWindowing if bufferSize <= 0 => powerSizesClosedForm(pw, n)
         case _                                     => None
       }
-      (fastExp, fastPower) match {
+      val starts = (fastExp, fastPower) match {
         case (Some(b), _) => toStarts(sizesClosedForm(b, n))
         case (_, Some(sizes)) => toStarts(sizes)
         case _ =>
@@ -330,6 +343,8 @@ object DecayModel {
             if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
           simulate(spec, sizes).map(_._1)
       }
+      cachedSlots.addAndGet(starts.length.toLong)
+      starts
     })
   }
 
