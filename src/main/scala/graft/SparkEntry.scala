@@ -197,6 +197,23 @@ object SparkEntry {
       ops.Dedup.exactNearDuplicatePairs(docs(s, dir), threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
+    // -- Deterministic sampling: selection is a pure arithmetic
+    //    function of doc_id (Knuth multiplicative hash), so the oracle
+    //    recomputes the EXACT row set — reproducible subsets are a
+    //    first-class training-pipeline operation, not an RNG side
+    //    effect. Dyadic split fractions keep the cut points FP-exact in
+    //    both engines.
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sampling.stratifiedTopK(docs(s, dir), "lang", "doc_id", k = 20)
+        .select($"lang", $"doc_id")
+    }),
+    "q_sample_split" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sampling.split(docs(s, dir), "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select($"doc_id", $"split")
+    }),
     // -- Text analysis over documents.
     "q_text_stats" -> ((s, dir) =>
       ops.TextAnalysis.analyze(docs(s, dir))),
@@ -605,6 +622,18 @@ object SparkEntry {
     "q_neardup_exact" -> neardupOracleSql(0.5),
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin,
+    "q_sample_split" ->
+      """SELECT doc_id, CASE
+        |  WHEN (doc_id * 2654435761) % 4294967296 < 3221225472 THEN 'train'
+        |  WHEN (doc_id * 2654435761) % 4294967296 < 3758096384 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q_heavy_hitters" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),

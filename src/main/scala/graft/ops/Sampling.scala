@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for reproducible training
+  * subsets.
+  *
+  * The selection order is a pure arithmetic function of the row id —
+  * Knuth's multiplicative hash `(id * 2654435761) mod 2^32` — rather
+  * than an engine RNG, so the EXACT same rows are chosen by any system
+  * that can multiply integers (reproducible across Spark versions,
+  * partitionings, and external engines; the oracle recomputes the full
+  * selection). The multiplier is the classic golden-ratio constant
+  * (Knuth TAOCP vol. 3 §6.4); consecutive ids land pseudo-uniformly in
+  * [0, 2^32).
+  *
+  * Scale: `stratifiedTopK` is one shuffle on the stratum key (the
+  * row_number window); `hashSample` is a pure filter — no shuffle, no
+  * RNG state, prunes at the scan when the id predicate is pushable.
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L
+  private val M32 = 4294967296L
+
+  /** The portable selection key. Column must be integral and
+    * non-negative; products stay within Long for ids < 2^31.
+    */
+  def hashKey(idCol: String): org.apache.spark.sql.Column =
+    pmod(col(idCol) * Knuth, lit(M32))
+
+  /** Up to `k` rows per stratum, chosen by ascending hash order (ties
+    * broken by id — total order, fully deterministic).
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(idCol), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Keep a deterministic ~`fraction` of rows: those whose hash key
+    * falls below `fraction * 2^32`. A pure filter — at 100 TB this is
+    * the sampling primitive that costs one scan and nothing else.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
+    df.filter(hashKey(idCol) < (fraction * M32).toLong)
+  }
+
+  /** Deterministic train/validation/test split by hash-key range:
+    * (label, row) with labels assigned by cumulative fraction bands.
+    * Bands are disjoint and exhaustive, so every row appears exactly
+    * once — reproducible splits without a shuffle.
+    */
+  def split(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val key = hashKey(idCol)
+    val label = fractions.zip(cuts).foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), rest) => when(key < (cut * M32).toLong, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+}

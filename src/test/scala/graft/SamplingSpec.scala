@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratified top-k: <= k per stratum, deterministic across runs and partitionings") {
+    val a = Sampling.stratifiedTopK(docs, "lang", "doc_id", 5)
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(Sampling.stratifiedTopK(docs, "lang", "doc_id", 5)
+      .groupBy($"lang").count().filter($"count" > 5).count() == 0)
+    val b = Sampling.stratifiedTopK(docs.repartition(17), "lang", "doc_id", 5)
+      .select($"lang", $"doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "sample depends on partitioning")
+  }
+
+  test("hash sample: deterministic subset, roughly the requested fraction, filter-only plan") {
+    val n = docs.count()
+    val s = Sampling.hashSample(docs, "doc_id", 0.25)
+    val m = s.count()
+    assert(math.abs(m.toDouble / n - 0.25) < 0.15, s"fraction off: $m/$n")
+    // Pure filter: no shuffle exchange in the plan.
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSample should not shuffle:\n$plan")
+    // Subset property: sample(0.25) is contained in sample(0.5).
+    val small = s.select($"doc_id").as[Long].collect().toSet
+    val big = Sampling.hashSample(docs, "doc_id", 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("split: disjoint, exhaustive, dyadic fractions land exactly") {
+    val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(sp.count() == docs.count())
+    val byLabel = sp.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == docs.count())
+    // Splits must be a function of doc_id only: re-splitting a shuffled
+    // frame gives identical assignments.
+    val again = Sampling.split(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    assert(sp.select($"doc_id", $"split").exceptAll(again.select($"doc_id", $"split")).isEmpty)
+  }
+}
