@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.Doc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first arrival wins within and across micro-batches; normalization matches batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val q = StreamingDedup.firstArrivals(source.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // Batch 1: two in-batch duplicates (normalization: case+whitespace),
+    // one unique.
+    source.addData(
+      Doc(10L, "Hello   world FOO"),
+      Doc(3L, " hello world foo "),
+      Doc(7L, "something else"))
+    q.processAllAvailable()
+    // Batch 2: cross-batch duplicate of batch 1 + a fresh doc.
+    source.addData(Doc(99L, "hello world foo"), Doc(8L, "brand new"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").as[Doc].collect().sortBy(_.docId)
+    // In-batch tie -> min docId (3); cross-batch dup (99) dropped.
+    assert(out.map(_.docId).toSeq == Seq(3L, 7L, 8L))
+  }
+
+  test("fingerprint: normalization-invariant, distinct for distinct text") {
+    assert(StreamingDedup.fingerprint("A  b\tC") == StreamingDedup.fingerprint("a b c"))
+    assert(StreamingDedup.fingerprint("a b c") != StreamingDedup.fingerprint("a b d"))
+  }
+}
