@@ -214,6 +214,19 @@ object SparkEntry {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .select($"doc_id", $"split")
     }),
+    // -- PII scan over documents with deterministic injection: both
+    //    engines append the same synthetic email/URL markers to a
+    //    doc_id-derived subset, so the regex machinery is checked on
+    //    guaranteed-nonzero matches (the raw corpus may contain none).
+    "q_pii" -> ((s, dir) => {
+      import s.implicits._
+      val injected = docs(s, dir).withColumn("text", concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" see https://ex.org/d/"), $"doc_id", lit(" ok"))).otherwise(lit(""))))
+      ops.TextAnalysis.piiScan(injected)
+    }),
     // -- Text analysis over documents.
     "q_text_stats" -> ((s, dir) =>
       ops.TextAnalysis.analyze(docs(s, dir))),
@@ -622,6 +635,14 @@ object SparkEntry {
     "q_neardup_exact" -> neardupOracleSql(0.5),
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_pii" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t2, 'https?://[^\s]+'))::BIGINT AS n_urls
+        |FROM (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.org/d/' || doc_id || ' ok' ELSE '' END AS t2
+        |  FROM documents)""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (

@@ -117,6 +117,38 @@ object TextAnalysis {
     * hash over whitespace tokens (Rabin–Karp style) — equal texts hash
     * equal, any reordering or edit changes it.
     */
+  // ------------------------------------------------------------- PII
+
+  /** Dialect-portable PII patterns (valid and equivalent in Java regex
+    * and RE2, so an external engine can recompute matches): emails and
+    * http(s) URLs. Phone patterns are deliberately excluded — there is
+    * no dialect-stable definition worth standardizing on.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Per-document PII scan: (doc_id, n_emails, n_urls). All-builtin
+    * (regexp_extract_all + size), codegen'd, one pass over the scan.
+    */
+  def piiScan(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).cast("long").as("n_urls"))
+
+  /** Redact emails/URLs in place — the scrub half of PII handling.
+    * Output schema == input schema with the text column rewritten.
+    */
+  def scrubPii(
+      docs: DataFrame,
+      textCol: String = "text",
+      emailToken: String = "<EMAIL>",
+      urlToken: String = "<URL>"): DataFrame =
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, emailToken),
+        UrlPattern, urlToken))
+
   def fingerprint(text: String): Long = {
     var h = 1125899906842597L // large prime seed
     text.trim.split("\\s+").foreach { tok =>

@@ -47,4 +47,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.languageId(docs).count() == docs.count())
     assert(TextAnalysis.fingerprints(docs).select("fp").distinct().count() == docs.count())
   }
+
+  test("PII scan counts injected markers; scrub removes every match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at a.b+c@mail.example.org or see https://x.io/p?q=1 thanks"),
+      (2L, "two mails x@y.co z@w.org one url http://plain.net/x"),
+      (3L, "nothing personal here")).toDF("doc_id", "text")
+    val scan = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scan(1L) == ((1L, 1L)) && scan(2L) == ((2L, 1L)) && scan(3L) == ((0L, 0L)))
+
+    val scrubbed = TextAnalysis.scrubPii(docs)
+    val rescan = TextAnalysis.piiScan(scrubbed)
+      .agg(org.apache.spark.sql.functions.sum($"n_emails" + $"n_urls")).head().getLong(0)
+    assert(rescan == 0L, "scrub left PII behind")
+    assert(scrubbed.filter($"doc_id" === 2L).head().getString(1).contains("<EMAIL>"))
+  }
 }
