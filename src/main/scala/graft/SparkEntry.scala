@@ -460,7 +460,7 @@ object SparkEntry {
     "q_landmark_sum" ->
       s"SELECT user_id AS stream_id, round(sum(value), 2) AS sum_value FROM events WHERE epoch_us(ts) BETWEEN $LQ0 AND $LQ1 GROUP BY user_id",
     "q_dedup_exact" ->
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
         |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,

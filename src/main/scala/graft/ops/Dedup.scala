@@ -22,11 +22,16 @@ import scala.util.hashing.MurmurHash3
   */
 object Dedup {
 
-  /** Whitespace-collapsed, trimmed, lowercased text. DuckDB-equivalent:
-    * `lower(regexp_replace(trim(text), '\s+', ' ', 'g'))`.
+  /** Whitespace-collapsed, trimmed, lowercased text. Collapse BEFORE
+    * trimming: SQL trim strips only spaces, so a trailing tab/newline
+    * must first become a space or it would survive and distinguish
+    * otherwise-identical documents. DuckDB-equivalent:
+    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`; equals the
+    * streaming kernel `StreamingDedup.fingerprint`'s Java
+    * trim+split+mkString normalization for all inputs.
     */
   def normalizeText(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+    lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Exact dedup: one row per distinct normalized text with its
     * duplicate count and the surviving (minimum) doc id.

@@ -39,6 +39,7 @@ object Sampling {
       stratumCol: String,
       idCol: String,
       k: Int): DataFrame = {
+    require(!df.columns.contains("__rk"), "input must not already carry a __rk column")
     val w = Window.partitionBy(col(stratumCol)).orderBy(hashKey(idCol), col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)

@@ -113,10 +113,6 @@ object TextAnalysis {
 
   // ---------------------------------------------------------- fingerprint
 
-  /** Order-sensitive rolling document fingerprint: polynomial rolling
-    * hash over whitespace tokens (Rabin–Karp style) — equal texts hash
-    * equal, any reordering or edit changes it.
-    */
   // ------------------------------------------------------------- PII
 
   /** Dialect-portable PII patterns (valid and equivalent in Java regex
@@ -143,12 +139,21 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       emailToken: String = "<EMAIL>",
-      urlToken: String = "<URL>"): DataFrame =
+      urlToken: String = "<URL>"): DataFrame = {
+    // Replacement strings are regex-replacement syntax ('$', '\') —
+    // quote them so caller tokens are always literal.
+    val et = java.util.regex.Matcher.quoteReplacement(emailToken)
+    val ut = java.util.regex.Matcher.quoteReplacement(urlToken)
     docs.withColumn(textCol,
       regexp_replace(
-        regexp_replace(col(textCol), EmailPattern, emailToken),
-        UrlPattern, urlToken))
+        regexp_replace(col(textCol), EmailPattern, et),
+        UrlPattern, ut))
+  }
 
+  /** Order-sensitive rolling document fingerprint: polynomial rolling
+    * hash over whitespace tokens (Rabin–Karp style) — equal texts hash
+    * equal, any reordering or edit changes it.
+    */
   def fingerprint(text: String): Long = {
     var h = 1125899906842597L // large prime seed
     text.trim.split("\\s+").foreach { tok =>

@@ -29,9 +29,11 @@ object StreamingDedup {
   def fingerprint(text: String): (Long, Long) = {
     val norm = text.trim.toLowerCase.split("\\s+").mkString(" ")
     val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b).toLong
-    ((h1 << 32) | (scala.util.hashing.MurmurHash3.bytesHash(bytes, 0xc2b2ae35).toLong & 0xFFFFFFFFL), h2)
+    def h(seed: Int): Long =
+      scala.util.hashing.MurmurHash3.bytesHash(bytes, seed).toLong & 0xFFFFFFFFL
+    // Four independent 32-bit words -> full 128 bits (a sign-extended
+    // half would silently cut collision resistance to 96 bits).
+    ((h(0x9747b28c) << 32) | h(0xc2b2ae35), (h(0x85ebca6b) << 32) | h(0x27d4eb2f))
   }
 
   /** Emit only first arrivals. Within one micro-batch, ties break by

@@ -37,4 +37,15 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.fingerprint("A  b\tC") == StreamingDedup.fingerprint("a b c"))
     assert(StreamingDedup.fingerprint("a b c") != StreamingDedup.fingerprint("a b d"))
   }
+
+  test("streaming kernel normalization equals batch normalizeText (incl. trailing newline)") {
+    val cases = Seq("hello", "hello\n", " hello  WORLD\t", "ab", "  x ")
+    val batch = cases.toDF("text")
+      .select(graft.ops.Dedup.normalizeText($"text").as("n")).as[String].collect()
+    val kernel = cases.map(t => t.trim.toLowerCase.split("\\s+").mkString(" "))
+    assert(batch.toSeq == kernel,
+      s"batch vs streaming normalization diverged: ${batch.toSeq} vs $kernel")
+    // And the dedup decision agrees: 'hello' and 'hello\n' collapse.
+    assert(StreamingDedup.fingerprint("hello") == StreamingDedup.fingerprint("hello\n"))
+  }
 }
