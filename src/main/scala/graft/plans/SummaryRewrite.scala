@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.round
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -89,13 +90,23 @@ object SummaryRewrite {
 
 final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Opt-in approximate mode: when true, time-RANGE aggregates are also
+    * rewritten — answered by the summary-table ESTIMATOR instead of the
+    * raw scan. Estimates carry the engine's CI contract, not exactness,
+    * so this is never on by default; it is the "1000x less IO for
+    * bounded error" switch.
+    */
+  val ApproximateConf = "spark.graft.rewrite.approximate"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
       unwrap(child) match {
         case Some((rel, filterCond)) =>
           SummaryRewrite.summaryFor(rel) match {
             case Some(summaryPath) =>
-              rewrite(agg, groupExprs, aggExprs, rel, filterCond, summaryPath).getOrElse(agg)
+              rewrite(agg, groupExprs, aggExprs, rel, filterCond, summaryPath)
+                .orElse(rewriteApprox(groupExprs, aggExprs, filterCond, summaryPath))
+                .getOrElse(agg)
             case None => agg
           }
         case None => agg
@@ -176,6 +187,92 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case None => sumPlan
     }
     Some(Aggregate(Seq(sStream), newAggs, newChild, None))
+  }
+
+  /** Approximate path (only under [[ApproximateConf]]): a ts-range
+    * aggregate `events.filter(ts in [t0,t1]).groupBy(streamId)
+    * .agg(count/sum)` is re-planned as the summary-table ESTIMATOR —
+    * `QueryEngine.rangeQueryAll` per requested op, joined on stream —
+    * reading O(log N) window rows instead of the raw range. Count
+    * estimates are rounded to long. Supported filter: a conjunction of
+    * ts-vs-literal comparisons only (any other predicate bails, so
+    * semantics never silently change beyond the documented
+    * estimate-for-exact trade the flag opts into).
+    */
+  private def rewriteApprox(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      filterCond: Option[Expression],
+      summaryPath: String): Option[LogicalPlan] = {
+    if (spark.conf.get(ApproximateConf, "false") != "true") return None
+    val evStream = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => a
+      case _ => return None
+    }
+    // Parse the ts range: conjunction of ts-vs-literal comparisons.
+    def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _)  => Some(v.toLong)
+      case _                   => None
+    }
+    var t0 = Long.MinValue
+    var t1 = Long.MaxValue
+    def eat(c: Expression): Boolean = c match {
+      case And(l, r) => eat(l) && eat(r)
+      // The optimizer infers IsNotNull from the comparisons; the summary
+      // path never carries null ts/streamId, so it is vacuous here.
+      case IsNotNull(a: AttributeReference) if a.name == "ts" || a.name == "streamId" => true
+      case GreaterThanOrEqual(a: AttributeReference, l) if a.name == "ts" =>
+        longLit(l).exists { v => t0 = math.max(t0, v); true }
+      case GreaterThan(a: AttributeReference, l) if a.name == "ts" =>
+        longLit(l).exists { v => t0 = math.max(t0, v + 1); true }
+      case LessThanOrEqual(a: AttributeReference, l) if a.name == "ts" =>
+        longLit(l).exists { v => t1 = math.min(t1, v); true }
+      case LessThan(a: AttributeReference, l) if a.name == "ts" =>
+        longLit(l).exists { v => t1 = math.min(t1, v - 1); true }
+      case _ => false
+    }
+    filterCond match {
+      case Some(c) if eat(c) && t0 <= t1 => ()
+      case _                             => return None
+    }
+
+    // Which estimator ops the output needs, in output order.
+    val plans = aggExprs.map {
+      case a: AttributeReference if a.semanticEquals(evStream) => ("sid", a)
+      case al @ Alias(AggregateExpression(af, Complete, false, None, _), _) =>
+        af match {
+          case Count(Seq(Literal(v, _))) if v != null => ("count", al)
+          case Sum(v: AttributeReference, _) if v.name == "value" => ("sum", al)
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    import spark.implicits._
+    val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
+    val lwEmpty = spark.emptyDataset[graft.core.LandmarkWindow]
+    var df: org.apache.spark.sql.DataFrame = null
+    plans.zipWithIndex.foreach { case ((op, _), i) =>
+      if (op != "sid") {
+        val est = graft.core.QueryEngine.rangeQueryAll(sumDs, lwEmpty, op, t0, t1)
+        val colName = s"__c$i"
+        val valueCol =
+          if (op == "count") round($"estimate").cast("long").as(colName)
+          else $"estimate".as(colName)
+        val one = est.select($"stream_id".as("__sid"), valueCol)
+        df = if (df == null) one else df.join(one, "__sid")
+      }
+    }
+    if (df == null) return None // aggregate with no estimator column
+    val out = df.queryExecution.analyzed
+    def attr(name: String): AttributeReference =
+      out.output.collectFirst { case a: AttributeReference if a.name == name => a }.get
+    val projected = plans.zipWithIndex.map {
+      case (("sid", a), _)   => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+      case ((_, al), i)      => Alias(attr(s"__c$i"), al.name)(exprId = al.exprId)
+    }
+    Some(Project(projected, out))
   }
 }
 

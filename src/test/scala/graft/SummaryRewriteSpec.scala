@@ -103,6 +103,38 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(scannedPaths(q).contains("/other"))
   }
 
+  test("approximate mode: opted-in ts-range aggregates come from the estimator, with valid estimates") {
+    spark.conf.set("spark.graft.rewrite.approximate", "true")
+    try {
+      val raw = spark.read.parquet(eventsPath)
+      val q = raw.filter($"ts" >= 1000L && $"ts" <= 6000L)
+        .groupBy($"streamId").agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      val plan = scannedPaths(q)
+      assert(!plan.contains("/events"), s"approx mode still scanned raw events:\n$plan")
+      assert(plan.contains("summary"), plan)
+
+      // Estimates must respect the estimator's hard-bounds contract.
+      val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
+      val lw = spark.emptyDataset[graft.core.LandmarkWindow]
+      val bounds = graft.core.QueryEngine
+        .rangeBoundsAll(sumDs, lw, "count", 1000L, 6000L)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val rows = q.collect()
+      assert(rows.length == 7)
+      rows.foreach { r =>
+        val (lo, hi) = bounds(r.getLong(0))
+        val n = r.getLong(1).toDouble
+        assert(lo - 0.5 <= n && n <= hi + 0.5,
+          s"estimate $n outside bounds [$lo,$hi] for stream ${r.getLong(0)}")
+      }
+
+      // Value (non-ts) predicates must NOT be rewritten even when opted in.
+      val vq = raw.filter($"value" > 10.0)
+        .groupBy($"streamId").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(vq).contains("/events"))
+    } finally spark.conf.unset("spark.graft.rewrite.approximate")
+  }
+
   test("SummaryDB integration: registration tracks appends, subsets and landmarks stay raw") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_rewrite_db").toString
     val db = graft.core.SummaryDB.open(spark, dbDir)
