@@ -277,6 +277,22 @@ object SparkEntry {
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 6L).as("recall_ok"))
     }),
+    // IVF recall contract: the k-means coarse-quantizer path probing
+    // HALF the cells must recover >= 4 of the exact top-10 per query —
+    // deterministic because kmeans init/iterations are deterministic.
+    // (This corpus's neighbors sit at cosine 0.3-0.5 — far — which is
+    // IVF's hard regime; the floor reflects that honestly.)
+    "q_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < 50)
+      val ivf = ops.Clustering.ivfTopK(e, q, k = 10, nClusters = 16, nProbe = 8)
+        .select($"query_id", $"neighbor_id")
+      val exact = ops.Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+      ivf.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)) >= 4L).as("recall_ok"))
+    }),
     // -- Classic relational aggregation (driver's canonical example).
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -634,6 +650,8 @@ object SparkEntry {
     "q_neardup_text" -> neardupOracleSql(0.9),
     "q_neardup_exact" -> neardupOracleSql(0.5),
     "q_ann_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pii" ->
       """SELECT doc_id,

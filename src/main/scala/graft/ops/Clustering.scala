@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means over an embedding column, and the IVF
+  * (inverted-file) similarity-search path built on it.
+  *
+  * Determinism by construction, not by seed luck: initial centers are
+  * the embeddings of the k ids that sort first under the portable
+  * [[Sampling.hashKey]] order (a reproducible pseudo-random draw), and
+  * Lloyd iterations run a FIXED number of rounds — identical clusters
+  * on every run, partitioning, and cluster size, which is what makes
+  * IVF recall testable as a hard contract.
+  *
+  * Scale shape per iteration: centers broadcast (k * dim doubles),
+  * assignment is one map over the corpus, recomputation is one
+  * groupBy(cluster, dim) shuffle of per-dimension partial sums — no
+  * all-pairs anything, no driver loop over rows. Empty clusters keep
+  * their previous center (standard Lloyd fallback).
+  */
+object Clustering {
+
+  /** (vec_id, cluster) assignment plus the final centers.
+    * `embs`: (idCol, vecCol array<float>).
+    */
+  def kmeans(
+      embs: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+    require(k >= 1 && iters >= 0, s"k >= 1, iters >= 0: $k, $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    val corpus = embs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+
+    // Deterministic init: first k ids in portable hash order.
+    var centers: Array[Array[Double]] = corpus
+      .orderBy(Sampling.hashKey("vec_id"), col("vec_id"))
+      .limit(k)
+      .select($"v").as[Seq[Float]]
+      .collect()
+      .map(Similarity.unit)
+
+    def assign(cs: Array[Array[Double]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      val nearest = udf { (v: Seq[Float]) =>
+        val cs = bc.value
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val center = cs(c)
+          var dot = 0.0; var nv = 0.0
+          val n = math.min(center.length, v.length)
+          var i = 0
+          while (i < n) { dot += center(i) * v(i); nv += v(i).toDouble * v(i); i += 1 }
+          val s = if (nv == 0) 0.0 else dot / math.sqrt(nv) // centers are unit
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        best
+      }
+      corpus.withColumn("cluster", nearest($"v"))
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(centers)
+      // Per-dimension means via posexplode — one shuffle keyed by
+      // (cluster, dim), partial aggregation on the map side.
+      val means = assigned
+        .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cluster", $"dim")
+        .agg(avg($"x").as("m"))
+        .groupBy($"cluster")
+        .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"))
+        .select($"cluster", $"dm.m".as("center"))
+        .as[(Int, Seq[Double])]
+        .collect()
+        .toMap
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        means.get(c).map(m => Similarity.unit(m.map(_.toFloat))).getOrElse(old)
+      }
+      it += 1
+    }
+    (assign(centers).select($"vec_id", $"cluster"), centers)
+  }
+
+  /** IVF top-k: assign the corpus to k-means cells once, then each
+    * query probes only its `nProbe` nearest cells — the classic coarse
+    * quantizer. Candidate work is O(Q * nProbe * cellSize) instead of
+    * O(Q * N); recall comes from probing multiple cells. Output:
+    * (query_id, neighbor_id, rank, score), self-matches excluded.
+    */
+  def ivfTopK(
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nClusters: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    val (assigned, centers) = kmeans(embs, nClusters, iters, idCol, vecCol)
+    val corpus = embs
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+
+    // Each query probes its nProbe nearest cells (centers are tiny —
+    // computed per row against the broadcast array).
+    val bc = spark.sparkContext.broadcast(centers)
+    val probes = udf { (v: Seq[Float]) =>
+      bc.value.indices
+        .map(c => (c, Similarity.cosine(bc.value(c).map(_.toFloat), v)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(nProbe)
+        .map(_._1)
+    }
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cluster", explode(probes(col("qv"))))
+
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    q.join(corpus, "cluster")
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"score")
+  }
+}
