@@ -180,6 +180,14 @@ object SparkEntry {
       ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.9)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
+    // Duplicate-cluster representative selection: connected components
+    // over the J >= 0.9 pair graph (min reachable id per node). The
+    // oracle recomputes the transitive closure with a recursive CTE.
+    "q_dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      ops.Dedup.connectedComponents(
+        ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.9))
+    }),
     // SimHash path, same output form but rows-only: Hamming <= 3 is the
     // standard SimHash operating point (Manku et al. 2007) and this
     // corpus's J>=0.9 pairs sit at Hamming 4-9, so the simhash pair set
@@ -649,6 +657,15 @@ object SparkEntry {
     // positives.
     "q_neardup_text" -> neardupOracleSql(0.9),
     "q_neardup_exact" -> neardupOracleSql(0.5),
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE pp AS (${neardupOracleSql(0.9)}),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pp
+         |      UNION ALL SELECT doc_b, doc_a FROM pp),
+         |walk(a, b) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a)
+         |SELECT a AS doc_id, min(b) AS rep_id FROM walk GROUP BY a""".stripMargin,
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_ivf_recall" ->

@@ -248,6 +248,53 @@ object Dedup {
       .filter(col("n_inter").cast("double") >= col("n_union") * threshold)
   }
 
+  /** Connected components of a near-duplicate pair graph:
+    * (doc_id, rep_id) with rep = the minimum id reachable through
+    * pairs — duplicate-cluster representative selection, the step that
+    * turns pairwise near-dup evidence into a keep/drop decision.
+    *
+    * Min-label propagation: each round every node takes the minimum
+    * label in its neighborhood (one join + one groupBy per round),
+    * stopping when a round changes nothing. Rounds needed = graph
+    * diameter — duplicate clusters are shallow in practice (pairs share
+    * a common template), so this converges in a few rounds; a graph
+    * with adversarial long chains would call for star-contraction
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014),
+    * which halves diameter per round at the cost of a more complex
+    * join pattern.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select($"a".as("doc_id")).distinct()
+      .withColumn("rep_id", $"doc_id")
+      .persist()
+    try {
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val next = edges
+          .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("rep_id", "nbr"), "b")
+          .groupBy($"a".as("doc_id"))
+          .agg(min($"nbr").as("nbr_min"))
+          .join(labels, "doc_id")
+          .select($"doc_id", least($"rep_id", $"nbr_min").as("rep_id"))
+          .persist()
+        converged = next.join(labels.withColumnRenamed("rep_id", "old"), "doc_id")
+          .filter($"rep_id" =!= $"old").isEmpty
+        labels.unpersist()
+        labels = next
+        round += 1
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens (unit weights). */

@@ -124,6 +124,17 @@ class DedupSpec extends SparkSpec {
       s"LSH missed above-knee pairs: ${aboveKnee -- lsh}")
   }
 
+  test("connected components: chains, cycles, multiple clusters, min rep") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> rep 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle -> rep 10
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("jaccard kernel") {
     assert(Dedup.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
     assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)
