@@ -50,6 +50,34 @@ object QueryEngine {
       .toDF("stream_id", "estimate", "ci_width")
   }
 
+  /** As [[rangeQueryAll]] for SEVERAL ops in one pass: a single
+    * cogroup walks each stream's windows once and emits every requested
+    * estimate — (stream_id, estimates[i] for ops[i]). Used by the
+    * approximate query rewrite so count+sum cost one shuffle, not two.
+    */
+  def rangeQueryMultiAll(
+      sw: Dataset[SummaryWindow],
+      lw: Dataset[LandmarkWindow],
+      ops: Seq[String],
+      t0: Long,
+      t1: Long,
+      params: QueryParams = QueryParams()): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    val opList = ops.toList
+    val swF = sw.filter($"te" >= t0 && $"ts" <= t1)
+    val lwF = lw.filter($"te" >= t0 && $"ts" <= t1)
+    swF
+      .groupByKey(_.streamId)
+      .cogroup(lwF.groupByKey(_.streamId)) { (sid, sws, lws) =>
+        val s = sws.toArray.sortBy(_.ts).toSeq
+        val l = lws.toArray.sortBy(_.ts).toSeq
+        if (s.isEmpty && l.isEmpty) Iterator.empty
+        else Iterator((sid, opList.map(op => SumEstimator.query(op, t0, t1, s, l, params).value)))
+      }
+      .toDF("stream_id", "estimates")
+  }
+
   /** Hard deterministic answer bounds per stream over [t0, t1]:
     * (stream_id, bound_lo, bound_hi). The exact answer is guaranteed
     * inside [bound_lo, bound_hi] for count (always) and for sum over

@@ -36,6 +36,7 @@ object Clustering {
     import spark.implicits._
 
     val corpus = embs.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .persist() // read once across iters+1 passes; released before return
 
     // Deterministic init: first k ids in portable hash order.
     var centers: Array[Array[Double]] = corpus
@@ -71,11 +72,15 @@ object Clustering {
     while (it < iters) {
       val assigned = assign(centers)
       // Per-dimension means via posexplode — one shuffle keyed by
-      // (cluster, dim), partial aggregation on the map side.
+      // (cluster, dim), partial aggregation on the map side. Summed as
+      // DECIMAL: decimal addition is exact and associative, so the mean
+      // is independent of partitioning and shuffle-combine order —
+      // double sums are not, and a low-bit difference can flip a
+      // near-tied assignment, breaking the determinism contract.
       val means = assigned
         .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cluster", $"dim")
-        .agg(avg($"x").as("m"))
+        .agg((sum($"x".cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
         .groupBy($"cluster")
         .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"))
         .select($"cluster", $"dm.m".as("center"))
@@ -87,7 +92,11 @@ object Clustering {
       }
       it += 1
     }
-    (assign(centers).select($"vec_id", $"cluster"), centers)
+    val result = assign(centers).select($"vec_id", $"cluster")
+    // Safe to release: everything downstream is deterministic, so a
+    // post-eviction recompute reproduces identical assignments.
+    corpus.unpersist(blocking = false)
+    (result, centers)
   }
 
   /** IVF top-k: assign the corpus to k-means cells once, then each
@@ -114,11 +123,11 @@ object Clustering {
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
     // Each query probes its nProbe nearest cells (centers are tiny —
-    // computed per row against the broadcast array).
-    val bc = spark.sparkContext.broadcast(centers)
+    // pre-converted to float ONCE, not per row inside the UDF).
+    val bc = spark.sparkContext.broadcast(centers.map(_.map(_.toFloat)))
     val probes = udf { (v: Seq[Float]) =>
       bc.value.indices
-        .map(c => (c, Similarity.cosine(bc.value(c).map(_.toFloat), v)))
+        .map(c => (c, Similarity.cosine(bc.value(c), v)))
         .sortBy { case (c, s) => (-s, c) }
         .take(nProbe)
         .map(_._1)

@@ -263,7 +263,7 @@ object Dedup {
     * which halves diameter per round at the cost of a more complex
     * join pattern.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -276,7 +276,7 @@ object Dedup {
       .persist()
     try {
       var round = 0
-      var converged = false
+      var converged = maxRounds == 0
       while (round < maxRounds && !converged) {
         val next = edges
           .join(labels.withColumnRenamed("doc_id", "b").withColumnRenamed("rep_id", "nbr"), "b")
@@ -291,7 +291,13 @@ object Dedup {
         labels = next
         round += 1
       }
-      labels
+      // A silently-truncated propagation would split one true cluster
+      // into several with no symptom — fail loudly instead.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            "(component diameter too large — raise maxRounds or use star-contraction)")
+      labels // returned cached (one small row per paired doc); caller may unpersist
     } finally edges.unpersist()
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{element_at, round}
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -94,7 +94,10 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     * rewritten — answered by the summary-table ESTIMATOR instead of the
     * raw scan. Estimates carry the engine's CI contract, not exactness,
     * so this is never on by default; it is the "1000x less IO for
-    * bounded error" switch.
+    * bounded error" switch. Caveat beyond value error: the GROUP set is
+    * "streams with summary windows overlapping the range" — a stream
+    * whose window merely straddles the range boundary contributes a row
+    * (with a near-zero estimate) that the exact query would omit.
     */
   val ApproximateConf = "spark.graft.rewrite.approximate"
 
@@ -225,11 +228,13 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case GreaterThanOrEqual(a: AttributeReference, l) if a.name == "ts" =>
         longLit(l).exists { v => t0 = math.max(t0, v); true }
       case GreaterThan(a: AttributeReference, l) if a.name == "ts" =>
-        longLit(l).exists { v => t0 = math.max(t0, v + 1); true }
+        // +-1 strict->inclusive must not wrap at the Long extremes (a
+        // wrapped bound turns a provably-empty range into full-range).
+        longLit(l).exists { v => v != Long.MaxValue && { t0 = math.max(t0, v + 1); true } }
       case LessThanOrEqual(a: AttributeReference, l) if a.name == "ts" =>
         longLit(l).exists { v => t1 = math.min(t1, v); true }
       case LessThan(a: AttributeReference, l) if a.name == "ts" =>
-        longLit(l).exists { v => t1 = math.min(t1, v - 1); true }
+        longLit(l).exists { v => v != Long.MinValue && { t1 = math.min(t1, v - 1); true } }
       case _ => false
     }
     filterCond match {
@@ -252,19 +257,18 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     import spark.implicits._
     val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
     val lwEmpty = spark.emptyDataset[graft.core.LandmarkWindow]
-    var df: org.apache.spark.sql.DataFrame = null
-    plans.zipWithIndex.foreach { case ((op, _), i) =>
-      if (op != "sid") {
-        val est = graft.core.QueryEngine.rangeQueryAll(sumDs, lwEmpty, op, t0, t1)
-        val colName = s"__c$i"
-        val valueCol =
-          if (op == "count") round($"estimate").cast("long").as(colName)
-          else $"estimate".as(colName)
-        val one = est.select($"stream_id".as("__sid"), valueCol)
-        df = if (df == null) one else df.join(one, "__sid")
+    // One cogroup pass computes every requested op (count+sum in one
+    // shuffle — no per-column re-read of the summary table).
+    val estOps = plans.collect { case (op, _) if op != "sid" => op }
+    if (estOps.isEmpty) return None // aggregate with no estimator column
+    val multi = graft.core.QueryEngine
+      .rangeQueryMultiAll(sumDs, lwEmpty, estOps.distinct, t0, t1)
+    val cols = org.apache.spark.sql.functions.col("stream_id").as("__sid") +:
+      plans.zipWithIndex.collect { case ((op, _), i) if op != "sid" =>
+        val e = element_at($"estimates", estOps.distinct.indexOf(op) + 1)
+        if (op == "count") round(e).cast("long").as(s"__c$i") else e.as(s"__c$i")
       }
-    }
-    if (df == null) return None // aggregate with no estimator column
+    val df = multi.select(cols: _*)
     val out = df.queryExecution.analyzed
     def attr(name: String): AttributeReference =
       out.output.collectFirst { case a: AttributeReference if a.name == name => a }.get
