@@ -188,14 +188,30 @@ object SparkEntry {
       ops.Dedup.connectedComponents(
         ops.Dedup.nearDuplicatePairCounts(docs(s, dir), threshold = 0.9))
     }),
-    // SimHash path, same output form but rows-only: Hamming <= 3 is the
-    // standard SimHash operating point (Manku et al. 2007) and this
-    // corpus's J>=0.9 pairs sit at Hamming 4-9, so the simhash pair set
-    // is a legitimate SUBSET of the Jaccard set, not equal to it.
+    // SimHash containment contract (hard oracle, q_ann_recall pattern
+    // inverted): Hamming <= 3 is the standard SimHash operating point
+    // (Manku et al. 2007) and its pair set is a legitimate SUBSET of
+    // the exact J >= 0.5 set — never equal to it — so the row KEYS come
+    // from the oracle-enumerable exact set, and the SimHash path folds
+    // into two Spark-checked booleans that must be constant:
+    //   simhash_consistent — every simhash-detected pair reports the
+    //     same (n_inter, n_union) the exact path computes;
+    //   n_stray = 0 — no simhash-verified pair falls outside the exact
+    //     J >= 0.5 set (subset-ness; a broken verify kernel or a
+    //     fingerprint emitting false pairs flips this).
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
-      ops.Dedup.simhashVerifiedPairCounts(docs(s, dir), threshold = 0.5)
+      val d = docs(s, dir)
+      val sim = ops.Dedup.simhashVerifiedPairCounts(d, threshold = 0.5)
+        .select($"doc_a", $"doc_b", $"n_inter".as("si"), $"n_union".as("su"))
+      val exact = ops.Dedup.exactNearDuplicatePairs(d, threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+      val stray = sim.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
+      exact.join(sim, Seq("doc_a", "doc_b"), "left")
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union",
+          ($"si".isNull || ($"si" === $"n_inter" && $"su" === $"n_union"))
+            .as("simhash_consistent"),
+          lit(stray).as("n_stray"))
     }),
     // Exact near-dup join (prefix-filtered inverted index): provably
     // 100% recall, so its output EQUALS the oracle's all-pairs Jaccard
@@ -240,8 +256,22 @@ object SparkEntry {
       ops.TextAnalysis.analyze(docs(s, dir))),
     "q_quality" -> ((s, dir) =>
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
-    "q_langid" -> ((s, dir) =>
-      ops.TextAnalysis.languageId(docs(s, dir))),
+    // Language ID with deterministic injection (the q_pii trick): the
+    // corpus text is synthetic ASCII, so per-language stopword suffixes
+    // are appended to doc_id-derived subsets to force non-trivial
+    // predictions; the oracle then recomputes the FULL detector —
+    // tokenize, score each stopword profile, argmax with alphabetical
+    // ties, 'en' zero-hit fallback — in SQL on the same injected text,
+    // so it does not assume which language wins any given doc.
+    "q_langid" -> ((s, dir) => {
+      import s.implicits._
+      val injected = docs(s, dir).withColumn("text", concat($"text",
+        when($"doc_id" % 4 === 1, lit(" der die das und ist nicht ein eine mit von"))
+          .when($"doc_id" % 4 === 2, lit(" le la les et est une dans que pour pas"))
+          .when($"doc_id" % 4 === 3, lit(" el la los las y es una en que por"))
+          .otherwise(lit(""))))
+      ops.TextAnalysis.languageId(injected)
+    }),
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprints(docs(s, dir))),
     // Fingerprint equality structure: docs sharing a fingerprint share a
@@ -657,6 +687,45 @@ object SparkEntry {
     // positives.
     "q_neardup_text" -> neardupOracleSql(0.9),
     "q_neardup_exact" -> neardupOracleSql(0.5),
+    // SimHash containment: keys = the exact J >= 0.5 set; the SimHash
+    // consistency/subset checks are Spark-computed booleans that must
+    // be uniformly (true, 0).
+    "q_simhash" ->
+      s"""SELECT doc_a, doc_b, n_inter, n_union,
+         |  true AS simhash_consistent, 0::BIGINT AS n_stray
+         |FROM (${neardupOracleSql(0.5)})""".stripMargin,
+    // Full SQL port of the language detector over the same injected
+    // text: tokenize on non-letters, count stopword-profile hits per
+    // language, argmax with alphabetical tie-break, 'en' when nothing
+    // hits, 'und' when no tokens. (The CJK branch cannot fire on this
+    // ASCII corpus; it is covered by TextAnalysisSpec unit vectors.)
+    "q_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' der die das und ist nicht ein eine mit von'
+        |         WHEN doc_id % 4 = 2 THEN ' le la les et est une dans que pour pas'
+        |         WHEN doc_id % 4 = 3 THEN ' el la los las y es una en que por'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(t2), '[^\p{L}]+'), x -> x <> '') AS toks
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    len(list_filter(toks, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','with','are','this'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von','für','auf','ich'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans','que','pour','pas','des','je','avec'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','una','en','que','por','para','con','no'], x))) AS s_es
+        |  FROM tok)
+        |SELECT doc_id, CASE
+        |  WHEN n = 0 THEN 'und'
+        |  WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'en'
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |  WHEN s_es >= s_fr THEN 'es'
+        |  ELSE 'fr' END AS pred_lang
+        |FROM sc""".stripMargin,
     "q_dedup_components" ->
       s"""WITH RECURSIVE pp AS (${neardupOracleSql(0.9)}),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM pp

@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions.udaf
   */
 object GraftFunctions {
 
-  def register(spark: SparkSession): Unit = {
+  // Idempotence guards: registration happens once per live session —
+  // repeated register()/cosineCol() calls (every query built by
+  // SparkEntry re-enters here) must not re-register and spam
+  // "function replaced" warnings. Weak keys: sessions stay collectable.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.contains(spark)) return
+    registered.add(spark)
     val u = spark.udf
     u.register("graft_simhash", (t: String) => Dedup.simhash(t))
     u.register("graft_fingerprint", (t: String) => TextAnalysis.fingerprint(t))
@@ -36,10 +45,14 @@ object GraftFunctions {
     * SQL both compile to the tight primitive loop. The single shared
     * registration point for the SQL and Column paths.
     */
-  def registerNativeCosine(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine_native",
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1)),
-      "built-in")
+  def registerNativeCosine(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_native")
+    if (!reg.functionExists(id)) // idempotent: skip the replace-warning path
+      reg.createOrReplaceTempFunction(
+        id.funcName,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarity(children(0), children(1)),
+        "built-in")
+  }
 }

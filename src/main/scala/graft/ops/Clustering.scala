@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic k-means over an embedding column, and the IVF
@@ -109,7 +108,7 @@ object Clustering {
       embs: DataFrame,
       queries: DataFrame,
       k: Int,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       nProbe: Int = 4,
       iters: Int = 5,
       idCol: String = "vec_id",
@@ -117,7 +116,15 @@ object Clustering {
     val spark = embs.sparkSession
     import spark.implicits._
 
-    val (assigned, centers) = kmeans(embs, nClusters, iters, idCol, vecCol)
+    // nClusters <= 0 = auto: ~sqrt(N) cells (the standard IVF balance —
+    // cell count == expected cell size), floored at 16. A static
+    // default would leave cells with N/16 vectors at corpus scale,
+    // making every probe a near-full scan. Costs one count() action.
+    val kCells =
+      if (nClusters > 0) nClusters
+      else math.max(16L, math.ceil(math.sqrt(embs.count().toDouble)).toLong)
+        .min(1 << 20).toInt
+    val (assigned, centers) = kmeans(embs, kCells, iters, idCol, vecCol)
     val corpus = embs
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -136,12 +143,14 @@ object Clustering {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("cluster", explode(probes(col("qv"))))
 
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
-    q.join(corpus, "cluster")
+    // Score is rounded BEFORE ranking (ties at 4 decimals break by id),
+    // exactly as the original window re-rank did; the bounded-heap
+    // reduction only changes the shuffle size, not the rows.
+    val cands = q.join(corpus, "cluster")
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"score")
+    Similarity.rankTopK(cands, k)
       .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"score")
   }
 }

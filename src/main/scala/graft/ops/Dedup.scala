@@ -126,6 +126,35 @@ object Dedup {
     }
   }
 
+  /** (doc_id, sh) with `sh` = the doc's SORTED shingle array, computed
+    * once per doc. Verification kernels join these arrays to candidate
+    * pairs instead of re-tokenizing and re-shingling both full texts
+    * once per pair — the pair kernel drops from O(doclen) hashing+set
+    * building to a linear merge of two pre-sorted arrays.
+    */
+  private def shingleArrays(texts: DataFrame, k: Int): DataFrame = {
+    val shUdf = udf { (text: String) =>
+      val s = shingleSet(text, k).toArray
+      java.util.Arrays.sort(s, Ordering[String])
+      s
+    }
+    texts.select(col("doc_id"), shUdf(col("text")).as("sh"))
+  }
+
+  /** Merge-intersection of two pre-sorted shingle arrays:
+    * (n_inter, n_union) in O(|a| + |b|) comparisons.
+    */
+  private[ops] def interUnion(a: IndexedSeq[String], b: IndexedSeq[String]): (Long, Long) = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    (inter, a.length.toLong + b.length - inter)
+  }
+
   /** Near-duplicate pairs: banded-LSH candidates verified with exact
     * n-gram Jaccard >= threshold. Output (doc_a, doc_b, jaccard).
     */
@@ -137,12 +166,15 @@ object Dedup {
       k: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, k)
     val cands = lshCandidatePairs(sigs)
-    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val jac = udf((ta: String, tb: String) => jaccard(shingleSet(ta, k), shingleSet(tb, k)))
+    val sh = shingleArrays(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+    val jac = udf { (a: Seq[String], b: Seq[String]) =>
+      val (i, u) = interUnion(a.toIndexedSeq, b.toIndexedSeq)
+      if (u == 0L) 1.0 else i.toDouble / u
+    }
     cands
-      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
-      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
-      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -204,8 +236,8 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val shUdf = udf((text: String) => shingleSet(text, k).toSeq)
-    val sh = docs.select(col(idCol).as("doc_id"), explode(shUdf(col(textCol))).as("shingle"))
+    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sh = shingleArrays(texts, k).select(col("doc_id"), explode(col("sh")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
@@ -224,26 +256,23 @@ object Dedup {
         col("a.n") >= col("b.n") * threshold && col("b.n") >= col("a.n") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairCounts(
-      cands, docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), threshold, k)
+    verifyPairCounts(cands, texts, threshold, k)
   }
 
-  /** Shared verification kernel: join candidate pairs back to texts and
-    * keep those with exact shingle Jaccard >= threshold, reported as
-    * integer (n_inter, n_union).
+  /** Shared verification kernel: join candidate pairs to per-doc sorted
+    * shingle arrays (one shingling pass per doc, not per pair) and keep
+    * those with exact shingle Jaccard >= threshold, reported as integer
+    * (n_inter, n_union) from a linear merge-intersection.
     */
   private def verifyPairCounts(
       cands: DataFrame, texts: DataFrame, threshold: Double, k: Int): DataFrame = {
-    val iu = udf { (ta: String, tb: String) =>
-      val a = shingleSet(ta, k)
-      val b = shingleSet(tb, k)
-      val inter = a.intersect(b).size.toLong
-      (inter, a.size + b.size - inter)
-    }
+    val sh = shingleArrays(texts, k)
+    val iu = udf((a: Seq[String], b: Seq[String]) =>
+      interUnion(a.toIndexedSeq, b.toIndexedSeq))
     cands
-      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_a", "text" -> "text_a")), "doc_a")
-      .join(texts.withColumnsRenamed(Map("doc_id" -> "doc_b", "text" -> "text_b")), "doc_b")
-      .withColumn("iu", iu(col("text_a"), col("text_b")))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
+      .withColumn("iu", iu(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"), col("iu._1").as("n_inter"), col("iu._2").as("n_union"))
       .filter(col("n_inter").cast("double") >= col("n_union") * threshold)
   }
@@ -297,7 +326,16 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds " +
             "(component diameter too large — raise maxRounds or use star-contraction)")
-      labels // returned cached (one small row per paired doc); caller may unpersist
+      // Hand back an RDD-persisted localCheckpoint instead of the
+      // CacheManager-persisted iterate: checkpoint blocks are released
+      // by the ContextCleaner once the returned frame is garbage
+      // collected, so callers that never unpersist (bench loops) no
+      // longer accumulate cached label tables. Eager: materializes from
+      // the still-cached iterate, and truncates the 2-joins-per-round
+      // lineage so downstream actions don't replay the loop.
+      val out = labels.localCheckpoint(eager = true)
+      labels.unpersist(blocking = false)
+      out
     } finally edges.unpersist()
   }
 

@@ -25,11 +25,27 @@ object Sampling {
   private val Knuth = 2654435761L
   private val M32 = 4294967296L
 
-  /** The portable selection key. Column must be integral and
-    * non-negative; products stay within Long for ids < 2^31.
+  /** The portable selection key: `(id * 2654435761) mod 2^32` computed
+    * EXACTLY for every non-negative Long id. A naive `id * K` wraps Long
+    * for ids >= ~2^31.7, silently breaking the engine-portable contract
+    * right at the scale this targets — so the multiply is split:
+    * mathematically `(id*K) mod 2^32` depends only on `id mod 2^32`,
+    * and with `id32 = hi*2^16 + lo` the partial products
+    * `hi*K < 2^48` and `lo*K < 2^48` both fit a Long. Negative ids
+    * raise instead of silently hashing (pmod would happily return a
+    * value no external engine recomputes the same way).
     */
-  def hashKey(idCol: String): org.apache.spark.sql.Column =
-    pmod(col(idCol) * Knuth, lit(M32))
+  def hashKey(idCol: String): org.apache.spark.sql.Column = {
+    val id = col(idCol).cast("long")
+    val id32 = pmod(id, lit(M32))
+    val hi = shiftright(id32, 16)
+    val lo = id32.bitwiseAND(lit(0xFFFFL))
+    val key = pmod(pmod(hi * Knuth, lit(M32)) * 65536L + lo * Knuth, lit(M32))
+    when(id.isNull, lit(null).cast("long"))
+      .when(id >= 0, key)
+      .otherwise(
+        raise_error(concat(lit("Sampling.hashKey: negative id "), id.cast("string"))))
+  }
 
   /** Up to `k` rows per stratum, chosen by ascending hash order (ties
     * broken by id — total order, fully deterministic).

@@ -131,6 +131,46 @@ object Similarity {
         round($"score", 4).as("score"))
   }
 
+  /** Final top-k reduction with bounded memory, shared by the ANN and
+    * IVF paths: per-partition, per-query bounded min-heaps prune the
+    * candidate set to O(partitions * Q * k) rows BEFORE the shuffle,
+    * then a window over that small set assigns global ranks. A bare
+    * window re-rank would shuffle and sort every candidate row instead.
+    * Ties break by (score desc, neighbor_id asc) in both stages, so the
+    * result is identical to ranking the full candidate set. Input
+    * columns: (query_id, neighbor_id, score); score is ranked as given
+    * (callers decide whether rounding happens before or after ranking).
+    */
+  private[ops] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val pruned = cands
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = collection.mutable.HashMap
+          .empty[Long, collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, nid, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            collection.mutable.PriorityQueue.empty[(Double, Long)](
+              Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
+          if (h.size < k) h.enqueue((s, nid))
+          else if (s > h.head._1 || (s == h.head._1 && nid < h.head._2)) {
+            h.dequeue(); h.enqueue((s, nid))
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (s, nid) => Cand(q, nid, s) }
+        }
+      }
+    val w = Window.partitionBy($"queryId").orderBy($"score".desc, $"vecId")
+    pruned.toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"queryId".as("query_id"), $"vecId".as("neighbor_id"), $"rank", $"score")
+  }
+
   // ------------------------------------------------------------------ ANN
 
   /** Defaults: 16 tables x 8 bits. `bits` trades bucket selectivity
@@ -208,10 +248,9 @@ object Similarity {
       .join(nVecs, "neighbor_id")
       .withColumn("score", cosineCol(spark, $"vec_query_id", $"vec_neighbor_id"))
 
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
+    // Rank on the raw score, round only for display — same contract as
+    // before the bounded-heap reduction replaced the global window.
+    rankTopK(cands.select($"query_id", $"neighbor_id", $"score"), k)
       .select($"query_id", $"neighbor_id", $"rank", round($"score", 4).as("score"))
   }
 

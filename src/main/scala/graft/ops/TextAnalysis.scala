@@ -98,7 +98,9 @@ object TextAnalysis {
     val cjk = text.codePoints().filter(cp =>
       (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF)).count()
     if (cjk * 5 >= text.length) return "zh"
-    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    // Locale.ROOT: predictions must not depend on the JVM's default
+    // locale (tr_TR toLowerCase would unmap 'I' out of every profile).
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
     val scores = Profiles.view.mapValues(p => toks.count(p.contains)).toMap
     val (best, hits) = scores.toSeq.sortBy { case (l, h) => (-h, l) }.head

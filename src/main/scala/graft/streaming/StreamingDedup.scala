@@ -23,11 +23,32 @@ object StreamingDedup {
   final case class Doc(docId: Long, text: String)
   final case class Seen(first: Long)
 
+  /** Mirrors the batch `Dedup.normalizeText` =
+    * `lower(trim(regexp_replace(text, '\\s+', ' ')))` step for step:
+    * collapse Java-`\s` runs to one space (same regex class Spark's
+    * `regexp_replace` uses), strip leading/trailing SPACES only (SQL
+    * `trim` removes just `' '`; `String.trim` would also eat control
+    * chars <= U+0020 and diverge), then lowercase with `Locale.ROOT`
+    * (Spark's `lower()` is locale-independent; default-locale
+    * `toLowerCase` breaks parity on e.g. Turkish-locale JVMs). Equality
+    * with the batch column holds for inputs whose lowercase mapping is
+    * locale-invariant — i.e. everything except the handful of code
+    * points with special-cased SQL collation behavior.
+    */
+  def normalize(text: String): String = {
+    val collapsed = text.replaceAll("\\s+", " ")
+    var s = 0
+    var e = collapsed.length
+    while (s < e && collapsed.charAt(s) == ' ') s += 1
+    while (e > s && collapsed.charAt(e - 1) == ' ') e -= 1
+    collapsed.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** 128-bit fingerprint of normalized text (lowercase, collapsed
     * whitespace) — same normalization as the batch exactDedup.
     */
   def fingerprint(text: String): (Long, Long) = {
-    val norm = text.trim.toLowerCase.split("\\s+").mkString(" ")
+    val norm = normalize(text)
     val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def h(seed: Int): Long =
       scala.util.hashing.MurmurHash3.bytesHash(bytes, seed).toLong & 0xFFFFFFFFL

@@ -33,6 +33,22 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("hashKey: exact (id*K) mod 2^32 beyond the Long-wrap point; negatives raise") {
+    // Naive col*2654435761 wraps Long at ids >= ~2^31.7. The split
+    // multiply must equal big-integer arithmetic for the whole Long range.
+    val ids = Seq(0L, 1L, Int.MaxValue.toLong, (1L << 32) - 1, 1L << 32,
+      (1L << 32) + 5, 3000000000L, 123456789012345L, Long.MaxValue)
+    val got = ids.toDF("id").select(Sampling.hashKey("id").as("k")).as[Long].collect()
+    val want = ids.map(id =>
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong)
+    assert(got.toSeq == want, s"hashKey diverged from exact arithmetic:\n$got\n$want")
+    val ex = intercept[Exception] {
+      Seq(-1L).toDF("id").select(Sampling.hashKey("id")).collect()
+    }
+    assert(ex.getMessage.contains("negative id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative id")))
+  }
+
   test("split: disjoint, exhaustive, dyadic fractions land exactly") {
     val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     assert(sp.count() == docs.count())

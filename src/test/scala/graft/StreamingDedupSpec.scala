@@ -42,10 +42,32 @@ class StreamingDedupSpec extends SparkSpec {
     val cases = Seq("hello", "hello\n", " hello  WORLD\t", "ab", "  x ")
     val batch = cases.toDF("text")
       .select(graft.ops.Dedup.normalizeText($"text").as("n")).as[String].collect()
-    val kernel = cases.map(t => t.trim.toLowerCase.split("\\s+").mkString(" "))
+    val kernel = cases.map(StreamingDedup.normalize)
     assert(batch.toSeq == kernel,
       s"batch vs streaming normalization diverged: ${batch.toSeq} vs $kernel")
     // And the dedup decision agrees: 'hello' and 'hello\n' collapse.
     assert(StreamingDedup.fingerprint("hello") == StreamingDedup.fingerprint("hello\n"))
+  }
+
+  test("normalization keeps non-\\s control chars that String.trim would strip") {
+    // U+0001 is <= U+0020 (String.trim eats it) but is not Java-\s, so
+    // SQL regexp_replace('\\s+')+trim keeps it. Streaming must agree.
+    val cases = Seq("\u0001abc ", " abc\u0001", "\u0001 abc \u0001")
+    val batch = cases.toDF("text")
+      .select(graft.ops.Dedup.normalizeText($"text").as("n")).as[String].collect()
+    val kernel = cases.map(StreamingDedup.normalize)
+    assert(batch.toSeq == kernel,
+      s"control-char divergence: ${batch.toSeq.map(_.toList)} vs ${kernel.map(_.toList)}")
+  }
+
+  test("normalization is locale-independent (Turkish-I JVM default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      // Default-locale toLowerCase would map 'I' -> dotless 'ı' here,
+      // splitting batch and streaming dedup decisions; Locale.ROOT must not.
+      assert(StreamingDedup.normalize("TITLE") == "title")
+      assert(StreamingDedup.fingerprint("TITLE") == StreamingDedup.fingerprint("title"))
+    } finally java.util.Locale.setDefault(prev)
   }
 }
