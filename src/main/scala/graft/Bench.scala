@@ -39,24 +39,53 @@ object Bench {
     val ingestSec = (System.nanoTime() - tIngest0) / 1e9
     val rowsPerSec = if (ingestSec > 0) rawRows / ingestSec else 0.0
     val compression = if (windowRows > 0) rawRows.toDouble / windowRows else 0.0
-    // Stable timing protocol: deterministic (sorted) query order, one
+    // Stable timing protocol v2: deterministic (sorted) query order; one
     // untimed warm-up execution (first-touch parquet footers, codegen
-    // compilation, persisted-table materialization), then the median of
-    // 3 timed runs. Map-iteration-order single-run timings made r3's
-    // numbers unattributable (first query to touch a cold table paid
-    // the whole materialization).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).count() // warm-up, untimed
-        val runs = Array.fill(3) {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        timings(name) = runs.sorted.apply(1) // median of 3
-      } catch {
+    // compilation, persisted-table materialization); then INTERLEAVED
+    // timed rounds — round r times every query that still needs samples,
+    // so a machine-wide noise burst (shared sandbox) lands on at most
+    // one sample per query instead of on all of a query's back-to-back
+    // runs (which is how r5 saw 7x swings on identical code). Sub-second
+    // queries take 7 samples, heavier ones 3; reported figure is the
+    // trimmed mean (drop min and max at >= 5 samples, else the median),
+    // and per-query relative spread of the kept samples goes out in
+    // "spread" so a regression alarm can be noise-adjusted.
+    val spreads = collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = collection.mutable.LinkedHashMap.empty[String, collection.mutable.ArrayBuffer[Double]]
+    val repsWanted = collection.mutable.HashMap.empty[String, Int]
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ok = sorted.filter { case (name, fn) =>
+      try { fn(spark, sfDir).count(); true } // warm-up, untimed
+      catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+      }
+    }
+    ok.foreach { case (name, fn) =>
+      val t = timeOne(fn)
+      samples(name) = collection.mutable.ArrayBuffer(t)
+      repsWanted(name) = if (t < 1.0) 7 else 3
+    }
+    for (round <- 2 to 7; (name, fn) <- ok if repsWanted.getOrElse(name, 0) >= round)
+      try samples(name) += timeOne(fn)
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          repsWanted(name) = 0
+      }
+    ok.foreach { case (name, _) =>
+      val s = samples(name).toArray.sorted
+      if (s.nonEmpty && !errors.contains(name)) {
+        val kept = if (s.length >= 5) s.slice(1, s.length - 1) else s
+        val v = if (s.length >= 5) kept.sum / kept.length else s(s.length / 2)
+        timings(name) = v
+        spreads(name) = if (v > 0) (kept.last - kept.head) / v else 0.0
       }
     }
 
@@ -88,10 +117,11 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val qs = timings.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jq(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = ingestSec + timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,""" +
       s""""errors":$es,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$rowsPerSec,""" +
       s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
       s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +

@@ -66,17 +66,52 @@ object SummaryRewrite {
   def registerSet(eventsPaths: Seq[String], summaryPath: String): Set[String] = {
     val key = eventsPaths.map(norm).toSet
     registry.put(key, norm(summaryPath))
+    dfCache.clear() // pairings changed — cached summary plans may be stale
     key
   }
 
-  def unregister(eventsPath: String): Unit = registry.remove(Set(norm(eventsPath)))
-  def unregisterSet(key: Set[String]): Unit = registry.remove(key)
-  def clear(): Unit = registry.clear()
+  def unregister(eventsPath: String): Unit = { registry.remove(Set(norm(eventsPath))); dfCache.clear() }
+  def unregisterSet(key: Set[String]): Unit = { registry.remove(key); dfCache.clear() }
+  def clear(): Unit = { registry.clear(); dfCache.clear() }
 
-  /** Install the rule into an already-running session. Idempotent. */
+  // Resolved summary relation per (session, normalized path). The
+  // loader (file listing + schema read + analysis) would otherwise run
+  // inside apply() for EVERY optimization of every eligible aggregate.
+  // Invalidated whenever a pairing changes (stores re-register after
+  // each append, which is exactly when the summary parquet content
+  // moves). `loads` counts real loader runs for the memoization spec.
+  private val dfCache =
+    new ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private val loadCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def parquetLoads: Long = loadCounter.get()
+
+  private[plans] def summaryDf(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    dfCache.computeIfAbsent((spark, path), { _ =>
+      loadCounter.incrementAndGet()
+      spark.read.parquet(path)
+    })
+
+  /** The cached relation with FRESH output exprIds: plan nodes are
+    * reused across queries, so handing out the same attribute ids
+    * twice could collide in multi-branch plans; `newInstance()` keeps
+    * the (expensive) file index and schema, renews only the ids.
+    */
+  private[plans] def summaryRelation(spark: SparkSession, path: String): Option[LogicalPlan] =
+    summaryDf(spark, path).queryExecution.analyzed match {
+      case lr: LogicalRelation => Some(lr.newInstance())
+      case _                   => None
+    }
+
+  /** Install the rule into an already-running session. Idempotent, and
+    * aware of a GraftExtensions-injected copy: if the optimizer already
+    * carries the rule (extensions path), no extraOptimizations entry is
+    * added — otherwise every query would be rewritten-checked twice.
+    */
   def install(spark: SparkSession): Unit = {
+    val injected = spark.sessionState.optimizer.batches
+      .exists(_.rules.exists(_.isInstanceOf[SummaryRewriteRule]))
     val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[SummaryRewriteRule]))
+    if (!injected && !existing.exists(_.isInstanceOf[SummaryRewriteRule]))
       spark.experimental.extraOptimizations = existing :+ SummaryRewriteRule(spark)
   }
 
@@ -152,7 +187,10 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
         !c.references.subsetOf(AttributeSet(Seq(evStream))) || !c.deterministic))
       return None
 
-    val sumPlan = spark.read.parquet(summaryPath).queryExecution.analyzed
+    val sumPlan = SummaryRewrite.summaryRelation(spark, summaryPath) match {
+      case Some(p) => p
+      case None    => return None
+    }
     def sumAttr(name: String): Option[AttributeReference] =
       sumPlan.output.collectFirst {
         case a: AttributeReference if a.name == name => a
@@ -255,7 +293,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     }
 
     import spark.implicits._
-    val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
+    val sumDs = SummaryRewrite.summaryDf(spark, summaryPath).as[graft.core.SummaryWindow]
     val lwEmpty = spark.emptyDataset[graft.core.LandmarkWindow]
     // One cogroup pass computes every requested op (count+sum in one
     // shuffle — no per-column re-read of the summary table).

@@ -22,6 +22,7 @@ object StreamingDedup {
 
   final case class Doc(docId: Long, text: String)
   final case class Seen(first: Long)
+  final case class TimedDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 
   /** Mirrors the batch `Dedup.normalizeText` =
     * `lower(trim(regexp_replace(text, '\\s+', ' ')))` step for step:
@@ -74,6 +75,54 @@ object StreamingDedup {
             val first = it.minBy(_.docId)
             state.update(Seen(first.docId))
             Iterator(first)
+          }
+      }
+  }
+
+  /** As [[firstArrivals]] but with BOUNDED state: a fingerprint whose
+    * last arrival is older than `ttl` (event time, watermark-driven) is
+    * evicted, so an infinite stream's state tracks its active working
+    * set instead of growing forever. The trade is explicit: after
+    * eviction the same text is admitted again — exact dedup within any
+    * `ttl`-length window, best-effort beyond it. The TTL is sliding
+    * (every arrival, duplicate or not, refreshes it), which keeps
+    * hot boilerplate deduped indefinitely while cold fingerprints age
+    * out. State per key stays 16 bytes + the timeout timestamp.
+    *
+    * `watermarkDelay` is the usual late-data tolerance and is applied
+    * to `ts` here; rows later than the watermark are dropped by the
+    * engine before reaching the dedup function.
+    */
+  def firstArrivalsWithTtl(
+      docs: Dataset[TimedDoc],
+      ttl: java.time.Duration,
+      watermarkDelay: String = "0 seconds"): Dataset[TimedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = ttl.toMillis
+    require(ttlMs > 0, s"ttl must be positive: $ttl")
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => fingerprint(d.text))
+      .flatMapGroupsWithState[Seen, TimedDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Long), it: Iterator[TimedDoc], state: GroupState[Seen]) =>
+          if (state.hasTimedOut) {
+            state.remove() // next arrival of this text re-admits
+            Iterator.empty
+          } else {
+            val batch = it.toArray
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val first = batch.minBy(_.docId)
+                state.update(Seen(first.docId))
+                Iterator.single(first)
+              }
+            // maxTs >= watermark (late rows were dropped) and ttl > 0,
+            // so the timeout is always legally beyond the watermark.
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            out
           }
       }
   }

@@ -25,30 +25,51 @@ import scala.collection.mutable
   *    (flush) is appended as size-1 events
   *    (`/root/reference/core/pipeline.go:119-140`).
   *
-  * Scale note: the simulation is O(N log W) per *distinct* N and is
-  * memoized, but two closed forms replace it entirely on the hot specs:
+  * Scale note: two closed forms cover the hot specs entirely —
   * integral-base exponential windowing (self-similar recurrence,
-  * O(log N)) and q=1/s=1/even-R power windowing (banded binary-digit
-  * form, O(#windows) = O(N^(1/(p+1))) — see [[powerSizesClosedForm]]).
-  * Only non-integral exponential bases, exotic power specs, and
-  * buffered-ingest decompositions still simulate, capped at
-  * Int.MaxValue elements.
+  * O(log N)) and q=1/s=1 power windowing for ANY R (count-boundary
+  * band form, O(#windows) = O(N^(1/(p+1))) — see
+  * [[powerSizesClosedForm]]). Everything else (non-integral exponential
+  * bases, exotic power specs, buffered-ingest decompositions) runs the
+  * merge-heap simulation through a geometric checkpoint store
+  * ([[simulateCheckpointed]]): no length cap, O(events since the
+  * nearest snapshot) per query, amortized O(n_final) total over a
+  * growing stream. Buffered event counts are n/capacity * |cut|, so a
+  * 10^10-element buffered session with a 2^20 buffer is ~2*10^5 heap
+  * events — interactive even cold.
   */
 object DecayModel {
 
-  /** One merge event: a freshly summarized window of `size` elements. */
-  private final class Simulator(windowing: GenericWindowing) {
-    // Window id -> count end (inclusive). Ids are creation-order indices;
-    // iteration order == stream order (old -> new).
-    private val index = new java.util.TreeMap[java.lang.Long, Long]()
-    // Scheduled merge times: (time, id, gen). An entry is live iff its gen
-    // equals the window's current gen; rescheduling/unscheduling bumps gen
-    // (lazy deletion — mirrors the reference's explicit heap removal).
-    private val heap = mutable.PriorityQueue.empty[(Long, Long, Long)](
-      Ordering.by[(Long, Long, Long), (Long, Long)](e => (e._1, e._2)).reverse)
-    private val gen = new java.util.HashMap[java.lang.Long, Long]()
-    private var numElements = 0L
-    private var nextId = 0L
+  /** One merge event: a freshly summarized window of `size` elements.
+    * Supports O(W) state snapshots ([[copy]]) so the geometric
+    * checkpoint store can resume mid-stream instead of replaying from
+    * element zero. The `windowing` marker table is append-only,
+    * synchronized, and deterministic per spec, so clones SHARE it.
+    */
+  private final class Simulator private (
+      windowing: GenericWindowing,
+      index: java.util.TreeMap[java.lang.Long, Long],
+      heap: mutable.PriorityQueue[(Long, Long, Long)],
+      gen: java.util.HashMap[java.lang.Long, Long],
+      private var numElements: Long,
+      private var nextId: Long) {
+
+    def this(windowing: GenericWindowing) = this(
+      windowing,
+      new java.util.TreeMap[java.lang.Long, Long](),
+      mutable.PriorityQueue.empty[(Long, Long, Long)](
+        Ordering.by[(Long, Long, Long), (Long, Long)](e => (e._1, e._2)).reverse),
+      new java.util.HashMap[java.lang.Long, Long](),
+      0L, 0L)
+
+    def elements: Long = numElements
+
+    def copy(): Simulator = new Simulator(
+      windowing,
+      index.clone().asInstanceOf[java.util.TreeMap[java.lang.Long, Long]],
+      heap.clone(),
+      gen.clone().asInstanceOf[java.util.HashMap[java.lang.Long, Long]],
+      numElements, nextId)
 
     private def cStart(id: java.lang.Long): Long = {
       val lower = index.lowerEntry(id)
@@ -129,12 +150,12 @@ object DecayModel {
     simulate(spec, sizes)
 
   /** The flush-time merge-event sizes for one ingest session of n
-    * elements through a buffer (0 = unbuffered).
+    * elements through a buffer (0 = unbuffered). Unbounded: callers
+    * consume lazily; cost is O(#events) = O(n) unbuffered,
+    * O((n / capacity) * |cut|) buffered.
     */
-  def sessionSizes(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Iterator[Long] = {
-    require(n <= Int.MaxValue.toLong, s"session of n=$n elements: simulate path is capped at Int.MaxValue")
+  def sessionSizes(spec: WindowingSpec, n: Long, bufferSize: Long = 0L): Iterator[Long] =
     if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
-  }
 
   private def simulate(spec: WindowingSpec, sizes: Iterator[Long]): Array[(Long, Long)] = {
     val sim = new Simulator(spec.newWindowing())
@@ -236,25 +257,28 @@ object DecayModel {
   }
 
   /** Closed-form decomposition for power windowing with q == 1, s == 1
-    * (decay lengths 1,2,3,... with R·k^(p-1) windows of length k) and R
-    * even. Derived from the simulator's steady state and verified
-    * exhaustively against it (DecayModelScaleSuite):
+    * (decay lengths 1,2,3,... with R·k^(p-1) windows of length k) — ANY
+    * R >= 1, odd or even. Derived from the simulator's steady state and
+    * verified against it exhaustively (DecayModelScaleSuite; plus an
+    * offline sweep over R in 1..12 × p in 1..3, ~60k stream lengths):
     *
     * Summary windows only ever pair-merge, so their sizes are powers of
-    * two; size-2^j windows tile exactly the age band [B_j, B_(j+1))
-    * where B_j = R·Sum_(k<2^j) k^p is the marker at which decay length
-    * reaches 2^j. At stream length n the exact per-class counts are
+    * two; size-2^j windows tile the age band where the decay length is
+    * in [2^j, 2^(j+1)), whose start marker is B_j = R·Sum_(k<2^j) k^p.
+    * The COUNT-AXIS boundary below the size-2^j class (elements held in
+    * windows strictly larger than 2^j) is the band position snapped DOWN
+    * to the class alignment:
     *
-    *   J     = max { j : B_j + 2^j <= n }    (largest class present)
-    *   c_J   = floor((n - B_J) / 2^J)        (head class, still filling)
-    *   c_j   = (B_(j+1) - B_j)/2^j + bit_j(n)  for j < J
+    *   J    = max { j : B_j + 2^j <= n }            (largest class present)
+    *   E_j  = 2^(j+1) * floor((n - B_(j+1)) / 2^(j+1))   for j < J
+    *   E_J  = 0,  E_(-1) = n
+    *   c_j  = (E_(j-1) - E_j) / 2^j                 (count of 2^j windows)
     *
-    * where bit_j(n) is the j-th binary digit of n — the +-1 "phase
-    * wobble" of each saturated class is literally the binary expansion
-    * of n. Total telescopes to B_J + (n mod 2^J) + 2^J·c_J = n exactly
-    * when every B_j = 0 (mod 2^j), which holds for even R (checked at
-    * runtime; any failure falls back to the simulator). Sizes are
-    * emitted largest (oldest) first, matching the simulator's order.
+    * For even R every B_j is 2^j-aligned and this reduces to the
+    * binary-digit form (c_j = (B_(j+1)-B_j)/2^j + bit_j(n)); for odd R
+    * the floor carries the phase offset that the digit form could not
+    * express. Totals telescope: Sum c_j 2^j = E_(-1) - E_J = n, always.
+    * Sizes are emitted largest (oldest) first, matching the simulator.
     *
     * O(#windows) time and space — #windows is Theta(n^(1/(p+1)))
     * (the whole point of power decay: polynomially many windows), so a
@@ -262,38 +286,132 @@ object DecayModel {
     * impossible 10^10-step heap simulation.
     */
   private def powerSizesClosedForm(pw: PowerWindowing, n: Long): Option[Array[Long]] = {
-    if (pw.q != 1L || pw.s != 1L || pw.r % 2 != 0 || pw.p < 1 || n < 1) return None
+    if (pw.q != 1L || pw.s != 1L || pw.r < 1 || pw.p < 1 || n < 1) return None
     def band(j: Int): BigInt = BigInt(pw.r) * sumPow((1L << j) - 1, pw.p)
     var jMax = 0
     while (band(jMax + 1) + (BigInt(1) << (jMax + 1)) <= n) jMax += 1
-    var j = 1
-    while (j <= jMax) {
-      if (band(j) % (BigInt(1) << j) != 0) return None
+    // E(j): count-axis boundary below class j; all values in [0, n] so
+    // they fit Long (bands are BigInt only because B_(J+1) may overflow).
+    val e = new Array[Long](jMax + 1)
+    var j = 0
+    while (j < jMax) {
+      val step = BigInt(1) << (j + 1)
+      e(j) = (((BigInt(n) - band(j + 1)) / step) * step).toLong // positive: B_(j+1)+2^(j+1) <= n
       j += 1
     }
-    val bJ = band(jMax).toLong
-    val cJ = (n - bJ) >> jMax
-    var total = cJ
-    var jj = jMax - 1
-    val counts = new Array[Long](jMax)
-    while (jj >= 0) {
-      counts(jj) = ((band(jj + 1) - band(jj)).toLong >> jj) +
-        (if ((n & (1L << jj)) != 0) 1L else 0L)
-      total += counts(jj)
-      jj -= 1
+    e(jMax) = 0L
+    val counts = new Array[Long](jMax + 1)
+    var total = 0L
+    j = 0
+    while (j <= jMax) {
+      val upper = if (j == 0) n else e(j - 1)
+      val diff = upper - e(j)
+      if (diff < 0 || (diff & ((1L << j) - 1)) != 0) return None // defensive: misaligned
+      counts(j) = diff >> j
+      total += counts(j)
+      j += 1
     }
+    // JVM array bound on #windows, not a stream-length cap: at p=1/R=1
+    // it binds only past n ~ 10^18, where the starts array itself could
+    // not exist in memory anyway.
     require(total <= Int.MaxValue.toLong, s"power decomposition of n=$n has $total windows")
     val out = new Array[Long](total.toInt)
     var idx = 0
-    var c = cJ
-    while (c > 0) { out(idx) = 1L << jMax; idx += 1; c -= 1 }
-    jj = jMax - 1
-    while (jj >= 0) {
-      c = counts(jj)
-      while (c > 0) { out(idx) = 1L << jj; idx += 1; c -= 1 }
-      jj -= 1
+    j = jMax
+    while (j >= 0) {
+      var c = counts(j)
+      while (c > 0) { out(idx) = 1L << j; idx += 1; c -= 1 }
+      j -= 1
     }
     if (out.sum == n) Some(out) else None // defensive: never emit a bad partition
+  }
+
+  // --------------------------------------- checkpointed simulation
+
+  /** Geometric checkpoint store for specs with no closed form
+    * (non-integral exponential bases, exotic power specs, buffered
+    * decompositions): per (spec, bufferSize), simulator snapshots at
+    * roughly doubling element counts. A request for n resumes from the
+    * largest snapshot <= n instead of replaying from element zero, so a
+    * sequence of queries over a growing stream costs O(n_final) total
+    * simulation work (amortized O(polylog) per query), not
+    * O(Sum n_i). Snapshots are O(#windows) each and only ~log2(n) per
+    * key are retained. Buffered streams snapshot only at full-buffer
+    * element counts (mid-tail states are not prefixes of longer
+    * sessions — the flush tail depends on n).
+    */
+  private val simSnapshots =
+    new ConcurrentHashMap[(WindowingSpec, Long), java.util.TreeMap[Long, Simulator]]()
+
+  /** Shared marker tables (append-only, synchronized, deterministic per
+    * spec) — one per spec so snapshot clones don't regrow them.
+    */
+  private val windowings = new ConcurrentHashMap[WindowingSpec, GenericWindowing]()
+  private def windowingFor(spec: WindowingSpec): GenericWindowing =
+    windowings.computeIfAbsent(spec, s => s.newWindowing())
+
+  /** Keep ~geometrically spaced snapshots plus the largest. */
+  private def prune(tree: java.util.TreeMap[Long, Simulator]): Unit = {
+    if (tree.size() <= 72) return
+    val keys = new java.util.ArrayList[Long](tree.keySet())
+    var kept = 0L
+    val it = keys.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != tree.lastKey() && k < kept * 2) tree.remove(k)
+      else kept = k
+    }
+  }
+
+  /** Simulate the decomposition of `n` elements via the checkpoint
+    * store. Cost: O(events between the floor snapshot and n).
+    */
+  private def simulateCheckpointed(
+      spec: WindowingSpec, bufferSize: Long, n: Long): Array[(Long, Long)] = {
+    val tree = simSnapshots
+      .computeIfAbsent((spec, bufferSize), _ => new java.util.TreeMap[Long, Simulator]())
+    tree.synchronized {
+      if (bufferSize <= 0) {
+        val floor = Option(tree.floorEntry(n)).map(_.getValue)
+        val sim = floor.map(_.copy()).getOrElse(new Simulator(windowingFor(spec)))
+        var lastSnap = math.max(sim.elements, 1L)
+        while (sim.elements < n) {
+          sim.process(1L)
+          if (sim.elements >= 2 * lastSnap && sim.elements < n) {
+            tree.put(sim.elements, sim.copy()); lastSnap = sim.elements
+          }
+        }
+        tree.put(n, sim.copy())
+        prune(tree)
+        sim.result()
+      } else {
+        val lengths = windowingFor(spec).windowsCoveringUpto(bufferSize)
+        val capacity = lengths.sum
+        if (capacity <= 0) return simulateCheckpointed(spec, 0L, n)
+        val cut = lengths.reverse // largest first, as the Summarizer cuts
+        val fullElems = (n / capacity) * capacity
+        val floor = Option(tree.floorEntry(fullElems)).map(_.getValue)
+        val sim = floor.map(_.copy()).getOrElse(new Simulator(windowingFor(spec)))
+        var lastSnap = math.max(sim.elements, 1L)
+        while (sim.elements < fullElems) {
+          cut.foreach(sim.process)
+          if (sim.elements >= 2 * lastSnap && sim.elements < fullElems) {
+            tree.put(sim.elements, sim.copy()); lastSnap = sim.elements
+          }
+        }
+        if (sim.elements == fullElems && fullElems > 0) tree.put(fullElems, sim.copy())
+        prune(tree)
+        // Flush tail (partial buffer cut + leftover singles) is not a
+        // resumable prefix — feed it on the live sim, snapshot nothing.
+        val t = n - fullElems
+        var acc = 0L
+        val prefix = lengths.takeWhile { len => acc += len; acc <= t }
+        prefix.reverse.foreach(sim.process)
+        var left = t - prefix.sum
+        while (left > 0) { sim.process(1L); left -= 1 }
+        sim.result()
+      }
+    }
   }
 
   // Memo for windowStarts. Evaluated PER ROW inside executor UDFs
@@ -333,15 +451,9 @@ object DecayModel {
         case _                                     => None
       }
       val starts = (fastExp, fastPower) match {
-        case (Some(b), _) => toStarts(sizesClosedForm(b, n))
+        case (Some(b), _)     => toStarts(sizesClosedForm(b, n))
         case (_, Some(sizes)) => toStarts(sizes)
-        case _ =>
-          // The O(n) simulation path is driver-side; cap it rather than wrap.
-          require(n <= Int.MaxValue.toLong,
-            s"simulated decomposition for n=$n not supported (integral exponential bases and even-R/q=1/s=1 power specs have O(#windows) closed forms)")
-          val sizes =
-            if (bufferSize <= 0) unbufferedSizes(n) else bufferedSizes(spec, bufferSize, n)
-          simulate(spec, sizes).map(_._1)
+        case _                => simulateCheckpointed(spec, bufferSize, n).map(_._1)
       }
       cachedSlots.addAndGet(starts.length.toLong)
       starts

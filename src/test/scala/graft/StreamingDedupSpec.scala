@@ -33,6 +33,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out.map(_.docId).toSeq == Seq(3L, 7L, 8L))
   }
 
+  test("TTL: duplicates drop within the window, evicted fingerprints re-admit after expiry") {
+    import graft.streaming.StreamingDedup.TimedDoc
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val source = MemoryStream[TimedDoc]
+    val q = StreamingDedup
+      .firstArrivalsWithTtl(source.toDS(), java.time.Duration.ofSeconds(30))
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // Batch 1: 'hello' admitted (min docId wins the in-batch tie).
+    source.addData(TimedDoc(1L, ts(10), "hello"), TimedDoc(2L, ts(11), "hello"))
+    q.processAllAvailable()
+    // Batch 2: duplicate within TTL (watermark 11 < 11+30) -> dropped;
+    // fresh doc admitted. Afterwards the watermark advances to 100.
+    source.addData(TimedDoc(3L, ts(20), "hello"), TimedDoc(4L, ts(100), "other"))
+    q.processAllAvailable()
+    // Batch 3: unrelated traffic; during it the engine sees watermark
+    // 100 > 20+30, so 'hello' is evicted.
+    source.addData(TimedDoc(5L, ts(200), "unrelated"))
+    q.processAllAvailable()
+    // Batch 4: 'hello' arrives after eviction -> re-admitted.
+    source.addData(TimedDoc(6L, ts(201), "hello"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_ttl_out").as[TimedDoc].collect().map(_.docId).sorted
+    assert(out.toSeq == Seq(1L, 4L, 5L, 6L),
+      s"TTL dedup emitted ${out.toSeq} (expected drop of 2,3 and re-admit of 6)")
+  }
+
   test("fingerprint: normalization-invariant, distinct for distinct text") {
     assert(StreamingDedup.fingerprint("A  b\tC") == StreamingDedup.fingerprint("a b c"))
     assert(StreamingDedup.fingerprint("a b c") != StreamingDedup.fingerprint("a b d"))

@@ -96,6 +96,33 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(scannedPaths(distinctAgg).contains("/events"))
   }
 
+  test("summary plan is memoized: one parquet load per registered path, invalidated on re-register") {
+    // Warm once (the suite may or may not have loaded already).
+    spark.read.parquet(eventsPath).groupBy($"streamId").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan
+    val before = SummaryRewrite.parquetLoads
+    for (_ <- 1 to 5)
+      spark.read.parquet(eventsPath).groupBy($"streamId")
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .queryExecution.executedPlan // forces optimization (and the rewrite)
+    assert(SummaryRewrite.parquetLoads == before,
+      s"summary parquet re-loaded under memoization: $before -> ${SummaryRewrite.parquetLoads}")
+    // Re-registration (what stores do after an append) invalidates.
+    SummaryRewrite.register(eventsPath, summaryPath)
+    spark.read.parquet(eventsPath).groupBy($"streamId").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan
+    assert(SummaryRewrite.parquetLoads == before + 1,
+      "re-registration must invalidate the cached summary plan")
+  }
+
+  test("install() never stacks a second rule instance") {
+    SummaryRewrite.install(spark)
+    SummaryRewrite.install(spark)
+    val copies = spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.SummaryRewriteRule])
+    assert(copies <= 1, s"rule installed $copies times via extraOptimizations")
+  }
+
   test("unregistered relations are untouched") {
     val other = s"$base/other"
     spark.read.parquet(eventsPath).write.mode("overwrite").parquet(other)
