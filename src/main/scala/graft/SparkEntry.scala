@@ -202,10 +202,16 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
+      // Eager localCheckpoints: both pair sets are a handful of rows on
+      // top of expensive pipelines, and they are consumed by TWO
+      // actions (the stray count and the returned frame) — materialize
+      // once, not twice. Blocks are freed when the frames are GC'd.
       val sim = ops.Dedup.simhashVerifiedPairCounts(d, threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter".as("si"), $"n_union".as("su"))
+        .localCheckpoint()
       val exact = ops.Dedup.exactNearDuplicatePairs(d, threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+        .localCheckpoint()
       val stray = sim.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
       exact.join(sim, Seq("doc_a", "doc_b"), "left")
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union",

@@ -73,9 +73,16 @@ object QueryEngine {
         val s = sws.toArray.sortBy(_.ts).toSeq
         val l = lws.toArray.sortBy(_.ts).toSeq
         if (s.isEmpty && l.isEmpty) Iterator.empty
-        else Iterator((sid, opList.map(op => SumEstimator.query(op, t0, t1, s, l, params).value)))
+        else {
+          // count_hi rides along: the hard count upper bound from the
+          // same window walk lets callers drop provably-empty streams
+          // (exact count <= count_hi < 1 means the exact query would
+          // emit no group for this stream at all).
+          val hi = SumEstimator.boundsQuery("count", t0, t1, s, l).upper
+          Iterator((sid, opList.map(op => SumEstimator.query(op, t0, t1, s, l, params).value), hi))
+        }
       }
-      .toDF("stream_id", "estimates")
+      .toDF("stream_id", "estimates", "count_hi")
   }
 
   /** Hard deterministic answer bounds per stream over [t0, t1]:

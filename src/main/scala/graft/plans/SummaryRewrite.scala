@@ -130,9 +130,13 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     * raw scan. Estimates carry the engine's CI contract, not exactness,
     * so this is never on by default; it is the "1000x less IO for
     * bounded error" switch. Caveat beyond value error: the GROUP set is
-    * "streams with summary windows overlapping the range" — a stream
-    * whose window merely straddles the range boundary contributes a row
-    * (with a near-zero estimate) that the exact query would omit.
+    * "streams with summary windows overlapping the range". Streams that
+    * PROVABLY have no in-range element (hard count upper bound < 1) are
+    * pruned, so a window that merely straddles the boundary with all
+    * its mass outside cannot ghost a row; a straddling window whose
+    * bound admits >= 1 element can still contribute a row the exact
+    * query would omit — that residue is inherent to answering from
+    * summaries.
     */
   val ApproximateConf = "spark.graft.rewrite.approximate"
 
@@ -301,6 +305,12 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     if (estOps.isEmpty) return None // aggregate with no estimator column
     val multi = graft.core.QueryEngine
       .rangeQueryMultiAll(sumDs, lwEmpty, estOps.distinct, t0, t1)
+      // Boundary-straddle pruning: a stream whose summary windows merely
+      // overlap [t0,t1] gets an estimator row, but when its HARD count
+      // upper bound is < 1 the exact query provably emits no group for
+      // it — drop those instead of surfacing near-zero ghost rows. Rows
+      // with count_hi >= 1 remain the documented approximate trade.
+      .filter(org.apache.spark.sql.functions.col("count_hi") >= 1.0)
     val cols = org.apache.spark.sql.functions.col("stream_id").as("__sid") +:
       plans.zipWithIndex.collect { case ((op, _), i) if op != "sid" =>
         val e = element_at($"estimates", estOps.distinct.indexOf(op) + 1)
