@@ -292,6 +292,27 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
         .select($"doc_id", $"rep_id")
     }),
+    // Embedding-cosine near-dup with deterministic injection: the
+    // corpus has no natural near-duplicate embeddings (max pairwise
+    // cosine ~0.51), so a perturbed copy of every 20th vector — last
+    // component zeroed, an FP-exact operation both engines reproduce
+    // bit-identically — is unioned in under id+1,000,000. Resulting
+    // injected-pair cosines (~0.99) sit far above the 0.9 threshold and
+    // natural pairs far below (<= 0.52), so LSH recall is certain
+    // (miss probability ~1e-9 at 16x8) and no compared decision is
+    // near an FP boundary. Emitting only the (id_a, id_b) pair set —
+    // no float columns — makes the oracle's exact all-pairs recompute
+    // an equality contract.
+    "q_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir).select($"vec_id", $"embedding")
+      val injected = e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN i = size(embedding) - 1 " +
+            "THEN cast(0.0 as float) ELSE x END)").as("embedding"))
+      ops.Similarity.embeddingNearDuplicates(e.unionByName(injected), threshold = 0.9)
+        .select($"id_a", $"id_b")
+    }),
     // -- Similarity search over embeddings.
     "q_knn" -> ((s, dir) => {
       import s.implicits._
@@ -743,6 +764,20 @@ object SparkEntry {
          |SELECT a AS doc_id, min(b) AS rep_id FROM walk GROUP BY a""".stripMargin,
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    // Same injection as the Spark side (DuckDB list_transform indices
+    // are 1-based, Spark's 0-based — both address the LAST component),
+    // then the exact all-pairs cosine >= 0.9 pair set over the union.
+    "q_embed_neardup" ->
+      """WITH inj AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, (x, i) ->
+        |           CASE WHEN i = len(embedding) THEN 0.0::FLOAT ELSE x END) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM inj)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM u a, u b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin,
     "q_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pii" ->
