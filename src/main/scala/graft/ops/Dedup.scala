@@ -237,14 +237,17 @@ object Dedup {
       k: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val sh = shingleArrays(texts, k).select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Shingle-set size rides along from the array (size(sh)) — it used
+    // to be recomputed as a second, unordered window pass over the
+    // whole exploded shingle table.
+    val sh = shingleArrays(texts, k)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefix = sh
       .join(df, "shingle")
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("shingle"), col("doc_id"), col("n"))
     // Size-ratio prune (Bayardo §3): J(a,b) >= t forces
