@@ -141,7 +141,7 @@ object Similarity {
     * columns: (query_id, neighbor_id, score); score is ranked as given
     * (callers decide whether rounding happens before or after ranking).
     */
-  private[ops] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     val pruned = cands

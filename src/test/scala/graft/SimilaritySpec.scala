@@ -29,6 +29,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rankTopK (bounded heaps) == global window ranking, including score ties") {
+    // Coarse scores force many exact ties; the heap's eviction rule
+    // (score desc, id asc) must reproduce the window's total order.
+    val rnd = new scala.util.Random(7)
+    val rows = (for (q <- 0L until 5L; _ <- 0 until 300)
+      yield (q, rnd.nextInt(500).toLong, math.floor(rnd.nextDouble() * 12) / 12.0))
+      .distinct
+    val df = rows.toDF("query_id", "neighbor_id", "score").repartition(13)
+    val got = Similarity.rankTopK(df, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score".desc, $"neighbor_id")
+    val want = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"bounded-heap ranking diverged from window ranking:\n${got.diff(want)}\n${want.diff(got)}")
+  }
+
   test("ANN recall@10 against exact topK") {
     // This corpus's nearest neighbors sit at cosine ~0.3-0.5 (~60-70
     // degrees) — the hard regime for hyperplane LSH — so use short
