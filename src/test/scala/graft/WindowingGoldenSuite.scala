@@ -80,6 +80,25 @@ class WindowingGoldenSuite extends AnyFunSuite {
       assert(sizes(ExponentialWindowing(2.0), n) == golden(n - 1), s"at n=$n")
   }
 
+  test("per-append evolution golden: power(1,1,4,1), 22 steps (pipeline_test.go:46-70)") {
+    // Even-R power spec driven through the closed form; the reference's
+    // buffered each-step variant flushes after every append, so the
+    // same table covers both its modes.
+    val golden = Seq(
+      Seq(1), Seq(1, 1), Seq(1, 1, 1), Seq(1, 1, 1, 1), Seq(1, 1, 1, 1, 1),
+      Seq(2, 1, 1, 1, 1), Seq(2, 1, 1, 1, 1, 1), Seq(2, 2, 1, 1, 1, 1),
+      Seq(2, 2, 1, 1, 1, 1, 1), Seq(2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1), Seq(2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1),
+      Seq(2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1),
+    ).map(_.map(_.toLong))
+    for (n <- 1 to 22)
+      assert(sizes(PowerWindowing(1, 1, 4, 1), n) == golden(n - 1), s"at n=$n")
+  }
+
   test("conservation: sum of window counts == N for all N, both policies") {
     for (n <- 1 to 500) {
       assert(sizes(ExponentialWindowing(2.0), n).sum == n, s"exp-2 n=$n")
