@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{element_at, round}
+import org.apache.spark.sql.functions.{element_at, lit, round, when}
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -236,7 +236,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
 
   /** Approximate path (only under [[ApproximateConf]]): a ts-range
     * aggregate `events.filter(ts in [t0,t1]).groupBy(streamId)
-    * .agg(count/sum)` is re-planned as the summary-table ESTIMATOR —
+    * .agg(count/sum/avg)` is re-planned as the summary-table ESTIMATOR —
     * `QueryEngine.rangeQueryAll` per requested op, joined on stream —
     * reading O(log N) window rows instead of the raw range. Count
     * estimates are rounded to long. Supported filter: a conjunction of
@@ -284,13 +284,16 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case _                             => return None
     }
 
-    // Which estimator ops the output needs, in output order.
+    // Which estimator ops the output needs, in output order. avg has no
+    // estimator op of its own: it projects as sum_est / count_est from
+    // the same single pass.
     val plans = aggExprs.map {
       case a: AttributeReference if a.semanticEquals(evStream) => ("sid", a)
       case al @ Alias(AggregateExpression(af, Complete, false, None, _), _) =>
         af match {
           case Count(Seq(Literal(v, _))) if v != null => ("count", al)
           case Sum(v: AttributeReference, _) if v.name == "value" => ("sum", al)
+          case Average(v: AttributeReference, _) if v.name == "value" => ("avg", al)
           case _ => return None
         }
       case _ => return None
@@ -301,20 +304,30 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     val lwEmpty = spark.emptyDataset[graft.core.LandmarkWindow]
     // One cogroup pass computes every requested op (count+sum in one
     // shuffle — no per-column re-read of the summary table).
-    val estOps = plans.collect { case (op, _) if op != "sid" => op }
+    val estOps = plans.collect {
+      case ("count", _) => Seq("count")
+      case ("sum", _)   => Seq("sum")
+      case ("avg", _)   => Seq("sum", "count")
+    }.flatten.distinct
     if (estOps.isEmpty) return None // aggregate with no estimator column
     val multi = graft.core.QueryEngine
-      .rangeQueryMultiAll(sumDs, lwEmpty, estOps.distinct, t0, t1)
+      .rangeQueryMultiAll(sumDs, lwEmpty, estOps, t0, t1)
       // Boundary-straddle pruning: a stream whose summary windows merely
       // overlap [t0,t1] gets an estimator row, but when its HARD count
       // upper bound is < 1 the exact query provably emits no group for
       // it — drop those instead of surfacing near-zero ghost rows. Rows
       // with count_hi >= 1 remain the documented approximate trade.
       .filter(org.apache.spark.sql.functions.col("count_hi") >= 1.0)
+    def est(op: String) = element_at($"estimates", estOps.indexOf(op) + 1)
     val cols = org.apache.spark.sql.functions.col("stream_id").as("__sid") +:
       plans.zipWithIndex.collect { case ((op, _), i) if op != "sid" =>
-        val e = element_at($"estimates", estOps.distinct.indexOf(op) + 1)
-        if (op == "count") round(e).cast("long").as(s"__c$i") else e.as(s"__c$i")
+        op match {
+          case "count" => round(est("count")).cast("long").as(s"__c$i")
+          case "sum"   => est("sum").as(s"__c$i")
+          case "avg" => // null rather than NaN when the count estimate is 0
+            when(est("count") === 0.0, lit(null).cast("double"))
+              .otherwise(est("sum") / est("count")).as(s"__c$i")
+        }
       }
     val df = multi.select(cols: _*)
     val out = df.queryExecution.analyzed

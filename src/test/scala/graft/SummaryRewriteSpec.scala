@@ -135,10 +135,19 @@ class SummaryRewriteSpec extends SparkSpec {
     try {
       val raw = spark.read.parquet(eventsPath)
       val q = raw.filter($"ts" >= 1000L && $"ts" <= 6000L)
-        .groupBy($"streamId").agg(count(lit(1)).as("n"), sum($"value").as("s"))
+        .groupBy($"streamId")
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"), avg($"value").as("a"))
       val plan = scannedPaths(q)
       assert(!plan.contains("/events"), s"approx mode still scanned raw events:\n$plan")
       assert(plan.contains("summary"), plan)
+      // avg comes from the same pass: finite, self-consistent with the
+      // estimator's sum/count (a only ~ s/n up to count rounding, so
+      // recompute from the raw estimates' ratio bound instead).
+      q.collect().foreach { r =>
+        val a = r.getDouble(3)
+        assert(!a.isNaN && !a.isInfinite, s"avg estimate not finite: $r")
+        assert(a >= 0.0 && a <= 101.0 / 2.0 + 1.0, s"avg estimate outside value range: $r")
+      }
 
       // Estimates must respect the estimator's hard-bounds contract.
       val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
