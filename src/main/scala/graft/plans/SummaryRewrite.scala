@@ -262,6 +262,10 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     }
     var t0 = Long.MinValue
     var t1 = Long.MaxValue
+    // streamId-only DETERMINISTIC conjuncts transplant onto the
+    // estimator output (the exact-rewrite path does the same); they are
+    // collected here and re-applied over the estimator frame below.
+    val sidConjuncts = Seq.newBuilder[Expression]
     def eat(c: Expression): Boolean = c match {
       case And(l, r) => eat(l) && eat(r)
       // The optimizer infers IsNotNull from the comparisons; the summary
@@ -277,6 +281,9 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
         longLit(l).exists { v => t1 = math.min(t1, v); true }
       case LessThan(a: AttributeReference, l) if a.name == "ts" =>
         longLit(l).exists { v => v != Long.MinValue && { t1 = math.min(t1, v - 1); true } }
+      case other
+          if other.references.subsetOf(AttributeSet(Seq(evStream))) && other.deterministic =>
+        sidConjuncts += other; true
       case _ => false
     }
     filterCond match {
@@ -333,11 +340,20 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     val out = df.queryExecution.analyzed
     def attr(name: String): AttributeReference =
       out.output.collectFirst { case a: AttributeReference if a.name == name => a }.get
+    // Transplanted streamId-only conjuncts filter the estimator frame.
+    val filtered = sidConjuncts.result() match {
+      case Nil => out
+      case cs =>
+        val cond = cs.map(_.transform {
+          case a: AttributeReference if a.semanticEquals(evStream) => attr("__sid")
+        }).reduce(And)
+        Filter(cond, out)
+    }
     val projected = plans.zipWithIndex.map {
       case (("sid", a), _)   => Alias(attr("__sid"), a.name)(exprId = a.exprId)
       case ((_, al), i)      => Alias(attr(s"__c$i"), al.name)(exprId = al.exprId)
     }
-    Some(Project(projected, out))
+    Some(Project(projected, filtered))
   }
 }
 

@@ -164,6 +164,14 @@ class SummaryRewriteSpec extends SparkSpec {
           s"estimate $n outside bounds [$lo,$hi] for stream ${r.getLong(0)}")
       }
 
+      // A streamId-only conjunct alongside the ts range transplants onto
+      // the estimator output instead of blocking the rewrite.
+      val sq = raw.filter($"ts" >= 1000L && $"ts" <= 6000L && $"streamId" < 3L)
+        .groupBy($"streamId").agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(sq).contains("/events"), scannedPaths(sq))
+      val sids = sq.collect().map(_.getLong(0)).sorted.toSeq
+      assert(sids == Seq(0L, 1L, 2L), s"transplanted streamId filter wrong: $sids")
+
       // Value (non-ts) predicates must NOT be rewritten even when opted in.
       val vq = raw.filter($"value" > 10.0)
         .groupBy($"streamId").agg(count(lit(1)).as("n"))
