@@ -301,6 +301,12 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
           case Count(Seq(Literal(v, _))) if v != null => ("count", al)
           case Sum(v: AttributeReference, _) if v.name == "value" => ("sum", al)
           case Average(v: AttributeReference, _) if v.name == "value" => ("avg", al)
+          // Range max/min are the engine's documented biased estimates:
+          // windows straddling the range boundary contribute elements
+          // just outside it, so max is upper-biased and min lower-biased
+          // — the reference MaxOp's own range semantics.
+          case Max(v: AttributeReference) if v.name == "value" => ("max", al)
+          case Min(v: AttributeReference) if v.name == "value" => ("min", al)
           case _ => return None
         }
       case _ => return None
@@ -315,6 +321,8 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case ("count", _) => Seq("count")
       case ("sum", _)   => Seq("sum")
       case ("avg", _)   => Seq("sum", "count")
+      case ("max", _)   => Seq("max")
+      case ("min", _)   => Seq("min")
     }.flatten.distinct
     if (estOps.isEmpty) return None // aggregate with no estimator column
     val multi = graft.core.QueryEngine
@@ -330,10 +338,10 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       plans.zipWithIndex.collect { case ((op, _), i) if op != "sid" =>
         op match {
           case "count" => round(est("count")).cast("long").as(s"__c$i")
-          case "sum"   => est("sum").as(s"__c$i")
           case "avg" => // null rather than NaN when the count estimate is 0
             when(est("count") === 0.0, lit(null).cast("double"))
               .otherwise(est("sum") / est("count")).as(s"__c$i")
+          case _ => est(op).as(s"__c$i") // sum / max / min pass through
         }
       }
     val df = multi.select(cols: _*)

@@ -164,6 +164,25 @@ class SummaryRewriteSpec extends SparkSpec {
           s"estimate $n outside bounds [$lo,$hi] for stream ${r.getLong(0)}")
       }
 
+      // max/min re-plan too, with the documented boundary bias: the
+      // estimate brackets the exact range answer from the biased side.
+      val mq = raw.filter($"ts" >= 1000L && $"ts" <= 6000L)
+        .groupBy($"streamId").agg(max($"value").as("mx"), min($"value").as("mn"))
+      assert(!scannedPaths(mq).contains("/events"), scannedPaths(mq))
+      val exact = {
+        SummaryRewrite.unregister(eventsPath)
+        try spark.read.parquet(eventsPath)
+          .filter($"ts" >= 1000L && $"ts" <= 6000L)
+          .groupBy($"streamId").agg(max($"value").as("mx"), min($"value").as("mn"))
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        finally SummaryRewrite.register(eventsPath, summaryPath)
+      }
+      mq.collect().foreach { r =>
+        val (emx, emn) = exact(r.getLong(0))
+        assert(r.getDouble(1) >= emx, s"range max not upper-biased: $r vs exact $emx")
+        assert(r.getDouble(2) <= emn, s"range min not lower-biased: $r vs exact $emn")
+      }
+
       // A streamId-only conjunct alongside the ts range transplants onto
       // the estimator output instead of blocking the rewrite.
       val sq = raw.filter($"ts" >= 1000L && $"ts" <= 6000L && $"streamId" < 3L)
