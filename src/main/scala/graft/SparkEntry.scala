@@ -448,11 +448,22 @@ object SparkEntry {
     //    decoder flips the hard signal.
     "q_media_features" -> ((s, dir) =>
       ops.Multimodal.imagePixelStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
-    // -- Media metadata surface: types/dims/durations (and audio/video
-    //    sizes) follow SQL-expressible rules, so this one is fully
-    //    oracle-checkable; image n_bytes (real PNG size) projects NULL.
+    // -- Media metadata surface: types/dims/durations (and the audio
+    //    WAV size, 44 + 2*n_samples) follow SQL-expressible rules, so
+    //    this one is fully oracle-checkable; image/video n_bytes (real
+    //    PNG/GIF sizes) project NULL.
     "q_media_meta" -> ((s, dir) =>
       ops.Multimodal.mediaSummary(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    // -- Audio decode: real WAV payloads -> javax.sound.sampled decode
+    //    -> integer sample stats. The oracle recomputes rate/count/sum
+    //    from the PCM generation rule, so a broken encoder OR decoder
+    //    flips the hard signal (audio analogue of q_media_features).
+    "q_audio_stats" -> ((s, dir) =>
+      ops.Multimodal.audioSampleStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    // -- Video frame decode: real animated-GIF payloads -> ImageIO
+    //    frame reads -> per-frame integer pixel sums, one row per frame.
+    "q_video_frames" -> ((s, dir) =>
+      ops.Multimodal.videoFrameStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
     // exact derived quantities (mean*n = the 2-decimal input sum) —
@@ -633,12 +644,11 @@ object SparkEntry {
     "q_media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 128 WHEN 2 THEN 320 END AS width,
-        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 13) % 128 WHEN 2 THEN 240 END AS height,
-        |CASE doc_id % 3 WHEN 1 THEN 1000 + (doc_id * 31) % 60000
-        |                WHEN 2 THEN 1000 + (doc_id * 17) % 120000 END AS duration_ms,
-        |CASE WHEN doc_id % 3 = 0 THEN NULL
-        |     ELSE 256 + (doc_id * 2654435761) % 768 END AS n_bytes
+        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 128 WHEN 2 THEN 32 + (doc_id * 5) % 64 END AS width,
+        |CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 13) % 128 WHEN 2 THEN 24 + (doc_id * 11) % 40 END AS height,
+        |CASE doc_id % 3 WHEN 1 THEN (400 + (doc_id * 31) % 1200) * 1000 // 16000
+        |                WHEN 2 THEN (4 + doc_id % 5) * 100 END AS duration_ms,
+        |CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * (400 + (doc_id * 31) % 1200) END AS n_bytes
         |FROM documents""".stripMargin,
     // Decoded-pixel oracle: DuckDB re-derives the gradient PNG's pixel
     // sums from the generation rules; the Spark side must produce the
@@ -651,6 +661,31 @@ object SparkEntry {
         |SELECT doc_id, w AS width_px, h AS height_px,
         |       (w * sum((y + doc_id) % 256))::BIGINT AS px_sum
         |FROM y GROUP BY doc_id, w, h""".stripMargin,
+    // Decoded-sample oracle: DuckDB re-derives the WAV's sample sum
+    // from the PCM generation rule; the Spark side must produce the
+    // same integers from AudioSystem parsing of the actual RIFF bytes.
+    "q_audio_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id, 400 + (doc_id * 31) % 1200 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a)
+        |SELECT doc_id, 16000::BIGINT AS sample_rate, n AS n_samples,
+        |       sum((doc_id * 7 + i * 13) % 2001 - 1000)::BIGINT AS sample_sum
+        |FROM i GROUP BY doc_id, n""".stripMargin,
+    // Per-frame decoded-pixel oracle: DuckDB re-derives each GIF
+    // frame's pixel sum from the gradient rules; the Spark side must
+    // produce the same integers from ImageIO frame reads of the actual
+    // encoded bytes.
+    "q_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS nf,
+        |         32 + (doc_id * 5) % 64 AS w, 24 + (doc_id * 11) % 40 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx FROM v),
+        |y AS (SELECT doc_id, w, h, frame_idx, unnest(range(0, h)) AS y FROM f)
+        |SELECT doc_id, frame_idx, w AS width_px, h AS height_px,
+        |       (w * sum((y + doc_id + 7 * frame_idx) % 256))::BIGINT AS px_sum
+        |FROM y GROUP BY doc_id, frame_idx, w, h""".stripMargin,
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_approx_distinct" ->

@@ -50,14 +50,61 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.count() == media.count())
     // All cells are scalar (sortable by a columnar comparison harness).
     assert(stats.schema.fields.forall(!_.dataType.typeName.startsWith("array")))
-    // Audio/video n_bytes follow the SQL-expressible sizing rule
-    // (image payloads are real PNGs — size is the encoder's business).
-    val bad = stats.filter($"media_type" =!= "image").filter(
-      $"n_bytes" =!= (lit(256L) + pmod($"doc_id" * 2654435761L, lit(768L))))
+    // Audio n_bytes follow the SQL-expressible WAV sizing rule,
+    // 44-byte canonical header + 2 bytes per sample (image/video
+    // payloads are real PNGs/GIFs — size is the encoder's business).
+    val bad = stats.filter($"media_type" === "audio").filter(
+      $"n_bytes" =!= (lit(44L) + lit(2L) * (lit(400L) + pmod($"doc_id" * 31L, lit(1200L)))))
     assert(bad.count() == 0)
     // Hash/norm are pure functions of the payload: re-run matches.
     val again = Multimodal.extractFeatureStats(media)
     assert(stats.exceptAll(again).isEmpty && again.exceptAll(stats).isEmpty)
+  }
+
+  test("real WAV decode: sample stats match the PCM generation rules exactly") {
+    val stats = Multimodal.audioSampleStats(media).collect()
+    val nAudio = media.filter($"media_type" === "audio").count()
+    assert(stats.length == nAudio && nAudio > 0)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = Multimodal.audioSamples(id)
+      assert(r.getAs[Long]("sample_rate") == Multimodal.AudioRate.toLong)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      val want = (0 until n).map(i => Multimodal.audioSample(id, i).toLong).sum
+      assert(r.getAs[Long]("sample_sum") == want, s"decoded sample sum mismatch for doc $id")
+    }
+  }
+
+  test("real GIF decode: per-frame pixel stats match the generation rules exactly") {
+    val stats = Multimodal.videoFrameStats(media).collect()
+    val nVideo = media.filter($"media_type" === "video").count()
+    assert(stats.map(_.getAs[Long]("doc_id")).distinct.length == nVideo && nVideo > 0)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f = r.getAs[Long]("frame_idx")
+      val (w, h) = Multimodal.videoDims(id)
+      assert(f < Multimodal.videoFrames(id).toLong)
+      assert(r.getAs[Long]("width_px") == w.toLong && r.getAs[Long]("height_px") == h.toLong)
+      val want = w.toLong * (0 until h).map(y => (y + id + 7L * f) % 256L).sum
+      assert(r.getAs[Long]("px_sum") == want, s"decoded pixel sum mismatch for doc $id frame $f")
+    }
+    // Every generated frame appears: total rows = sum of per-video frame counts.
+    val wantRows = media.filter($"media_type" === "video").select($"doc_id")
+      .collect().map(r => Multimodal.videoFrames(r.getLong(0)).toLong).sum
+    assert(stats.length.toLong == wantRows)
+  }
+
+  test("sampled frames are standalone decodable PNGs at the video's dimensions") {
+    val one = media.filter($"media_type" === "video").select($"doc_id").head().getLong(0)
+    val frames = Multimodal.sampleFrames(media.filter($"doc_id" === one), framesPerVideo = 3)
+      .orderBy($"frame_idx").collect()
+    assert(frames.length == 3)
+    val (w, h) = Multimodal.videoDims(one)
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+    }
   }
 
   test("real PNG decode: pixel stats match the generation rules exactly") {
