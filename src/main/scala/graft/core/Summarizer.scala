@@ -114,29 +114,74 @@ object Summarizer {
     val spark = events.sparkSession
     import spark.implicits._
 
-    // Combined interval list per stream: global intervals first (shared
-    // indices), then the stream's own. Broadcast for both the element
-    // classifier and the window-bounds lookup.
-    val bcIv = spark.sparkContext.broadcast((intervals.toArray, perStream))
-    def ivsOf(sid: Long): Seq[(Long, Long)] =
-      bcIv.value._1.toSeq ++ bcIv.value._2.getOrElse(sid, Nil)
-    val ivId = udf((sid: Long, ts: Long) =>
-      ivsOf(sid).indexWhere { case (l0, l1) => ts >= l0 && ts <= l1 })
+    // Two classifier paths, neither a per-row UDF over a broadcast map:
+    //  - GLOBAL intervals (apply to every stream) are an API-declared
+    //    handful, so they fold into a literal codegen'd CASE chain — a
+    //    pure projection, no join in the plan at all;
+    //  - PER-STREAM intervals become a relation equi-joined on streamId
+    //    (range bounds as join filters): Catalyst broadcasts it when
+    //    small and shuffles co-partitioned when declarations are huge,
+    //    instead of an O(#declarations) driver array shipped per task.
+    // Combined index order matches the old classifier: global intervals
+    // first (shared indices), then the stream's own — first match wins,
+    // as indexWhere did (overlap only matters for overlapping
+    // declarations; the reference's one-open-landmark-per-stream
+    // invariant makes intervals disjoint in practice).
+    val nullLong = lit(null).cast("long")
+    val gIdx: Column =
+      if (intervals.isEmpty) nullLong
+      else coalesce(intervals.zipWithIndex.map { case ((l0, l1), i) =>
+        when($"ts" >= l0 && $"ts" <= l1, lit(i.toLong))
+      }: _*)
 
-    val classified = events.withColumn("intervalId", ivId($"streamId", $"ts"))
-    val isLandmark = $"intervalId" >= 0
+    val base = events.withColumn("gIdx", gIdx)
+    val streamIvRows: Seq[(Long, Long, Long, Long)] =
+      perStream.toSeq.flatMap { case (sid, ivs) =>
+        ivs.zipWithIndex.map { case ((l0, l1), j) =>
+          (sid, (intervals.length + j).toLong, l0, l1)
+        }
+      }
+    val joined =
+      if (streamIvRows.isEmpty)
+        base.withColumn("pIdx", nullLong)
+          .withColumn("pL0", nullLong).withColumn("pL1", nullLong)
+      else {
+        val iv = streamIvRows.toDF("ivSid", "pIdx", "pL0", "pL1")
+        val matched = events.select($"streamId", $"seq", $"ts")
+          .join(iv, $"streamId" === $"ivSid" && $"ts" >= $"pL0" && $"ts" <= $"pL1")
+          // Min-index resolution; shuffle is O(matched elements) only.
+          .groupBy($"streamId", $"seq")
+          .agg(min(struct($"pIdx", $"pL0", $"pL1")).as("m"))
+          .select($"streamId", $"seq",
+            $"m.pIdx".as("pIdx"), $"m.pL0".as("pL0"), $"m.pL1".as("pL1"))
+        base.join(matched, Seq("streamId", "seq"), "left")
+      }
 
+    // Literal bound lookup for global matches; per-stream bounds arrive
+    // as join columns.
+    def litArr(f: ((Long, Long)) => Long): Column =
+      element_at(array(intervals.map(iv => lit(f(iv))): _*), ($"gIdx" + 1).cast("int"))
+    val classified = joined
+      .withColumn("intervalId", coalesce($"gIdx", $"pIdx"))
+      .withColumn("l0",
+        if (intervals.isEmpty) $"pL0"
+        else when($"gIdx".isNotNull, litArr(_._1)).otherwise($"pL0"))
+      .withColumn("l1",
+        if (intervals.isEmpty) $"pL1"
+        else when($"gIdx".isNotNull, litArr(_._2)).otherwise($"pL1"))
+    val isLandmark = $"intervalId".isNotNull
+
+    // Landmark window [ts, te] is the DECLARED interval — carried as
+    // join columns, no driver-side lookup.
     val landmarks = classified
       .filter(isLandmark)
-      .groupBy($"streamId", $"intervalId")
+      .groupBy($"streamId", $"intervalId", $"l0", $"l1")
       .agg(sort_array(collect_list(struct($"ts", $"value"))).as("elems"))
       .map { row =>
-        val sid = row.getAs[Long]("streamId")
-        val iv = ivsOf(sid)(row.getAs[Int]("intervalId"))
         LandmarkWindow(
-          streamId = sid,
-          ts = iv._1,
-          te = iv._2,
+          streamId = row.getAs[Long]("streamId"),
+          ts = row.getAs[Long]("l0"),
+          te = row.getAs[Long]("l1"),
           elems = row
             .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("elems")
             .iterator.map(r => Landmark(r.getLong(0), r.getDouble(1))).toVector)
@@ -148,7 +193,7 @@ object Summarizer {
     val w = Window.partitionBy($"streamId").orderBy($"seq")
     val regular = classified
       .filter(!isLandmark)
-      .drop("intervalId")
+      .select($"streamId", $"seq", $"ts", $"value")
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .as[Event]
 

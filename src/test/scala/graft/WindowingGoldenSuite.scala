@@ -139,4 +139,47 @@ class WindowingGoldenSuite extends AnyFunSuite {
   test("unbuffered end-to-end golden: exp-2 N=100 -> 9 windows (db_test.go:11-59)") {
     assert(sizes(ExponentialWindowing(2.0), 100).size == 9)
   }
+
+  // ------------------------- summarizer buffer-cut goldens
+  // `/root/reference/core/summarizer_test.go:106-206` sets window
+  // lengths [2,4,6,8] with a capacity-20 buffer; that lengths sequence
+  // is exactly PowerWindowing(p=1,q=1,r=1,s=2) (one window of each
+  // length 2k). The reference asserts the summarizer's PRE-merge writer
+  // output — on our side that surface is `DecayModel.sessionSizes`
+  // (flush-time merge-event sizes), which cumulative-sums to the same
+  // (cs, ce) spans (ts == element index in the reference fixture).
+
+  private val cutSpec = PowerWindowing(1, 1, 1, 2)
+
+  private def spans(sizes: Seq[Long]): Seq[(Long, Long)] =
+    sizes.scanLeft((0L, -1L)) { case ((_, e), len) => (e + 1, e + len) }.tail
+
+  test("summarizer cut golden: one full buffer (summarizer_test.go:106-131)") {
+    assert(cutSpec.newWindowing().windowsCoveringUpto(20) == Seq(2L, 4L, 6L, 8L))
+    val s = DecayModel.sessionSizes(cutSpec, 20, 20).toSeq
+    assert(s == Seq(8L, 6L, 4L, 2L)) // largest-first cut
+    assert(spans(s) == Seq((0L, 7L), (8L, 13L), (14L, 17L), (18L, 19L)))
+  }
+
+  test("summarizer cut golden: ten full buffers (summarizer_test.go:134-164)") {
+    val s = DecayModel.sessionSizes(cutSpec, 200, 20).toSeq
+    assert(s == Seq.fill(10)(Seq(8L, 6L, 4L, 2L)).flatten)
+    val want = (0 until 10).flatMap { j =>
+      Seq((20L * j, 20L * j + 7), (20L * j + 8, 20L * j + 13),
+        (20L * j + 14, 20L * j + 17), (20L * j + 18, 20L * j + 19))
+    }
+    assert(spans(s) == want)
+  }
+
+  test("summarizer cut golden: partial tail buffer (summarizer_test.go:166-206)") {
+    // 20 full + 10 partial: the partial cuts into the longest descending
+    // suffix that fits ([4,2] here -> windows (20,23)(24,25)) and the
+    // 4-element leftover stays unbuffered (the reference's partial
+    // buffer with timestamps 26..29 -> size-1 events on flush).
+    val s = DecayModel.sessionSizes(cutSpec, 30, 20).toSeq
+    assert(s == Seq(8L, 6L, 4L, 2L, 4L, 2L, 1L, 1L, 1L, 1L))
+    assert(spans(s).take(6) == Seq(
+      (0L, 7L), (8L, 13L), (14L, 17L), (18L, 19L), (20L, 23L), (24L, 25L)))
+    assert(spans(s).drop(6) == Seq((26L, 26L), (27L, 27L), (28L, 28L), (29L, 29L)))
+  }
 }
