@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * relation —
   *
   *   events.groupBy("streamId").agg(count/sum/min/max/avg of value)
+  *   events.agg(count/sum/min/max/avg of value)       // global, no grouping
   *
   * optionally under a streamId-only filter — are EXACT on the summary
   * table (every element is in exactly one window; count/sum/max/min are
@@ -147,7 +148,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
           SummaryRewrite.summaryFor(rel) match {
             case Some(summaryPath) =>
               rewrite(agg, groupExprs, aggExprs, rel, filterCond, summaryPath)
-                .orElse(rewriteApprox(groupExprs, aggExprs, filterCond, summaryPath))
+                .orElse(rewriteApprox(groupExprs, aggExprs, rel, filterCond, summaryPath))
                 .getOrElse(agg)
             case None => agg
           }
@@ -179,16 +180,24 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       filterCond: Option[Expression],
       summaryPath: String): Option[LogicalPlan] = {
 
-    // Eligibility: grouped by exactly the raw streamId column.
-    val evStream = groupExprs match {
-      case Seq(a: AttributeReference) if a.name == "streamId" => a
-      case _ => return None
+    // Eligibility: grouped by exactly the raw streamId column, or a
+    // GLOBAL aggregate (no grouping at all — count/sum/max/min over the
+    // whole table are equally exact on the summary windows).
+    val evStreamOpt = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => Some(a)
+      case Seq()                                              => None
+      case _                                                  => return None
     }
+    // The raw relation's streamId column (filter predicates may
+    // reference it even when the aggregate is global).
+    val rawStream = evStreamOpt.orElse(
+      rel.output.collectFirst { case a: AttributeReference if a.name == "streamId" => a })
+      .getOrElse(return None)
     // streamId-only DETERMINISTIC predicates transplant exactly;
     // anything else — ts ranges, rand()-style conditions (which would
     // sample whole windows instead of raw rows) — bails.
     if (filterCond.exists(c =>
-        !c.references.subsetOf(AttributeSet(Seq(evStream))) || !c.deterministic))
+        !c.references.subsetOf(AttributeSet(Seq(rawStream))) || !c.deterministic))
       return None
 
     val sumPlan = SummaryRewrite.summaryRelation(spark, summaryPath) match {
@@ -209,11 +218,16 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     // Remap each output column, preserving name + exprId so parents
     // resolve against the rewritten Aggregate unchanged.
     val newAggs: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference if a.semanticEquals(evStream) =>
+      case a: AttributeReference if evStreamOpt.exists(a.semanticEquals) =>
         Alias(sStream, a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(af, Complete, false, None, _), name) =>
         val rewritten: Expression = af match {
-          case Count(Seq(Literal(v, _))) if v != null => Cast(merged(Sum(sCount)), LongType)
+          case Count(Seq(Literal(v, _))) if v != null =>
+            val s = Cast(merged(Sum(sCount)), LongType)
+            // A GLOBAL count over zero matching windows must be 0, not
+            // null (sum of an empty input is null; grouped aggregates
+            // simply emit no row, so they need no coalesce).
+            if (evStreamOpt.isEmpty) Coalesce(Seq(s, Literal(0L))) else s
           case Sum(v: AttributeReference, _) if v.name == "value" => merged(Sum(sSum))
           case Max(v: AttributeReference) if v.name == "value" => merged(Max(sMax))
           case Min(v: AttributeReference) if v.name == "value" => merged(Min(sMin))
@@ -227,11 +241,11 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
 
     val newChild = filterCond match {
       case Some(c) =>
-        Filter(c.transform { case a: AttributeReference if a.semanticEquals(evStream) => sStream },
+        Filter(c.transform { case a: AttributeReference if a.semanticEquals(rawStream) => sStream },
           sumPlan)
       case None => sumPlan
     }
-    Some(Aggregate(Seq(sStream), newAggs, newChild, None))
+    Some(Aggregate(evStreamOpt.map(_ => sStream).toSeq, newAggs, newChild, None))
   }
 
   /** Approximate path (only under [[ApproximateConf]]): a ts-range
@@ -247,13 +261,21 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
   private def rewriteApprox(
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
+      rel: LogicalRelation,
       filterCond: Option[Expression],
       summaryPath: String): Option[LogicalPlan] = {
     if (spark.conf.get(ApproximateConf, "false") != "true") return None
-    val evStream = groupExprs match {
-      case Seq(a: AttributeReference) if a.name == "streamId" => a
-      case _ => return None
+    // Grouped by streamId, or a GLOBAL ts-range aggregate (no grouping):
+    // per-stream estimates merge losslessly across streams (count/sum
+    // add, max/min nest, avg = total sum / total count).
+    val evStreamOpt = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => Some(a)
+      case Seq()                                              => None
+      case _                                                  => return None
     }
+    val rawStream = evStreamOpt.orElse(
+      rel.output.collectFirst { case a: AttributeReference if a.name == "streamId" => a })
+      .getOrElse(return None)
     // Parse the ts range: conjunction of ts-vs-literal comparisons.
     def longLit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, _) => Some(v)
@@ -282,7 +304,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case LessThan(a: AttributeReference, l) if a.name == "ts" =>
         longLit(l).exists { v => v != Long.MinValue && { t1 = math.min(t1, v - 1); true } }
       case other
-          if other.references.subsetOf(AttributeSet(Seq(evStream))) && other.deterministic =>
+          if other.references.subsetOf(AttributeSet(Seq(rawStream))) && other.deterministic =>
         sidConjuncts += other; true
       case _ => false
     }
@@ -295,7 +317,7 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     // estimator op of its own: it projects as sum_est / count_est from
     // the same single pass.
     val plans = aggExprs.map {
-      case a: AttributeReference if a.semanticEquals(evStream) => ("sid", a)
+      case a: AttributeReference if evStreamOpt.exists(a.semanticEquals) => ("sid", a)
       case al @ Alias(AggregateExpression(af, Complete, false, None, _), _) =>
         af match {
           case Count(Seq(Literal(v, _))) if v != null => ("count", al)
@@ -334,15 +356,26 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       // with count_hi >= 1 remain the documented approximate trade.
       .filter(org.apache.spark.sql.functions.col("count_hi") >= 1.0)
     def est(op: String) = element_at($"estimates", estOps.indexOf(op) + 1)
+    val isGlobal = evStreamOpt.isEmpty
+    // Per-stream estimate columns. Grouped: final per-row shaping (count
+    // rounding, avg ratio) happens here. Global: RAW estimates project
+    // through — the cross-stream merge below does the shaping once.
     val cols = org.apache.spark.sql.functions.col("stream_id").as("__sid") +:
-      plans.zipWithIndex.collect { case ((op, _), i) if op != "sid" =>
-        op match {
-          case "count" => round(est("count")).cast("long").as(s"__c$i")
-          case "avg" => // null rather than NaN when the count estimate is 0
-            when(est("count") === 0.0, lit(null).cast("double"))
-              .otherwise(est("sum") / est("count")).as(s"__c$i")
-          case _ => est(op).as(s"__c$i") // sum / max / min pass through
-        }
+      plans.zipWithIndex.flatMap {
+        case (("sid", _), _) => Nil
+        case ((op, _), i) if isGlobal =>
+          op match {
+            case "avg" => Seq(est("sum").as(s"__s$i"), est("count").as(s"__n$i"))
+            case o     => Seq(est(o).as(s"__c$i"))
+          }
+        case ((op, _), i) =>
+          op match {
+            case "count" => Seq(round(est("count")).cast("long").as(s"__c$i"))
+            case "avg" => // null rather than NaN when the count estimate is 0
+              Seq(when(est("count") === 0.0, lit(null).cast("double"))
+                .otherwise(est("sum") / est("count")).as(s"__c$i"))
+            case o => Seq(est(o).as(s"__c$i")) // sum / max / min pass through
+          }
       }
     val df = multi.select(cols: _*)
     val out = df.queryExecution.analyzed
@@ -353,15 +386,45 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case Nil => out
       case cs =>
         val cond = cs.map(_.transform {
-          case a: AttributeReference if a.semanticEquals(evStream) => attr("__sid")
+          case a: AttributeReference if a.semanticEquals(rawStream) => attr("__sid")
         }).reduce(And)
         Filter(cond, out)
     }
-    val projected = plans.zipWithIndex.map {
-      case (("sid", a), _)   => Alias(attr("__sid"), a.name)(exprId = a.exprId)
-      case ((_, al), i)      => Alias(attr(s"__c$i"), al.name)(exprId = al.exprId)
+    if (!isGlobal) {
+      val projected = plans.zipWithIndex.map {
+        case (("sid", a), _) => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+        case ((_, al), i)    => Alias(attr(s"__c$i"), al.name)(exprId = al.exprId)
+      }
+      Some(Project(projected, filtered))
+    } else {
+      // Merge per-stream estimates into ONE row: count/sum estimates
+      // are additive across disjoint streams, max/min nest, avg is
+      // total-sum / total-count. Empty match set: count coalesces to 0
+      // (raw count(*) over zero rows is 0); sum/max/min/avg stay null,
+      // matching raw SQL aggregates over an empty input.
+      def merged(af: AggregateFunction): Expression =
+        AggregateExpression(af, Complete, isDistinct = false)
+      val newAggs: Seq[NamedExpression] = plans.zipWithIndex.map {
+        case (("sid", _), _) => return None // unreachable: no grouping, no bare attrs
+        case ((op, al), i) =>
+          val e: Expression = op match {
+            case "count" =>
+              Coalesce(Seq(
+                Cast(Round(merged(Sum(attr(s"__c$i"))), Literal(0)), LongType), Literal(0L)))
+            case "sum" => merged(Sum(attr(s"__c$i")))
+            case "max" => merged(Max(attr(s"__c$i")))
+            case "min" => merged(Min(attr(s"__c$i")))
+            case "avg" =>
+              val cnt = merged(Sum(attr(s"__n$i")))
+              val sm = merged(Sum(attr(s"__s$i")))
+              If(Or(IsNull(cnt), EqualTo(cnt, Literal(0.0))),
+                Literal.create(null, org.apache.spark.sql.types.DoubleType),
+                Divide(sm, cnt))
+          }
+          Alias(e, al.name)(exprId = al.exprId)
+      }
+      Some(Aggregate(Nil, newAggs, filtered, None))
     }
-    Some(Project(projected, filtered))
   }
 }
 

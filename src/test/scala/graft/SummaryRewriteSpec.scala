@@ -198,6 +198,82 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rewrite.approximate")
   }
 
+  test("global (un-grouped) aggregate is rewritten and stays exact") {
+    val raw = spark.read.parquet(eventsPath)
+    val q = raw.agg(count(lit(1)).as("n"), sum($"value").as("s"),
+      max($"value").as("mx"), min($"value").as("mn"), avg($"value").as("av"))
+    val plan = scannedPaths(q)
+    assert(plan.contains("summary"), s"summary table not scanned:\n$plan")
+    assert(!plan.contains("/events"), s"raw events still scanned:\n$plan")
+
+    val got = q.head()
+    SummaryRewrite.unregister(eventsPath)
+    val want = try spark.read.parquet(eventsPath)
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"),
+        max($"value").as("mx"), min($"value").as("mn"), avg($"value").as("av"))
+      .head()
+    finally SummaryRewrite.register(eventsPath, summaryPath)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-9)
+    assert(got.getDouble(2) == want.getDouble(2) && got.getDouble(3) == want.getDouble(3))
+    assert(math.abs(got.getDouble(4) - want.getDouble(4)) < 1e-12)
+
+    // streamId-only filter under a global aggregate transplants too, and
+    // a filter matching nothing yields count 0, not null.
+    val fq = spark.read.parquet(eventsPath)
+      .filter($"streamId" < 3L).agg(count(lit(1)).as("n"))
+    assert(scannedPaths(fq).contains("summary"))
+    assert(fq.head().getLong(0) == 715L + 715L + 714L)
+    val zq = spark.read.parquet(eventsPath)
+      .filter($"streamId" === 99L).agg(count(lit(1)).as("n"))
+    assert(scannedPaths(zq).contains("summary"))
+    assert(!zq.head().isNullAt(0) && zq.head().getLong(0) == 0L)
+  }
+
+  test("approximate mode: global ts-range aggregate merges per-stream estimates") {
+    spark.conf.set("spark.graft.rewrite.approximate", "true")
+    try {
+      val raw = spark.read.parquet(eventsPath)
+      val q = raw.filter($"ts" >= 1000L && $"ts" <= 6000L)
+        .agg(count(lit(1)).as("n"), sum($"value").as("s"), avg($"value").as("a"),
+          max($"value").as("mx"), min($"value").as("mn"))
+      val plan = scannedPaths(q)
+      assert(!plan.contains("/events"), s"approx mode still scanned raw events:\n$plan")
+      assert(plan.contains("summary"), plan)
+      val r = q.head()
+
+      // Global count bound = sum of per-stream hard bounds.
+      val sumDs = spark.read.parquet(summaryPath).as[graft.core.SummaryWindow]
+      val lw = spark.emptyDataset[graft.core.LandmarkWindow]
+      val bounds = graft.core.QueryEngine
+        .rangeBoundsAll(sumDs, lw, "count", 1000L, 6000L)
+        .collect().map(b => (b.getDouble(1), b.getDouble(2)))
+      val (lo, hi) = (bounds.map(_._1).sum, bounds.map(_._2).sum)
+      val n = r.getLong(0).toDouble
+      assert(lo - 0.5 <= n && n <= hi + 0.5, s"global count $n outside [$lo,$hi]")
+
+      // max upper-biased / min lower-biased vs the exact range answer.
+      val (emx, emn, eavg) = {
+        SummaryRewrite.unregister(eventsPath)
+        try {
+          val e = spark.read.parquet(eventsPath)
+            .filter($"ts" >= 1000L && $"ts" <= 6000L)
+            .agg(max($"value"), min($"value"), avg($"value")).head()
+          (e.getDouble(0), e.getDouble(1), e.getDouble(2))
+        } finally SummaryRewrite.register(eventsPath, summaryPath)
+      }
+      assert(r.getDouble(3) >= emx && r.getDouble(4) <= emn, s"bias violated: $r")
+      val a = r.getDouble(2)
+      assert(!a.isNaN && !a.isInfinite && math.abs(a - eavg) < 26.0,
+        s"global avg estimate implausible: $a vs exact $eavg")
+
+      // Empty ts range in approx mode: pruned to zero rows -> count 0.
+      val eq = raw.filter($"ts" >= 10L && $"ts" <= 5L).agg(count(lit(1)).as("n"))
+      // (t0 > t1 bails the rewrite entirely — raw scan returns 0 rows too)
+      assert(eq.head().getLong(0) == 0L)
+    } finally spark.conf.unset("spark.graft.rewrite.approximate")
+  }
+
   test("SummaryDB integration: registration tracks appends, subsets and landmarks stay raw") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_rewrite_db").toString
     val db = graft.core.SummaryDB.open(spark, dbDir)
