@@ -445,9 +445,16 @@ object SparkEntry {
     // -- Multimodal decode: real PNG payloads -> ImageIO decode ->
     //    integer pixel stats. The oracle recomputes width/height/px_sum
     //    from the gradient generation rules, so a broken encoder OR
-    //    decoder flips the hard signal.
-    "q_media_features" -> ((s, dir) =>
-      ops.Multimodal.imagePixelStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    //    decoder flips the hard signal. Single-modality queries filter
+    //    docs BELOW the generator (media_type is doc_id % 3): never
+    //    encode/decode payloads the query then throws away — the same
+    //    pushdown a real binary-column scan gets from partitioning the
+    //    media table by modality.
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      ops.Multimodal.imagePixelStats(
+        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 0)))
+    }),
     // -- Media metadata surface: types/dims/durations (and the audio
     //    WAV size, 44 + 2*n_samples) follow SQL-expressible rules, so
     //    this one is fully oracle-checkable; image/video n_bytes (real
@@ -458,12 +465,18 @@ object SparkEntry {
     //    -> integer sample stats. The oracle recomputes rate/count/sum
     //    from the PCM generation rule, so a broken encoder OR decoder
     //    flips the hard signal (audio analogue of q_media_features).
-    "q_audio_stats" -> ((s, dir) =>
-      ops.Multimodal.audioSampleStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    "q_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      ops.Multimodal.audioSampleStats(
+        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 1)))
+    }),
     // -- Video frame decode: real animated-GIF payloads -> ImageIO
     //    frame reads -> per-frame integer pixel sums, one row per frame.
-    "q_video_frames" -> ((s, dir) =>
-      ops.Multimodal.videoFrameStats(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      ops.Multimodal.videoFrameStats(
+        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 2)))
+    }),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
     // exact derived quantities (mean*n = the 2-decimal input sum) —
