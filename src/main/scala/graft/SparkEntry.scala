@@ -227,6 +227,13 @@ object SparkEntry {
       ops.Dedup.exactNearDuplicatePairs(docs(s, dir), threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
+    // -- Int8 embedding quantization: 4x storage compression for the
+    //    vector corpus, one codegen'd projection (no UDF, no shuffle).
+    //    floor(x*127/scale + 0.5) arithmetic is bit-reproducible IEEE
+    //    double math, so the oracle recomputes the exact int8 L1/sum.
+    "q_quantize" -> ((s, dir) =>
+      ops.Quantization.quantizeStats(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id")),
     // -- Deterministic sampling: selection is a pure arithmetic
     //    function of doc_id (Knuth multiplicative hash), so the oracle
     //    recomputes the EXACT row set — reproducible subsets are a
@@ -500,6 +507,13 @@ object SparkEntry {
           // Telescoped interval sum — integer-exact, unlike mean*(n-1).
           ($"last_ts" - $"first_ts").as("interval_total_us"))
     }),
+    // -- Approximate per-stream quantiles (built-in Greenwald-Khanna
+    //    sketch, mergeable/one-pass): self-checking rank-error contract
+    //    — within_bound must be uniformly true, recomputed as `true`
+    //    from exact data by the oracle (the q_approx_distinct pattern).
+    "q_quantiles" -> ((s, dir) =>
+      StreamStats.quantileContract(
+        Ingest.fromEventsTable(s, dir), Seq(0.5, 0.9, 0.99))),
   )
 
   /** Materialize the summary pipeline; returns (raw events, summary
@@ -674,6 +688,21 @@ object SparkEntry {
         |SELECT doc_id, w AS width_px, h AS height_px,
         |       (w * sum((y + doc_id) % 256))::BIGINT AS px_sum
         |FROM y GROUP BY doc_id, w, h""".stripMargin,
+    // Quantization oracle: DuckDB recomputes the int8 vectors from the
+    // same floor(x*127/scale + 0.5) double arithmetic (floor, unlike
+    // round(), is identical across engines) — L1/sum are exact ints.
+    "q_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS q_scale,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT vec_id, q_scale,
+        |  list_sum(list_transform(v, x ->
+        |    CASE WHEN q_scale = 0 THEN 0 ELSE abs(floor(x * 127.0 / q_scale + 0.5)) END))::BIGINT AS q_l1,
+        |  list_sum(list_transform(v, x ->
+        |    CASE WHEN q_scale = 0 THEN 0 ELSE floor(x * 127.0 / q_scale + 0.5) END))::BIGINT AS q_sum
+        |FROM q""".stripMargin,
     // Decoded-sample oracle: DuckDB re-derives the WAV's sample sum
     // from the PCM generation rule; the Spark side must produce the
     // same integers from AudioSystem parsing of the actual RIFF bytes.
@@ -703,6 +732,12 @@ object SparkEntry {
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_approx_distinct" ->
       "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
+    // GK-sketch rank-error contract: the exact engine confirms every
+    // (stream, probability) row is in-bound (see quantileContract).
+    "q_quantiles" ->
+      """SELECT user_id AS stream_id, p, true AS within_bound
+        |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
+        |GROUP BY user_id, p""".stripMargin,
     // Quality score: every component is 2-decimal (n_tokens/50 capped,
     // 0.5/1.0 rule scores), so sum/4 terminates within 4 decimals and
     // round(,4) is FP-safe on both engines.

@@ -47,4 +47,64 @@ object StreamStats {
         $"interval_stats.mean".as("interval_mean"),
         $"interval_stats.sample_variance".as("interval_svar"))
   }
+
+  /** Per-stream approximate value quantiles: `percentile_approx` (the
+    * built-in Greenwald-Khanna sketch — mergeable, one pass, map-side
+    * partial) at the given probabilities. Returns one row per
+    * (stream, probability) with the estimate.
+    */
+  def quantiles(
+      events: Dataset[Event],
+      probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy($"streamId".as("stream_id"))
+      .agg(percentile_approx(
+        $"value", array(probs.map(lit): _*), lit(accuracy)).as("ests"))
+      .select($"stream_id",
+        posexplode($"ests").as(Seq("pi", "est")))
+      .select($"stream_id",
+        element_at(array(probs.map(lit): _*), $"pi" + 1).as("p"), $"est")
+  }
+
+  /** Self-checking contract surface for [[quantiles]]: the estimate's
+    * RANK in the stream's exact value order must sit within the GK
+    * sketch's guarantee (relative rank error 1/accuracy). The estimate
+    * is an actual data value whose possible 1-based ranks span
+    * `(count(< est), count(<= est)]` — duplicated values make that an
+    * interval, so the check is that this interval intersects
+    * `p*n ± (n/accuracy + 1)`, not that a single count equals the
+    * target (a tie group would fail a point check spuriously).
+    * `within_bound` must be uniformly true — an external engine
+    * re-derives `true` from exact data, so a broken sketch or
+    * probability plumbing flips the hard signal (the q_approx_distinct
+    * pattern).
+    *
+    * Scale: the estimates frame is streams x probs rows — broadcast to
+    * the rank-counting join against raw events; one aggregation pass.
+    */
+  def quantileContract(
+      events: Dataset[Event],
+      probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val est = quantiles(events, probs, accuracy)
+    val ranks = events.toDF()
+      .join(broadcast(est), events("streamId") === est("stream_id"))
+      .groupBy($"stream_id", $"p", $"est")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" <= $"est", 1L).otherwise(0L)).as("rank_le"),
+        sum(when($"value" < $"est", 1L).otherwise(0L)).as("rank_lt"))
+    val target = $"p" * $"n".cast("double")
+    val eps = $"n".cast("double") / accuracy + 1.0
+    ranks.select(
+      $"stream_id", $"p",
+      (target - eps <= $"rank_le".cast("double") &&
+        target + eps >= $"rank_lt".cast("double") + 1.0)
+        .as("within_bound"))
+  }
 }

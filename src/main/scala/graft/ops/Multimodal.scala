@@ -176,12 +176,12 @@ object Multimodal {
         case "image" =>
           val (w, h) = imageDims(id)
           val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
             val v = ((y + id) % 256L).toInt
-            val px = (v << 16) | (v << 8) | v
-            var x = 0
-            while (x < w) { img.setRGB(x, y, px); x += 1 }
+            java.util.Arrays.fill(row, (v << 16) | (v << 8) | v)
+            img.setRGB(0, y, w, 1, row, 0, w)
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
@@ -200,11 +200,12 @@ object Multimodal {
           val nf = videoFrames(id)
           val frames = (0 until nf).map { f =>
             val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            val row = new Array[Int](w)
             var y = 0
             while (y < h) {
-              val v = ((y + id + 7L * f) % 256L).toInt
-              var x = 0
-              while (x < w) { img.getRaster.setSample(x, y, 0, v); x += 1 }
+              java.util.Arrays.fill(row, ((y + id + 7L * f) % 256L).toInt)
+              raster.setSamples(0, y, w, 1, 0, row)
               y += 1
             }
             img
@@ -237,11 +238,15 @@ object Multimodal {
       val hist = new Array[Long](FeatureDim - 2)
       var sum = 0.0
       var sumSq = 0.0
+      // Bulk row reads: one getRGB call per row, not per pixel (the
+      // per-pixel call pays colorspace-conversion dispatch every time).
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
           hist((lum * hist.length / 256.0).toInt.min(hist.length - 1)) += 1
           sum += lum
@@ -315,11 +320,13 @@ object Multimodal {
       frames.foreach { img =>
         val w = img.getWidth
         val h = img.getHeight
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
             hist((lum * hist.length / 256.0).toInt.min(hist.length - 1)) += 1
             sum += lum
@@ -434,10 +441,12 @@ object Multimodal {
             val w = img.getWidth
             val h = img.getHeight
             var s = 0L
+            val row = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
-              while (x < w) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+              while (x < w) { s += row(x) & 0xFF; x += 1 }
               y += 1
             }
             Iterator((id, w.toLong, h.toLong, s))
@@ -560,10 +569,12 @@ object Multimodal {
               val w = img.getWidth
               val h = img.getHeight
               var s = 0L
+              val row = new Array[Int](w)
               var y = 0
               while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
                 var x = 0
-                while (x < w) { s += img.getRGB(x, y) & 0xFF; x += 1 }
+                while (x < w) { s += row(x) & 0xFF; x += 1 }
                 y += 1
               }
               (id, f.toLong, w.toLong, h.toLong, s)
