@@ -514,6 +514,28 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) =>
       StreamStats.quantileContract(
         Ingest.fromEventsTable(s, dir), Seq(0.5, 0.9, 0.99))),
+    // -- Sessionization (6h inactivity gap): gaps-and-islands session
+    //    index -> per-session rollup, two window passes on one shuffle.
+    //    The oracle rebuilds the same islands with lag + running sum.
+    "q_sessions" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sessionize.sessionize(Ingest.fromEventsTable(s, dir), 6L * 3600 * 1000000)
+        .select($"stream_id", $"session_idx", $"n", $"ts_start", $"ts_end",
+          round($"sum_value", 2).as("sum_value"))
+    }),
+    // -- As-of join: every event looks up the latest "mark" (every 10th
+    //    event per stream) at-or-before its timestamp — one
+    //    co-partitioned pass, no range-join blowup. DuckDB's native
+    //    ASOF LEFT JOIN recomputes the exact matches.
+    "q_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Ingest.fromEventsTable(s, dir).toDF()
+      val marks = ev.filter($"seq" % 10 === 0).select($"streamId", $"ts", $"value")
+      ops.AsofJoin
+        .asofJoin(ev.select($"streamId", $"ts", $"seq"), marks, "streamId", "ts", Seq("value"))
+        .select($"streamId".as("stream_id"), ($"seq" + 1L).as("rn"),
+          $"asof_ts".as("mark_ts"), round($"asof_value", 2).as("mark_value"))
+    }),
   )
 
   /** Materialize the summary pipeline; returns (raw events, summary
@@ -738,6 +760,36 @@ object SparkEntry {
       """SELECT user_id AS stream_id, p, true AS within_bound
         |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
         |GROUP BY user_id, p""".stripMargin,
+    // Sessionization oracle: identical gaps-and-islands in DuckDB
+    // (break when gap >= 6h, matching session_window's half-open end).
+    "q_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tsu, value,
+        |    (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM o)
+        |SELECT user_id AS stream_id, session_idx, count(*) AS n,
+        |       min(tsu) AS ts_start, max(tsu) AS ts_end,
+        |       round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // As-of oracle: DuckDB's native ASOF LEFT JOIN against the same
+    // every-10th-event mark table (rn is 1-based where seq is 0-based).
+    "q_asof" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |marks AS (SELECT user_id, tsu, value FROM ranked WHERE rn % 10 = 1)
+        |SELECT r.user_id AS stream_id, r.rn, m.tsu AS mark_ts,
+        |       round(m.value, 2) AS mark_value
+        |FROM ranked r ASOF LEFT JOIN marks m
+        |  ON r.user_id = m.user_id AND r.tsu >= m.tsu""".stripMargin,
     // Quality score: every component is 2-decimal (n_tokens/50 capped,
     // 0.5/1.0 rule scores), so sum/4 terminates within 4 decimals and
     // round(,4) is FP-safe on both engines.

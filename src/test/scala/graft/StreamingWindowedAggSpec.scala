@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.Event
+import graft.streaming.StreamingWindowedAgg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingWindowedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Sec = 1000000L // micros
+
+  test("tumbling windows finalize once past the watermark; late events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingWindowedAgg
+      .tumbling(source.toDS(), windowLength = "10 seconds", lateness = "5 seconds")
+      .writeStream.format("memory").queryName("wtumble").outputMode("append").start()
+    try {
+      // Window [0s,10s): three on-time events, out of order within it.
+      source.addData(
+        Event(1L, 0L, 2 * Sec, 1.0),
+        Event(1L, 1L, 8 * Sec, 2.0),
+        Event(1L, 2L, 5 * Sec, 4.0))
+      q.processAllAvailable()
+      // Append mode: nothing emitted while the window can still grow.
+      assert(spark.table("wtumble").count() == 0)
+
+      // Advance event time far enough that the watermark (max - 5s)
+      // passes 10s -> [0s,10s) finalizes with exactly the 3 events.
+      source.addData(Event(1L, 3L, 20 * Sec, 8.0))
+      q.processAllAvailable()
+      // A late arrival INTO the finalized window must be discarded.
+      source.addData(Event(1L, 4L, 3 * Sec, 100.0))
+      q.processAllAvailable()
+      // Push the watermark past [20s,30s) to flush the rest.
+      source.addData(Event(1L, 5L, 40 * Sec, 16.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("wtumble")
+        .select($"stream_id", $"ws", $"we", $"n", $"sum", $"max", $"min")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        .sortBy(_._2)
+      // [0,10): the 3 on-time events only (late 100.0 dropped);
+      // [20,30): the single 8.0 event. [40,50) is still open.
+      assert(rows.toSeq == Seq(
+        (1L, 0L, 10 * Sec, 3L, 7.0, 4.0, 1.0),
+        (1L, 20 * Sec, 30 * Sec, 1L, 8.0, 8.0, 8.0)))
+    } finally q.stop()
+  }
+
+  test("batch execution of the same transform agrees with a plain groupBy") {
+    val events = (0 until 100).map { i =>
+      Event(i % 3L, i / 3L, (i * 700000L), (i % 13).toDouble)
+    }
+    val viaOp = StreamingWindowedAgg.tumbling(events.toDS(), "10 seconds", "5 seconds")
+    val expected = events.toDS()
+      .groupBy($"streamId".as("stream_id"),
+        (($"ts" - ($"ts" % (10 * Sec)))).as("ws"))
+      .agg(org.apache.spark.sql.functions.count($"value").as("n"))
+      .select($"stream_id", $"ws", $"n")
+    val got = viaOp.select($"stream_id", $"ws", $"n")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
