@@ -202,14 +202,19 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
+      // One shingling pass feeds BOTH pipelines (simhash verify + the
+      // exact pair set) — materialized once via localCheckpoint instead
+      // of re-running the shingle UDF three times.
+      val sh = ops.Dedup.shingles(d).localCheckpoint()
       // Eager localCheckpoints: both pair sets are a handful of rows on
       // top of expensive pipelines, and they are consumed by TWO
       // actions (the stray count and the returned frame) — materialize
       // once, not twice. Blocks are freed when the frames are GC'd.
-      val sim = ops.Dedup.simhashVerifiedPairCounts(d, threshold = 0.5)
+      val sim = ops.Dedup.verifyWithShingles(
+          ops.Dedup.simhashNearDuplicates(d).select($"doc_a", $"doc_b"), sh, threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter".as("si"), $"n_union".as("su"))
         .localCheckpoint()
-      val exact = ops.Dedup.exactNearDuplicatePairs(d, threshold = 0.5)
+      val exact = ops.Dedup.exactNearDuplicatePairsFromShingles(sh, threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
         .localCheckpoint()
       val stray = sim.join(exact, Seq("doc_a", "doc_b"), "left_anti").count()
@@ -224,7 +229,10 @@ object SparkEntry {
     // set by construction, with no probabilistic caveat.
     "q_neardup_exact" -> ((s, dir) => {
       import s.implicits._
-      ops.Dedup.exactNearDuplicatePairs(docs(s, dir), threshold = 0.5)
+      // Materialize the shingle arrays once: they feed both the prefix
+      // index and the verify kernel.
+      ops.Dedup.exactNearDuplicatePairsFromShingles(
+          ops.Dedup.shingles(docs(s, dir)).localCheckpoint(), threshold = 0.5)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
     // -- Int8 embedding quantization: 4x storage compression for the

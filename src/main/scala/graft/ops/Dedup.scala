@@ -141,6 +141,15 @@ object Dedup {
     texts.select(col("doc_id"), shUdf(col("text")).as("sh"))
   }
 
+  /** Public precomputed-shingle surface: callers running SEVERAL
+    * dedup/verify passes over one corpus (e.g. a simhash containment
+    * check against the exact pair set) compute this once — ideally
+    * `.localCheckpoint()`ed — and feed it to the `*FromShingles`
+    * variants, instead of paying the shingling UDF once per pipeline.
+    */
+  def shingles(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 3): DataFrame =
+    shingleArrays(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
   /** Merge-intersection of two pre-sorted shingle arrays:
     * (n_inter, n_union) in O(|a| + |b|) comparisons.
     */
@@ -234,13 +243,19 @@ object Dedup {
       threshold: Double = 0.8,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame =
+    exactNearDuplicatePairsFromShingles(shingles(docs, textCol, idCol, k), threshold)
+
+  /** [[exactNearDuplicatePairs]] over a precomputed [[shingles]] frame
+    * (the shingle arrays feed BOTH the prefix index and the verify
+    * kernel, so a materialized input is shingled once total).
+    */
+  def exactNearDuplicatePairsFromShingles(shArr: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val texts = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // Shingle-set size rides along from the array (size(sh)) — it used
     // to be recomputed as a second, unordered window pass over the
     // whole exploded shingle table.
-    val sh = shingleArrays(texts, k)
+    val sh = shArr
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -259,7 +274,7 @@ object Dedup {
         col("a.n") >= col("b.n") * threshold && col("b.n") >= col("a.n") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairCounts(cands, texts, threshold, k)
+    verifyWithShingles(cands, shArr, threshold)
   }
 
   /** Shared verification kernel: join candidate pairs to per-doc sorted
@@ -268,8 +283,11 @@ object Dedup {
     * (n_inter, n_union) from a linear merge-intersection.
     */
   private def verifyPairCounts(
-      cands: DataFrame, texts: DataFrame, threshold: Double, k: Int): DataFrame = {
-    val sh = shingleArrays(texts, k)
+      cands: DataFrame, texts: DataFrame, threshold: Double, k: Int): DataFrame =
+    verifyWithShingles(cands, shingleArrays(texts, k), threshold)
+
+  /** [[verifyPairCounts]] over a precomputed [[shingles]] frame. */
+  def verifyWithShingles(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val iu = udf((a: Seq[String], b: Seq[String]) =>
       interUnion(a.toIndexedSeq, b.toIndexedSeq))
     cands
