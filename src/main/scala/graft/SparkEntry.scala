@@ -522,6 +522,15 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) =>
       StreamStats.quantileContract(
         Ingest.fromEventsTable(s, dir), Seq(0.5, 0.9, 0.99))),
+    // -- Rolling window (last 5 events per stream): exact running
+    //    sum/min/max over a row-bounded frame — one shuffle, O(width)
+    //    state. DuckDB recomputes the identical frames.
+    "q_rolling" -> ((s, dir) => {
+      import s.implicits._
+      StreamStats.rolling(Ingest.fromEventsTable(s, dir), width = 5)
+        .select($"stream_id", ($"seq" + 1L).as("rn"), $"roll_n",
+          round($"roll_sum", 2).as("roll_sum"), $"roll_min", $"roll_max")
+    }),
     // -- Sessionization (6h inactivity gap): gaps-and-islands session
     //    index -> per-session rollup, two window passes on one shuffle.
     //    The oracle rebuilds the same islands with lag + running sum.
@@ -768,6 +777,20 @@ object SparkEntry {
       """SELECT user_id AS stream_id, p, true AS within_bound
         |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
         |GROUP BY user_id, p""".stripMargin,
+    // Rolling-window oracle: identical ROWS 4 PRECEDING frames.
+    "q_rolling" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events)
+        |SELECT user_id AS stream_id, rn,
+        |  count(*) OVER w AS roll_n,
+        |  round(sum(value) OVER w, 2) AS roll_sum,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max
+        |FROM r
+        |WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     // Sessionization oracle: identical gaps-and-islands in DuckDB
     // (break when gap >= 6h, matching session_window's half-open end).
     "q_sessions" ->

@@ -69,6 +69,26 @@ object StreamStats {
         element_at(array(probs.map(lit): _*), $"pi" + 1).as("p"), $"est")
   }
 
+  /** Per-stream rolling aggregates over the last `width` events
+    * (inclusive): running smoothing for dashboards and anomaly checks.
+    * One shuffle on streamId; the frame is row-bounded so state is
+    * O(width) per partition during the sort-based window scan. Emits
+    * the rolling count (ramps up over the first rows), the EXACT
+    * rolling sum, and rolling min/max.
+    */
+  def rolling(events: Dataset[Event], width: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"streamId").orderBy($"seq")
+      .rowsBetween(-(width - 1).toLong, Window.currentRow)
+    events.select(
+      $"streamId".as("stream_id"), $"seq", $"ts",
+      count(lit(1)).over(w).as("roll_n"),
+      sum($"value").over(w).as("roll_sum"),
+      min($"value").over(w).as("roll_min"),
+      max($"value").over(w).as("roll_max"))
+  }
+
   /** Self-checking contract surface for [[quantiles]]: the estimate's
     * RANK in the stream's exact value order must sit within the GK
     * sketch's guarantee (relative rank error 1/accuracy). The estimate
