@@ -259,6 +259,16 @@ object SparkEntry {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .select($"doc_id", $"split")
     }),
+    // Domain re-weighting: keep all of src0, half of src1, a quarter of
+    // src2, 10% of src3, 5% of everything else — deterministic portable
+    // membership the oracle recomputes row by row.
+    "q_mixture" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sampling.mixtureSample(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultRate = 0.05)
+        .select($"source", $"doc_id")
+    }),
     // -- PII scan over documents with deterministic injection: both
     //    engines append the same synthetic email/URL markers to a
     //    doc_id-derived subset, so the regex machinery is checked on
@@ -277,6 +287,29 @@ object SparkEntry {
       ops.TextAnalysis.analyze(docs(s, dir))),
     "q_quality" -> ((s, dir) =>
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
+    "q_repetition" -> ((s, dir) =>
+      ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // Decontamination: the "benchmark" is the deterministic doc_id%17
+    // subset of the corpus itself, so benchmark members are fully
+    // contaminated by construction and the oracle re-derives the same
+    // 5-gram overlap in SQL.
+    "q_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      ops.Contamination.flagContamination(d, d.filter($"doc_id" % 17 === 0))
+    }),
+    // Best-5 docs per source by quality score (bounded-heap reduction,
+    // not a full window sort; ties broken by doc_id so the oracle's
+    // row_number() reproduces ranks exactly).
+    "q_topk_source" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val q = ops.TextAnalysis.qualityScore(d).select($"doc_id", $"quality")
+        .join(d.select($"doc_id", $"source"), Seq("doc_id"))
+      ops.TopK.topKPerGroup(q, "source", "doc_id", "quality", 5)
+        .select($"group".as("source"), $"id".as("doc_id"),
+          $"rank".cast("long").as("rank"), $"value".as("quality"))
+    }),
     // Language ID with deterministic injection (the q_pii trick): the
     // corpus text is synthetic ASCII, so per-language stopword suffixes
     // are appended to doc_id-derived subsets to force non-trivial
@@ -842,6 +875,65 @@ object SparkEntry {
         |    + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
         |    + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
         |FROM t""".stripMargin,
+    // Gopher repetition signals. list_slice mirrors Spark's slice()
+    // exactly (1-based, begin>end -> empty), so short docs (< k tokens)
+    // yield empty k-gram lists and a 0 fraction on both sides.
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    list_transform(list_zip(list_slice(t, 1, len(t) - 1), list_slice(t, 2, len(t))),
+        |      p -> p[1] || ' ' || p[2]) AS b,
+        |    list_transform(list_zip(list_slice(t, 1, len(t) - 2), list_slice(t, 2, len(t) - 1),
+        |        list_slice(t, 3, len(t))),
+        |      p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tri
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(t)::BIGINT AS n_tokens,
+        |  round((len(t) - len(list_distinct(t)))::DOUBLE / greatest(len(t), 1), 4) AS dup_token_frac,
+        |  round((len(b) - len(list_distinct(b)))::DOUBLE / greatest(len(b), 1), 4) AS dup_bigram_frac,
+        |  round((len(tri) - len(list_distinct(tri)))::DOUBLE / greatest(len(tri), 1), 4) AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "q_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(list_zip(
+        |      list_slice(t, 1, len(t) - 4), list_slice(t, 2, len(t) - 3),
+        |      list_slice(t, 3, len(t) - 2), list_slice(t, 4, len(t) - 1),
+        |      list_slice(t, 5, len(t))),
+        |    p -> p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4] || ' ' || p[5])) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)),
+        |b AS (SELECT DISTINCT unnest(g) AS gram FROM d WHERE doc_id % 17 = 0),
+        |cg AS (SELECT doc_id, unnest(g) AS gram FROM d),
+        |ov AS (SELECT doc_id, count(*) AS n FROM cg WHERE gram IN (SELECT gram FROM b) GROUP BY doc_id)
+        |SELECT d.doc_id, len(g)::BIGINT AS n_grams,
+        |  coalesce(ov.n, 0)::BIGINT AS n_overlap_grams,
+        |  coalesce(ov.n, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN ov USING (doc_id)""".stripMargin,
+    "q_topk_source" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'], x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |    round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens::DOUBLE / 50.0, 1.0)
+        |      + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT d.source, q.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, q.doc_id) AS rank
+        |  FROM q JOIN documents d USING (doc_id))
+        |SELECT source, doc_id, rank, quality FROM r WHERE rank <= 5""".stripMargin,
     "q_fingerprint_groups" ->
       """SELECT doc_id,
         |min(doc_id) OVER (PARTITION BY concat_ws(' ', regexp_split_to_array(trim(text), '\s+'))) AS rep_id
@@ -966,6 +1058,15 @@ object SparkEntry {
         |  WHEN (doc_id * 2654435761) % 4294967296 < 3758096384 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // Thresholds are floor(rate * 2^32), matching Scala's .toLong.
+    "q_mixture" ->
+      """SELECT source, doc_id FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 < CASE source
+        |  WHEN 'src0' THEN 4294967296
+        |  WHEN 'src1' THEN 2147483648
+        |  WHEN 'src2' THEN 1073741824
+        |  WHEN 'src3' THEN 429496729
+        |  ELSE 214748364 END""".stripMargin,
     "q_heavy_hitters" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),

@@ -71,6 +71,30 @@ object Sampling {
     df.filter(hashKey(idCol) < (fraction * M32).toLong)
   }
 
+  /** Domain-mixture sampling: keep a per-domain deterministic fraction
+    * of rows (the "20% web, 100% books, 5% logs" re-weighting step of a
+    * training-data pipeline). Domains absent from `rates` fall back to
+    * `defaultRate`. Selection per row is `hashKey(id) <
+    * rate(domain) * 2^32` — the same portable formula as [[hashSample]],
+    * so an external engine recomputes the exact member set. The rate
+    * lookup folds into a literal CASE expression: one codegen'd filter
+    * over the scan, no shuffle, no RNG, no join.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates in [0,1]: $rates default=$defaultRate")
+    // Sorted fold: Map iteration order must not leak into the plan.
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * M32).toLong)) {
+      case (acc, (dom, r)) => when(col(domainCol) === dom, lit((r * M32).toLong)).otherwise(acc)
+    }
+    df.filter(hashKey(idCol) < thr)
+  }
+
   /** Deterministic train/validation/test split by hash-key range:
     * (label, row) with labels assigned by cumulative fraction bands.
     * Bands are disjoint and exhaustive, so every row appears exactly

@@ -79,6 +79,47 @@ object TextAnalysis {
       round((lenScore + tokLenScore + stopScore + punctScore) / 4.0, 4))
   }
 
+  // ----------------------------------------------------------- repetition
+
+  /** Gopher-style repetition signals (Rae et al. 2021, the duplicate
+    * n-gram filters): per document, the fraction of duplicate tokens,
+    * bigrams, and trigrams. `dup_frac(xs) = (|xs| - |distinct xs|) /
+    * max(|xs|, 1)` — 0 for fully novel text, → 1 for degenerate loops.
+    * All builtin array ops (split/slice/zip_with/array_distinct): one
+    * WholeStageCodegen pass over the scan, no shuffle, no UDF, O(doc
+    * length) per row — safe at any corpus scale.
+    */
+  /** Array of space-joined k-gram shingles over an already-split token
+    * array: the k shifted slices of length n-k+1, zipped. slice() with a
+    * clamped non-negative length is empty-safe for docs shorter than k.
+    * Pure builtins — stays inside WholeStageCodegen.
+    */
+  def tokenGrams(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"k-gram order must be >= 1: $k")
+    val m = greatest(size(tokens) - (k - 1), lit(0))
+    val shifted = (1 to k).map(i => slice(tokens, lit(i), m))
+    shifted.reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** Whitespace tokenization shared by the n-gram operators. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def repetitionSignals(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def dupFrac(arr: Column): Column =
+      round((size(arr) - size(array_distinct(arr))).cast("double") /
+        greatest(size(arr), lit(1)), 4)
+    val t = tokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), t.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        dupFrac(col("t")).as("dup_token_frac"),
+        dupFrac(tokenGrams(col("t"), 2)).as("dup_bigram_frac"),
+        dupFrac(tokenGrams(col("t"), 3)).as("dup_trigram_frac"))
+  }
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language stopword profiles (public common-word lists). */

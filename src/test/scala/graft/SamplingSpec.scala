@@ -49,6 +49,26 @@ class SamplingSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("negative id")))
   }
 
+  test("mixture sample: per-domain rates, shuffle-free, rate-1 domain kept whole") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val s = Sampling.mixtureSample(docs, "source", "doc_id", rates, defaultRate = 0.0)
+    val bySrc = s.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == full("src0"), "rate-1.0 domain must be kept in full")
+    assert(bySrc.getOrElse("src1", 0L) < full("src1"))
+    assert(bySrc.keySet.subsetOf(Set("src0", "src1")), "defaultRate=0 drops other domains")
+    // membership agrees with hashSample at the same rate within each domain
+    val viaHash = Sampling.hashSample(docs.filter($"source" === "src1"), "doc_id", 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val viaMix = s.filter($"source" === "src1")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMix == viaHash)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixtureSample should not shuffle:\n$plan")
+  }
+
   test("split: disjoint, exhaustive, dyadic fractions land exactly") {
     val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     assert(sp.count() == docs.count())

@@ -35,6 +35,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(1L) > q(2L))
   }
 
+  test("repetition signals: hand-computed fractions, short-doc safety") {
+    val df = Seq(
+      (1L, "a b a b c"), // 5 toks/3 distinct; bigrams {ab,ba,ab,bc}; trigrams all distinct
+      (2L, "x"),         // too short for any n-gram
+      (3L, "go go go go")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_token_frac"),
+         r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("dup_trigram_frac"))).toMap
+    assert(m(1L) == ((5L, 0.4, 0.25, 0.0)))
+    assert(m(2L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(m(3L) == ((4L, 0.75, round3(2.0 / 3), 0.5)))
+  }
+
+  private def round3(d: Double): Double = math.round(d * 10000) / 10000.0
+
   test("fingerprint: deterministic, order- and edit-sensitive") {
     assert(TextAnalysis.fingerprint("a b c") == TextAnalysis.fingerprint("a b c"))
     assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("c b a"))
