@@ -298,6 +298,20 @@ object SparkEntry {
       val d = docs(s, dir)
       ops.Contamination.flagContamination(d, d.filter($"doc_id" % 17 === 0))
     }),
+    // Sequence packing: 512-token packs over 8 hash shards — the
+    // oracle replays the identical shard/order/running-sum arithmetic.
+    "q_packing" -> ((s, dir) => {
+      import s.implicits._
+      val withTokens = docs(s, dir)
+        .select($"doc_id", ops.TextAnalysis.tokenCount($"text").cast("long").as("n_toks"))
+      ops.Packing.packSequences(withTokens, "n_toks", budget = 512L, nShards = 8)
+    }),
+    // Distinctive terms: top-3 per doc by tf/df with term tie-break.
+    "q_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      ops.TfIdf.topTerms(docs(s, dir), k = 3)
+        .withColumn("rank", $"rank".cast("long"))
+    }),
     // Best-5 docs per source by quality score (bounded-heap reduction,
     // not a full window sort; ties broken by doc_id so the oracle's
     // row_number() reproduces ranks exactly).
@@ -910,6 +924,34 @@ object SparkEntry {
         |  coalesce(ov.n, 0)::BIGINT AS n_overlap_grams,
         |  coalesce(ov.n, 0) > 0 AS contaminated
         |FROM d LEFT JOIN ov USING (doc_id)""".stripMargin,
+    "q_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t)
+        |SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+        |  (prev // 512)::BIGINT AS pack_id,
+        |  (prev % 512)::BIGINT AS pack_offset
+        |FROM s""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf::DOUBLE / df.df, 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_topk_source" ->
       """WITH t AS (
         |  SELECT doc_id,
