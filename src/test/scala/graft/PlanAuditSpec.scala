@@ -20,4 +20,24 @@ class PlanAuditSpec extends SparkSpec {
   test("flagship entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("contamination scan joins the corpus map-side against a broadcast gram set") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Contamination
+      .flagContamination(docs, docs.filter(col("doc_id") % 17 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus side must not shuffle for the semi-join:\n$plan")
+  }
+
+  test("sequence packing shuffles exactly once (on the shard key)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokenCount(col("text")).as("n_toks"))
+    val plan = graft.ops.Packing.packSequences(docs, "n_toks", 512L, 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
 }
