@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the canonical LLM training-data flow
+  * composed from this library's individually-oracled primitives —
+  * language ID → quality/repetition filtering → PII scrub → exact
+  * dedup → near-dedup (MinHash/LSH + connected components) →
+  * benchmark decontamination → domain re-weighting → sequence packing.
+  *
+  * Every stage is a doc_id-keyed filter or transform, so the whole
+  * pipeline is a chain of semi-joins over the (ever-shrinking) survivor
+  * set: at 100 TB the expensive stages (near-dedup banding, gram
+  * semi-join) already have sub-quadratic distributed shapes, and the
+  * cheap ones fold into scans. Stage order follows standard practice:
+  * cheap row-local filters first so the pairwise stages see the
+  * smallest possible corpus.
+  */
+object Curation {
+
+  /** Pipeline configuration; defaults are permissive enough for the
+    * synthetic corpora and illustrate every stage.
+    */
+  final case class Config(
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.0,
+      maxDupTrigramFrac: Double = 1.0,
+      nearDupThreshold: Double = 0.9,
+      mixtureRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      packBudget: Long = 2048L,
+      packShards: Int = 64)
+
+  /** Curated output: the packed corpus plus a per-stage survivor-count
+    * report (stage, rows) in pipeline order.
+    */
+  final case class Result(packed: DataFrame, report: Seq[(String, Long)])
+
+  /** Run the full pipeline. `benchmark` (optional) enables the
+    * decontamination stage. NOTE: the report counts force one action
+    * per stage — this is a curation job, not an interactive query; at
+    * scale the counts come free with each stage's shuffle anyway.
+    */
+  def curate(
+      docs: DataFrame,
+      cfg: Config = Config(),
+      benchmark: Option[DataFrame] = None): Result = {
+    val report = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      report += name -> df.count(); df
+    }
+
+    val input = stage("input", docs.select(col("doc_id"), col("text"), col("source")))
+
+    // 1. Row-local filters: language, quality, repetition — all scans.
+    val lang = TextAnalysis.languageId(input)
+      .filter(col("pred_lang").isInCollection(cfg.langs)).select("doc_id")
+    val quality = TextAnalysis.qualityScore(input)
+      .filter(col("quality") >= cfg.minQuality).select("doc_id")
+    val lowRep = TextAnalysis.repetitionSignals(input)
+      .filter(col("dup_trigram_frac") <= cfg.maxDupTrigramFrac).select("doc_id")
+    val filtered = stage("row_filters",
+      input.join(lang, "doc_id").join(quality, "doc_id").join(lowRep, "doc_id"))
+
+    // 2. PII scrub (transform, not a filter).
+    val scrubbed = TextAnalysis.scrubPii(filtered)
+
+    // 3. Exact dedup: keep the minimum doc_id of each normalized text.
+    val keepExact = Dedup.exactDedup(scrubbed).select(col("keep_id").as("doc_id"))
+    val exact = stage("exact_dedup", scrubbed.join(keepExact, "doc_id"))
+
+    // 4. Near-dedup: LSH candidate pairs -> verified pairs -> cluster
+    //    reps; drop every non-representative member.
+    val pairs = Dedup.nearDuplicatePairs(exact, threshold = cfg.nearDupThreshold)
+    val reps = Dedup.connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    val dropIds = reps.filter(col("doc_id") =!= col("rep_id")).select("doc_id")
+    val nearDeduped = stage("near_dedup", exact.join(dropIds, Seq("doc_id"), "left_anti"))
+
+    // 5. Decontamination (optional): drop docs sharing 5-grams with the
+    //    benchmark.
+    val clean = benchmark match {
+      case Some(b) =>
+        val flags = Contamination.flagContamination(nearDeduped, b)
+        stage("decontaminated",
+          nearDeduped.join(flags.filter(!col("contaminated")).select("doc_id"), "doc_id"))
+      case None => nearDeduped
+    }
+
+    // 6. Domain re-weighting, then 7. sequence packing.
+    val mixed = stage("mixture",
+      Sampling.mixtureSample(clean, "source", "doc_id", cfg.mixtureRates, cfg.defaultRate))
+    val packed = Packing.packSequences(
+      mixed.withColumn("n_toks", TextAnalysis.tokenCount(col("text")).cast("long")),
+      "n_toks", cfg.packBudget, cfg.packShards)
+    val out = stage("packed", packed)
+    Result(out, report.toSeq)
+  }
+}
