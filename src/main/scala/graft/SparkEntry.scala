@@ -289,6 +289,9 @@ object SparkEntry {
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // Sliding 40-token chunks every 20 (50% overlap).
+    "q_chunks" -> ((s, dir) =>
+      ops.TextAnalysis.chunk(docs(s, dir), width = 40, stride = 20)),
     // Decontamination: the "benchmark" is the deterministic doc_id%17
     // subset of the corpus itself, so benchmark members are fully
     // contaminated by construction and the oracle re-derives the same
@@ -909,6 +912,20 @@ object SparkEntry {
         |  round((len(b) - len(list_distinct(b)))::DOUBLE / greatest(len(b), 1), 4) AS dup_bigram_frac,
         |  round((len(tri) - len(list_distinct(tri)))::DOUBLE / greatest(len(tri), 1), 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+    // range() not generate_series: DuckDB's generate_series rejects
+    // lateral column arguments.
+    "q_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) <= 40 THEN 1
+        |         ELSE ((len(t) - 40 + 20 - 1) // 20) + 1 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(list_slice(t, i * 20 + 1, i * 20 + 40), ' ') AS chunk_text,
+        |  len(list_slice(t, i * 20 + 1, i * 20 + 40))::BIGINT AS n_chunk_tokens
+        |FROM c, unnest(range(0, n_chunks)) AS u(i)""".stripMargin,
     "q_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(list_transform(list_zip(

@@ -120,6 +120,38 @@ object TextAnalysis {
         dupFrac(tokenGrams(col("t"), 3)).as("dup_trigram_frac"))
   }
 
+  // -------------------------------------------------------------- chunking
+
+  /** Sliding-window text chunking: split each document into
+    * `width`-token chunks every `stride` tokens (overlap = width −
+    * stride) — the retrieval / embedding-prep step. Start positions are
+    * 0, stride, 2·stride, …, ceil((n−width)/stride)·stride, so the last
+    * chunk always reaches the final token and every token is covered.
+    * Output: (doc_id, chunk_id, chunk_text, n_chunk_tokens), one row
+    * per chunk. Pure builtins (sequence/transform/slice + posexplode):
+    * codegen'd, shuffle-free, output rows ≈ input tokens / stride.
+    */
+  def chunk(
+      docs: DataFrame, width: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width: width=$width stride=$stride")
+    val t = tokens(col(textCol))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), t.as("t"), size(t).as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= width, lit(1))
+          .otherwise(expr(s"(n - $width + $stride - 1) div $stride").cast("int") + 1))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("t"), i * stride + 1, lit(width)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language stopword profiles (public common-word lists). */

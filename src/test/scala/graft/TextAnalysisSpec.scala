@@ -51,6 +51,22 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def round3(d: Double): Double = math.round(d * 10000) / 10000.0
 
+  test("chunking: full coverage, stride overlap, short-doc single chunk") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(df, width = 4, stride = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))).toMap
+    assert(rows((1L, 0L)) == (("a b c d", 4L)))
+    assert(rows((1L, 1L)) == (("c d e f", 4L)))
+    assert(rows((1L, 2L)) == (("e f g h", 4L)))
+    assert(rows((1L, 3L)) == (("g h i j", 4L))) // last chunk reaches the final token
+    assert(rows((2L, 0L)) == (("x y", 2L)))     // short doc: one whole-doc chunk
+    assert(rows.size == 5)
+    // every token of doc 1 appears in some chunk
+    val covered = rows.collect { case ((1L, _), (txt, _)) => txt.split(" ") }.flatten.toSet
+    assert(covered == "a b c d e f g h i j".split(" ").toSet)
+  }
+
   test("fingerprint: deterministic, order- and edit-sensitive") {
     assert(TextAnalysis.fingerprint("a b c") == TextAnalysis.fingerprint("a b c"))
     assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("c b a"))
