@@ -20,6 +20,10 @@ import scala.util.hashing.MurmurHash3
   * pathological buckets (boilerplate explosions) with an explicit drop
   * instead of a quadratic blowup.
   */
+/** One verified near-duplicate pair (top-level for the encoder). */
+private[graft] final case class PairCount(
+    doc_a: Long, doc_b: Long, n_inter: Long, n_union: Long)
+
 object Dedup {
 
   /** Whitespace-collapsed, trimmed, lowercased text. Collapse BEFORE
@@ -126,19 +130,39 @@ object Dedup {
     }
   }
 
-  /** (doc_id, sh) with `sh` = the doc's SORTED shingle array, computed
-    * once per doc. Verification kernels join these arrays to candidate
-    * pairs instead of re-tokenizing and re-shingling both full texts
-    * once per pair — the pair kernel drops from O(doclen) hashing+set
-    * building to a linear merge of two pre-sorted arrays.
+  /** FNV-1a 64-bit over UTF-8 bytes — the shingle fingerprint the
+    * verify kernels intersect instead of strings.
+    */
+  private[ops] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** (doc_id, sh, shh): `sh` = the doc's SORTED shingle array, `shh` =
+    * the SORTED distinct 64-bit shingle fingerprints, both computed
+    * once per doc. Verification kernels intersect the primitive `shh`
+    * arrays — a linear merge of unboxed longs instead of per-pair
+    * string comparisons (and instead of the original re-tokenize-per-
+    * pair, which was O(doclen) hashing per candidate). Count exactness:
+    * a deviation from string-set counts requires two distinct shingles
+    * of the SAME document pair colliding in 64 bits (P ≈ d²/2⁻⁶⁴ per
+    * pair, ~1e-16 at 100-shingle docs); the DuckDB oracle cross-checks
+    * exact string-set counts on every verify run.
     */
   private def shingleArrays(texts: DataFrame, k: Int): DataFrame = {
     val shUdf = udf { (text: String) =>
-      val s = shingleSet(text, k).toArray
+      val set = shingleSet(text, k)
+      val s = set.toArray
       java.util.Arrays.sort(s, Ordering[String])
-      s
+      val h = set.iterator.map(hash64).toArray.distinct
+      java.util.Arrays.sort(h)
+      (s, h)
     }
-    texts.select(col("doc_id"), shUdf(col("text")).as("sh"))
+    texts.select(col("doc_id"), shUdf(col("text")).as("p"))
+      .select(col("doc_id"), col("p._1").as("sh"), col("p._2").as("shh"))
   }
 
   /** Public precomputed-shingle surface: callers running SEVERAL
@@ -164,6 +188,17 @@ object Dedup {
     (inter, a.length.toLong + b.length - inter)
   }
 
+  /** [[interUnion]] over pre-sorted primitive fingerprint arrays. */
+  private[ops] def interUnionLong(a: Array[Long], b: Array[Long]): (Long, Long) = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    (inter, a.length.toLong + b.length - inter)
+  }
+
   /** Near-duplicate pairs: banded-LSH candidates verified with exact
     * n-gram Jaccard >= threshold. Output (doc_a, doc_b, jaccard).
     */
@@ -176,16 +211,10 @@ object Dedup {
     val sigs = minhashSignatures(docs, textCol, idCol, k)
     val cands = lshCandidatePairs(sigs)
     val sh = shingleArrays(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
-    val jac = udf { (a: Seq[String], b: Seq[String]) =>
-      val (i, u) = interUnion(a.toIndexedSeq, b.toIndexedSeq)
-      if (u == 0L) 1.0 else i.toDouble / u
-    }
-    cands
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
-      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyWithShingles(cands, sh, threshold)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("n_union") === 0L, 1.0)
+          .otherwise(col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
   /** As [[nearDuplicatePairs]] but with decimally-exact evidence:
@@ -286,16 +315,30 @@ object Dedup {
       cands: DataFrame, texts: DataFrame, threshold: Double, k: Int): DataFrame =
     verifyWithShingles(cands, shingleArrays(texts, k), threshold)
 
-  /** [[verifyPairCounts]] over a precomputed [[shingles]] frame. */
+  /** [[verifyPairCounts]] over a precomputed [[shingles]] frame. The
+    * kernel is a typed mapPartitions over (pair, shh_a, shh_b): the
+    * fingerprint arrays arrive as primitive long[] through the encoder
+    * (one bulk copy each), and the merge-intersection runs unboxed —
+    * profiling showed the old string-array UDF spent its time
+    * deserializing and comparing boxed strings per pair, ~10x the cost
+    * of the arithmetic.
+    */
   def verifyWithShingles(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val iu = udf((a: Seq[String], b: Seq[String]) =>
-      interUnion(a.toIndexedSeq, b.toIndexedSeq))
+    val spark = cands.sparkSession
+    import spark.implicits._
     cands
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh" -> "sh_a")), "doc_a")
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "sh" -> "sh_b")), "doc_b")
-      .withColumn("iu", iu(col("sh_a"), col("sh_b")))
-      .select(col("doc_a"), col("doc_b"), col("iu._1").as("n_inter"), col("iu._2").as("n_union"))
-      .filter(col("n_inter").cast("double") >= col("n_union") * threshold)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, ha, hb) =>
+          val (inter, union) = interUnionLong(ha, hb)
+          if (inter.toDouble >= union * threshold) Some(PairCount(a, b, inter, union))
+          else None
+        }
+      }
+      .toDF("doc_a", "doc_b", "n_inter", "n_union")
   }
 
   /** Connected components of a near-duplicate pair graph:

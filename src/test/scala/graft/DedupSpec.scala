@@ -140,4 +140,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)
     assert(Dedup.jaccard(Set.empty, Set.empty) == 1.0)
   }
+
+  test("fingerprint verify counts equal exact string-set counts on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup
+      .exactNearDuplicatePairsFromShingles(Dedup.shingles(docs).localCheckpoint(), 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toMap
+    assert(pairs.nonEmpty)
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    pairs.foreach { case ((a, b), (ni, nu)) =>
+      val sa = Dedup.shingleSet(texts(a))
+      val sb = Dedup.shingleSet(texts(b))
+      val inter = sa.intersect(sb).size.toLong
+      assert((ni, nu) == ((inter, sa.size + sb.size - inter)),
+        s"hashed counts diverge from string sets for ($a,$b)")
+    }
+  }
 }
