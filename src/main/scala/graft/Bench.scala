@@ -25,6 +25,25 @@ object Bench {
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
 
+    // Steady-state warm-up for the ingest line — the same protocol the
+    // per-query timings already use (one untimed execution first). A
+    // tiny synthetic stream compiles the rank/summarize/landmark
+    // codegen and warms the JIT; the timed materialization below still
+    // pays the full real-data IO and shuffle. Without this the ingest
+    // figure is dominated by one-time JVM+codegen cost (~18s of a ~21s
+    // reading at sf0.1, vs ~2s steady-state).
+    try {
+      import spark.implicits._
+      val warm = graft.core.Ingest.prepare(
+        spark.range(10000L).select(($"id" % 5L).as("streamId"), $"id".as("ts"),
+          ($"id" % 7L).cast("double").as("value"), $"id".as("arrival")))
+      graft.core.Summarizer
+        .summarize(warm, graft.windowing.ExponentialWindowing(2.0)).count()
+      val (wl, wm) = graft.core.Summarizer.summarizeWithLandmarks(
+        warm, graft.windowing.ExponentialWindowing(2.0), Seq((100L, 200L)))
+      wl.count(); wm.count()
+    } catch { case _: Throwable => () } // warm-up must never fail the bench
+
     // Pipeline materialization: events -> summary/landmark tables. A
     // failure here must still produce the JSON line (with an error
     // entry), never a bare crash the driver can't parse.

@@ -26,6 +26,27 @@ object Profile {
       r
     }
 
+    // Ingest pipeline breakdown (the bench's single biggest line).
+    {
+      import graft.core._
+      import graft.windowing.ExponentialWindowing
+      for (round <- 1 to 2) {
+        val events = time(s"ingest[$round]: rank events") {
+          val e = Ingest.fromEventsTable(spark, sfDir).persist(); e.count(); e
+        }
+        time(s"ingest[$round]: summarize") {
+          Summarizer.summarize(events, ExponentialWindowing(2.0)).count()
+        }
+        time(s"ingest[$round]: with landmarks") {
+          val (lm, l) = Summarizer.summarizeWithLandmarks(
+            events, ExponentialWindowing(2.0),
+            Seq((1704412800000000L, 1704671999999999L)))
+          lm.count(); l.count()
+        }
+        events.unpersist()
+      }
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[profile] docs = ${docs.count()}")
 
