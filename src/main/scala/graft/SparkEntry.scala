@@ -572,6 +572,11 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) =>
       StreamStats.quantileContract(
         Ingest.fromEventsTable(s, dir), Seq(0.5, 0.9, 0.99))),
+    // -- Windowed distinct-count summaries: per-window HLL sketches
+    //    merged across the whole stream must land within 5% of exact —
+    //    proving the partial/final decomposition through real windows.
+    "q_distinct_sketch" -> ((s, dir) =>
+      DistinctSummary.distinctContract(Ingest.fromEventsTable(s, dir), Spec)),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -820,6 +825,8 @@ object SparkEntry {
     "q_distinct_exact" ->
       "SELECT user_id AS stream_id, count(DISTINCT event_type) AS n_distinct FROM events GROUP BY user_id",
     "q_approx_distinct" ->
+      "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
+    "q_distinct_sketch" ->
       "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
     // GK-sketch rank-error contract: the exact engine confirms every
     // (stream, probability) row is in-bound (see quantileContract).

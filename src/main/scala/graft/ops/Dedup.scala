@@ -356,7 +356,8 @@ object Dedup {
     * which halves diameter per round at the cost of a more complex
     * join pattern.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 50, smallGraphEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -364,6 +365,33 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist()
+    // Adaptive execution: near-dup pair graphs are usually tiny relative
+    // to their corpus (dedup found FEW duplicates, or the corpus was
+    // already clean). Below the threshold (~32 MB of edge longs at the
+    // default) a driver-side union-find answers in milliseconds instead
+    // of diameter-many distributed rounds of two actions each; the
+    // label-propagation path below remains the at-scale shape. Both
+    // produce rep = min reachable id, bit-identical.
+    val nEdges = edges.count()
+    if (nEdges <= smallGraphEdges) {
+      try {
+        val parent = collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+        }
+        val rows = parent.keysIterator.map(n => (n, find(n))).toSeq
+        return spark.createDataset(rows).toDF("doc_id", "rep_id")
+      } finally edges.unpersist()
+    }
     var labels = edges.select($"a".as("doc_id")).distinct()
       .withColumn("rep_id", $"doc_id")
       .persist()

@@ -135,6 +135,19 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("union-find fast path == distributed label propagation on random graphs") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.connectedComponents(pairs, smallGraphEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist)
+  }
+
   test("jaccard kernel") {
     assert(Dedup.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
     assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)

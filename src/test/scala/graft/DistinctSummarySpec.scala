@@ -1,0 +1,47 @@
+package graft
+
+import graft.core._
+import graft.windowing.ExponentialWindowing
+import org.apache.spark.sql.functions._
+
+class DistinctSummarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val exp2 = ExponentialWindowing(2.0)
+
+  private def stream(values: Seq[Double], sid: Long = 7L) =
+    spark.createDataset(values.zipWithIndex.map { case (v, i) =>
+      Event(sid, i.toLong, i.toLong * 10, v)
+    })
+
+  test("windowed sketches merge to the exact distinct count at small cardinality") {
+    val values = Seq(1.0, 2.0, 3.0, 1.0, 2.0, 4.0, 5.0, 1.0, 6.0, 7.0, 2.0, 8.0)
+    val sk = DistinctSummary.summarize(stream(values), exp2)
+    // windows follow the canonical decay partition of n=12
+    val expectedWindows = graft.windowing.DecayModel.windowStarts(exp2, values.size.toLong).length
+    assert(sk.count() == expectedWindows)
+    val est = DistinctSummary.rangeDistinct(sk).collect().head.getAs[Long]("approx_distinct")
+    assert(est == values.distinct.size.toLong,
+      s"HLL is exact in sparse mode: est=$est exact=${values.distinct.size}")
+  }
+
+  test("range filter prunes windows; whole-stream union sees every element") {
+    val values = (1 to 64).map(_.toDouble)
+    val sk = DistinctSummary.summarize(stream(values), exp2).persist()
+    val all = DistinctSummary.rangeDistinct(sk).collect().head.getAs[Long]("approx_distinct")
+    assert(math.abs(all - 64.0) <= 64.0 * 0.05)
+    // a prefix time range touches fewer windows
+    val some = DistinctSummary.rangeDistinct(sk, t0 = 0L, t1 = 100L)
+      .collect().head.getAs[Long]("approx_distinct")
+    assert(some <= all)
+    sk.unpersist()
+  }
+
+  test("contract holds on the real events table") {
+    val events = Ingest.fromEventsTable(spark, "/root/testdata/sf0.001")
+    val rows = DistinctSummary.distinctContract(events, exp2).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")),
+      "merged window sketches drifted beyond tolerance")
+  }
+}
