@@ -93,4 +93,34 @@ object Compactor {
     import spark.implicits._
     fineWindows(batch, baseCount.toSeq.toDF("streamId", "n"))
   }
+
+  /** [[recoarsen]] for the distinct-count summary table
+    * ([[DistinctSummary.summarize]] schema): HLL sketches are mergeable
+    * monoids like count/sum/max, so decay maintenance is the same
+    * groupBy-the-new-partition with `hll_union_agg` as the aggregate.
+    * Input windows must nest into the canonical partition for each
+    * stream's current element count, exactly as for scalar windows.
+    */
+  def recoarsenDistinct(
+      sketches: org.apache.spark.sql.DataFrame,
+      specOf: Long => WindowingSpec,
+      bufferSize: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, cs: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
+    sketches
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"te").as("te"),
+        min($"cs").as("cs"),
+        max($"ce").as("ce"),
+        hll_union_agg($"sketch", lit(false)).as("sketch"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
+  }
 }

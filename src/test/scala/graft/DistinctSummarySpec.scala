@@ -37,6 +37,27 @@ class DistinctSummarySpec extends SparkSpec {
     sk.unpersist()
   }
 
+  test("recoarsenDistinct: per-element sketches re-merge to the canonical partition") {
+    val values = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0)
+    val events = stream(values)
+    val fine = events.toDF()
+      .groupBy($"streamId", $"seq")
+      .agg(min($"ts").as("ts"), max($"ts").as("te"),
+        min($"seq").as("cs"), max($"seq").as("ce"),
+        hll_sketch_agg($"value".cast("string"), lit(12)).as("sketch"))
+      .drop("seq")
+    val localSpec = ExponentialWindowing(2.0) // local: the closure must not drag the suite in
+    val re = Compactor.recoarsenDistinct(fine, _ => localSpec)
+      .withColumn("est", hll_sketch_estimate($"sketch").cast("long"))
+      .select($"cs", $"ce", $"est").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = DistinctSummary.summarize(events, exp2)
+      .withColumn("est", hll_sketch_estimate($"sketch").cast("long"))
+      .select($"cs", $"ce", $"est").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == direct, s"recoarsened $re != direct $direct")
+  }
+
   test("contract holds on the real events table") {
     val events = Ingest.fromEventsTable(spark, "/root/testdata/sf0.001")
     val rows = DistinctSummary.distinctContract(events, exp2).collect()
