@@ -73,7 +73,32 @@ object SummaryRewrite {
 
   def unregister(eventsPath: String): Unit = { registry.remove(Set(norm(eventsPath))); dfCache.clear() }
   def unregisterSet(key: Set[String]): Unit = { registry.remove(key); dfCache.clear() }
-  def clear(): Unit = { registry.clear(); dfCache.clear() }
+  def clear(): Unit = { registry.clear(); distinctRegistry.clear(); dfCache.clear() }
+
+  // Events root-path set -> windowed DistinctSummary sketch parquet
+  // (same keying discipline as `registry`).
+  private val distinctRegistry = new ConcurrentHashMap[Set[String], String]()
+
+  /** Pair a raw-events parquet location with its [[graft.core.DistinctSummary]]
+    * sketch parquet, enabling the distinct-count rewrite (approximate
+    * mode only).
+    */
+  def registerDistinct(eventsPath: String, sketchPath: String): Unit = {
+    distinctRegistry.put(Set(norm(eventsPath)), norm(sketchPath))
+    dfCache.clear()
+  }
+
+  def unregisterDistinct(eventsPath: String): Unit = {
+    distinctRegistry.remove(Set(norm(eventsPath)))
+    dfCache.clear()
+  }
+
+  private[plans] def sketchFor(relation: LogicalRelation): Option[String] =
+    relation.relation match {
+      case fs: HadoopFsRelation =>
+        Option(distinctRegistry.get(fs.location.rootPaths.map(p => norm(p.toString)).toSet))
+      case _ => None
+    }
 
   // Resolved summary relation per (session, normalized path). The
   // loader (file listing + schema read + analysis) would otherwise run
@@ -145,13 +170,15 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
       unwrap(child) match {
         case Some((rel, filterCond)) =>
-          SummaryRewrite.summaryFor(rel) match {
-            case Some(summaryPath) =>
+          SummaryRewrite.summaryFor(rel)
+            .flatMap { summaryPath =>
               rewrite(agg, groupExprs, aggExprs, rel, filterCond, summaryPath)
                 .orElse(rewriteApprox(groupExprs, aggExprs, rel, filterCond, summaryPath))
-                .getOrElse(agg)
-            case None => agg
-          }
+            }
+            .orElse(SummaryRewrite.sketchFor(rel).flatMap { sketchPath =>
+              rewriteDistinct(groupExprs, aggExprs, rel, filterCond, sketchPath)
+            })
+            .getOrElse(agg)
         case None => agg
       }
   }
@@ -425,6 +452,87 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       }
       Some(Aggregate(Nil, newAggs, filtered, None))
     }
+  }
+
+  /** Distinct-count rewrite (only under [[ApproximateConf]], and only
+    * for relations paired via `registerDistinct`):
+    *
+    *   events.groupBy("streamId").agg(approx_count_distinct("value"))
+    *   events.agg(countDistinct("value"))          // global forms too
+    *
+    * optionally under a streamId-only filter, are re-planned onto the
+    * windowed [[graft.core.DistinctSummary]] sketch table: per stream,
+    * `hll_union_agg` merges the O(log N) window sketches and
+    * `hll_sketch_estimate` answers — O(log N) window rows read instead
+    * of every raw element. The answer is a Datasketches-HLL estimate
+    * where the raw plan computed HLL++ (approx) or an exact distinct —
+    * the flag's documented estimate-for-exact trade. ts-range
+    * predicates bail (windows are the storage resolution).
+    */
+  private def rewriteDistinct(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      rel: LogicalRelation,
+      filterCond: Option[Expression],
+      sketchPath: String): Option[LogicalPlan] = {
+    if (spark.conf.get(ApproximateConf, "false") != "true") return None
+    val evStreamOpt = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => Some(a)
+      case Seq()                                              => None
+      case _                                                  => return None
+    }
+    val rawStream = evStreamOpt.orElse(
+      rel.output.collectFirst { case a: AttributeReference if a.name == "streamId" => a })
+      .getOrElse(return None)
+    if (filterCond.exists(c =>
+        !c.references.subsetOf(AttributeSet(Seq(rawStream))) || !c.deterministic))
+      return None
+
+    // Output shape: bare streamId and/or distinct-counts of `value`
+    // (both count(DISTINCT value) and approx_count_distinct(value)).
+    val wants: Seq[(String, NamedExpression)] = aggExprs.map {
+      case a: AttributeReference if evStreamOpt.exists(a.semanticEquals) => ("sid", a)
+      case al @ Alias(AggregateExpression(af, Complete, isDistinct, None, _), _) =>
+        af match {
+          case h: HyperLogLogPlusPlus if !isDistinct =>
+            h.child match {
+              case v: AttributeReference if v.name == "value" => ("dist", al)
+              case _                                          => return None
+            }
+          case Count(Seq(v: AttributeReference)) if isDistinct && v.name == "value" =>
+            ("dist", al)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (!wants.exists(_._1 == "dist")) return None
+
+    import org.apache.spark.sql.functions.{coalesce, col, hll_sketch_estimate, hll_union_agg}
+    val skDf = SummaryRewrite.summaryDf(spark, sketchPath)
+    if (!skDf.columns.contains("sketch") || !skDf.columns.contains("streamId")) return None
+    val est = hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).cast("long")
+    val isGlobal = evStreamOpt.isEmpty
+    val df =
+      if (isGlobal)
+        // Empty sketch table: distinct over zero rows is 0, not null.
+        skDf.agg(coalesce(est, lit(0L)).as("__d"))
+      else
+        skDf.groupBy(col("streamId").as("__sid")).agg(est.as("__d"))
+    val out = df.queryExecution.analyzed
+    def attr(n: String): AttributeReference =
+      out.output.collectFirst { case a: AttributeReference if a.name == n => a }.get
+    val filtered = filterCond match {
+      case Some(c) =>
+        Filter(
+          c.transform { case a: AttributeReference if a.semanticEquals(rawStream) => attr("__sid") },
+          out)
+      case None => out
+    }
+    val projected = wants.map {
+      case ("sid", a)            => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+      case (_, al)               => Alias(attr("__d"), al.name)(exprId = al.exprId)
+    }
+    Some(Project(projected, filtered))
   }
 }
 

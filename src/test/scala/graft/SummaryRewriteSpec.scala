@@ -310,4 +310,55 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(scannedPaths(q3).contains("/events/"), "landmarked store must not rewrite")
     assert(q3.agg(sum($"n")).head().getLong(0) == 900L)
   }
+
+  test("distinct rewrite: distinct counts come from the sketch table under the flag") {
+    val sketchPath = s"$base/sketches"
+    val events = spark.read.parquet(eventsPath).as[Event]
+    graft.core.DistinctSummary.summarize(events, ExponentialWindowing(2.0))
+      .write.mode("overwrite").parquet(sketchPath)
+    SummaryRewrite.registerDistinct(eventsPath, sketchPath)
+    val raw = spark.read.parquet(eventsPath)
+    // Exact per-stream / global distinct with no rule interference
+    // (cardinality 101 is deep in HLL sparse mode, so the sketch
+    // estimates are exactly equal — equality, not tolerance, below).
+    SummaryRewrite.unregisterDistinct(eventsPath)
+    val exactPer = raw.groupBy($"streamId").agg(countDistinct($"value").as("d"))
+      .orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exactGlobal = raw.agg(countDistinct($"value")).head().getLong(0)
+    SummaryRewrite.registerDistinct(eventsPath, sketchPath)
+    try {
+      // Flag off: no rewrite.
+      val qOff = raw.groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
+      assert(scannedPaths(qOff).contains("/events"), "must not rewrite without the flag")
+      spark.conf.set("spark.graft.rewrite.approximate", "true")
+      // Grouped approx_count_distinct.
+      val q = raw.groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
+      val plan = scannedPaths(q)
+      assert(plan.contains("sketches") && !plan.contains("/events"),
+        s"sketch table not scanned:\n$plan")
+      assert(q.orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == exactPer)
+      // Global count(DISTINCT).
+      val g = raw.agg(countDistinct($"value").as("d"))
+      if (scannedPaths(g).contains("sketches")) // matched before distinct expansion
+        assert(g.head().getLong(0) == exactGlobal)
+      // Global approx_count_distinct always matches (never expanded).
+      val ga = raw.agg(approx_count_distinct($"value").as("d"))
+      assert(scannedPaths(ga).contains("sketches"), scannedPaths(ga))
+      assert(ga.head().getLong(0) == exactGlobal)
+      // streamId-only filter transplants.
+      val f = raw.filter($"streamId" === 3L)
+        .groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
+      assert(scannedPaths(f).contains("sketches"), scannedPaths(f))
+      assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == exactPer.filter(_._1 == 3L))
+      // ts-range predicates bail to the raw scan.
+      val t = raw.filter($"ts" < 1000L)
+        .groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
+      assert(scannedPaths(t).contains("/events"), "ts filter must not rewrite")
+    } finally {
+      spark.conf.unset("spark.graft.rewrite.approximate")
+      SummaryRewrite.unregisterDistinct(eventsPath)
+    }
+  }
 }
