@@ -27,16 +27,28 @@ object DistinctSummary {
       events: Dataset[Event],
       spec: WindowingSpec,
       lgK: Int = 12,
+      bufferSize: Long = 0L): DataFrame =
+    summarizePerStream(events, _ => spec, lgK, bufferSize)
+
+  /** As [[summarize]] with per-stream decay policies (the catalog's
+    * `specOf`, like [[Summarizer.summarizePerStream]]). Canonical
+    * output schema (streamId, ts, te, cs, ce, sketch) — the same shape
+    * [[Compactor.recoarsenDistinct]] maintains.
+    */
+  def summarizePerStream(
+      events: Dataset[Event],
+      specOf: Long => WindowingSpec,
+      lgK: Int = 12,
       bufferSize: Long = 0L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
     val bs = bufferSize
-    val widOf = udf((n: Long, seq: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(spec, n, bs), seq))
+    val widOf = udf((sid: Long, n: Long, seq: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
     events
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"n", $"seq"))
+      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -44,6 +56,7 @@ object DistinctSummary {
         min($"seq").as("cs"),
         max($"seq").as("ce"),
         hll_sketch_agg($"value".cast("string"), lit(lgK)).as("sketch"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
   }
 
   /** Merge a stream's window sketches over [t0, t1] (overlap predicate

@@ -261,6 +261,10 @@ final class SummaryDB private (
     if (all.nonEmpty || streamLandmarks.nonEmpty || forceRecompute)
       refreshSummaries(all, includeUncommittedTag = Some(tag))
     else appendIncremental(prepared)
+    // Distinct sketches rank over ALL elements (landmark diversion
+    // never removes a value from the distinct set), so the incremental
+    // path applies even to landmarked stores.
+    if (distinctEnabled) appendIncrementalDistinct(prepared)
     // The summaries now reflect this batch: commit it. A crash before
     // this line leaves an unmarked events/<tag> dir that readEvents
     // skips, so a later recompute can never resurrect a batch the
@@ -269,6 +273,7 @@ final class SummaryDB private (
     fs.mkdirs(new Path(p("commits")))
     fs.create(new Path(p("commits"), tag), true).close()
     refreshRewriteRegistration()
+    refreshDistinctRegistration()
   }
 
   /** Old summary + fine windows of the (already clamped) batch ->
@@ -391,6 +396,68 @@ final class SummaryDB private (
       currentVersion("summary_windows") match {
         case Some(sv) if dirs.nonEmpty && storedIntervals.isEmpty =>
           Some(graft.plans.SummaryRewrite.registerSet(dirs.map(_.toString), sv.toString))
+        case _ => None
+      }
+    }
+  }
+
+  // -------------------------------------------- distinct sketch hookup
+
+  private var distinctEnabled = false
+  private var distinctKey: Option[Set[String]] = None
+
+  /** Maintain a windowed HLL distinct-count table
+    * ([[DistinctSummary]] schema) alongside the scalar summaries and
+    * keep it paired for the distinct-count rewrite: with the
+    * approximate flag on, `approx_count_distinct`/`count(DISTINCT
+    * value)` over [[rawEvents]] read O(log N) sketch rows. Incremental:
+    * appends union per-element sketches and re-coarsen
+    * ([[Compactor.recoarsenDistinct]]) — no full-corpus recompute.
+    */
+  def enableDistinctSummaries(): Unit = {
+    distinctEnabled = true
+    graft.plans.SummaryRewrite.install(spark)
+    val events = readEvents()
+    writeVersioned("distinct_sketches",
+      DistinctSummary.summarizePerStream(events, specOf)
+        .write.mode(SaveMode.Overwrite).parquet(_))
+    refreshDistinctRegistration()
+  }
+
+  /** The current sketch table (empty schema-stable frame before any
+    * data).
+    */
+  def distinctSketches: org.apache.spark.sql.DataFrame =
+    currentVersion("distinct_sketches")
+      .map(v => spark.read.parquet(v.toString))
+      .getOrElse(DistinctSummary.summarizePerStream(spark.emptyDataset[Event], specOf))
+
+  private def appendIncrementalDistinct(prepared: Dataset[Event]): Unit = {
+    val old = distinctSketches.persist()
+    try {
+      val baseCounts = old.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+      val fine = prepared.toDF()
+        .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
+        .select($"streamId", $"ts", $"ts".as("te"),
+          ($"seq" + coalesce($"base", lit(0L))).as("cs"),
+          ($"seq" + coalesce($"base", lit(0L))).as("ce"), $"value")
+        .groupBy($"streamId", $"ts", $"te", $"cs", $"ce")
+        .agg(org.apache.spark.sql.functions
+          .hll_sketch_agg($"value".cast("string"), lit(12)).as("sketch"))
+        .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
+      val next = Compactor.recoarsenDistinct(old.unionByName(fine), specOf)
+      writeVersioned("distinct_sketches",
+        next.write.mode(SaveMode.Overwrite).parquet(_))
+    } finally old.unpersist()
+  }
+
+  private def refreshDistinctRegistration(): Unit = if (distinctEnabled) {
+    distinctKey.foreach(graft.plans.SummaryRewrite.unregisterDistinctSet)
+    distinctKey = {
+      val dirs = committedEventDirs()
+      currentVersion("distinct_sketches") match {
+        case Some(sv) if dirs.nonEmpty =>
+          Some(graft.plans.SummaryRewrite.registerDistinctSet(dirs.map(_.toString), sv.toString))
         case _ => None
       }
     }

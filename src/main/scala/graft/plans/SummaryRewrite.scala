@@ -84,12 +84,23 @@ object SummaryRewrite {
     * mode only).
     */
   def registerDistinct(eventsPath: String, sketchPath: String): Unit = {
-    distinctRegistry.put(Set(norm(eventsPath)), norm(sketchPath))
-    dfCache.clear()
+    registerDistinctSet(Seq(eventsPath), sketchPath); ()
   }
 
-  def unregisterDistinct(eventsPath: String): Unit = {
-    distinctRegistry.remove(Set(norm(eventsPath)))
+  /** Multi-directory variant (a store's committed batch dirs), like
+    * [[registerSet]].
+    */
+  def registerDistinctSet(eventsPaths: Seq[String], sketchPath: String): Set[String] = {
+    val key = eventsPaths.map(norm).toSet
+    distinctRegistry.put(key, norm(sketchPath))
+    dfCache.clear()
+    key
+  }
+
+  def unregisterDistinct(eventsPath: String): Unit = unregisterDistinctSet(Set(norm(eventsPath)))
+
+  def unregisterDistinctSet(key: Set[String]): Unit = {
+    distinctRegistry.remove(key)
     dfCache.clear()
   }
 

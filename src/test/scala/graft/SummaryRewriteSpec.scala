@@ -311,6 +311,40 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(q3.agg(sum($"n")).head().getLong(0) == 900L)
   }
 
+  test("SummaryDB distinct integration: sketches track appends incrementally") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_rewrite_dsk").toString
+    val db = graft.core.SummaryDB.open(spark, dbDir)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(($"id" % 3L).as("streamId"), expr("id div 3").as("seq"),
+        (expr("id div 3") * 5).as("ts"), ($"id" % 13L).cast("double").as("value"))
+      .as[graft.core.Event]
+    db.append(batch(0, 600))
+    db.enableDistinctSummaries()
+    spark.conf.set("spark.graft.rewrite.approximate", "true")
+    try {
+      def q = db.rawEvents.groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
+      def exact = db.rawEvents.groupBy($"streamId").agg(countDistinct($"value").as("d"))
+        .orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(scannedPaths(q).contains("distinct_sketches"), scannedPaths(q))
+      assert(q.orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == exact)
+      // Incremental append: the sketch table follows without a recompute
+      // and answers the grown distinct set exactly (sparse mode).
+      db.append(batch(600, 1200))
+      assert(scannedPaths(q).contains("distinct_sketches"), "registration lost after append")
+      assert(q.orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == exact)
+      // Landmarks unregister the scalar rewrite but NOT the distinct one
+      // (diverted elements stay in the distinct set).
+      db.newLandmark(0L, 100L, 200L)
+      db.append(batch(1200, 1500))
+      assert(scannedPaths(q).contains("distinct_sketches"),
+        "landmarked store must still answer distinct from sketches")
+      assert(q.orderBy($"streamId").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == exact)
+    } finally spark.conf.unset("spark.graft.rewrite.approximate")
+  }
+
   test("distinct rewrite: distinct counts come from the sketch table under the flag") {
     val sketchPath = s"$base/sketches"
     val events = spark.read.parquet(eventsPath).as[Event]
