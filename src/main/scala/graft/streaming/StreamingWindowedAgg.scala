@@ -43,11 +43,17 @@ object StreamingWindowedAgg {
         count(lit(1)).as("n"),
         sum($"value").as("sum"),
         max($"value").as("max"),
-        min($"value").as("min"))
+        min($"value").as("min"),
+        // The streaming face of DistinctSummary: the same mergeable HLL
+        // partial per (stream, window), so a sink can union bucket
+        // sketches later exactly like the batch sketch table.
+        hll_sketch_agg($"value".cast("string"), lit(12)).as("sketch"))
       .select(
         $"stream_id",
         unix_micros($"window.start").as("ws"),
         unix_micros($"window.end").as("we"),
-        $"n", $"sum", $"max", $"min")
+        $"n", $"sum", $"max", $"min",
+        hll_sketch_estimate($"sketch").cast("long").as("n_distinct"),
+        $"sketch")
   }
 }

@@ -37,15 +37,15 @@ class StreamingWindowedAggSpec extends SparkSpec {
       q.processAllAvailable()
 
       val rows = spark.table("wtumble")
-        .select($"stream_id", $"ws", $"we", $"n", $"sum", $"max", $"min")
+        .select($"stream_id", $"ws", $"we", $"n", $"sum", $"max", $"min", $"n_distinct")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
         .sortBy(_._2)
-      // [0,10): the 3 on-time events only (late 100.0 dropped);
-      // [20,30): the single 8.0 event. [40,50) is still open.
+      // [0,10): the 3 on-time events only (late 100.0 dropped), three
+      // distinct values; [20,30): the single 8.0 event. [40,50) open.
       assert(rows.toSeq == Seq(
-        (1L, 0L, 10 * Sec, 3L, 7.0, 4.0, 1.0),
-        (1L, 20 * Sec, 30 * Sec, 1L, 8.0, 8.0, 8.0)))
+        (1L, 0L, 10 * Sec, 3L, 7.0, 4.0, 1.0, 3L),
+        (1L, 20 * Sec, 30 * Sec, 1L, 8.0, 8.0, 8.0, 1L)))
     } finally q.stop()
   }
 
