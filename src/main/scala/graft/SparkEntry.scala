@@ -385,11 +385,25 @@ object SparkEntry {
       ops.Similarity.topK(e, e.filter($"vec_id" < 50), k = 10)
         .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
     }),
+    // ANN output contract (upgrades the old rows-only check): the
+    // neighbor SET is seed-dependent, but three things are not — every
+    // query returns a full k (the (query_id, rank) grid IS the oracle's
+    // row set), every reported score equals the exact cosine of its
+    // pair recomputed from the vectors, and displayed scores are
+    // non-increasing by rank. A broken kernel, heap, or ranking flips
+    // `ok` or changes the grid; both hash-mismatch.
     "q_ann_knn" -> ((s, dir) => {
       import s.implicits._
       val e = embs(s, dir)
-      ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
-        .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))
+      val ann = ops.Similarity.annTopK(e, e.filter($"vec_id" < 50), k = 10, tables = 32, bits = 4)
+      val qv = e.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val nv = e.select($"vec_id".as("neighbor_id"), $"embedding".as("nvec"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id").orderBy($"rank")
+      ann.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+        .withColumn("exact", round(ops.Similarity.cosineCol(s, $"qvec", $"nvec"), 4))
+        .withColumn("prev", lag($"score", 1).over(w))
+        .select($"query_id", $"rank".cast("long").as("rank"),
+          ($"score" === $"exact" && ($"prev".isNull || $"prev" >= $"score")).as("ok"))
     }),
     // ANN recall contract (the q_approx_distinct pattern): per query,
     // the seeded-LSH top-10 must recover >= 6 of the exact top-10.
@@ -1088,6 +1102,13 @@ object SparkEntry {
          |SELECT a AS doc_id, min(b) AS rep_id FROM walk GROUP BY a""".stripMargin,
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    // ANN score/shape contract: Spark self-checks its output (scores
+    // equal exact pair cosines, non-increasing by rank); the oracle
+    // pins the all-true grid of (query, rank 1..10).
+    "q_ann_knn" ->
+      """SELECT vec_id AS query_id, r AS rank, true AS ok
+        |FROM embeddings, unnest(range(1, 11)) AS u(r)
+        |WHERE vec_id < 50""".stripMargin,
     // Same injection as the Spark side (DuckDB list_transform indices
     // are 1-based, Spark's 0-based — both address the LAST component),
     // then the exact all-pairs cosine >= 0.9 pair set over the union.
