@@ -71,15 +71,23 @@ object Clustering {
     while (it < iters) {
       val assigned = assign(centers)
       // Per-dimension means via posexplode — one shuffle keyed by
-      // (cluster, dim), partial aggregation on the map side. Summed as
-      // DECIMAL: decimal addition is exact and associative, so the mean
-      // is independent of partitioning and shuffle-combine order —
-      // double sums are not, and a low-bit difference can flip a
-      // near-tied assignment, breaking the determinism contract.
+      // (cluster, dim), partial aggregation on the map side. Summed in
+      // FIXED-POINT (per-element scale to 2^24 then a long sum): like
+      // the previous decimal(30,12) sums, integer addition is exact and
+      // associative, so the mean is independent of partitioning and
+      // shuffle-combine order (double sums are not, and a low-bit
+      // difference can flip a near-tied assignment, breaking the
+      // determinism contract) — but long aggregation stays in codegen
+      // while precision-30 decimal falls back to BigDecimal, which
+      // dominated the iteration cost. The 2^-24 per-element rounding is
+      // itself deterministic; headroom: |x| <= ~1 scaled by 2^24 over
+      // ~2^39 elements per (cluster, dim) before overflow.
+      val Scale = (1L << 24).toDouble
       val means = assigned
         .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cluster", $"dim")
-        .agg((sum($"x".cast("decimal(30,12)")) / count(lit(1))).cast("double").as("m"))
+        .agg((sum(($"x" * Scale).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * Scale)).as("m"))
         .groupBy($"cluster")
         .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"))
         .select($"cluster", $"dm.m".as("center"))
