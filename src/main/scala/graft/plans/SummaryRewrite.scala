@@ -518,18 +518,16 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     }
     if (!wants.exists(_._1 == "dist")) return None
 
-    import org.apache.spark.sql.functions.{coalesce, col, hll_sketch_estimate, hll_union_agg}
+    import org.apache.spark.sql.functions.{col, hll_union_agg}
     val skDf = SummaryRewrite.summaryDf(spark, sketchPath)
     if (!skDf.columns.contains("sketch") || !skDf.columns.contains("streamId")) return None
-    val est = hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).cast("long")
-    val isGlobal = evStreamOpt.isEmpty
-    val df =
-      if (isGlobal)
-        // Empty sketch table: distinct over zero rows is 0, not null.
-        skDf.agg(coalesce(est, lit(0L)).as("__d"))
-      else
-        skDf.groupBy(col("streamId").as("__sid")).agg(est.as("__d"))
-    val out = df.queryExecution.analyzed
+    // Per-stream sketch partials are the shared base for both shapes:
+    // HLL union is associative, so a streamId filter always lands on
+    // __sid BELOW the final merge (a global aggregate with a streamId
+    // filter must subset streams before unioning, not after).
+    val perStream = skDf.groupBy(col("streamId").as("__sid"))
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("__sk"))
+    val out = perStream.queryExecution.analyzed
     def attr(n: String): AttributeReference =
       out.output.collectFirst { case a: AttributeReference if a.name == n => a }.get
     val filtered = filterCond match {
@@ -539,11 +537,23 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
           out)
       case None => out
     }
-    val projected = wants.map {
-      case ("sid", a)            => Alias(attr("__sid"), a.name)(exprId = a.exprId)
-      case (_, al)               => Alias(attr("__d"), al.name)(exprId = al.exprId)
+    if (evStreamOpt.isEmpty) {
+      // Global: merge the (filtered) per-stream partials into one
+      // estimate; empty input coalesces to 0 like raw SQL distinct.
+      val union = AggregateExpression(
+        HllUnionAgg(attr("__sk"), Literal(false), 0, 0), Complete, isDistinct = false)
+      val dExpr =
+        Coalesce(Seq(Cast(HllSketchEstimate(union), LongType), Literal(0L)))
+      val newAggs = wants.map { case (_, al) => Alias(dExpr, al.name)(exprId = al.exprId) }
+      Some(Aggregate(Nil, newAggs, filtered, None))
+    } else {
+      val est = Cast(HllSketchEstimate(attr("__sk")), LongType)
+      val projected = wants.map {
+        case ("sid", a) => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+        case (_, al)    => Alias(est, al.name)(exprId = al.exprId)
+      }
+      Some(Project(projected, filtered))
     }
-    Some(Project(projected, filtered))
   }
 }
 

@@ -53,6 +53,28 @@ object Demo {
     println("landmark s1 sum[15,30]: " + db2.query(1L, "sum", 15, 30) + " (exact)")
     println("no landmark s2 sum[15,30]: " + db2.query(2L, "sum", 15, 30) + " (approx)")
 
+    // Distinct-count summaries: the store keeps windowed HLL sketches
+    // and (under the approximate flag) answers distinct aggregates over
+    // raw events from O(log N) sketch rows.
+    db2.enableDistinctSummaries()
+    spark.conf.set("spark.graft.rewrite.approximate", "true")
+    val d1 = db2.rawEvents.filter($"streamId" === 1L)
+      .agg(org.apache.spark.sql.functions.approx_count_distinct($"value").as("d"))
+      .head().getLong(0)
+    println(s"distinct s1 via window sketches: $d1")
+    spark.conf.unset("spark.graft.rewrite.approximate")
+
+    // One-call corpus curation over a documents table.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val curated = graft.ops.Curation.curate(docs,
+      graft.ops.Curation.Config(
+        langs = Set("en", "de", "fr", "es", "zh"),
+        minQuality = 0.3, nearDupThreshold = 0.9,
+        mixtureRates = Map("src0" -> 1.0), defaultRate = 0.5,
+        packBudget = 256L, packShards = 4),
+      benchmark = Some(docs.filter($"doc_id" % 17 === 0)))
+    println("curation report: " + curated.report.map { case (s, n) => s"$s=$n" }.mkString(" -> "))
+
     // SQL surface tour.
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -386,6 +386,12 @@ class SummaryRewriteSpec extends SparkSpec {
       assert(scannedPaths(f).contains("sketches"), scannedPaths(f))
       assert(f.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         == exactPer.filter(_._1 == 3L))
+      // GLOBAL aggregate under a streamId filter: the filter must land
+      // below the cross-stream union (regression: this shape used to
+      // crash on the missing __sid).
+      val gf = raw.filter($"streamId" === 3L).agg(approx_count_distinct($"value").as("d"))
+      assert(scannedPaths(gf).contains("sketches"), scannedPaths(gf))
+      assert(gf.head().getLong(0) == exactPer.find(_._1 == 3L).get._2)
       // ts-range predicates bail to the raw scan.
       val t = raw.filter($"ts" < 1000L)
         .groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
