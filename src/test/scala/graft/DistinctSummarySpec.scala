@@ -58,6 +58,16 @@ class DistinctSummarySpec extends SparkSpec {
     assert(re == direct, s"recoarsened $re != direct $direct")
   }
 
+  test("buffered mode follows the buffered decay partition") {
+    val values = (1 to 40).map(_.toDouble)
+    val sk = DistinctSummary.summarize(stream(values), exp2, bufferSize = 8L)
+    val starts = graft.windowing.DecayModel.windowStarts(exp2, 40L, bufferSize = 8L)
+    val got = sk.select($"cs").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == starts.toSeq, s"got ${got.toSeq} want ${starts.toSeq}")
+    val est = DistinctSummary.rangeDistinct(sk).collect().head.getAs[Long]("approx_distinct")
+    assert(est == 40L)
+  }
+
   test("contract holds on the real events table") {
     val events = Ingest.fromEventsTable(spark, "/root/testdata/sf0.001")
     val rows = DistinctSummary.distinctContract(events, exp2).collect()

@@ -67,6 +67,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(covered == "a b c d e f g h i j".split(" ").toSet)
   }
 
+  test("chunking invariants on random (n, width, stride) configurations") {
+    val rnd = new scala.util.Random(5)
+    val configs = Seq.fill(12)((1 + rnd.nextInt(80), 1 + rnd.nextInt(20)))
+      .map { case (n, w) => (n, w, 1 + rnd.nextInt(w)) }
+    configs.foreach { case (n, width, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val rows = TextAnalysis.chunk(df, width, stride).collect()
+        .map(r => (r.getAs[Long]("chunk_id"), r.getAs[String]("chunk_text")))
+        .sortBy(_._1)
+      val expectChunks = if (n <= width) 1 else (n - width + stride - 1) / stride + 1
+      assert(rows.length == expectChunks, s"($n,$width,$stride): ${rows.length}")
+      // every token covered; last chunk reaches the final token
+      val covered = rows.flatMap(_._2.split(" ")).toSet
+      assert(covered == (1 to n).map(i => s"t$i").toSet, s"($n,$width,$stride) coverage")
+      assert(rows.last._2.split(" ").last == s"t$n", s"($n,$width,$stride) tail")
+      // chunk i starts at token i*stride + 1
+      rows.foreach { case (i, txt) =>
+        assert(txt.split(" ").head == s"t${i * stride + 1}", s"($n,$width,$stride) chunk $i")
+      }
+    }
+  }
+
   test("fingerprint: deterministic, order- and edit-sensitive") {
     assert(TextAnalysis.fingerprint("a b c") == TextAnalysis.fingerprint("a b c"))
     assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("c b a"))
