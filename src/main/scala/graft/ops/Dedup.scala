@@ -357,7 +357,7 @@ object Dedup {
     * join pattern.
     */
   def connectedComponents(
-      pairs: DataFrame, maxRounds: Int = 50, smallGraphEdges: Long = 2000000L): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 50, smallGraphEdges: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -367,11 +367,15 @@ object Dedup {
       .persist()
     // Adaptive execution: near-dup pair graphs are usually tiny relative
     // to their corpus (dedup found FEW duplicates, or the corpus was
-    // already clean). Below the threshold (~32 MB of edge longs at the
-    // default) a driver-side union-find answers in milliseconds instead
-    // of diameter-many distributed rounds of two actions each; the
-    // label-propagation path below remains the at-scale shape. Both
-    // produce rep = min reachable id, bit-identical.
+    // already clean). Below the threshold a driver-side union-find
+    // answers in milliseconds instead of diameter-many distributed
+    // rounds of two actions each; the label-propagation path below
+    // remains the at-scale shape. Both produce rep = min reachable id,
+    // bit-identical. Driver footprint at the default 500k edges: the
+    // collected boxed-tuple array plus a HashMap of up to 1M boxed Long
+    // entries — roughly 100-200 MB transient, safe on a default driver
+    // (the raw-long arithmetic undercounts boxing ~5-10x, so the
+    // threshold budgets for the boxed reality).
     val nEdges = edges.count()
     if (nEdges <= smallGraphEdges) {
       try {
@@ -464,18 +468,27 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(maxDist <= 3, "4-segment bucketing covers Hamming distance <= 3")
+    require(maxBucket >= 2, s"maxBucket must admit at least one pair: $maxBucket")
     val fps = simhashFingerprints(docs)
     val seg = udf((fp: Long, i: Int) => (fp >>> (16 * i)) & 0xFFFFL)
-    val buckets = fps
+    // One groupBy per (segment-index, segment-value) bucket; buckets above
+    // `maxBucket` are DROPPED before pair generation — a boilerplate-heavy
+    // corpus where thousands of docs share a 16-bit segment would otherwise
+    // self-join quadratically on that one key. Pairs are generated inside
+    // the bucket row (array transform), so the candidate set is bounded by
+    // maxBucket^2 per bucket by construction, never by the join planner.
+    fps
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("segIdx"))
       .withColumn("segVal", seg(col("simhash"), col("segIdx")))
-    val a = buckets.select(col("segIdx"), col("segVal"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val b = buckets.select(col("segIdx"), col("segVal"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-    a.join(b, Seq("segIdx", "segVal"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .groupBy(col("segIdx"), col("segVal"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(members, a -> transform(filter(members, b -> b.doc_id > a.doc_id), " +
+          "b -> named_struct('doc_a', a.doc_id, 'fp_a', a.simhash, 'doc_b', b.doc_id, 'fp_b', b.simhash))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
       .distinct()
   }
 }

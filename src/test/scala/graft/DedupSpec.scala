@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhash("hello world") != Dedup.simhash("goodbye world"))
   }
 
+  test("simhash degenerate corpus: oversized buckets are dropped, not exploded") {
+    // 400 IDENTICAL docs: every (segIdx, segVal) bucket holds all 400
+    // fingerprints. Uncapped, that is 4 * C(400,2) = 319,200 candidate
+    // rows from one key; with maxBucket the buckets are dropped before
+    // pair generation, so the candidate set is empty by design.
+    val boiler = (1L to 400L).map(i => (i, "the same boilerplate header text repeated verbatim"))
+    val distinct = Seq((1001L, "a genuinely unique document about rivers and mountains"),
+      (1002L, "a genuinely unique document about rivers and mountains"))
+    val docs = (boiler ++ distinct).toDF("doc_id", "text")
+
+    val capped = Dedup.simhashNearDuplicates(docs, maxDist = 3, maxBucket = 256)
+    assert(capped.count() >= 1L) // the 1001/1002 near-pair survives in its own bucket
+    assert(capped.filter($"doc_a" <= 400L).count() == 0L,
+      "boilerplate bucket should have been dropped by maxBucket")
+
+    // Cap admits the bucket when raised above its size — same pairs as
+    // an uncapped run would produce, proving the cap is the only change.
+    val admitted = Dedup.simhashNearDuplicates(docs, maxDist = 3, maxBucket = 500)
+    assert(admitted.filter($"doc_a" <= 400L && $"doc_b" <= 400L).count() == 400L * 399L / 2L)
+  }
+
   test("exact near-dup join equals driver-side all-pairs (100% recall by construction)") {
     val rnd = new scala.util.Random(99)
     val base = realDocs(60).select($"doc_id", $"text").as[(Long, String)].collect()
