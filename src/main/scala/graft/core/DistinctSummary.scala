@@ -55,9 +55,18 @@ object DistinctSummary {
         max($"ts").as("te"),
         min($"seq").as("cs"),
         max($"seq").as("ce"),
-        hll_sketch_agg($"value".cast("string"), lit(lgK)).as("sketch"))
+        hll_sketch_agg(canonicalValue($"value"), lit(lgK)).as("sketch"))
       .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
   }
+
+  /** Canonical sketch-entry form of a value: string, with -0.0 first
+    * normalized to 0.0. SQL `=` (and `countDistinct`) treat the two
+    * zeros as equal, but their string forms differ — an unnormalized
+    * cast would keep them as two sketch entries and drift the estimate
+    * off exact by one on data containing both.
+    */
+  private[graft] def canonicalValue(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v === 0.0, lit(0.0)).otherwise(v).cast("string")
 
   /** Merge a stream's window sketches over [t0, t1] (overlap predicate
     * pushed down like every range query) and estimate:

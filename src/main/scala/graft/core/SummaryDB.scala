@@ -263,8 +263,17 @@ final class SummaryDB private (
     else appendIncremental(prepared)
     // Distinct sketches rank over ALL elements (landmark diversion
     // never removes a value from the distinct set), so the incremental
-    // path applies even to landmarked stores.
-    if (distinctEnabled) appendIncrementalDistinct(prepared)
+    // path applies even to landmarked stores. On crash REPLAY the
+    // incremental path would re-apply a batch the sketch table may
+    // already hold (it is written before the commit marker): HLL set
+    // semantics would keep the estimates right, but the cs/ce element
+    // bookkeeping would double-count and drift the partition off the
+    // canonical decay — rebuild from the WAL instead, like the scalar
+    // refreshSummaries path.
+    if (distinctEnabled) {
+      if (forceRecompute) rebuildDistinct(includeUncommittedTag = Some(tag))
+      else appendIncrementalDistinct(prepared)
+    }
     // The summaries now reflect this batch: commit it. A crash before
     // this line leaves an unmarked events/<tag> dir that readEvents
     // skips, so a later recompute can never resurrect a batch the
@@ -417,12 +426,18 @@ final class SummaryDB private (
   def enableDistinctSummaries(): Unit = {
     distinctEnabled = true
     graft.plans.SummaryRewrite.install(spark)
-    val events = readEvents()
-    writeVersioned("distinct_sketches",
-      DistinctSummary.summarizePerStream(events, specOf)
-        .write.mode(SaveMode.Overwrite).parquet(_))
+    rebuildDistinct()
     refreshDistinctRegistration()
   }
+
+  /** Canonical sketch table from the committed WAL (plus the batch
+    * being applied, on replay) — the recovery twin of
+    * [[refreshSummaries]] for the distinct path.
+    */
+  private def rebuildDistinct(includeUncommittedTag: Option[String] = None): Unit =
+    writeVersioned("distinct_sketches",
+      DistinctSummary.summarizePerStream(readEvents(includeUncommittedTag), specOf)
+        .write.mode(SaveMode.Overwrite).parquet(_))
 
   /** The current sketch table (empty schema-stable frame before any
     * data).
@@ -431,6 +446,11 @@ final class SummaryDB private (
     currentVersion("distinct_sketches")
       .map(v => spark.read.parquet(v.toString))
       .getOrElse(DistinctSummary.summarizePerStream(spark.emptyDataset[Event], specOf))
+
+  // Re-coarsening cadence for the sketch table, mirroring the scalar
+  // path's sinceMerge (separate counter: the scalar counter is not
+  // advanced on landmarked stores, where the distinct path still runs).
+  private var sinceMergeDistinct = 0
 
   private def appendIncrementalDistinct(prepared: Dataset[Event]): Unit = {
     val old = distinctSketches.persist()
@@ -443,9 +463,18 @@ final class SummaryDB private (
           ($"seq" + coalesce($"base", lit(0L))).as("ce"), $"value")
         .groupBy($"streamId", $"ts", $"te", $"cs", $"ce")
         .agg(org.apache.spark.sql.functions
-          .hll_sketch_agg($"value".cast("string"), lit(12)).as("sketch"))
+          .hll_sketch_agg(DistinctSummary.canonicalValue($"value"), lit(12)).as("sketch"))
         .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
-      val next = Compactor.recoarsenDistinct(old.unionByName(fine), specOf)
+      // Same write-amplification knob as the scalar path: re-coarsen
+      // only every mergeEvery-th append; in between, per-element fine
+      // sketches persist as-is (sketch merge is a monoid, so the state
+      // after the next merge is identical to always-merging).
+      sinceMergeDistinct += 1
+      val next =
+        if (sinceMergeDistinct >= mergeEvery) {
+          sinceMergeDistinct = 0
+          Compactor.recoarsenDistinct(old.unionByName(fine), specOf)
+        } else old.unionByName(fine)
       writeVersioned("distinct_sketches",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()

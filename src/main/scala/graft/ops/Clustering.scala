@@ -83,17 +83,31 @@ object Clustering {
       // itself deterministic; headroom: |x| <= ~1 scaled by 2^24 over
       // ~2^39 elements per (cluster, dim) before overflow.
       val Scale = (1L << 24).toDouble
-      val means = assigned
+      // Headroom guard rides the same shuffle (no extra action):
+      // |sum| <= max|x| * Scale * count per (cluster, dim); anything
+      // past 2^62 risks silent long wraparound, so fail loudly — the
+      // documented |x| <~ 1 input bound stops being a comment and
+      // becomes a runtime contract.
+      val rows = assigned
         .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cluster", $"dim")
-        .agg((sum(($"x" * Scale).cast("long")).cast("double") /
-          (count(lit(1)).cast("double") * Scale)).as("m"))
+        .agg(
+          (sum(($"x" * Scale).cast("long")).cast("double") /
+            (count(lit(1)).cast("double") * Scale)).as("m"),
+          (max(abs($"x")) * Scale * count(lit(1)).cast("double")).as("hr"))
         .groupBy($"cluster")
-        .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"))
-        .select($"cluster", $"dm.m".as("center"))
-        .as[(Int, Seq[Double])]
+        .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"),
+          max($"hr").as("hr"))
+        .select($"cluster", $"dm.m".as("center"), $"hr")
+        .as[(Int, Seq[Double], Double)]
         .collect()
-        .toMap
+      val worst = rows.iterator.map(_._3).maxOption.getOrElse(0.0)
+      if (worst >= math.pow(2.0, 62))
+        throw new IllegalStateException(
+          f"kmeans fixed-point accumulator headroom exceeded ($worst%.3g >= 2^62): " +
+            "embedding magnitudes or per-cluster element counts are outside the " +
+            "|x| <~ 1, n <~ 2^38 design envelope — normalize inputs or raise k")
+      val means = rows.iterator.map { case (c, m, _) => c -> m }.toMap
       centers = centers.zipWithIndex.map { case (old, c) =>
         means.get(c).map(m => Similarity.unit(m.map(_.toFloat))).getOrElse(old)
       }
@@ -120,18 +134,22 @@ object Clustering {
       nProbe: Int = 4,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      nTotal: Long = 0L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
 
     // nClusters <= 0 = auto: ~sqrt(N) cells (the standard IVF balance —
     // cell count == expected cell size), floored at 16. A static
     // default would leave cells with N/16 vectors at corpus scale,
-    // making every probe a near-full scan. Costs one count() action.
+    // making every probe a near-full scan. Callers that already know
+    // the corpus size pass `nTotal` and skip the count() action.
     val kCells =
       if (nClusters > 0) nClusters
-      else math.max(16L, math.ceil(math.sqrt(embs.count().toDouble)).toLong)
-        .min(1 << 20).toInt
+      else {
+        val n = if (nTotal > 0L) nTotal else embs.count()
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 20).toInt
+      }
     val (assigned, centers) = kmeans(embs, kCells, iters, idCol, vecCol)
     val corpus = embs
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))

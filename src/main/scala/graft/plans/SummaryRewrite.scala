@@ -480,6 +480,10 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
     * the flag's documented estimate-for-exact trade. ts-range
     * predicates bail (windows are the storage resolution).
     */
+  // Standard error of the stored sketches: SummaryDB/DistinctSummary
+  // register lgK=12 Datasketches HLL, RSE = 1.04 / sqrt(2^lgK).
+  private val SketchRelativeSD: Double = 1.04 / math.sqrt((1 << 12).toDouble)
+
   private def rewriteDistinct(
       groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
@@ -506,6 +510,12 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
       case al @ Alias(AggregateExpression(af, Complete, isDistinct, None, _), _) =>
         af match {
           case h: HyperLogLogPlusPlus if !isDistinct =>
+            // A query requesting rsd TIGHTER than the registered lgK=12
+            // Datasketches sketch's standard error (1.04/sqrt(2^12) ~
+            // 1.6%) cannot be answered at its asked precision from the
+            // stored sketches — bail to the raw plan instead of
+            // silently degrading it.
+            if (h.relativeSD < SketchRelativeSD) return None
             h.child match {
               case v: AttributeReference if v.name == "value" => ("dist", al)
               case _                                          => return None

@@ -47,7 +47,7 @@ object StreamingWindowedAgg {
         // The streaming face of DistinctSummary: the same mergeable HLL
         // partial per (stream, window), so a sink can union bucket
         // sketches later exactly like the batch sketch table.
-        hll_sketch_agg($"value".cast("string"), lit(12)).as("sketch"))
+        hll_sketch_agg(graft.core.DistinctSummary.canonicalValue($"value"), lit(12)).as("sketch"))
       .select(
         $"stream_id",
         unix_micros($"window.start").as("ws"),

@@ -75,4 +75,36 @@ class DistinctSummarySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("within_bound")),
       "merged window sketches drifted beyond tolerance")
   }
+
+  test("crash replay rebuilds the sketch table instead of double-applying the batch") {
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit(9L).as("streamId"), $"id".as("seq"), ($"id" * 3).as("ts"),
+        ($"id" % 7).cast("double").as("value")).as[Event]
+    def partition(db: SummaryDB) = db.distinctSketches
+      .select($"streamId", $"cs", $"ce",
+        hll_sketch_estimate($"sketch").cast("long").as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val crashDir = java.nio.file.Files.createTempDirectory("graft_dreplay").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("graft_dclean").toString
+    val db = SummaryDB.open(spark, crashDir)
+    db.enableDistinctSummaries()
+    db.appendOnce(0L, batch(0, 50))
+    db.appendOnce(1L, batch(50, 120))
+    // Simulate the crash window: batch 1's events and sketch append are
+    // on disk but its commit marker is not — a checkpoint restart will
+    // re-deliver batch 1, and the replay must NOT re-apply it to the
+    // already-updated sketch table.
+    val marker = new java.io.File(s"$crashDir/commits/batch-1")
+    assert(marker.delete(), "commit marker should exist before simulated crash")
+    db.appendOnce(1L, batch(50, 120))
+
+    val clean = SummaryDB.open(spark, cleanDir)
+    clean.enableDistinctSummaries()
+    clean.appendOnce(0L, batch(0, 50))
+    clean.appendOnce(1L, batch(50, 120))
+    assert(partition(db) == partition(clean),
+      "replayed store's sketch partition must equal the crash-free store's")
+  }
 }

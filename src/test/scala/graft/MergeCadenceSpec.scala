@@ -43,4 +43,38 @@ class MergeCadenceSpec extends SparkSpec {
     val b = lazy3.summaryWindows.collect().sortBy(w => (w.streamId, w.cs)).toSeq
     assert(a == b, "post-merge state must equal the always-merge state")
   }
+
+  test("distinct-sketch table honors the same cadence and converges on the merge batch") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_dcad1").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft_dcad3").toString
+    val every = SummaryDB.open(spark, d1)
+    val lazy3 = SummaryDB.open(spark, d3, mergeEvery = 3)
+    every.enableDistinctSummaries()
+    lazy3.enableDistinctSummaries()
+
+    for ((lo, hi) <- Seq((0L, 100L), (100L, 220L))) {
+      every.append(batch(lo, hi))
+      lazy3.append(batch(lo, hi))
+    }
+    // Below the cadence the lazy sketch table retains per-element fine
+    // sketches instead of re-coarsening on every append (the write-
+    // amplification the knob exists to avoid).
+    val lagged = lazy3.distinctSketches.count()
+    val canonical = every.distinctSketches.count()
+    assert(lagged > canonical + 50,
+      s"expected retained fine sketch windows: lagged=$lagged canonical=$canonical")
+
+    // The merge append converges the partitions (cs/ce spans identical;
+    // sketch bytes are merge-order-dependent, so compare the partition
+    // plus each window's estimate, which is what queries consume).
+    every.append(batch(220, 300))
+    lazy3.append(batch(220, 300))
+    def state(db: SummaryDB) = db.distinctSketches
+      .select($"streamId", $"cs", $"ce", $"ts", $"te",
+        hll_sketch_estimate($"sketch").cast("long").as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq
+    assert(state(every) == state(lazy3),
+      "post-merge sketch partition must equal the always-merge partition")
+  }
 }

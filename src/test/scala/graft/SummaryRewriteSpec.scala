@@ -396,6 +396,16 @@ class SummaryRewriteSpec extends SparkSpec {
       val t = raw.filter($"ts" < 1000L)
         .groupBy($"streamId").agg(approx_count_distinct($"value").as("d"))
       assert(scannedPaths(t).contains("/events"), "ts filter must not rewrite")
+      // rsd tighter than the lgK=12 sketch's ~1.6% standard error bails
+      // (the rewrite may not silently degrade requested precision); the
+      // default rsd (0.05) and anything looser still rewrite.
+      val tight = raw.groupBy($"streamId")
+        .agg(approx_count_distinct($"value", rsd = 0.005).as("d"))
+      assert(scannedPaths(tight).contains("/events"),
+        "tighter-than-sketch rsd must not rewrite")
+      val loose = raw.groupBy($"streamId")
+        .agg(approx_count_distinct($"value", rsd = 0.05).as("d"))
+      assert(scannedPaths(loose).contains("sketches"), scannedPaths(loose))
     } finally {
       spark.conf.unset("spark.graft.rewrite.approximate")
       SummaryRewrite.unregisterDistinct(eventsPath)
