@@ -44,18 +44,36 @@ object Bench {
       wl.count(); wm.count()
     } catch { case _: Throwable => () } // warm-up must never fail the bench
 
-    // Pipeline materialization: events -> summary/landmark tables. A
-    // failure here must still produce the JSON line (with an error
-    // entry), never a bare crash the driver can't parse.
-    val tIngest0 = System.nanoTime()
-    val (rawRows, windowRows) =
-      try SparkEntry.materialize(spark, sfDir)
-      catch {
-        case e: Throwable =>
-          errors("__materialize") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          (0L, 0L)
+    // Pipeline materialization: events -> summary/landmark tables.
+    // The headline ingest figure gets the SAME multi-sample treatment
+    // as the per-query timings (r6's single sample read 95.6 s on a
+    // loaded sandbox vs 19.6 s in r5 — indistinguishable from a real
+    // regression): three cache-BYPASSING materializations, report the
+    // median plus relative spread. The cached query-phase tables are
+    // built once afterwards, untimed. A failure must still produce the
+    // JSON line (with an error entry), never a bare crash.
+    var rawRows = 0L
+    var windowRows = 0L
+    val ingestSamples = collection.mutable.ArrayBuffer.empty[Double]
+    try {
+      var i = 0
+      while (i < 3) {
+        val t0 = System.nanoTime()
+        val (r, w) = SparkEntry.materializeUncached(spark, sfDir)
+        ingestSamples += (System.nanoTime() - t0) / 1e9
+        rawRows = r; windowRows = w
+        i += 1
       }
-    val ingestSec = (System.nanoTime() - tIngest0) / 1e9
+      SparkEntry.materialize(spark, sfDir)
+    } catch {
+      case e: Throwable =>
+        errors("__materialize") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    }
+    val ingestSorted = ingestSamples.toArray.sorted
+    val ingestSec = if (ingestSorted.nonEmpty) ingestSorted(ingestSorted.length / 2) else 0.0
+    val ingestSpread =
+      if (ingestSorted.nonEmpty && ingestSec > 0) (ingestSorted.last - ingestSorted.head) / ingestSec
+      else 0.0
     val rowsPerSec = if (ingestSec > 0) rawRows / ingestSec else 0.0
     val compression = if (windowRows > 0) rawRows.toDouble / windowRows else 0.0
     // Stable timing protocol v2: deterministic (sorted) query order; one
@@ -111,7 +129,7 @@ object Bench {
     // Big-stream anchor: one synthetic 1M-element stream summarizes at
     // full pipeline throughput (no per-stream overhead), shows the
     // N -> O(log N) compression the engine exists for.
-    val (bigRowsPerSec, bigWindows) = {
+    val (bigRowsPerSec, bigWindows, bigSpread) = {
       import spark.implicits._
       import org.apache.spark.sql.functions.lit
       val n = 1000000L
@@ -127,8 +145,9 @@ object Bench {
       }
       run() // warm-up, untimed
       val runs = Array.fill(3)(run())
-      val sec = runs.map(_._1).sorted.apply(1)
-      (n / sec, runs.head._2)
+      val secs = runs.map(_._1).sorted
+      val sec = secs(1)
+      (n / sec, runs.head._2, if (sec > 0) (secs(2) - secs(0)) / sec else 0.0)
     }
 
     def jq(s: String): String = "\"" + s.flatMap {
@@ -141,10 +160,11 @@ object Bench {
     val total = ingestSec + timings.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,""" +
-      s""""errors":$es,"ingest_sec":$ingestSec,"ingest_rows_per_sec":$rowsPerSec,""" +
+      s""""errors":$es,"ingest_sec":$ingestSec,"ingest_spread":${f"$ingestSpread%.4f"},""" +
+      s""""ingest_rows_per_sec":$rowsPerSec,""" +
       s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
       s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +
-      s""""sf":${jq(sfDir)}}""")
+      s""""big_stream_spread":${f"$bigSpread%.4f"},"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }
