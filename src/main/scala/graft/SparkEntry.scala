@@ -604,6 +604,21 @@ object SparkEntry {
     //    proving the partial/final decomposition through real windows.
     "q_distinct_sketch" -> ((s, dir) =>
       DistinctSummary.distinctContract(Ingest.fromEventsTable(s, dir), Spec)),
+    // -- Windowed Bloom membership (the reference's declared-but-absent
+    //    per-window bloom op): per-ELEMENT fine filters re-coarsened to
+    //    the canonical decay partition — every window a real multi-way
+    //    sketch merge — then probed per stream for every value actually
+    //    present. Blooms have NO false negatives and unions only set
+    //    more bits, so n_missed must be 0; n_present pins the probe
+    //    plumbing to the oracle's exact count-distinct.
+    "q_window_bloom" -> ((s, dir) =>
+      FreqSummary.bloomContract(Ingest.fromEventsTable(s, dir), Spec)),
+    // -- Windowed count-min frequency (declared-but-absent cms op):
+    //    same re-coarsening path; every value's estimate from the
+    //    merged window sketches must sit in [exact, exact + ceil(eps*N)]
+    //    (one-sided CMS error through cell-wise counter adds).
+    "q_window_cms" -> ((s, dir) =>
+      FreqSummary.cmsContract(Ingest.fromEventsTable(s, dir), Spec)),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -873,6 +888,17 @@ object SparkEntry {
       "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
     "q_distinct_sketch" ->
       "SELECT user_id AS stream_id, true AS within_bound FROM events GROUP BY user_id",
+    // Bloom no-false-negative contract: the exact engine recomputes the
+    // per-stream distinct-value count; zero misses is the hard bound.
+    "q_window_bloom" ->
+      """SELECT user_id AS stream_id, count(DISTINCT value) AS n_present,
+        |       0::BIGINT AS n_missed
+        |FROM events GROUP BY user_id""".stripMargin,
+    // CMS one-sided-error contract: every estimate in-bounds.
+    "q_window_cms" ->
+      """SELECT user_id AS stream_id, count(DISTINCT value) AS n_keys,
+        |       count(*) AS n_events, 0::BIGINT AS n_out_of_bounds
+        |FROM events GROUP BY user_id""".stripMargin,
     // GK-sketch rank-error contract: the exact engine confirms every
     // (stream, probability) row is in-bound (see quantileContract).
     "q_quantiles" ->

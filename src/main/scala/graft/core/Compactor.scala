@@ -123,4 +123,38 @@ object Compactor {
         hll_union_agg($"sketch", lit(false)).as("sketch"))
       .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sketch")
   }
+
+  /** [[recoarsen]] for the bloom/cms summary table
+    * ([[FreqSummary.summarizePerStream]] schema): bloom unions bit-OR
+    * and CMS counters add cell-wise under `mergeInPlace`, so both are
+    * monoids and decay maintenance is the same
+    * groupBy-the-new-partition, with the serialized-sketch union
+    * aggregates ([[graft.functions.Sketches.bloomUnionAgg]]/
+    * [[graft.functions.Sketches.cmsUnionAgg]]) in the agg list. All
+    * input windows must share one sketch geometry (FreqSummary's
+    * table-level constants) — `mergeInPlace` rejects mismatches loudly.
+    */
+  def recoarsenFreq(
+      sketches: org.apache.spark.sql.DataFrame,
+      specOf: Long => WindowingSpec,
+      bufferSize: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, cs: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
+    sketches
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"te").as("te"),
+        min($"cs").as("cs"),
+        max($"ce").as("ce"),
+        graft.functions.Sketches.bloomUnionAgg($"bloom").as("bloom"),
+        graft.functions.Sketches.cmsUnionAgg($"cms").as("cms"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms")
+  }
 }

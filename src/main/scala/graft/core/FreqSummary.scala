@@ -1,0 +1,246 @@
+package graft.core
+
+import graft.functions.Sketches
+import graft.windowing.{DecayModel, WindowingSpec}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Windowed membership/frequency summaries: each decay window carries a
+  * Bloom filter and a count-min sketch over its values — the bloom/cms
+  * per-window operators the reference DECLARES but never implements
+  * (`/root/reference/protos/summarydb.capnp:6-13`, `README.md:27-28`),
+  * completing the [[DistinctSummary]] pattern. Both sketches are
+  * mergeable monoids (bit-OR / cell-wise add), so decay re-coarsening
+  * ([[Compactor.recoarsenFreq]]) and query-time range union follow the
+  * same shapes as count/sum/max:
+  *
+  *   - "did key X appear in [t0, t1]?"  → union the overlapping
+  *     windows' blooms, probe once — O(log N) rows read, no false
+  *     negatives ever (the bloom guarantee survives merges because the
+  *     union's bit set is a superset of every member's).
+  *   - "how often did X appear in [t0, t1]?" → union the CMS sketches,
+  *     estimate — one-sided error, `exact <= est <= exact + eps·N` at
+  *     the configured confidence (counter arrays add cell-wise, so the
+  *     merged sketch IS the sketch of the concatenated windows).
+  *
+  * Sketch sizing is a TABLE-LEVEL constant: `mergeInPlace` (both kinds)
+  * requires identical geometry, so every window of a table — across
+  * builds, appends, and re-coarsenings — must be created with the same
+  * (expectedItems, fpp) / (eps, confidence) configuration. The
+  * defaults size a window for ~4k distinct members at 1% error; at
+  * 100 TB the knobs scale per deployment, not per query.
+  */
+object FreqSummary {
+
+  /** Default per-window Bloom capacity (items) and false-positive rate. */
+  val ExpectedItems = 4096L
+  val Fpp = 0.01
+
+  /** Default CMS relative error and confidence (width 2/eps, depth
+    * log2(1/(1-conf)) — ~200x7 longs at these values).
+    */
+  val Eps = 0.01
+  val Confidence = 0.99
+
+  /** Per-(stream, window) bloom+cms partials over the canonical decay
+    * partition — the [[DistinctSummary.summarizePerStream]] shape with
+    * two sketch columns. Output schema
+    * (streamId, ts, te, cs, ce, bloom, cms); values enter via
+    * [[DistinctSummary.canonicalValue]] so -0.0/0.0 stay one key and
+    * probes use the same canonical form.
+    */
+  def summarizePerStream(
+      events: Dataset[Event],
+      specOf: Long => WindowingSpec,
+      expectedItems: Long = ExpectedItems,
+      fpp: Double = Fpp,
+      eps: Double = Eps,
+      confidence: Double = Confidence,
+      bufferSize: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, seq: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
+    events
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"ts").as("te"),
+        min($"seq").as("cs"),
+        max($"seq").as("ce"),
+        Sketches.bloomAgg(
+          DistinctSummary.canonicalValue($"value"), expectedItems, fpp).as("bloom"),
+        Sketches.cmsAgg(
+          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms")
+  }
+
+  /** As [[summarizePerStream]] with one spec for every stream. */
+  def summarize(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      expectedItems: Long = ExpectedItems,
+      fpp: Double = Fpp,
+      eps: Double = Eps,
+      confidence: Double = Confidence,
+      bufferSize: Long = 0L): DataFrame =
+    summarizePerStream(events, _ => spec, expectedItems, fpp, eps, confidence, bufferSize)
+
+  /** Per-stream union of the window blooms overlapping [t0, t1],
+    * probed for `keys` (canonical string form): (stream_id, key,
+    * might_contain). The overlap predicate pushes down to the sketch
+    * scan like every range query; each merged filter deserializes ONCE
+    * for all keys.
+    */
+  def rangeMightContain(
+      sketches: DataFrame,
+      keys: Seq[String],
+      t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val ks = keys
+    val probe = udf((b: Array[Byte]) =>
+      if (b == null) ks.map((_, false)) else Sketches.mightContainAll(b, ks))
+    sketches
+      .filter($"te" >= t0 && $"ts" <= t1)
+      .groupBy($"streamId")
+      .agg(Sketches.bloomUnionAgg($"bloom").as("bf"))
+      .select($"streamId".as("stream_id"), explode(probe($"bf")).as("kv"))
+      .select($"stream_id", $"kv._1".as("key"), $"kv._2".as("might_contain"))
+  }
+
+  /** Per-stream union of the window CMS sketches overlapping [t0, t1],
+    * estimated for `keys`: (stream_id, key, est_cnt). Over a range that
+    * partially overlaps edge windows the estimate covers the whole edge
+    * windows (windows are the storage resolution — the sum estimator's
+    * proration semantics); over the whole stream it bounds the exact
+    * count from above by eps·N.
+    */
+  def rangeFreqEstimate(
+      sketches: DataFrame,
+      keys: Seq[String],
+      t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val ks = keys
+    val probe = udf((b: Array[Byte]) =>
+      if (b == null) ks.map((_, 0L)) else Sketches.cmsEstimateAll(b, ks))
+    sketches
+      .filter($"te" >= t0 && $"ts" <= t1)
+      .groupBy($"streamId")
+      .agg(Sketches.cmsUnionAgg($"cms").as("s"))
+      .select($"streamId".as("stream_id"), explode(probe($"s")).as("kv"))
+      .select($"stream_id", $"kv._1".as("key"), $"kv._2".as("est_cnt"))
+  }
+
+  /** Self-checking bloom contract (the `q_approx_distinct` pattern),
+    * routed THROUGH a decay merge: per-element fine sketches are
+    * re-coarsened to the canonical partition ([[Compactor
+    * .recoarsenFreq]] — every canonical window is a real merge of fine
+    * sketches), the per-stream union is probed for every value the
+    * stream actually contains, and the output counts misses:
+    * (stream_id, n_present, n_missed). A bloom filter has NO false
+    * negatives, and unions only set more bits — n_missed must be 0 for
+    * every stream, and n_present must equal the oracle's exact
+    * count-distinct (pinning the probe plumbing, not just the
+    * guarantee).
+    */
+  def bloomContract(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      expectedItems: Long = ExpectedItems,
+      fpp: Double = Fpp): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val merged = Compactor
+      .recoarsenFreq(finePerElement(events, expectedItems, fpp, Eps, Confidence), _ => spec)
+      .groupBy($"streamId")
+      .agg(Sketches.bloomUnionAgg($"bloom").as("bf"))
+    val missed = udf((b: Array[Byte], ks: Seq[String]) =>
+      if (b == null) ks.size.toLong
+      else Sketches.mightContainAll(b, ks).count(!_._2).toLong)
+    val present = events
+      .groupBy($"streamId")
+      .agg(collect_set(DistinctSummary.canonicalValue($"value")).as("keys"))
+    merged.join(present, "streamId")
+      .select(
+        $"streamId".as("stream_id"),
+        size($"keys").cast("long").as("n_present"),
+        missed($"bf", $"keys").as("n_missed"))
+  }
+
+  /** Self-checking CMS contract through the same decay-merge path:
+    * every value's estimate from the per-stream union of RE-COARSENED
+    * window sketches must sit in [exact, exact + ceil(eps·N)] —
+    * (stream_id, n_keys, n_events, n_out_of_bounds). One-sided error
+    * makes the lower bound deterministic; the upper bound holds at the
+    * configured confidence with a fixed seed, so the output is
+    * reproducible for the oracle (n_out_of_bounds must read 0).
+    */
+  def cmsContract(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      eps: Double = Eps,
+      confidence: Double = Confidence): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val merged = Compactor
+      .recoarsenFreq(finePerElement(events, ExpectedItems, Fpp, eps, confidence), _ => spec)
+      .groupBy($"streamId")
+      .agg(Sketches.cmsUnionAgg($"cms").as("s"))
+    val exact = events
+      .groupBy($"streamId", DistinctSummary.canonicalValue($"value").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"streamId")
+      .agg(
+        map_from_entries(collect_list(struct($"key", $"cnt"))).as("exact"),
+        sum($"cnt").as("n"))
+    val e = eps
+    val oob = udf((s: Array[Byte], exactCnt: Map[String, Long], n: Long) =>
+      if (s == null) exactCnt.size.toLong
+      else {
+        val bound = math.ceil(e * n).toLong
+        Sketches.cmsEstimateAll(s, exactCnt.keys.toSeq).count { case (k, est) =>
+          val ex = exactCnt(k)
+          est < ex || est > ex + bound
+        }.toLong
+      })
+    merged.join(exact, "streamId")
+      .select(
+        $"streamId".as("stream_id"),
+        size($"exact").cast("long").as("n_keys"),
+        $"n".as("n_events"),
+        oob($"s", $"exact", $"n").as("n_out_of_bounds"))
+  }
+
+  /** One sketch window per ELEMENT (windowId = seq): the append-delta
+    * shape ([[Compactor.fineWindows]] analogue) and the worst-case
+    * re-coarsening input — every canonical window becomes a genuine
+    * multi-way sketch merge.
+    */
+  private[graft] def finePerElement(
+      events: Dataset[Event],
+      expectedItems: Long,
+      fpp: Double,
+      eps: Double,
+      confidence: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .groupBy($"streamId", $"seq")
+      .agg(
+        min($"ts").as("ts"),
+        max($"ts").as("te"),
+        Sketches.bloomAgg(
+          DistinctSummary.canonicalValue($"value"), expectedItems, fpp).as("bloom"),
+        Sketches.cmsAgg(
+          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"))
+      .select($"streamId", $"ts", $"te", $"seq".as("cs"), $"seq".as("ce"), $"bloom", $"cms")
+  }
+}

@@ -274,6 +274,12 @@ final class SummaryDB private (
       if (forceRecompute) rebuildDistinct(includeUncommittedTag = Some(tag))
       else appendIncrementalDistinct(prepared)
     }
+    // Same replay discipline for the bloom/cms table: rebuild from the
+    // WAL on forceRecompute, incremental fine-sketch union otherwise.
+    if (freqEnabled) {
+      if (forceRecompute) rebuildFreq(includeUncommittedTag = Some(tag))
+      else appendIncrementalFreq(prepared)
+    }
     // The summaries now reflect this batch: commit it. A crash before
     // this line leaves an unmarked events/<tag> dir that readEvents
     // skips, so a later recompute can never resurrect a batch the
@@ -480,6 +486,111 @@ final class SummaryDB private (
     } finally old.unpersist()
   }
 
+  // ------------------------------------------------ bloom/cms hookup
+
+  private var freqEnabled = false
+
+  /** Maintain a windowed bloom+cms table ([[FreqSummary]] schema)
+    * alongside the scalar summaries — the reference's declared-but-
+    * unimplemented bloom/cms window ops
+    * (`/root/reference/protos/summarydb.capnp:6-13`). Range membership
+    * ([[mightContain]]) and frequency ([[freqEstimate]]) then read
+    * O(log N) sketch rows instead of raw events. Incremental: appends
+    * union per-element sketches and re-coarsen on the [[mergeEvery]]
+    * cadence — no full-corpus recompute.
+    */
+  def enableFreqSummaries(): Unit = {
+    freqEnabled = true
+    rebuildFreq()
+  }
+
+  /** Canonical bloom/cms table from the committed WAL (plus the batch
+    * being applied, on replay) — the recovery twin of
+    * [[refreshSummaries]] for the freq path.
+    */
+  private def rebuildFreq(includeUncommittedTag: Option[String] = None): Unit =
+    writeVersioned("freq_sketches",
+      FreqSummary.summarizePerStream(readEvents(includeUncommittedTag), specOf)
+        .write.mode(SaveMode.Overwrite).parquet(_))
+
+  /** The current bloom/cms sketch table (empty schema-stable frame
+    * before any data).
+    */
+  def freqSketches: org.apache.spark.sql.DataFrame =
+    currentVersion("freq_sketches")
+      .map(v => spark.read.parquet(v.toString))
+      .getOrElse(FreqSummary.summarizePerStream(spark.emptyDataset[Event], specOf))
+
+  // Re-coarsening cadence, mirroring sinceMergeDistinct (the freq path
+  // also runs on landmarked stores — membership ranks over ALL
+  // elements).
+  private var sinceMergeFreq = 0
+
+  private def appendIncrementalFreq(prepared: Dataset[Event]): Unit = {
+    val old = freqSketches.persist()
+    try {
+      val baseCounts = old.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+      val rebased = prepared.toDF()
+        .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
+        .select($"streamId", $"ts",
+          ($"seq" + coalesce($"base", lit(0L))).as("seq"), $"value")
+        .as[Event]
+      val fine = FreqSummary.finePerElement(
+        rebased, FreqSummary.ExpectedItems, FreqSummary.Fpp,
+        FreqSummary.Eps, FreqSummary.Confidence)
+      sinceMergeFreq += 1
+      val next =
+        if (sinceMergeFreq >= mergeEvery) {
+          sinceMergeFreq = 0
+          Compactor.recoarsenFreq(old.unionByName(fine), specOf)
+        } else old.unionByName(fine)
+      writeVersioned("freq_sketches",
+        next.write.mode(SaveMode.Overwrite).parquet(_))
+    } finally old.unpersist()
+  }
+
+  /** "Did `key` appear in stream `streamId` during [t0, t1]?" — union
+    * the overlapping windows' blooms and probe: no false negatives
+    * ever, false positives at the configured fpp. O(log N) sketch rows
+    * read; the documented driver-returning twin of
+    * [[FreqSummary.rangeMightContain]].
+    */
+  def mightContain(streamId: Long, key: String, t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): Boolean = {
+    require(freqEnabled, "call enableFreqSummaries() first")
+    requireDeclared(streamId, "bloom")
+    FreqSummary.rangeMightContain(
+        freqSketches.filter($"streamId" === streamId), Seq(key), t0, t1)
+      .select("might_contain").as[Boolean]
+      .collect().headOption.getOrElse(false)
+  }
+
+  /** "How often did `key` appear in [t0, t1]?" — union the overlapping
+    * windows' CMS sketches and estimate: one-sided error,
+    * `exact <= est <= exact + eps·N` at the configured confidence.
+    */
+  def freqEstimate(streamId: Long, key: String, t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): Long = {
+    require(freqEnabled, "call enableFreqSummaries() first")
+    requireDeclared(streamId, "cms")
+    FreqSummary.rangeFreqEstimate(
+        freqSketches.filter($"streamId" === streamId), Seq(key), t0, t1)
+      .select("est_cnt").as[Long]
+      .collect().headOption.getOrElse(0L)
+  }
+
+  /** OpSet enforcement for the sketch surface, mirroring [[query]]
+    * (`/root/reference/core/op_set.go:14-18`): a DECLARED stream only
+    * answers its declared operators; undeclared streams answer all.
+    */
+  private def requireDeclared(streamId: Long, op: String): Unit =
+    metas.get(streamId).foreach { m =>
+      if (!m.operators.contains(op))
+        throw new IllegalArgumentException(
+          s"operator '$op' not declared for stream $streamId " +
+            s"(declared: ${m.operators.mkString(", ")})")
+    }
+
   private def refreshDistinctRegistration(): Unit = if (distinctEnabled) {
     distinctKey.foreach(graft.plans.SummaryRewrite.unregisterDistinctSet)
     distinctKey = {
@@ -513,12 +624,7 @@ final class SummaryDB private (
       t0: Long,
       t1: Long,
       params: QueryParams = QueryParams()): AggResult = {
-    metas.get(streamId).foreach { m =>
-      if (!m.operators.contains(op))
-        throw new IllegalArgumentException(
-          s"operator '$op' not declared for stream $streamId " +
-            s"(declared: ${m.operators.mkString(", ")})")
-    }
+    requireDeclared(streamId, op)
     QueryEngine.queryOne(summaryWindows, landmarks, streamId, op, t0, t1, params)
   }
 }

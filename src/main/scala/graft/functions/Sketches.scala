@@ -72,9 +72,56 @@ object Sketches {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Union of already-serialized Bloom filters (binary column) — the
+    * merge half of the aggregate split out on its own, for re-coarsening
+    * stored per-window sketches without touching raw values
+    * (Compactor.recoarsenFreq). Buffer is the live filter with a lazy
+    * null zero: `mergeInPlace` requires identical bit-array sizing, so
+    * a parameterless zero cannot pre-allocate — all inputs must come
+    * from one build configuration (enforced by FreqSummary's
+    * table-level constants).
+    */
+  class BloomUnionAggregator extends Aggregator[Array[Byte], BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = null
+    def reduce(b: BloomFilter, a: Array[Byte]): BloomFilter =
+      if (a == null) b
+      else if (b == null) bloomFromBytes(a)
+      else { b.mergeInPlace(bloomFromBytes(a)); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+    def finish(r: BloomFilter): Array[Byte] = if (r == null) null else bloomToBytes(r)
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union of serialized count-min sketches — CMS counters add
+    * cell-wise under `mergeInPlace`, so the union of window sketches
+    * equals the sketch of the concatenated windows (same monoid shape
+    * as the scalar ops). Same lazy-null zero/compatibility contract as
+    * [[BloomUnionAggregator]].
+    */
+  class CmsUnionAggregator extends Aggregator[Array[Byte], CountMinSketch, Array[Byte]] {
+    def zero: CountMinSketch = null
+    def reduce(b: CountMinSketch, a: Array[Byte]): CountMinSketch =
+      if (a == null) b
+      else if (b == null) cmsFromBytes(a)
+      else { b.mergeInPlace(cmsFromBytes(a)); b }
+    def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+      if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+    def finish(r: CountMinSketch): Array[Byte] = if (r == null) null else cmsToBytes(r)
+    def bufferEncoder: Encoder[CountMinSketch] = Encoders.kryo[CountMinSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** `bloom_agg(col)` column for use inside `agg(...)`. */
   def bloomAgg(c: Column, expectedItems: Long = 10000L, fpp: Double = 0.01): Column =
     udaf(new BloomAggregator(expectedItems, fpp)).apply(c)
+
+  /** `bloom_union_agg(col)` over serialized filters. */
+  def bloomUnionAgg(c: Column): Column = udaf(new BloomUnionAggregator).apply(c)
+
+  /** `cms_union_agg(col)` over serialized sketches. */
+  def cmsUnionAgg(c: Column): Column = udaf(new CmsUnionAggregator).apply(c)
 
   /** `cms_agg(col)` column for use inside `agg(...)`. */
   def cmsAgg(c: Column, eps: Double = 0.001, confidence: Double = 0.99): Column =
