@@ -37,6 +37,21 @@ object Curation {
     */
   final case class Result(packed: DataFrame, report: Seq[(String, Long)])
 
+  /** The stateless per-row stages — language, quality, repetition
+    * filters, then PII scrub. Pure scans (no shuffle, no state), so
+    * they apply unchanged to a whole corpus or to one micro-batch.
+    */
+  def rowStages(input: DataFrame, cfg: Config): DataFrame = {
+    val lang = TextAnalysis.languageId(input)
+      .filter(col("pred_lang").isInCollection(cfg.langs)).select("doc_id")
+    val quality = TextAnalysis.qualityScore(input)
+      .filter(col("quality") >= cfg.minQuality).select("doc_id")
+    val lowRep = TextAnalysis.repetitionSignals(input)
+      .filter(col("dup_trigram_frac") <= cfg.maxDupTrigramFrac).select("doc_id")
+    TextAnalysis.scrubPii(
+      input.join(lang, "doc_id").join(quality, "doc_id").join(lowRep, "doc_id"))
+  }
+
   /** Run the full pipeline. `benchmark` (optional) enables the
     * decontamination stage. NOTE: the report counts force one action
     * per stage — this is a curation job, not an interactive query; at
@@ -53,18 +68,11 @@ object Curation {
 
     val input = stage("input", docs.select(col("doc_id"), col("text"), col("source")))
 
-    // 1. Row-local filters: language, quality, repetition — all scans.
-    val lang = TextAnalysis.languageId(input)
-      .filter(col("pred_lang").isInCollection(cfg.langs)).select("doc_id")
-    val quality = TextAnalysis.qualityScore(input)
-      .filter(col("quality") >= cfg.minQuality).select("doc_id")
-    val lowRep = TextAnalysis.repetitionSignals(input)
-      .filter(col("dup_trigram_frac") <= cfg.maxDupTrigramFrac).select("doc_id")
-    val filtered = stage("row_filters",
-      input.join(lang, "doc_id").join(quality, "doc_id").join(lowRep, "doc_id"))
-
-    // 2. PII scrub (transform, not a filter).
-    val scrubbed = TextAnalysis.scrubPii(filtered)
+    // 1.+2. Row-local filters + PII scrub (shared with the streaming
+    // variant, so micro-batch and whole-corpus runs apply literally the
+    // same predicates).
+    val scrubbed = rowStages(input, cfg)
+    stage("row_filters", scrubbed)
 
     // 3. Exact dedup: keep the minimum doc_id of each normalized text.
     val keepExact = Dedup.exactDedup(scrubbed).select(col("keep_id").as("doc_id"))

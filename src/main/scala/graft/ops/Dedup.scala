@@ -105,13 +105,21 @@ object Dedup {
     * `dropped_buckets` accumulator pattern is overkill here — they are
     * simply excluded) rather than exploded quadratically.
     */
-  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
+  /** (doc_id, band, bucket) rows of the banded LSH index — one row per
+    * (doc, band). Public so cross-corpus candidate joins (e.g. the
+    * streaming curation state) share the exact bucket structure of
+    * [[lshCandidatePairs]].
+    */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandHash = udf((sig: Seq[Long], band: Int) =>
       MurmurHash3.arrayHash(sig.slice(band * RowsPerBand, (band + 1) * RowsPerBand).toArray))
-    val bands = sigs
+    sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"), bandHash(col("sig"), col("band")).as("bucket"))
-    bands
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    bandBuckets(sigs)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
