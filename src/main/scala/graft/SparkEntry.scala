@@ -619,6 +619,12 @@ object SparkEntry {
     //    (one-sided CMS error through cell-wise counter adds).
     "q_window_cms" -> ((s, dir) =>
       FreqSummary.cmsContract(Ingest.fromEventsTable(s, dir), Spec)),
+    // -- Windowed heavy hitters (declared-but-absent freq op): merged
+    //    Misra-Gries candidate maps must hold every exact-heavy key
+    //    (pigeonhole + mergeable-summaries bound), scored in-bounds by
+    //    the merged CMS — all through the same re-coarsening path.
+    "q_window_freq" -> ((s, dir) =>
+      FreqSummary.freqContract(Ingest.fromEventsTable(s, dir), Spec)),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -899,6 +905,19 @@ object SparkEntry {
       """SELECT user_id AS stream_id, count(DISTINCT value) AS n_keys,
         |       count(*) AS n_events, 0::BIGINT AS n_out_of_bounds
         |FROM events GROUP BY user_id""".stripMargin,
+    // Windowed-freq contract: per stream, the number of exact-heavy
+    // keys (> 2% of the stream — above the MG floor of ~1.54%), with
+    // zero candidate misses and zero
+    // out-of-bounds estimates. Only streams WITH a heavy key appear
+    // (inner join semantics on the Spark side).
+    "q_window_freq" ->
+      """WITH c AS (
+        |  SELECT user_id, value, count(*) AS cnt,
+        |         sum(count(*)) OVER (PARTITION BY user_id) AS n
+        |  FROM events GROUP BY user_id, value)
+        |SELECT user_id AS stream_id, count(*) AS n_heavy,
+        |       0::BIGINT AS n_missing_candidates, 0::BIGINT AS n_out_of_bounds
+        |FROM c WHERE cnt > n * 0.02 GROUP BY user_id""".stripMargin,
     // GK-sketch rank-error contract: the exact engine confirms every
     // (stream, probability) row is in-bound (see quantileContract).
     "q_quantiles" ->

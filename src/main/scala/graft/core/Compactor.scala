@@ -154,7 +154,8 @@ object Compactor {
         min($"cs").as("cs"),
         max($"ce").as("ce"),
         graft.functions.Sketches.bloomUnionAgg($"bloom").as("bloom"),
-        graft.functions.Sketches.cmsUnionAgg($"cms").as("cms"))
-      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms")
+        graft.functions.Sketches.cmsUnionAgg($"cms").as("cms"),
+        graft.functions.Sketches.mgUnionAgg($"cand", FreqSummary.MgCapacity).as("cand"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms", $"cand")
   }
 }

@@ -42,6 +42,14 @@ object FreqSummary {
   val Eps = 0.01
   val Confidence = 0.99
 
+  /** Default Misra-Gries candidate capacity: any key with range
+    * frequency > N/(capacity+1) is guaranteed a candidate slot in at
+    * least one overlapping window (pigeonhole over the window
+    * partition), and MG merges preserve the bound (Agarwal et al.,
+    * PODS 2012).
+    */
+  val MgCapacity = 64
+
   /** Per-(stream, window) bloom+cms partials over the canonical decay
     * partition — the [[DistinctSummary.summarizePerStream]] shape with
     * two sketch columns. Output schema
@@ -60,6 +68,28 @@ object FreqSummary {
     val spark = events.sparkSession
     import spark.implicits._
     val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
+    partialsAt(events.toDF(), specOf, counts, expectedItems, fpp, eps, confidence, bufferSize)
+  }
+
+  /** Sketch partials of `events` on the canonical partition for the
+    * per-stream counts in `counts` (streamId, n) — which may exceed the
+    * events' own span (the incremental-append shape: a batch aggregated
+    * at the post-append total nests into every future canonical
+    * partition, at O(log n) sketch rows per stream instead of one
+    * fixed-size sketch pair PER ELEMENT — bloom/cms have no sparse
+    * mode, so per-element fine windows would write ~16 KB × batch).
+    */
+  private[graft] def partialsAt(
+      events: DataFrame,
+      specOf: Long => WindowingSpec,
+      counts: DataFrame,
+      expectedItems: Long = ExpectedItems,
+      fpp: Double = Fpp,
+      eps: Double = Eps,
+      confidence: Double = Confidence,
+      bufferSize: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val bs = bufferSize
     val widOf = udf((sid: Long, n: Long, seq: Long) =>
       DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
@@ -75,8 +105,10 @@ object FreqSummary {
         Sketches.bloomAgg(
           DistinctSummary.canonicalValue($"value"), expectedItems, fpp).as("bloom"),
         Sketches.cmsAgg(
-          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"))
-      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms")
+          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"),
+        Sketches.mgAgg(
+          DistinctSummary.canonicalValue($"value"), MgCapacity).as("cand"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms", $"cand")
   }
 
   /** As [[summarizePerStream]] with one spec for every stream. */
@@ -139,6 +171,87 @@ object FreqSummary {
       .select($"stream_id", $"kv._1".as("key"), $"kv._2".as("est_cnt"))
   }
 
+  /** Approximate heavy hitters over [t0, t1] — the windowed face of the
+    * reference's declared `freq` op: union the overlapping windows'
+    * Misra-Gries candidate maps (any key with range frequency
+    * > N/(MgCapacity+1) is guaranteed present — pigeonhole over windows
+    * plus the mergeable-summaries bound), then score each candidate
+    * against the merged CMS (deterministic, one-sided error) and keep
+    * the top `k`: (stream_id, key, est_cnt, rank). O(log N) sketch rows
+    * read; candidate cardinality is bounded by MgCapacity regardless of
+    * the key domain.
+    */
+  def rangeHeavyHitters(
+      sketches: DataFrame,
+      k: Int,
+      t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val probe = udf((s: Array[Byte], cand: Map[String, Long]) =>
+      if (s == null || cand == null || cand.isEmpty) Seq.empty[(String, Long)]
+      else Sketches.cmsEstimateAll(s, cand.keys.toSeq))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"stream_id").orderBy($"est_cnt".desc, $"key")
+    sketches
+      .filter($"te" >= t0 && $"ts" <= t1)
+      .groupBy($"streamId")
+      .agg(
+        Sketches.mgUnionAgg($"cand", MgCapacity).as("cand"),
+        Sketches.cmsUnionAgg($"cms").as("s"))
+      .select($"streamId".as("stream_id"), explode(probe($"s", $"cand")).as("kv"))
+      .select($"stream_id", $"kv._1".as("key"), $"kv._2".as("est_cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
+  /** Self-checking freq contract through the decay-merge path: every
+    * EXACT-heavy key (> `minFrac` of its stream — above the MG floor
+    * 1/(MgCapacity+1) = ~1.54%) must surface in the merged candidate map
+    * with a CMS estimate in [exact, exact + ceil(eps·N)]. Output
+    * (stream_id, n_heavy, n_missing_candidates, n_out_of_bounds); the
+    * oracle recomputes n_heavy from exact data and asserts the zeros.
+    */
+  def freqContract(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      eps: Double = Eps,
+      minFrac: Double = 0.02): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val merged = throughMerge(events, spec, eps = eps)
+      .groupBy($"streamId")
+      .agg(
+        Sketches.mgUnionAgg($"cand", MgCapacity).as("cand"),
+        Sketches.cmsUnionAgg($"cms").as("s"))
+    val heavy = events
+      .groupBy($"streamId", DistinctSummary.canonicalValue($"value").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"streamId")))
+      .filter($"cnt" > $"n" * minFrac)
+      .groupBy($"streamId")
+      .agg(
+        map_from_entries(collect_list(struct($"key", $"cnt"))).as("exact"),
+        first($"n").as("n"))
+    val e = eps
+    val audit = udf((cand: Map[String, Long], s: Array[Byte], exact: Map[String, Long], n: Long) => {
+      val bound = math.ceil(e * n).toLong
+      val missing = exact.keys.count(k => cand == null || !cand.contains(k)).toLong
+      val oob =
+        if (s == null) exact.size.toLong
+        else Sketches.cmsEstimateAll(s, exact.keys.toSeq).count { case (k, est) =>
+          est < exact(k) || est > exact(k) + bound
+        }.toLong
+      (missing, oob)
+    })
+    merged.join(heavy, "streamId")
+      .select($"streamId".as("stream_id"), size($"exact").cast("long").as("n_heavy"),
+        audit($"cand", $"s", $"exact", $"n").as("a"))
+      .select($"stream_id", $"n_heavy",
+        $"a._1".as("n_missing_candidates"), $"a._2".as("n_out_of_bounds"))
+  }
+
   /** Self-checking bloom contract (the `q_approx_distinct` pattern),
     * routed THROUGH a decay merge: per-element fine sketches are
     * re-coarsened to the canonical partition ([[Compactor
@@ -151,6 +264,37 @@ object FreqSummary {
     * count-distinct (pinning the probe plumbing, not just the
     * guarantee).
     */
+  /** Sketch table routed THROUGH a real decay merge without building
+    * per-element windows: each stream's first half summarized at its
+    * OWN canonical partition (the state an earlier append would have
+    * left), the remainder aggregated at the final partition, then one
+    * [[Compactor.recoarsenFreq]] — every boundary that moved between
+    * n/2 and n forces a genuine multi-way sketch merge, at O(log n)
+    * sketch rows per stream. This is the incremental-append shape the
+    * contracts certify.
+    */
+  private[graft] def throughMerge(
+      events: Dataset[Event],
+      spec: WindowingSpec,
+      expectedItems: Long = ExpectedItems,
+      fpp: Double = Fpp,
+      eps: Double = Eps,
+      confidence: Double = Confidence): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
+    val ev = events.toDF().join(counts, "streamId")
+    val cols = Seq($"streamId", $"ts", $"seq", $"value")
+    val firstHalf = ev.filter($"seq" < $"n" / 2).select(cols: _*)
+    val rest = ev.filter($"seq" >= $"n" / 2).select(cols: _*)
+    val specOf = (_: Long) => spec
+    val a = partialsAt(firstHalf, specOf,
+      firstHalf.groupBy($"streamId").agg(count(lit(1)).as("n")),
+      expectedItems, fpp, eps, confidence)
+    val b = partialsAt(rest, specOf, counts, expectedItems, fpp, eps, confidence)
+    Compactor.recoarsenFreq(a.unionByName(b), specOf)
+  }
+
   def bloomContract(
       events: Dataset[Event],
       spec: WindowingSpec,
@@ -158,8 +302,7 @@ object FreqSummary {
       fpp: Double = Fpp): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val merged = Compactor
-      .recoarsenFreq(finePerElement(events, expectedItems, fpp, Eps, Confidence), _ => spec)
+    val merged = throughMerge(events, spec, expectedItems, fpp)
       .groupBy($"streamId")
       .agg(Sketches.bloomUnionAgg($"bloom").as("bf"))
     val missed = udf((b: Array[Byte], ks: Seq[String]) =>
@@ -190,8 +333,7 @@ object FreqSummary {
       confidence: Double = Confidence): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val merged = Compactor
-      .recoarsenFreq(finePerElement(events, ExpectedItems, Fpp, eps, confidence), _ => spec)
+    val merged = throughMerge(events, spec, eps = eps, confidence = confidence)
       .groupBy($"streamId")
       .agg(Sketches.cmsUnionAgg($"cms").as("s"))
     val exact = events
@@ -240,7 +382,9 @@ object FreqSummary {
         Sketches.bloomAgg(
           DistinctSummary.canonicalValue($"value"), expectedItems, fpp).as("bloom"),
         Sketches.cmsAgg(
-          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"))
-      .select($"streamId", $"ts", $"te", $"seq".as("cs"), $"seq".as("ce"), $"bloom", $"cms")
+          DistinctSummary.canonicalValue($"value"), eps, confidence).as("cms"),
+        Sketches.mgAgg(
+          DistinctSummary.canonicalValue($"value"), MgCapacity).as("cand"))
+      .select($"streamId", $"ts", $"te", $"seq".as("cs"), $"seq".as("ce"), $"bloom", $"cms", $"cand")
   }
 }

@@ -534,16 +534,20 @@ final class SummaryDB private (
         .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
         .select($"streamId", $"ts",
           ($"seq" + coalesce($"base", lit(0L))).as("seq"), $"value")
-        .as[Event]
-      val fine = FreqSummary.finePerElement(
-        rebased, FreqSummary.ExpectedItems, FreqSummary.Fpp,
-        FreqSummary.Eps, FreqSummary.Confidence)
+      // The batch aggregates at the POST-APPEND canonical partition —
+      // O(log n) sketch rows per stream, which nest into every later
+      // partition. Per-element fine windows (the scalar/HLL path's
+      // delta shape) would write one fixed-size ~16 KB bloom+cms pair
+      // PER ELEMENT: bloom/cms have no sparse mode, so the delta must
+      // be pre-aggregated.
+      val newCounts = rebased.groupBy($"streamId").agg((max($"seq") + 1L).as("n"))
+      val delta = FreqSummary.partialsAt(rebased, specOf, newCounts)
       sinceMergeFreq += 1
       val next =
         if (sinceMergeFreq >= mergeEvery) {
           sinceMergeFreq = 0
-          Compactor.recoarsenFreq(old.unionByName(fine), specOf)
-        } else old.unionByName(fine)
+          Compactor.recoarsenFreq(old.unionByName(delta), specOf)
+        } else old.unionByName(delta)
       writeVersioned("freq_sketches",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
@@ -577,6 +581,22 @@ final class SummaryDB private (
         freqSketches.filter($"streamId" === streamId), Seq(key), t0, t1)
       .select("est_cnt").as[Long]
       .collect().headOption.getOrElse(0L)
+  }
+
+  /** Approximate heavy hitters of a stream over [t0, t1] — the
+    * reference's declared `freq` op: MG candidates (guaranteed to hold
+    * every key above N/(MgCapacity+1) of the range) scored by the
+    * merged CMS. Returns up to k (key, est) pairs, descending.
+    */
+  def heavyHitters(streamId: Long, k: Int, t0: Long = Long.MinValue,
+      t1: Long = Long.MaxValue): Seq[(String, Long)] = {
+    require(freqEnabled, "call enableFreqSummaries() first")
+    requireDeclared(streamId, "freq")
+    FreqSummary.rangeHeavyHitters(
+        freqSketches.filter($"streamId" === streamId), k, t0, t1)
+      .orderBy($"rank")
+      .select("key", "est_cnt").as[(String, Long)]
+      .collect().toSeq
   }
 
   /** OpSet enforcement for the sketch surface, mirroring [[query]]

@@ -113,12 +113,92 @@ object Sketches {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Misra-Gries heavy-hitter summary over a string column: at most
+    * `capacity` counters; any key with true count > N/(capacity+1)
+    * survives with `count - eps*N <= counter <= count`. The candidate
+    * half of the windowed `freq` op — estimates come from the CMS,
+    * which is deterministic; the MG counter CONTENTS legitimately vary
+    * with processing order, so consumers must rely only on the
+    * guarantee (heavy keys present, counters lower-bounded), never on
+    * map equality.
+    */
+  class MgAggregator(capacity: Int)
+      extends Aggregator[String, collection.mutable.Map[String, Long], Map[String, Long]] {
+    def zero: collection.mutable.Map[String, Long] = collection.mutable.Map.empty
+    def reduce(m: collection.mutable.Map[String, Long], a: String): collection.mutable.Map[String, Long] = {
+      if (a != null) {
+        m.get(a) match {
+          case Some(c) => m(a) = c + 1
+          case None if m.size < capacity => m(a) = 1L
+          case None => // decrement-all eviction
+            val dead = collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (k, c) => if (c == 1L) dead += k else m(k) = c - 1 }
+            dead.foreach(m.remove)
+        }
+      }
+      m
+    }
+    def merge(
+        a: collection.mutable.Map[String, Long],
+        b: collection.mutable.Map[String, Long]): collection.mutable.Map[String, Long] =
+      Sketches.mgMerge(a, b, capacity)
+    def finish(r: collection.mutable.Map[String, Long]): Map[String, Long] = r.toMap
+    def bufferEncoder: Encoder[collection.mutable.Map[String, Long]] =
+      Encoders.kryo[collection.mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Merge two MG summaries at `capacity` (Agarwal et al., "Mergeable
+    * Summaries", PODS 2012): sum counters, then subtract the
+    * (capacity+1)-th largest combined value from all and drop
+    * non-positives — the error bounds add, the guarantee is preserved.
+    */
+  private[graft] def mgMerge(
+      a: collection.mutable.Map[String, Long],
+      b: collection.mutable.Map[String, Long],
+      capacity: Int): collection.mutable.Map[String, Long] = {
+    b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+    if (a.size > capacity) {
+      val vals = a.values.toArray
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      val dead = collection.mutable.ArrayBuffer.empty[String]
+      a.foreach { case (k, c) => if (c - cut <= 0L) dead += k else a(k) = c - cut }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  /** Union of MG candidate maps (map<string,long> column). */
+  class MgUnionAggregator(capacity: Int)
+      extends Aggregator[Map[String, Long], collection.mutable.Map[String, Long], Map[String, Long]] {
+    def zero: collection.mutable.Map[String, Long] = collection.mutable.Map.empty
+    def reduce(m: collection.mutable.Map[String, Long], a: Map[String, Long]): collection.mutable.Map[String, Long] =
+      if (a == null) m else Sketches.mgMerge(m, collection.mutable.Map(a.toSeq: _*), capacity)
+    def merge(
+        a: collection.mutable.Map[String, Long],
+        b: collection.mutable.Map[String, Long]): collection.mutable.Map[String, Long] =
+      Sketches.mgMerge(a, b, capacity)
+    def finish(r: collection.mutable.Map[String, Long]): Map[String, Long] = r.toMap
+    def bufferEncoder: Encoder[collection.mutable.Map[String, Long]] =
+      Encoders.kryo[collection.mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** `bloom_agg(col)` column for use inside `agg(...)`. */
   def bloomAgg(c: Column, expectedItems: Long = 10000L, fpp: Double = 0.01): Column =
     udaf(new BloomAggregator(expectedItems, fpp)).apply(c)
 
   /** `bloom_union_agg(col)` over serialized filters. */
   def bloomUnionAgg(c: Column): Column = udaf(new BloomUnionAggregator).apply(c)
+
+  /** `mg_agg(col)` — bounded Misra-Gries candidate map. */
+  def mgAgg(c: Column, capacity: Int): Column = udaf(new MgAggregator(capacity)).apply(c)
+
+  /** `mg_union_agg(col)` over candidate maps. */
+  def mgUnionAgg(c: Column, capacity: Int): Column = udaf(new MgUnionAggregator(capacity)).apply(c)
 
   /** `cms_union_agg(col)` over serialized sketches. */
   def cmsUnionAgg(c: Column): Column = udaf(new CmsUnionAggregator).apply(c)

@@ -47,6 +47,9 @@ class FreqSummaryDbSpec extends SparkSpec {
     assert(inc.freqEstimate(9L, "1.0") == 15L)
     assert(inc.freqEstimate(9L, "6.0") == 14L)
     assert(inc.freqEstimate(9L, "9.0") == 0L)
+    // heavy hitters through the maintained table: residues 0 and 1
+    // lead (15 each), ties broken by key asc.
+    assert(inc.heavyHitters(9L, 2) == Seq(("0.0", 15L), ("1.0", 15L)))
   }
 
   test("deferred-merge cadence: state after the next merge equals always-merging") {

@@ -85,6 +85,36 @@ class FreqSummarySpec extends SparkSpec {
     assert(cms.forall(_.getAs[Long]("n_out_of_bounds") == 0L), "CMS estimate out of bounds")
   }
 
+  test("rangeHeavyHitters surfaces the dominant keys with exact estimates at tiny cardinality") {
+    // stream of 32: value 7.0 x 16, 3.0 x 8, the rest singletons.
+    val values = Seq.fill(16)(7.0) ++ Seq.fill(8)(3.0) ++ (1 to 8).map(i => 100.0 + i)
+    val fq = FreqSummary.summarize(stream(values), exp2)
+    val top = FreqSummary.rangeHeavyHitters(fq, k = 2).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("est_cnt"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq(("7.0", 16L, 1), ("3.0", 8L, 2)),
+      s"got ${top.toSeq}")
+  }
+
+  test("freq contract holds on the real events table") {
+    val events = Ingest.fromEventsTable(spark, "/root/testdata/sf0.001")
+    val rows = FreqSummary.freqContract(events, exp2).collect()
+    assert(rows.nonEmpty, "expected at least one stream with a heavy key")
+    assert(rows.forall(_.getAs[Long]("n_missing_candidates") == 0L),
+      "a heavy key missed the merged MG candidates")
+    assert(rows.forall(_.getAs[Long]("n_out_of_bounds") == 0L))
+  }
+
+  test("MG merge preserves the heavy-hitter guarantee across skewed partials") {
+    // 3 partials whose individual top keys differ; the merged map must
+    // hold the global majority key.
+    val m1 = collection.mutable.Map("a" -> 10L, "b" -> 9L)
+    val m2 = collection.mutable.Map("a" -> 10L, "c" -> 9L)
+    val m3 = collection.mutable.Map("a" -> 10L, "d" -> 9L)
+    val merged = Sketches.mgMerge(Sketches.mgMerge(m1, m2, 2), m3, 2)
+    assert(merged.contains("a"), s"majority key lost: $merged")
+    assert(merged("a") <= 30L && merged("a") >= 30L - 19L) // count - eps*N lower bound
+  }
+
   test("union aggregators tolerate sparse groups (nulls and single rows)") {
     def bytes(items: Seq[String]): Array[Byte] = {
       val bf = org.apache.spark.util.sketch.BloomFilter
