@@ -85,6 +85,22 @@ object SparkEntry {
       DedupShared(sh, pairs09, exact05)
     })
 
+  /** The through-merge freq sketch table shared by the three windowed
+    * sketch contracts (`q_window_bloom`/`_cms`/`_freq`) — same
+    * (session, sfDir)-memoized pattern as [[dedupShared]]: one
+    * materialization, three consumers, identical rows.
+    */
+  private val freqCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def freqShared(s: SparkSession, dir: String): DataFrame =
+    freqCache.synchronized {
+      freqCache.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, { _ =>
+      FreqSummary.throughMerge(Ingest.fromEventsTable(s, dir), Spec).localCheckpoint()
+    })
+
   private def emptyLandmarks(spark: SparkSession): Dataset[LandmarkWindow] = {
     import spark.implicits._
     spark.emptyDataset[LandmarkWindow]
@@ -612,19 +628,19 @@ object SparkEntry {
     //    more bits, so n_missed must be 0; n_present pins the probe
     //    plumbing to the oracle's exact count-distinct.
     "q_window_bloom" -> ((s, dir) =>
-      FreqSummary.bloomContract(Ingest.fromEventsTable(s, dir), Spec)),
+      FreqSummary.bloomContractFrom(freqShared(s, dir), Ingest.fromEventsTable(s, dir))),
     // -- Windowed count-min frequency (declared-but-absent cms op):
     //    same re-coarsening path; every value's estimate from the
     //    merged window sketches must sit in [exact, exact + ceil(eps*N)]
     //    (one-sided CMS error through cell-wise counter adds).
     "q_window_cms" -> ((s, dir) =>
-      FreqSummary.cmsContract(Ingest.fromEventsTable(s, dir), Spec)),
+      FreqSummary.cmsContractFrom(freqShared(s, dir), Ingest.fromEventsTable(s, dir))),
     // -- Windowed heavy hitters (declared-but-absent freq op): merged
     //    Misra-Gries candidate maps must hold every exact-heavy key
     //    (pigeonhole + mergeable-summaries bound), scored in-bounds by
     //    the merged CMS — all through the same re-coarsening path.
     "q_window_freq" -> ((s, dir) =>
-      FreqSummary.freqContract(Ingest.fromEventsTable(s, dir), Spec)),
+      FreqSummary.freqContractFrom(freqShared(s, dir), Ingest.fromEventsTable(s, dir))),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.

@@ -216,10 +216,18 @@ object FreqSummary {
       events: Dataset[Event],
       spec: WindowingSpec,
       eps: Double = Eps,
+      minFrac: Double = 0.02): DataFrame =
+    freqContractFrom(throughMerge(events, spec, eps = eps), events, eps, minFrac)
+
+  /** [[freqContract]] over a prebuilt sketch table. */
+  def freqContractFrom(
+      table: DataFrame,
+      events: Dataset[Event],
+      eps: Double = Eps,
       minFrac: Double = 0.02): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val merged = throughMerge(events, spec, eps = eps)
+    val merged = table
       .groupBy($"streamId")
       .agg(
         Sketches.mgUnionAgg($"cand", MgCapacity).as("cand"),
@@ -299,10 +307,16 @@ object FreqSummary {
       events: Dataset[Event],
       spec: WindowingSpec,
       expectedItems: Long = ExpectedItems,
-      fpp: Double = Fpp): DataFrame = {
+      fpp: Double = Fpp): DataFrame =
+    bloomContractFrom(throughMerge(events, spec, expectedItems, fpp), events)
+
+  /** [[bloomContract]] over a prebuilt (typically cached) sketch table
+    * — several contracts share one [[throughMerge]] materialization.
+    */
+  def bloomContractFrom(table: DataFrame, events: Dataset[Event]): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val merged = throughMerge(events, spec, expectedItems, fpp)
+    val merged = table
       .groupBy($"streamId")
       .agg(Sketches.bloomUnionAgg($"bloom").as("bf"))
     val missed = udf((b: Array[Byte], ks: Seq[String]) =>
@@ -330,10 +344,14 @@ object FreqSummary {
       events: Dataset[Event],
       spec: WindowingSpec,
       eps: Double = Eps,
-      confidence: Double = Confidence): DataFrame = {
+      confidence: Double = Confidence): DataFrame =
+    cmsContractFrom(throughMerge(events, spec, eps = eps, confidence = confidence), events, eps)
+
+  /** [[cmsContract]] over a prebuilt sketch table. */
+  def cmsContractFrom(table: DataFrame, events: Dataset[Event], eps: Double = Eps): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val merged = throughMerge(events, spec, eps = eps, confidence = confidence)
+    val merged = table
       .groupBy($"streamId")
       .agg(Sketches.cmsUnionAgg($"cms").as("s"))
     val exact = events

@@ -56,4 +56,46 @@ object StreamingWindowedAgg {
         hll_sketch_estimate($"sketch").cast("long").as("n_distinct"),
         $"sketch")
   }
+
+  /** As [[tumbling]] with the full per-bucket sketch set of the batch
+    * freq table ([[graft.core.FreqSummary]]): bloom + CMS + Misra-Gries
+    * candidates next to the HLL — the streaming face of the windowed
+    * bloom/cms/freq ops. Each finalized bucket row carries mergeable
+    * states in the SAME wire formats the batch table stores, so a sink
+    * can append buckets to a freq-style table and range queries
+    * (membership / frequency / heavy hitters) union them exactly like
+    * batch windows. State per (stream, window) is the fixed sketch
+    * geometry (~16 KB at the defaults), watermark-bounded.
+    */
+  def tumblingWithSketches(
+      events: Dataset[Event],
+      windowLength: String = "10 seconds",
+      lateness: String = "5 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val canon = graft.core.DistinctSummary.canonicalValue($"value")
+    events
+      .withColumn("event_time", timestamp_micros($"ts"))
+      .withWatermark("event_time", lateness)
+      .groupBy($"streamId".as("stream_id"), window($"event_time", windowLength))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value").as("sum"),
+        max($"value").as("max"),
+        min($"value").as("min"),
+        hll_sketch_agg(canon, lit(12)).as("sketch"),
+        graft.functions.Sketches.bloomAgg(canon,
+          graft.core.FreqSummary.ExpectedItems, graft.core.FreqSummary.Fpp).as("bloom"),
+        graft.functions.Sketches.cmsAgg(canon,
+          graft.core.FreqSummary.Eps, graft.core.FreqSummary.Confidence).as("cms"),
+        graft.functions.Sketches.mgAgg(canon,
+          graft.core.FreqSummary.MgCapacity).as("cand"))
+      .select(
+        $"stream_id",
+        unix_micros($"window.start").as("ws"),
+        unix_micros($"window.end").as("we"),
+        $"n", $"sum", $"max", $"min",
+        hll_sketch_estimate($"sketch").cast("long").as("n_distinct"),
+        $"sketch", $"bloom", $"cms", $"cand")
+  }
 }

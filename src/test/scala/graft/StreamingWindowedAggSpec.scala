@@ -49,6 +49,42 @@ class StreamingWindowedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket sketches finalize with the batch wire formats and answer probes") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingWindowedAgg
+      .tumblingWithSketches(source.toDS(), "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("wsketch").outputMode("append").start()
+    try {
+      source.addData(
+        Event(1L, 0L, 2 * Sec, 7.0),
+        Event(1L, 1L, 8 * Sec, 7.0),
+        Event(1L, 2L, 5 * Sec, 4.0))
+      q.processAllAvailable()
+      source.addData(Event(1L, 3L, 20 * Sec, 8.0)) // watermark past [0,10)
+      q.processAllAvailable()
+      val row = spark.table("wsketch").filter($"ws" === 0L).collect().head
+      // bloom: present values probe true, absent false (tiny filter).
+      val bloom = row.getAs[Array[Byte]]("bloom")
+      assert(graft.functions.Sketches.mightContain(bloom, "7.0"))
+      assert(graft.functions.Sketches.mightContain(bloom, "4.0"))
+      assert(!graft.functions.Sketches.mightContain(bloom, "9.0"))
+      // cms: exact at this cardinality.
+      val cms = row.getAs[Array[Byte]]("cms")
+      assert(graft.functions.Sketches.cmsEstimate(cms, "7.0") == 2L)
+      assert(graft.functions.Sketches.cmsEstimate(cms, "4.0") == 1L)
+      // candidates: both keys present with true counts (no eviction).
+      val cand = row.getAs[Map[String, Long]]("cand")
+      assert(cand == Map("7.0" -> 2L, "4.0" -> 1L), s"cand=$cand")
+      // the formats are the batch table's: the union aggregators accept
+      // them (one-row merge round-trip).
+      val merged = Seq((1L, bloom)).toDF("g", "b")
+        .groupBy($"g").agg(graft.functions.Sketches.bloomUnionAgg($"b").as("m"))
+        .collect().head.getAs[Array[Byte]]("m")
+      assert(graft.functions.Sketches.mightContain(merged, "7.0"))
+    } finally q.stop()
+  }
+
   test("batch execution of the same transform agrees with a plain groupBy") {
     val events = (0 until 100).map { i =>
       Event(i % 3L, i / 3L, (i * 700000L), (i % 13).toDouble)
