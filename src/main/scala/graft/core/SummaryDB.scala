@@ -289,6 +289,7 @@ final class SummaryDB private (
     fs.create(new Path(p("commits"), tag), true).close()
     refreshRewriteRegistration()
     refreshDistinctRegistration()
+    refreshFreqRegistration()
   }
 
   /** Old summary + fine windows of the (already clamped) batch ->
@@ -501,7 +502,26 @@ final class SummaryDB private (
     */
   def enableFreqSummaries(): Unit = {
     freqEnabled = true
+    graft.plans.SummaryRewrite.install(spark)
     rebuildFreq()
+    refreshFreqRegistration()
+  }
+
+  private var freqKey: Option[Set[String]] = None
+
+  /** Keep the CMS count rewrite paired with the current freq table
+    * version, mirroring [[refreshDistinctRegistration]].
+    */
+  private def refreshFreqRegistration(): Unit = if (freqEnabled) {
+    freqKey.foreach(graft.plans.SummaryRewrite.unregisterFreqSet)
+    freqKey = {
+      val dirs = committedEventDirs()
+      currentVersion("freq_sketches") match {
+        case Some(sv) if dirs.nonEmpty =>
+          Some(graft.plans.SummaryRewrite.registerFreqSet(dirs.map(_.toString), sv.toString))
+        case _ => None
+      }
+    }
   }
 
   /** Canonical bloom/cms table from the committed WAL (plus the batch

@@ -73,7 +73,9 @@ object SummaryRewrite {
 
   def unregister(eventsPath: String): Unit = { registry.remove(Set(norm(eventsPath))); dfCache.clear() }
   def unregisterSet(key: Set[String]): Unit = { registry.remove(key); dfCache.clear() }
-  def clear(): Unit = { registry.clear(); distinctRegistry.clear(); dfCache.clear() }
+  def clear(): Unit = {
+    registry.clear(); distinctRegistry.clear(); freqRegistry.clear(); dfCache.clear()
+  }
 
   // Events root-path set -> windowed DistinctSummary sketch parquet
   // (same keying discipline as `registry`).
@@ -103,6 +105,32 @@ object SummaryRewrite {
     distinctRegistry.remove(key)
     dfCache.clear()
   }
+
+  // Events root-path set -> windowed FreqSummary (bloom/cms/cand)
+  // parquet, enabling the CMS count rewrite (approximate mode only).
+  private val freqRegistry = new ConcurrentHashMap[Set[String], String]()
+
+  /** Pair a raw-events location with its [[graft.core.FreqSummary]]
+    * table; multi-directory variant like [[registerSet]].
+    */
+  def registerFreqSet(eventsPaths: Seq[String], freqPath: String): Set[String] = {
+    val key = eventsPaths.map(norm).toSet
+    freqRegistry.put(key, norm(freqPath))
+    dfCache.clear()
+    key
+  }
+
+  def unregisterFreqSet(key: Set[String]): Unit = {
+    freqRegistry.remove(key)
+    dfCache.clear()
+  }
+
+  private[plans] def freqTableFor(relation: LogicalRelation): Option[String] =
+    relation.relation match {
+      case fs: HadoopFsRelation =>
+        Option(freqRegistry.get(fs.location.rootPaths.map(p => norm(p.toString)).toSet))
+      case _ => None
+    }
 
   private[plans] def sketchFor(relation: LogicalRelation): Option[String] =
     relation.relation match {
@@ -188,6 +216,9 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
             }
             .orElse(SummaryRewrite.sketchFor(rel).flatMap { sketchPath =>
               rewriteDistinct(groupExprs, aggExprs, rel, filterCond, sketchPath)
+            })
+            .orElse(SummaryRewrite.freqTableFor(rel).flatMap { freqPath =>
+              rewriteFreqCount(groupExprs, aggExprs, rel, filterCond, freqPath)
             })
             .getOrElse(agg)
         case None => agg
@@ -483,6 +514,125 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
   // Standard error of the stored sketches: SummaryDB/DistinctSummary
   // register lgK=12 Datasketches HLL, RSE = 1.04 / sqrt(2^lgK).
   private val SketchRelativeSD: Double = 1.04 / math.sqrt((1 << 12).toDouble)
+
+  /** CMS count rewrite (approximate mode only): a COUNT over raw
+    * events filtered by a VALUE-EQUALITY literal —
+    *
+    *   SELECT [streamId,] count(*) FROM raw
+    *   WHERE value = <lit> [AND <streamId-only predicates>]
+    *   [GROUP BY streamId]
+    *
+    * — is answered by probing the per-stream union of the registered
+    * [[graft.core.FreqSummary]] table's CMS sketches for the literal's
+    * canonical key: O(log N) sketch rows instead of the raw scan, with
+    * the CMS one-sided bound (exact <= est <= exact + eps*N at the
+    * configured confidence). Grouped output keeps only streams whose
+    * estimate is positive — a stream with no occurrence usually
+    * estimates 0 and is pruned, but a hash collision can ghost a row
+    * the exact query would omit (the same group-set residue as the
+    * approximate range rewrite).
+    */
+  private def rewriteFreqCount(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      rel: LogicalRelation,
+      filterCond: Option[Expression],
+      freqPath: String): Option[LogicalPlan] = {
+    if (spark.conf.get(ApproximateConf, "false") != "true") return None
+    val evStreamOpt = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => Some(a)
+      case Seq()                                              => None
+      case _                                                  => return None
+    }
+    val rawStream = evStreamOpt.orElse(
+      rel.output.collectFirst { case a: AttributeReference if a.name == "streamId" => a })
+      .getOrElse(return None)
+
+    // Split the filter; exactly one conjunct must be `value = literal`
+    // (either side), the rest must be deterministic streamId-only.
+    def conjuncts(c: Expression): Seq[Expression] = c match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o         => Seq(o)
+    }
+    val parts = filterCond.map(conjuncts).getOrElse(return None)
+    def asValueEq(e: Expression): Option[Literal] = e match {
+      case EqualTo(v: AttributeReference, l: Literal) if v.name == "value" => Some(l)
+      case EqualTo(l: Literal, v: AttributeReference) if v.name == "value" => Some(l)
+      case _ => None
+    }
+    val (eqs, restAll) = parts.partition(asValueEq(_).isDefined)
+    val keyLit = eqs match {
+      case Seq(one) => asValueEq(one).get
+      case _        => return None
+    }
+    // The optimizer adds `isnotnull(value)` next to the equality; it is
+    // implied by `value = literal` and carries no extra constraint.
+    val rest = restAll.filterNot {
+      case IsNotNull(v: AttributeReference) if v.name == "value" => true
+      case _                                                     => false
+    }
+    if (rest.exists(c =>
+        !c.references.subsetOf(AttributeSet(Seq(rawStream))) || !c.deterministic))
+      return None
+
+    // Canonical probe key via Spark's OWN double->string cast on the
+    // -0.0-normalized literal — byte parity with the sketch build
+    // (DistinctSummary.canonicalValue).
+    val keyValue: Any = keyLit.value match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case other                                         => other
+    }
+    val key = Cast(Literal.create(keyValue, keyLit.dataType),
+        org.apache.spark.sql.types.StringType)
+      .eval(null) match {
+      case null => return None
+      case s    => s.toString
+    }
+
+    // Output shape: bare streamId and/or count(*)/count(1) aliases.
+    val wants: Seq[(String, NamedExpression)] = aggExprs.map {
+      case a: AttributeReference if evStreamOpt.exists(a.semanticEquals) => ("sid", a)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
+        ("cnt", al)
+      case _ => return None
+    }
+    if (!wants.exists(_._1 == "cnt")) return None
+
+    import org.apache.spark.sql.functions.{col, udf}
+    val fqDf = SummaryRewrite.summaryDf(spark, freqPath)
+    if (!fqDf.columns.contains("cms") || !fqDf.columns.contains("streamId")) return None
+    val k = key
+    val probe = udf((b: Array[Byte]) =>
+      if (b == null) 0L else graft.functions.Sketches.cmsEstimate(b, k))
+    val probed = fqDf.groupBy(col("streamId").as("__sid"))
+      .agg(graft.functions.Sketches.cmsUnionAgg(col("cms")).as("__cms"))
+      .select(col("__sid"), probe(col("__cms")).as("__est"))
+    val out = probed.queryExecution.analyzed
+    def attr(n: String): AttributeReference =
+      out.output.collectFirst { case a: AttributeReference if a.name == n => a }.get
+    val streamFiltered = rest.reduceOption(And.apply) match {
+      case Some(c) =>
+        Filter(
+          c.transform { case a: AttributeReference if a.semanticEquals(rawStream) => attr("__sid") },
+          out)
+      case None => out
+    }
+    if (evStreamOpt.isEmpty) {
+      // Global count: sum the per-stream estimates (empty -> 0).
+      val total = AggregateExpression(Sum(attr("__est")), Complete, isDistinct = false)
+      val cExpr = Coalesce(Seq(Cast(total, LongType), Literal(0L)))
+      val newAggs = wants.map { case (_, al) => Alias(cExpr, al.name)(exprId = al.exprId) }
+      Some(Aggregate(Nil, newAggs, streamFiltered, None))
+    } else {
+      // Grouped: one row per stream with a positive estimate.
+      val positive = Filter(GreaterThan(attr("__est"), Literal(0L)), streamFiltered)
+      val projected = wants.map {
+        case ("sid", a) => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+        case (_, al)    => Alias(attr("__est"), al.name)(exprId = al.exprId)
+      }
+      Some(Project(projected, positive))
+    }
+  }
 
   private def rewriteDistinct(
       groupExprs: Seq[Expression],
