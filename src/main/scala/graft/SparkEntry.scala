@@ -641,6 +641,14 @@ object SparkEntry {
     //    the merged CMS — all through the same re-coarsening path.
     "q_window_freq" -> ((s, dir) =>
       FreqSummary.freqContractFrom(freqShared(s, dir), Ingest.fromEventsTable(s, dir))),
+    // -- Windowed quantile summaries: per-window KLL-style sketches
+    //    through the same re-coarsening path, held to the sketch's OWN
+    //    certified rank-error bound (which ADDS across merges, so any
+    //    distributed aggregation order preserves it). k=32 forces real
+    //    compactions (err > 0) even at sf0.01 stream sizes.
+    "q_window_quantile" -> ((s, dir) =>
+      QuantileSummary.quantileContract(
+        Ingest.fromEventsTable(s, dir), Spec, Seq(0.5, 0.9, 0.99), k = 32)),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -934,6 +942,13 @@ object SparkEntry {
         |SELECT user_id AS stream_id, count(*) AS n_heavy,
         |       0::BIGINT AS n_missing_candidates, 0::BIGINT AS n_out_of_bounds
         |FROM c WHERE cnt > n * 0.02 GROUP BY user_id""".stripMargin,
+    // Windowed-quantile contract: every (stream, probability) row's
+    // estimate sits within the merged sketch's certified rank bound on
+    // the exact data (see QuantileSummary.quantileContract).
+    "q_window_quantile" ->
+      """SELECT user_id AS stream_id, p, true AS within_bound
+        |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
+        |GROUP BY user_id, p""".stripMargin,
     // GK-sketch rank-error contract: the exact engine confirms every
     // (stream, probability) row is in-bound (see quantileContract).
     "q_quantiles" ->

@@ -158,4 +158,34 @@ object Compactor {
         graft.functions.Sketches.mgUnionAgg($"cand", FreqSummary.MgCapacity).as("cand"))
       .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms", $"cand")
   }
+
+  /** [[recoarsen]] for the quantile summary table ([[QuantileSummary
+    * .summarizePerStream]] schema): KLL-style sketches merge by level
+    * concatenation + re-compaction with their certified rank-error
+    * bounds ADDING ([[graft.functions.QuantileSketch.qsUnionAgg]]), so
+    * decay maintenance is the same groupBy-the-new-partition as every
+    * other op. All input windows must share one sketch capacity.
+    */
+  def recoarsenQuantile(
+      sketches: org.apache.spark.sql.DataFrame,
+      specOf: Long => WindowingSpec,
+      bufferSize: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, cs: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
+    sketches
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"te").as("te"),
+        min($"cs").as("cs"),
+        max($"ce").as("ce"),
+        graft.functions.QuantileSketch.qsUnionAgg($"qsk").as("qsk"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"qsk")
+  }
 }
