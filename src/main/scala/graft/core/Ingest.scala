@@ -202,10 +202,13 @@ object Ingest {
   /** Testdata `events` table -> Event stream: streamId = user_id,
     * ts = event time in epoch micros, tiebreak on event_id.
     *
-    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * only reads via the nanosAsLong legacy mode (as a LongType of
-    * nanoseconds); micros = floorDiv(ns, 1000), matching DuckDB's
-    * truncation when it reads the same column as TIMESTAMP.
+    * Testdata generations have written `ts` as parquet TIMESTAMP(NANOS)
+    * (readable only via nanosAsLong, as a LongType of nanoseconds;
+    * micros = floorDiv(ns, 1000)) or TIMESTAMP(MICROS) without the
+    * UTC-adjusted flag (read as TIMESTAMP_NTZ). Both normalize to the
+    * epoch micros DuckDB sees when it reads the same column naively —
+    * the NTZ cast is epoch-preserving because the session timezone is
+    * pinned to UTC.
     */
   def fromEventsTable(spark: SparkSession, sfDir: String): Dataset[Event] = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -214,7 +217,9 @@ object Ingest {
       // Integral `div`, NOT floor(ts/1000): the double division loses
       // microsecond precision at epoch-nanos magnitude (ULP ~256 ns).
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _                                   => unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => unix_micros(col("ts"))
     }
     val raw = df.select(
       col("user_id").as("streamId"),
