@@ -323,6 +323,16 @@ object SparkEntry {
     // Sliding 40-token chunks every 20 (50% overlap).
     "q_chunks" -> ((s, dir) =>
       ops.TextAnalysis.chunk(docs(s, dir), width = 40, stride = 20)),
+    // Exact substring dedup (Lee et al. ACL'22): maximal token spans
+    // every 8-window of which repeats corpus-wide; the oracle regroups
+    // on raw window CONTENT while the operator groups on xxhash64 —
+    // agreement doubles as a hash-collision check.
+    "q_substring_spans" -> ((s, dir) =>
+      ops.SubstringDedup.duplicatedSpans(docs(s, dir), minTokens = 8)),
+    // Keep-one removal: canonical (smallest doc_id, start) occurrence
+    // survives; every other covered token is cut.
+    "q_substring_clean" -> ((s, dir) =>
+      ops.SubstringDedup.removeDuplicatedSpans(docs(s, dir), minTokens = 8)),
     // Decontamination: the "benchmark" is the deterministic doc_id%17
     // subset of the corpus itself, so benchmark members are fully
     // contaminated by construction and the oracle re-derives the same
@@ -1054,6 +1064,55 @@ object SparkEntry {
         |  array_to_string(list_slice(t, i * 20 + 1, i * 20 + 40), ' ') AS chunk_text,
         |  len(list_slice(t, i * 20 + 1, i * 20 + 40))::BIGINT AS n_chunk_tokens
         |FROM c, unnest(range(0, n_chunks)) AS u(i)""".stripMargin,
+    // Groups on raw window content where the Spark plan groups on
+    // xxhash64 of it — hash-collision-free agreement is part of the
+    // contract being checked.
+    "q_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS s, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS key
+        |  FROM t, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+        |d AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+        |dw AS (SELECT w.doc_id, w.s FROM w JOIN d USING (key)),
+        |fl AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN lag(s) OVER win IS NULL OR s > lag(s) OVER win + 8 THEN 1 ELSE 0 END AS f
+        |  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY s)),
+        |isl AS (
+        |  SELECT doc_id, s, sum(f) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM fl)
+        |SELECT doc_id, min(s)::BIGINT AS span_start, (max(s) + 8)::BIGINT AS span_end,
+        |  count(*)::BIGINT AS n_dup_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "q_substring_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS s, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS key
+        |  FROM t, unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+        |d AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+        |nc AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT w.doc_id, w.s,
+        |      row_number() OVER (PARTITION BY key ORDER BY w.doc_id, w.s) AS rk
+        |    FROM w JOIN d USING (key))
+        |  WHERE rk > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + j AS i FROM nc, unnest(range(0, 8)) AS u(j)),
+        |toks AS (
+        |  SELECT doc_id, i, t[i + 1] AS tok
+        |  FROM t, unnest(range(0, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT toks.doc_id, toks.i, toks.tok
+        |  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.i
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(array_agg(tok ORDER BY i), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  coalesce(rem.n_removed, 0)::BIGINT AS n_removed_tokens
+        |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)""".stripMargin,
     "q_contamination" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(list_transform(list_zip(

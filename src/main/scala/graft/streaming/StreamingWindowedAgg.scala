@@ -59,8 +59,9 @@ object StreamingWindowedAgg {
 
   /** As [[tumbling]] with the full per-bucket sketch set of the batch
     * freq table ([[graft.core.FreqSummary]]): bloom + CMS + Misra-Gries
-    * candidates next to the HLL — the streaming face of the windowed
-    * bloom/cms/freq ops. Each finalized bucket row carries mergeable
+    * candidates next to the HLL, plus the [[graft.core.QuantileSummary]]
+    * KLL sketch — the streaming face of the windowed
+    * bloom/cms/freq/quantile ops. Each finalized bucket row carries mergeable
     * states in the SAME wire formats the batch table stores, so a sink
     * can append buckets to a freq-style table and range queries
     * (membership / frequency / heavy hitters) union them exactly like
@@ -89,13 +90,15 @@ object StreamingWindowedAgg {
         graft.functions.Sketches.cmsAgg(canon,
           graft.core.FreqSummary.Eps, graft.core.FreqSummary.Confidence).as("cms"),
         graft.functions.Sketches.mgAgg(canon,
-          graft.core.FreqSummary.MgCapacity).as("cand"))
+          graft.core.FreqSummary.MgCapacity).as("cand"),
+        graft.functions.QuantileSketch.qsAgg($"value",
+          graft.core.QuantileSummary.K).as("qsk"))
       .select(
         $"stream_id",
         unix_micros($"window.start").as("ws"),
         unix_micros($"window.end").as("we"),
         $"n", $"sum", $"max", $"min",
         hll_sketch_estimate($"sketch").cast("long").as("n_distinct"),
-        $"sketch", $"bloom", $"cms", $"cand")
+        $"sketch", $"bloom", $"cms", $"cand", $"qsk")
   }
 }

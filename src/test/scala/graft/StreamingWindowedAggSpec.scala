@@ -82,6 +82,10 @@ class StreamingWindowedAggSpec extends SparkSpec {
         .groupBy($"g").agg(graft.functions.Sketches.bloomUnionAgg($"b").as("m"))
         .collect().head.getAs[Array[Byte]]("m")
       assert(graft.functions.Sketches.mightContain(merged, "7.0"))
+      // quantile sketch: exact at this size (err 0, batch wire format).
+      val qs = graft.functions.QuantileSketch.fromBytes(row.getAs[Array[Byte]]("qsk"))
+      assert(qs.n == 3L && qs.err == 0L)
+      assert(qs.quantile(0.5) == 7.0 && qs.quantile(0.01) == 4.0)
     } finally q.stop()
   }
 
