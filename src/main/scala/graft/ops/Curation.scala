@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation: the canonical LLM training-data flow
   * composed from this library's individually-oracled primitives —
   * language ID → quality/repetition filtering → PII scrub → exact
-  * dedup → near-dedup (MinHash/LSH + connected components) →
-  * benchmark decontamination → domain re-weighting → sequence packing.
+  * dedup → near-dedup (MinHash/LSH + connected components) → optional
+  * substring dedup (keep-one span removal) → benchmark decontamination
+  * → domain re-weighting → sequence packing.
   *
   * Every stage is a doc_id-keyed filter or transform, so the whole
   * pipeline is a chain of semi-joins over the (ever-shrinking) survivor
@@ -30,7 +31,13 @@ object Curation {
       mixtureRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       packBudget: Long = 2048L,
-      packShards: Int = 64)
+      packShards: Int = 64,
+      /** When set, rewrite survivors' text with [[SubstringDedup
+        * .removeDuplicatedSpans]] at this window length after
+        * near-dedup — document counts are unchanged, duplicated
+        * substrings keep one canonical copy corpus-wide.
+        */
+      substringMinTokens: Option[Int] = None)
 
   /** Curated output: the packed corpus plus a per-stage survivor-count
     * report (stage, rows) in pipeline order.
@@ -85,14 +92,27 @@ object Curation {
     val dropIds = reps.filter(col("doc_id") =!= col("rep_id")).select("doc_id")
     val nearDeduped = stage("near_dedup", exact.join(dropIds, Seq("doc_id"), "left_anti"))
 
+    // 4b. Substring dedup (optional): a TRANSFORM, not a filter — the
+    //     survivor set is unchanged but duplicated >= L-token spans
+    //     keep exactly one canonical copy across the whole corpus.
+    //     Runs after the document-level dedups so the window table is
+    //     built over the smallest corpus.
+    val subDeduped = cfg.substringMinTokens match {
+      case Some(l) =>
+        val cleaned = SubstringDedup.removeDuplicatedSpans(nearDeduped, l)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        stage("substring_dedup", nearDeduped.drop("text").join(cleaned, "doc_id"))
+      case None => nearDeduped
+    }
+
     // 5. Decontamination (optional): drop docs sharing 5-grams with the
     //    benchmark.
     val clean = benchmark match {
       case Some(b) =>
-        val flags = Contamination.flagContamination(nearDeduped, b)
+        val flags = Contamination.flagContamination(subDeduped, b)
         stage("decontaminated",
-          nearDeduped.join(flags.filter(!col("contaminated")).select("doc_id"), "doc_id"))
-      case None => nearDeduped
+          subDeduped.join(flags.filter(!col("contaminated")).select("doc_id"), "doc_id"))
+      case None => subDeduped
     }
 
     // 6. Domain re-weighting, then 7. sequence packing.

@@ -128,7 +128,6 @@ object SubstringDedup {
   def removeDuplicatedSpans(
       docs: DataFrame, minTokens: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = minTokens
     val wins = windowFingerprints(docs, minTokens, textCol, idCol)
     val dupKeys = wins.groupBy(col("key"))
       .agg(count(lit(1)).as("occ"))
@@ -140,6 +139,19 @@ object SubstringDedup {
       .withColumn("rk", row_number().over(byKey))
       .filter(col("rk") > 1)
       .select(col("doc_id"), col("start"))
+    removeCovered(docs, nonCanon, minTokens, textCol, idCol)
+  }
+
+  /** Rebuild each document with the tokens covered by the `(doc_id,
+    * start)` windows in `nonCanon` removed — the removal kernel of
+    * [[removeDuplicatedSpans]], shared by the streaming variant (which
+    * derives `nonCanon` from in-batch duplication plus cross-batch
+    * key state instead of a global window rank).
+    */
+  private[graft] def removeCovered(
+      docs: DataFrame, nonCanon: DataFrame, minTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = minTokens
     // Merge non-canonical coverage into spans, then collect the spans
     // of each document into one array row for the rebuild join.
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))

@@ -34,6 +34,33 @@ class CurationSpec extends SparkSpec {
     assert(res.packed.filter($"pack_offset" < 0 || $"pack_offset" >= 256).count() == 0)
   }
 
+  test("substring stage: same survivors, duplicated spans keep one copy") {
+    val withSub = cfg.copy(substringMinTokens = Some(8))
+    val res = Curation.curate(docs, withSub)
+    assert(res.report.map(_._1).contains("substring_dedup"))
+    // A transform, not a filter: survivor count matches near_dedup.
+    val byName = res.report.toMap
+    assert(byName("substring_dedup") == byName("near_dedup"))
+    // Packed output carries token counts, not text: the packed
+    // n_tokens must equal the standalone operator's clean-text token
+    // count over the same survivor set (mixture hashes only doc_id, so
+    // the survivor ids are identical with and without the stage).
+    val plain = Curation.curate(docs, cfg)
+    val survivors = docs.join(plain.packed.select($"doc_id"), "doc_id")
+    val expected = graft.ops.SubstringDedup
+      .removeDuplicatedSpans(survivors, minTokens = 8)
+      .select($"doc_id",
+        graft.ops.TextAnalysis.tokenCount($"clean_text").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = res.packed.select($"doc_id", $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // and the stage did real work: some survivor's token count shrank
+    val plainCounts = plain.packed.select($"doc_id", $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.exists { case (id, n) => n < plainCounts(id) })
+  }
+
   test("pipeline is deterministic across input partitionings") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Curation.curate(d, cfg).packed.collect()
