@@ -101,6 +101,23 @@ object SparkEntry {
       FreqSummary.throughMerge(Ingest.fromEventsTable(s, dir), Spec).localCheckpoint()
     })
 
+  /** The ranked duplicated-window frame shared by the two substring
+    * queries (`q_substring_spans` reads all rows, `q_substring_clean`
+    * the `rk > 1` slice) — one fingerprint+count+rank pipeline instead
+    * of two.
+    */
+  private val substrCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def substrShared(s: SparkSession, dir: String): DataFrame =
+    substrCache.synchronized {
+      substrCache.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, { _ =>
+      ops.SubstringDedup.rankedDuplicatedWindows(docs(s, dir), minTokens = 8)
+        .localCheckpoint()
+    })
+
   private def emptyLandmarks(spark: SparkSession): Dataset[LandmarkWindow] = {
     import spark.implicits._
     spark.emptyDataset[LandmarkWindow]
@@ -328,11 +345,17 @@ object SparkEntry {
     // on raw window CONTENT while the operator groups on xxhash64 —
     // agreement doubles as a hash-collision check.
     "q_substring_spans" -> ((s, dir) =>
-      ops.SubstringDedup.duplicatedSpans(docs(s, dir), minTokens = 8)),
+      ops.SubstringDedup.spansFromWindows(substrShared(s, dir), minTokens = 8)),
     // Keep-one removal: canonical (smallest doc_id, start) occurrence
-    // survives; every other covered token is cut.
-    "q_substring_clean" -> ((s, dir) =>
-      ops.SubstringDedup.removeDuplicatedSpans(docs(s, dir), minTokens = 8)),
+    // survives; every other covered token is cut. Shares the ranked
+    // window frame with q_substring_spans.
+    "q_substring_clean" -> ((s, dir) => {
+      import s.implicits._
+      ops.SubstringDedup.removeCovered(
+        docs(s, dir),
+        substrShared(s, dir).filter($"rk" > 1).select($"doc_id", $"start"),
+        minTokens = 8)
+    }),
     // Decontamination: the "benchmark" is the deterministic doc_id%17
     // subset of the corpus itself, so benchmark members are fully
     // contaminated by construction and the oracle re-derives the same

@@ -70,11 +70,26 @@ object SubstringDedup {
 
   /** The duplicated windows: every (doc_id, start) whose L-token window
     * content occurs >= 2 times corpus-wide (within-document repeats
-    * count, as in the paper). Both the count and the join back
-    * hash-partition on `key`, so the exchange is reused and the
-    * filtered duplicate-key side is small.
+    * count, as in the paper). The count shuffles only map-side partial
+    * counts; the filtered duplicate-key side is small enough that the
+    * planner broadcasts it back (observed plan: BroadcastHashJoin,
+    * BuildRight), so the token-scale window table itself is never
+    * shuffled on `key` — and if a pathological corpus makes the dup set
+    * huge, AQE degrades to a sort-merge join, never to a blowup.
     */
   def duplicatedWindows(
+      docs: DataFrame, minTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    rankedDuplicatedWindows(docs, minTokens, textCol, idCol)
+      .select(col("doc_id"), col("start"))
+
+  /** [[duplicatedWindows]] plus the occurrence's corpus-wide keep-one
+    * rank (`rk` = 1 is the canonical smallest (doc_id, start) of its
+    * window key): the one intermediate both the span report (all rows)
+    * and the keep-one removal (`rk > 1`) consume — callers that run
+    * both materialize this once.
+    */
+  def rankedDuplicatedWindows(
       docs: DataFrame, minTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val wins = windowFingerprints(docs, minTokens, textCol, idCol)
@@ -82,7 +97,11 @@ object SubstringDedup {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
       .select(col("key"))
-    wins.join(dupKeys, "key").select(col("doc_id"), col("start"))
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("doc_id"), col("start"))
+    wins.join(dupKeys, "key")
+      .withColumn("rk", row_number().over(byKey))
+      .select(col("doc_id"), col("start"), col("rk"))
   }
 
   /** Maximal duplicated spans per document: merge overlapping or
@@ -93,10 +112,17 @@ object SubstringDedup {
     */
   def duplicatedSpans(
       docs: DataFrame, minTokens: Int = 50,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    spansFromWindows(duplicatedWindows(docs, minTokens, textCol, idCol), minTokens)
+
+  /** The span-merge kernel of [[duplicatedSpans]] over a prebuilt
+    * `(doc_id, start)` duplicated-window frame.
+    */
+  def spansFromWindows(dupWindows: DataFrame, minTokens: Int): DataFrame = {
     val w = minTokens
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    duplicatedWindows(docs, minTokens, textCol, idCol)
+    dupWindows
+      .select(col("doc_id"), col("start"))
       .withColumn("newSpan",
         when(col("start") > lag(col("start"), 1).over(byDoc) + w, 1)
           .when(lag(col("start"), 1).over(byDoc).isNull, 1)
@@ -127,20 +153,11 @@ object SubstringDedup {
     */
   def removeDuplicatedSpans(
       docs: DataFrame, minTokens: Int = 50,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val wins = windowFingerprints(docs, minTokens, textCol, idCol)
-    val dupKeys = wins.groupBy(col("key"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select(col("key"))
-    val byKey = Window.partitionBy(col("key"))
-      .orderBy(col("doc_id"), col("start"))
-    val nonCanon = wins.join(dupKeys, "key")
-      .withColumn("rk", row_number().over(byKey))
-      .filter(col("rk") > 1)
-      .select(col("doc_id"), col("start"))
-    removeCovered(docs, nonCanon, minTokens, textCol, idCol)
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    removeCovered(docs,
+      rankedDuplicatedWindows(docs, minTokens, textCol, idCol)
+        .filter(col("rk") > 1).select(col("doc_id"), col("start")),
+      minTokens, textCol, idCol)
 
   /** Rebuild each document with the tokens covered by the `(doc_id,
     * start)` windows in `nonCanon` removed — the removal kernel of
