@@ -365,6 +365,19 @@ object SparkEntry {
       val d = docs(s, dir)
       ops.Contamination.flagContamination(d, d.filter($"doc_id" % 17 === 0))
     }),
+    // Span-level decontamination over the same benchmark: maximal
+    // 5-gram-overlap spans, and the scrub-not-drop text rewrite
+    // (benchmark members come out fully scrubbed by construction).
+    "q_contam_spans" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      ops.Contamination.contaminatedSpans(d, d.filter($"doc_id" % 17 === 0), k = 5)
+    }),
+    "q_contam_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      ops.Contamination.scrubContamination(d, d.filter($"doc_id" % 17 === 0), k = 5)
+    }),
     // Sequence packing: 512-token packs over 8 hash shards — the
     // oracle replays the identical shard/order/running-sum arithmetic.
     "q_packing" -> ((s, dir) => {
@@ -1125,6 +1138,44 @@ object SparkEntry {
         |toks AS (
         |  SELECT doc_id, i, t[i + 1] AS tok
         |  FROM t, unnest(range(0, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT toks.doc_id, toks.i, toks.tok
+        |  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.i
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(array_agg(tok ORDER BY i), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |  coalesce(rem.n_removed, 0)::BIGINT AS n_removed_tokens
+        |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)""".stripMargin,
+    "q_contam_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS s, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS key
+        |  FROM t, unnest(range(0, greatest(len(t) - 4, 0))) AS u(i)),
+        |b AS (SELECT DISTINCT key FROM w WHERE doc_id % 17 = 0),
+        |dw AS (SELECT w.doc_id, w.s FROM w JOIN b USING (key)),
+        |fl AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN lag(s) OVER win IS NULL OR s > lag(s) OVER win + 5 THEN 1 ELSE 0 END AS f
+        |  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY s)),
+        |isl AS (
+        |  SELECT doc_id, s, sum(f) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM fl)
+        |SELECT doc_id, min(s)::BIGINT AS span_start, (max(s) + 5)::BIGINT AS span_end,
+        |  count(*)::BIGINT AS n_dup_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "q_contam_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS s, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS key
+        |  FROM t, unnest(range(0, greatest(len(t) - 4, 0))) AS u(i)),
+        |b AS (SELECT DISTINCT key FROM w WHERE doc_id % 17 = 0),
+        |dw AS (SELECT w.doc_id, w.s FROM w JOIN b USING (key)),
+        |cov AS (SELECT DISTINCT doc_id, s + j AS i FROM dw, unnest(range(0, 5)) AS u(j)),
+        |toks AS (SELECT doc_id, i, t[i + 1] AS tok FROM t, unnest(range(0, len(t))) AS u(i)),
         |kept AS (
         |  SELECT toks.doc_id, toks.i, toks.tok
         |  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.i

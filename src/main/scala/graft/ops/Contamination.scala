@@ -25,6 +25,62 @@ object Contamination {
     * anywhere in the benchmark; `contaminated` = any overlap. Docs
     * shorter than k tokens have zero grams and are never contaminated.
     */
+  /** The contaminated k-token windows of each corpus doc: every
+    * (doc_id, start) whose window content appears verbatim anywhere in
+    * the benchmark. Matching is on the 64-bit [[SubstringDedup
+    * .windowFingerprints]] content hash — the benchmark side is
+    * hashes-only and tiny, so it broadcasts and the corpus never
+    * shuffles (the [[flagContamination]] scale shape, at window
+    * granularity).
+    */
+  def contaminatedWindows(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val wins = SubstringDedup.windowFingerprints(corpus, k, textCol, idCol)
+    val bench0 = SubstringDedup.windowFingerprints(benchmark, k, textCol, idCol)
+      .select(col("key")).distinct()
+    val bench = if (broadcastBenchmark) broadcast(bench0) else bench0
+    wins.join(bench, Seq("key"), "left_semi").select(col("doc_id"), col("start"))
+  }
+
+  /** Span-level decontamination report: maximal token spans (half-open
+    * offsets) of corpus docs that verbatim-overlap the benchmark —
+    * (doc_id, span_start, span_end, n_dup_windows). The scrub-not-drop
+    * alternative to [[flagContamination]]'s document verdict: a 10k-token
+    * document with one quoted benchmark item loses a span, not its
+    * entire signal.
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastBenchmark: Boolean = true): DataFrame =
+    SubstringDedup.spansFromWindows(
+      contaminatedWindows(corpus, benchmark, k, textCol, idCol, broadcastBenchmark), k)
+
+  /** Rewrite corpus text with every contaminated span removed (ALL
+    * matched windows are cut — no keep-one exemption: benchmark text
+    * has no canonical copy that belongs in training data). Output
+    * (doc_id, clean_text, n_removed_tokens), one row per corpus doc.
+    */
+  def scrubContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastBenchmark: Boolean = true): DataFrame =
+    SubstringDedup.removeCovered(
+      corpus,
+      contaminatedWindows(corpus, benchmark, k, textCol, idCol, broadcastBenchmark),
+      k, textCol, idCol)
+
   def flagContamination(
       corpus: DataFrame,
       benchmark: DataFrame,

@@ -32,6 +32,36 @@ class ContaminationSpec extends SparkSpec {
     assert(bc == hj)
   }
 
+  test("contaminated spans: overlapping windows merge; scrub cuts exactly the span") {
+    // doc 1 tokens: alpha(0) beta(1) gamma(2) delta(3) epsilon(4) zeta(5).
+    // Windows 0..4 and 1..5? Only "alpha beta gamma delta epsilon" (start 0)
+    // appears in the benchmark -> one span [0, 5).
+    val spans = Contamination.contaminatedSpans(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 0L, 5L, 1L)))
+    val scrubbed = Contamination.scrubContamination(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(scrubbed(0) == ((1L, "zeta", 5L)))
+    assert(scrubbed(1) == ((2L, "one two three four five six", 0L)))
+    assert(scrubbed(3) == ((4L, "tiny doc", 0L))) // shorter than k: untouched
+  }
+
+  test("span scrub leaves no contaminated grams behind") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = docs.filter($"doc_id" % 17 === 0)
+    val cleaned = Contamination.scrubContamination(docs, b)
+      .select($"doc_id", $"clean_text".as("text"))
+      .filter(length(trim($"text")) > 0)
+    // Re-scan the scrubbed corpus against the same benchmark: a second
+    // pass finds nothing. (In principle cutting a span stitches its
+    // boundary tokens together and COULD mint a new matching gram — a
+    // caller needing a guaranteed fixpoint iterates; this pins that one
+    // pass suffices on the real corpus, i.e. the operator removes every
+    // pre-existing match.)
+    assert(Contamination.contaminatedSpans(cleaned, b).count() == 0)
+  }
+
   test("benchmark members of a corpus are fully self-contaminated") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Contamination.flagContamination(docs, docs.filter($"doc_id" % 17 === 0))
