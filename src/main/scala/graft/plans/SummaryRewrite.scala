@@ -132,6 +132,32 @@ object SummaryRewrite {
       case _ => None
     }
 
+  // Events root-path set -> windowed QuantileSummary (qsk) parquet,
+  // enabling the percentile rewrite (approximate mode only).
+  private val quantileRegistry = new ConcurrentHashMap[Set[String], String]()
+
+  /** Pair a raw-events location with its [[graft.core.QuantileSummary]]
+    * sketch table; multi-directory variant like [[registerSet]].
+    */
+  def registerQuantileSet(eventsPaths: Seq[String], qskPath: String): Set[String] = {
+    val key = eventsPaths.map(norm).toSet
+    quantileRegistry.put(key, norm(qskPath))
+    dfCache.clear()
+    key
+  }
+
+  def unregisterQuantileSet(key: Set[String]): Unit = {
+    quantileRegistry.remove(key)
+    dfCache.clear()
+  }
+
+  private[plans] def quantileTableFor(relation: LogicalRelation): Option[String] =
+    relation.relation match {
+      case fs: HadoopFsRelation =>
+        Option(quantileRegistry.get(fs.location.rootPaths.map(p => norm(p.toString)).toSet))
+      case _ => None
+    }
+
   private[plans] def sketchFor(relation: LogicalRelation): Option[String] =
     relation.relation match {
       case fs: HadoopFsRelation =>
@@ -219,6 +245,9 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
             })
             .orElse(SummaryRewrite.freqTableFor(rel).flatMap { freqPath =>
               rewriteFreqCount(groupExprs, aggExprs, rel, filterCond, freqPath)
+            })
+            .orElse(SummaryRewrite.quantileTableFor(rel).flatMap { qskPath =>
+              rewriteQuantile(groupExprs, aggExprs, rel, filterCond, qskPath)
             })
             .getOrElse(agg)
         case None => agg
@@ -631,6 +660,113 @@ final case class SummaryRewriteRule(spark: SparkSession) extends Rule[LogicalPla
         case (_, al)    => Alias(attr("__est"), al.name)(exprId = al.exprId)
       }
       Some(Project(projected, positive))
+    }
+  }
+
+  /** Rewrite `percentile_approx(value, p)` aggregates (grouped by
+    * streamId, or global with an optional streamId-only filter) onto a
+    * registered [[graft.core.QuantileSummary]] sketch table: union the
+    * per-stream KLL sketches, probe at p — O(log N) sketch rows instead
+    * of a raw scan. Approximate-for-approximate: the caller already
+    * asked for an estimate; under the approximate flag it is answered
+    * from the mergeable sketches, whose certified rank-error bound is
+    * itself queryable via [[graft.core.QuantileSummary.rangeQuantiles]].
+    * The returned estimate is always an actual data value (the sketch
+    * retains original inputs; nothing is interpolated).
+    */
+  private def rewriteQuantile(
+      groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      rel: LogicalRelation,
+      filterCond: Option[Expression],
+      qskPath: String): Option[LogicalPlan] = {
+    if (spark.conf.get(ApproximateConf, "false") != "true") return None
+    val evStreamOpt = groupExprs match {
+      case Seq(a: AttributeReference) if a.name == "streamId" => Some(a)
+      case Seq()                                              => None
+      case _                                                  => return None
+    }
+    val rawStream = evStreamOpt.orElse(
+      rel.output.collectFirst { case a: AttributeReference if a.name == "streamId" => a })
+      .getOrElse(return None)
+    if (filterCond.exists(c =>
+        !c.references.subsetOf(AttributeSet(Seq(rawStream))) || !c.deterministic))
+      return None
+
+    // Output shape: bare streamId and/or scalar percentile_approx
+    // over `value` (array-of-percentages and DISTINCT forms bail).
+    val wants: Seq[(Option[Double], NamedExpression)] = aggExprs.map {
+      case a: AttributeReference if evStreamOpt.exists(a.semanticEquals) => (None, a)
+      case al @ Alias(AggregateExpression(ap: ApproximatePercentile, Complete, false, None, _), _) =>
+        ap.child match {
+          case v: AttributeReference if v.name == "value" =>
+            if (!ap.percentageExpression.foldable) return None
+            ap.percentageExpression.eval(null) match {
+              case d: java.lang.Double => (Some(d.doubleValue()), al)
+              case _                   => return None // array form
+            }
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val pcts = wants.collect { case (Some(p), al) => (p, al) }
+    if (pcts.isEmpty) return None
+
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    val qDf = SummaryRewrite.summaryDf(spark, qskPath)
+    if (!qDf.columns.contains("qsk") || !qDf.columns.contains("streamId")) return None
+    val probe = udf((b: Array[Byte], p: Double) =>
+      if (b == null) null
+      else java.lang.Double.valueOf(graft.functions.QuantileSketch.fromBytes(b).quantile(p)))
+
+    if (evStreamOpt.isEmpty) {
+      // Global: quantiles are not mergeable ACROSS the probe, so any
+      // streamId filter must subset the sketch rows BEFORE the union.
+      // The condition references only streamId; re-parse its SQL form
+      // against the sketch table by name (bail on anything that does
+      // not round-trip).
+      val base = filterCond match {
+        case Some(c) =>
+          scala.util.Try {
+            val filtered = qDf.where(org.apache.spark.sql.functions.expr(c.sql))
+            filtered.queryExecution.assertAnalyzed(); filtered
+          }.getOrElse(return None)
+        case None => qDf
+      }
+      val probed = base
+        .agg(graft.functions.QuantileSketch.qsUnionAgg(col("qsk")).as("__sk"))
+        .select(pcts.zipWithIndex.map { case ((p, _), i) =>
+          probe(col("__sk"), lit(p)).as(s"__q$i") }: _*)
+      val out = probed.queryExecution.analyzed
+      def attr(n: String): AttributeReference =
+        out.output.collectFirst { case a: AttributeReference if a.name == n => a }.get
+      val byAlias = pcts.zipWithIndex.map { case ((_, al), i) => al -> attr(s"__q$i") }.toMap
+      val projected = wants.map {
+        case (Some(_), al) => Alias(byAlias(al), al.name)(exprId = al.exprId)
+        case (None, _)     => return None // unreachable: no groupBy -> no bare streamId
+      }
+      Some(Project(projected, out))
+    } else {
+      val probed = qDf.groupBy(col("streamId").as("__sid"))
+        .agg(graft.functions.QuantileSketch.qsUnionAgg(col("qsk")).as("__sk"))
+        .select(col("__sid") +: pcts.zipWithIndex.map { case ((p, _), i) =>
+          probe(col("__sk"), lit(p)).as(s"__q$i") }: _*)
+      val out = probed.queryExecution.analyzed
+      def attr(n: String): AttributeReference =
+        out.output.collectFirst { case a: AttributeReference if a.name == n => a }.get
+      val filtered = filterCond match {
+        case Some(c) =>
+          Filter(
+            c.transform { case a: AttributeReference if a.semanticEquals(rawStream) => attr("__sid") },
+            out)
+        case None => out
+      }
+      val byAlias = pcts.zipWithIndex.map { case ((_, al), i) => al -> attr(s"__q$i") }.toMap
+      val projected = wants.map {
+        case (None, a)     => Alias(attr("__sid"), a.name)(exprId = a.exprId)
+        case (Some(_), al) => Alias(byAlias(al), al.name)(exprId = al.exprId)
+      }
+      Some(Project(projected, filtered))
     }
   }
 
