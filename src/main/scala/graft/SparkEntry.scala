@@ -453,6 +453,35 @@ object SparkEntry {
       ops.Similarity.embeddingNearDuplicates(e.unionByName(injected), threshold = 0.9)
         .select($"id_a", $"id_b")
     }),
+    // SemDeDup (arXiv:2303.09540): k-means cells as the candidate
+    // generator, true-cosine verification, keep-one-per-group removal.
+    // Contract oracle over the same injected twins as q_embed_neardup:
+    // every twin pair must be caught (deterministic clustering puts the
+    // near-identical pair in one cell) and dedup must remove exactly
+    // one member. Emitted pairs are filtered on the true cosine, so
+    // subset-of-exact holds by construction, not by assertion.
+    "q_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir).select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val injected = e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN i = size(embedding) - 1 " +
+            "THEN cast(0.0 as float) ELSE x END)").as("embedding"))
+      val (pairs, survivors) = ops.SemDeDup.run(e.unionByName(injected), threshold = 0.9)
+      val twinCaught = pairs
+        .filter($"id_b" === $"id_a" + 1000000L)
+        .select($"id_a".as("vec_id"), lit(true).as("tc"))
+      val sv = survivors.select($"vec_id".cast("long").as("sid")).localCheckpoint()
+      e.filter($"vec_id" % 20 === 0).select($"vec_id")
+        .join(twinCaught, Seq("vec_id"), "left")
+        .join(sv.select($"sid".as("vec_id"), lit(true).as("base_in")), Seq("vec_id"), "left")
+        .join(sv.select(($"sid" - 1000000L).as("vec_id"), lit(true).as("twin_in")),
+          Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"tc", lit(false)).as("pair_caught"),
+          (coalesce($"base_in", lit(false)) =!= coalesce($"twin_in", lit(false)))
+            .as("removed_one"))
+    }),
     // -- Similarity search over embeddings.
     "q_knn" -> ((s, dir) => {
       import s.implicits._
@@ -1363,6 +1392,13 @@ object SparkEntry {
         |FROM u a, u b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin,
+    // Contract: every injected twin pair is caught by the cell-
+    // restricted search AND exactly one member survives dedup. Both
+    // booleans are deterministic (kmeans is deterministic by
+    // construction) and verified true on this data.
+    "q_semdedup" ->
+      """SELECT vec_id, true AS pair_caught, true AS removed_one
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
     "q_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pii" ->
