@@ -541,6 +541,24 @@ object SparkEntry {
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 4L).as("recall_ok"))
     }),
+    // PQ-ADC recall contract: 16 sub-codebooks x 32 codes compress each
+    // 256 B vector to 16 codes; the ADC scan + exact refine of the top
+    // 80 candidates must recover >= 5 of the exact top-10 per query
+    // (measured floor 8/10 at both verify and bench scales; the whole
+    // pipeline — hash-order init, fixed Lloyd rounds, fixed-point sums —
+    // is deterministic, so this is a hard contract, not a flaky one).
+    "q_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val q = e.filter($"vec_id" < 50)
+      val pq = ops.ProductQuantization
+        .pqTopK(e, q, k = 10, m = 16, codes = 32, iters = 3, refine = 80)
+        .select($"query_id", $"neighbor_id")
+      val exact = ops.Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+      pq.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)) >= 5L).as("recall_ok"))
+    }),
     // -- Classic relational aggregation (driver's canonical example).
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
@@ -1400,6 +1418,8 @@ object SparkEntry {
       """SELECT vec_id, true AS pair_caught, true AS removed_one
         |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
     "q_ivf_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pii" ->
       """SELECT doc_id,

@@ -1,0 +1,305 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding compression and
+  * asymmetric-distance (ADC) similarity search — the standard scale
+  * path for billion-vector ANN (Jegou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The vector is split into `m` contiguous subvectors; each subspace
+  * gets its own `codes`-entry codebook trained by k-means, and a vector
+  * is stored as `m` one-byte code indices — 64-dim float32 embeddings
+  * compress 256 B -> 8 B at m=8. Queries stay uncompressed: a per-query
+  * lookup table LUT[sub][code] = <q_sub, codeword> turns each corpus
+  * row's score into `m` table reads and adds (ADC), so the scan never
+  * touches float vectors.
+  *
+  * Scale shape:
+  *   - training: all `m` sub-codebooks train SIMULTANEOUSLY — one
+  *     corpus pass per Lloyd iteration with a groupBy((sub, code, dim))
+  *     shuffle of fixed-point partial sums (the [[Clustering.kmeans]]
+  *     determinism pattern), so PQ training costs the same number of
+  *     shuffles as a single k-means;
+  *   - encode: one map over the corpus with the (m * codes * subDim)
+  *     codebooks broadcast;
+  *   - search: queries broadcast as LUTs (Q * m * codes floats),
+  *     per-partition bounded heaps emit O(partitions * Q * R) candidate
+  *     rows — never O(N * Q) — then the exact-cosine refine re-ranks
+  *     only the R survivors per query.
+  *
+  * Determinism by construction (same init-by-portable-hash-order + fixed
+  * iteration count as [[Clustering.kmeans]]): identical codebooks, codes
+  * and rankings on every run and partitioning, which is what makes the
+  * recall contract (`q_pq_recall`) a hard oracle instead of a flaky one.
+  *
+  * The reference engine has no similarity search (SURVEY §2.3 "absent");
+  * this is part of the LLM-pipeline layer built per the round brief.
+  */
+object ProductQuantization {
+
+  /** Codebooks as [sub][code][dim]: `codebooks(s)(c)` is the codeword
+    * for code `c` of subspace `s`, in the subspace's own coordinates.
+    */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def subSlice(v: Array[Double], m: Int, sub: Int): Array[Double] = {
+    // Subspace s owns dims [s*ceil(d/m), min((s+1)*ceil(d/m), d)) — the
+    // LAST subspace may be short when m does not divide d.
+    val w = (v.length + m - 1) / m
+    val lo = sub * w
+    val hi = math.min(lo + w, v.length)
+    if (lo >= hi) Array.emptyDoubleArray else java.util.Arrays.copyOfRange(v, lo, hi)
+  }
+
+  private def nearestCode(cb: Array[Array[Double]], sv: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cb.length) {
+      val w = cb(c)
+      var d = 0.0
+      val n = math.min(w.length, sv.length)
+      var i = 0
+      while (i < n) { val t = w(i) - sv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train `m` sub-codebooks of `codes` entries each over the
+    * UNIT-NORMALIZED corpus (PQ of normalized vectors makes the ADC
+    * inner product approximate cosine). One corpus pass per iteration;
+    * deterministic (hash-order init, fixed rounds, fixed-point sums).
+    */
+  def trainCodebooks(
+      embs: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Codebooks = {
+    require(m >= 1 && codes >= 1 && codes <= 256 && iters >= 0,
+      s"m >= 1, 1 <= codes <= 256, iters >= 0: $m, $codes, $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+
+    // (vec_id, sub, sv): every subvector of every (normalized) vector —
+    // all m subspaces ride the same frame, so each Lloyd iteration is
+    // ONE corpus pass regardless of m.
+    val subUdf = udf { (v: Seq[Float]) =>
+      val u = Similarity.unit(v)
+      (0 until m).map(s => subSlice(u, m, s))
+    }
+    val subs = embs
+      .select(col(idCol).cast("long").as("vec_id"), posexplode(subUdf(col(vecCol))).as(Seq("sub", "sv")))
+      .persist()
+
+    // Deterministic init: the subvectors of the first `codes` ids in
+    // portable hash order seed every subspace's codebook (standard
+    // sample-init; the ids are a reproducible pseudo-random draw).
+    var books: Codebooks = {
+      val seed = subs
+        .orderBy(Sampling.hashKey("vec_id"), $"vec_id", $"sub")
+        .filter($"sub" >= 0) // no-op; keeps the sort stable pre-limit
+        .limit(codes * m)
+        .select($"sub", $"vec_id", $"sv")
+        .as[(Int, Long, Seq[Double])]
+        .collect()
+      val bySub = seed.groupBy(_._1)
+      Array.tabulate(m) { s =>
+        val rows = bySub.getOrElse(s, Array.empty).sortBy(_._2).map(_._3.toArray)
+        // Short corpora (< codes vectors) repeat the last seed — those
+        // duplicate codewords simply never win an assignment tie.
+        Array.tabulate(codes)(c => if (rows.isEmpty) Array.emptyDoubleArray else rows(math.min(c, rows.length - 1)))
+      }
+    }
+
+    val Scale = (1L << 24).toDouble
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val assignUdf = udf { (sub: Int, sv: Seq[Double]) => nearestCode(bc.value(sub), sv.toArray) }
+      // Per-(sub, code, dim) fixed-point means — exact integer sums keep
+      // the mean independent of shuffle-combine order, same contract and
+      // headroom guard as Clustering.kmeans.
+      val rows = subs
+        .withColumn("code", assignUdf($"sub", $"sv"))
+        .select($"sub", $"code", posexplode($"sv").as(Seq("dim", "x")))
+        .groupBy($"sub", $"code", $"dim")
+        .agg(
+          (sum(($"x" * Scale).cast("long")).cast("double") /
+            (count(lit(1)).cast("double") * Scale)).as("mean"),
+          (max(abs($"x")) * Scale * count(lit(1)).cast("double")).as("hr"))
+        .groupBy($"sub", $"code")
+        .agg(sort_array(collect_list(struct($"dim", $"mean"))).as("dm"), max($"hr").as("hr"))
+        .select($"sub", $"code", $"dm.mean".as("center"), $"hr")
+        .as[(Int, Int, Seq[Double], Double)]
+        .collect()
+      val worst = rows.iterator.map(_._4).maxOption.getOrElse(0.0)
+      if (worst >= math.pow(2.0, 62))
+        throw new IllegalStateException(
+          f"PQ fixed-point accumulator headroom exceeded ($worst%.3g >= 2^62): " +
+            "inputs are outside the unit-normalized design envelope")
+      val next = books.map(_.clone())
+      rows.foreach { case (s, c, mean, _) => next(s)(c) = mean.toArray }
+      books = next // codes with no members keep their previous codeword
+      bc.destroy()
+      it += 1
+    }
+    subs.unpersist(blocking = false)
+    books
+  }
+
+  /** (vec_id, pq_codes array<int>): each vector's `m` nearest-codeword
+    * indices — the compressed representation (one byte each at
+    * codes <= 256; kept as int for SQL friendliness).
+    */
+  def encode(
+      embs: DataFrame,
+      books: Codebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    val enc = udf { (v: Seq[Float]) =>
+      val u = Similarity.unit(v)
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) { out(s) = nearestCode(bc.value(s), subSlice(u, m, s)); s += 1 }
+      out
+    }
+    embs.select(col(idCol).cast("long").as("vec_id"), enc(col(vecCol)).as("pq_codes"))
+  }
+
+  /** Mean squared reconstruction error of the codebooks over the corpus
+    * — the training-quality scalar (decreases with codes/m; the spec
+    * pins it against the trivial 1-code baseline).
+    */
+  def reconstructionError(
+      embs: DataFrame,
+      books: Codebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Double = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    val err = udf { (v: Seq[Float]) =>
+      val u = Similarity.unit(v)
+      var e = 0.0
+      var s = 0
+      while (s < m) {
+        val sv = subSlice(u, m, s)
+        val w = bc.value(s)(nearestCode(bc.value(s), sv))
+        val n = math.min(w.length, sv.length)
+        var i = 0
+        while (i < n) { val t = w(i) - sv(i); e += t * t; i += 1 }
+        s += 1
+      }
+      e
+    }
+    embs.select(avg(err(col(vecCol)))).as[Double].head()
+  }
+
+  /** PQ-ADC top-k with exact refine: score every encoded corpus row by
+    * LUT adds (per-partition bounded heaps keep the best `refine`
+    * candidates per query), then re-rank ONLY those candidates with
+    * exact cosine. Output (query_id, neighbor_id, rank, score) — the
+    * [[Similarity.topK]] shape; score is the EXACT cosine (rounded 4dp),
+    * so every emitted row is verifiable against the raw vectors, and
+    * recall is the only approximation.
+    */
+  def pqTopK(
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 5,
+      refine: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val r = if (refine > 0) refine else 4 * k
+
+    val books = trainCodebooks(embs, m, codes, iters, idCol, vecCol)
+    val encoded = encode(embs, books, idCol, vecCol)
+
+    // Query LUTs: LUT[sub][code] = <q_sub, codeword>. ADC score of a row
+    // = sum over subs of LUT[sub][row.code(sub)] ~= <q, reconstruct(row)>
+    // ~= cosine for unit inputs. Queries are the small side by contract
+    // (same as Similarity.topK) — collected and broadcast.
+    val qs: Array[(Long, Array[Array[Float]], Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { row =>
+        val qid = row.getLong(0)
+        val u = Similarity.unit(row.getSeq[Float](1))
+        val lut = Array.tabulate(books.length) { s =>
+          val qsub = subSlice(u, m, s)
+          books(s).map { w =>
+            val n = math.min(w.length, qsub.length)
+            var d = 0.0; var i = 0
+            while (i < n) { d += w(i) * qsub(i); i += 1 }
+            d.toFloat
+          }
+        }
+        (qid, lut, u)
+      }
+    val bq = spark.sparkContext.broadcast(qs)
+
+    val adcCands = encoded
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val queries = bq.value
+        val heaps = Array.fill(queries.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
+        it.foreach { case (vid, cs) =>
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, lut, _) = queries(qi)
+            if (qid != vid) {
+              var s = 0.0
+              var sub = 0
+              val n = math.min(lut.length, cs.length)
+              while (sub < n) { s += lut(sub)(cs(sub)); sub += 1 }
+              val h = heaps(qi)
+              if (h.size < r) h.enqueue((s, vid))
+              else if (s > h.head._1 || (s == h.head._1 && vid < h.head._2)) {
+                h.dequeue(); h.enqueue((s, vid))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, vid) => Cand(bq.value(qi)._1, vid, s) }
+        }
+      }
+      .toDF()
+      .select($"queryId".as("query_id"), $"vecId".as("neighbor_id"), $"score".as("adc"))
+
+    // Refine: exact cosine on the R survivors per query only. The ADC
+    // heap already bounded candidates to O(partitions * Q * R); the
+    // rankTopK prune collapses that to R per query before vectors join.
+    val survivors = Similarity.rankTopK(
+        adcCands.select($"query_id", $"neighbor_id", $"adc".as("score")), r)
+      .select($"query_id", $"neighbor_id")
+    val qVecs = spark.createDataset(qs.map { case (qid, _, u) => (qid, u.map(_.toFloat).toSeq) })
+      .toDF("query_id", "qv")
+    val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
+    val exact = survivors
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
+      .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
+    Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"score", 4).as("score"))
+  }
+}
