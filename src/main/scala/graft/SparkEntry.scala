@@ -337,6 +337,17 @@ object SparkEntry {
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // Corpus-LM perplexity scoring (CCNet-style quality signal). The
+    // portable surface is integer micro-nats: per-token round(ln p *
+    // 1e6) summed as longs, so the score is independent of summation
+    // order and the oracle recomputes it bit-for-bit (a rounded SUM of
+    // doubles would not be — the FP trap the verify notes document).
+    "q_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      ops.LanguageModel.perplexityScores(docs(s, dir), minCount = 2)
+        .filter($"n_tokens" > 0)
+        .select($"doc_id", $"n_tokens", $"n_oov", $"lp_micro")
+    }),
     // Sliding 40-token chunks every 20 (50% overlap).
     "q_chunks" -> ((s, dir) =>
       ops.TextAnalysis.chunk(docs(s, dir), width = 40, stride = 20)),
@@ -1133,6 +1144,25 @@ object SparkEntry {
         |  round((len(b) - len(list_distinct(b)))::DOUBLE / greatest(len(b), 1), 4) AS dup_bigram_frac,
         |  round((len(tri) - len(list_distinct(tri)))::DOUBLE / greatest(len(tri), 1), 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+    // Laplace unigram LM (vocab = tokens with count >= 2): the oracle
+    // recomputes the integer micro-nat score exactly — floor(x + 0.5)
+    // is rule-identical to Java Math.round, and integer sums are
+    // order-independent, so this hash-matches bit-for-bit.
+    "q_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS t(tok)
+        |  WHERE len(t.tok) > 0),
+        |vocab AS (
+        |  SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok HAVING count(*) >= 2),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS v FROM vocab)
+        |SELECT toks.doc_id,
+        |  count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN vocab.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  sum(floor(ln((coalesce(vocab.cnt, 0) + 1)::DOUBLE / (tot.total + tot.v + 1)::DOUBLE) * 1e6 + 0.5)::BIGINT)::BIGINT AS lp_micro
+        |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok CROSS JOIN tot
+        |GROUP BY toks.doc_id""".stripMargin,
     // range() not generate_series: DuckDB's generate_series rejects
     // lateral column arguments.
     "q_chunks" ->
