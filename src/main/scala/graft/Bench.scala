@@ -62,8 +62,12 @@ object Bench {
       // as a ~2x spread on the first timed sample. All three timed
       // samples below are steady-state.
       SparkEntry.materializeUncached(spark, sfDir)
+      // Seven timed samples, trimmed mean (drop min and max): at the
+      // steady-state ~1 s/sample this costs seconds, and two
+      // consecutive no-change bench runs now agree well within 25% —
+      // a median of 3 still jittered ~40% at this timescale.
       var i = 0
-      while (i < 3) {
+      while (i < 7) {
         val t0 = System.nanoTime()
         val (r, w) = SparkEntry.materializeUncached(spark, sfDir)
         ingestSamples += (System.nanoTime() - t0) / 1e9
@@ -76,9 +80,14 @@ object Bench {
         errors("__materialize") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }
     val ingestSorted = ingestSamples.toArray.sorted
-    val ingestSec = if (ingestSorted.nonEmpty) ingestSorted(ingestSorted.length / 2) else 0.0
+    val ingestKept =
+      if (ingestSorted.length >= 5) ingestSorted.slice(1, ingestSorted.length - 1)
+      else ingestSorted
+    val ingestSec =
+      if (ingestKept.nonEmpty) ingestKept.sum / ingestKept.length
+      else 0.0
     val ingestSpread =
-      if (ingestSorted.nonEmpty && ingestSec > 0) (ingestSorted.last - ingestSorted.head) / ingestSec
+      if (ingestKept.nonEmpty && ingestSec > 0) (ingestKept.last - ingestKept.head) / ingestSec
       else 0.0
     val rowsPerSec = if (ingestSec > 0) rawRows / ingestSec else 0.0
     val compression = if (windowRows > 0) rawRows.toDouble / windowRows else 0.0

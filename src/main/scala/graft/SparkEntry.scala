@@ -464,6 +464,22 @@ object SparkEntry {
       ops.Similarity.embeddingNearDuplicates(e.unionByName(injected), threshold = 0.9)
         .select($"id_a", $"id_b")
     }),
+    // Semantic decontamination: the training corpus matched against a
+    // BENCHMARK embedding set (the q_embed_neardup injection, standing
+    // in for paraphrased eval questions) — cross-corpus LSH buckets,
+    // A x B candidates only, exact-cosine verification. The oracle
+    // recomputes the exact all-pairs corpus x benchmark cosine >= 0.9
+    // pair set; emitting only ids makes it an equality contract.
+    "q_sem_contam" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir).select($"vec_id", $"embedding")
+      val benchmark = e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> CASE WHEN i = size(embedding) - 1 " +
+            "THEN cast(0.0 as float) ELSE x END)").as("embedding"))
+      ops.Similarity.crossNearDuplicates(e, benchmark, threshold = 0.9)
+        .select($"id_a", $"id_b")
+    }),
     // SemDeDup (arXiv:2303.09540): k-means cells as the candidate
     // generator, true-cosine verification, keep-one-per-group removal.
     // Contract oracle over the same injected twins as q_embed_neardup:
@@ -1447,6 +1463,17 @@ object SparkEntry {
     "q_semdedup" ->
       """SELECT vec_id, true AS pair_caught, true AS removed_one
         |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
+    // Exact corpus x benchmark cosine pair set (same injection as
+    // q_embed_neardup, but cross-corpus: originals vs perturbed set).
+    "q_sem_contam" ->
+      """WITH bench AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, (x, i) ->
+        |           CASE WHEN i = len(embedding) THEN 0.0::FLOAT ELSE x END) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, bench b
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin,
     "q_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pq_recall" ->

@@ -37,7 +37,16 @@ object Curation {
         * near-dedup — document counts are unchanged, duplicated
         * substrings keep one canonical copy corpus-wide.
         */
-      substringMinTokens: Option[Int] = None)
+      substringMinTokens: Option[Int] = None,
+      /** When set, keep only documents whose corpus-LM cross-entropy
+        * (nats/token, [[LanguageModel.filterByPerplexity]]) lies in
+        * [lo, hi] — the CCNet band filter: too low = boilerplate, too
+        * high = gibberish. The LM trains on the post-row-filter
+        * survivors (corpus-level state, so this stage is batch-only;
+        * a streaming run should train the vocab offline).
+        */
+      perplexityBand: Option[(Double, Double)] = None,
+      perplexityMinCount: Long = 2L)
 
   /** Curated output: the packed corpus plus a per-stage survivor-count
     * report (stage, rows) in pipeline order.
@@ -81,9 +90,19 @@ object Curation {
     val scrubbed = rowStages(input, cfg)
     stage("row_filters", scrubbed)
 
+    // 2b. Perplexity band (optional): corpus-LM outlier filter. The
+    //     vocab groupBy is the only corpus-level state; scoring is a
+    //     shuffle-free map over the survivors.
+    val banded = cfg.perplexityBand match {
+      case Some((lo, hi)) =>
+        stage("perplexity_band",
+          LanguageModel.filterByPerplexity(scrubbed, lo, hi, cfg.perplexityMinCount))
+      case None => scrubbed
+    }
+
     // 3. Exact dedup: keep the minimum doc_id of each normalized text.
-    val keepExact = Dedup.exactDedup(scrubbed).select(col("keep_id").as("doc_id"))
-    val exact = stage("exact_dedup", scrubbed.join(keepExact, "doc_id"))
+    val keepExact = Dedup.exactDedup(banded).select(col("keep_id").as("doc_id"))
+    val exact = stage("exact_dedup", banded.join(keepExact, "doc_id"))
 
     // 4. Near-dedup: LSH candidate pairs -> verified pairs -> cluster
     //    reps; drop every non-representative member.

@@ -205,6 +205,106 @@ object ProductQuantization {
     embs.select(avg(err(col(vecCol)))).as[Double].head()
   }
 
+  /** IVF-PQ top-k: the coarse quantizer ([[Clustering.kmeans]] cells)
+    * restricts the scan to each query's `nProbe` nearest cells, and the
+    * restricted candidates are scored by PQ-ADC table adds, then
+    * exact-cosine refined — candidate work is
+    * O(Q * nProbe * cellSize * m) table lookups against a corpus stored
+    * as m bytes/vector: the canonical billion-vector ANN shape.
+    *
+    * This variant encodes RAW vectors (not per-cell residuals), so one
+    * LUT per query serves every probed cell; residual encoding would
+    * sharpen quantization at the cost of a per-(query, cell) LUT —
+    * the exact-refine step already recovers the ranking precision.
+    *
+    * Shape: (cluster, query_id) probe pairs join the encoded corpus on
+    * its cluster key — one shuffle — then a broadcast LUT map scores
+    * rows and [[Similarity.rankTopK]] bounds the survivors.
+    */
+  def ivfPqTopK(
+      embs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nClusters: Int = 0,
+      nProbe: Int = 8,
+      m: Int = 16,
+      codes: Int = 32,
+      iters: Int = 5,
+      refine: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nTotal: Long = 0L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val r = if (refine > 0) refine else 4 * k
+
+    val kCells =
+      if (nClusters > 0) nClusters
+      else {
+        val n = if (nTotal > 0L) nTotal else embs.count()
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 20).toInt
+      }
+    val (assigned, centers) = Clustering.kmeans(embs, kCells, iters, idCol, vecCol)
+    val books = trainCodebooks(embs, m, codes, iters, idCol, vecCol)
+    val encoded = encode(embs, books, idCol, vecCol)
+      .join(assigned.withColumnRenamed("vec_id", "vec_id"), "vec_id")
+
+    // Per-query LUT + probe list, broadcast as one map.
+    val bcCenters = spark.sparkContext.broadcast(centers.map(_.map(_.toFloat)))
+    val qRows: Array[(Long, Array[Array[Float]], Array[Double], Array[Int])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { row =>
+        val qid = row.getLong(0)
+        val u = Similarity.unit(row.getSeq[Float](1))
+        val lut = Array.tabulate(books.length) { s =>
+          val qsub = subSlice(u, m, s)
+          books(s).map { w =>
+            val n = math.min(w.length, qsub.length)
+            var d = 0.0; var i = 0
+            while (i < n) { d += w(i) * qsub(i); i += 1 }
+            d.toFloat
+          }
+        }
+        val probes = bcCenters.value.indices
+          .map(c => (c, Similarity.cosine(bcCenters.value(c), u.map(_.toFloat))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(nProbe).map(_._1).toArray
+        (qid, lut, u, probes)
+      }
+    val luts = spark.sparkContext.broadcast(
+      qRows.map { case (qid, lut, _, _) => qid -> lut }.toMap)
+
+    // (cluster, query_id) probe pairs — the scan restriction.
+    val probePairs = spark
+      .createDataset(qRows.flatMap { case (qid, _, _, ps) => ps.map(c => (c, qid)) })
+      .toDF("cluster", "query_id")
+
+    val adc = udf { (qid: Long, cs: Seq[Int]) =>
+      val lut = luts.value(qid)
+      var s = 0.0; var sub = 0
+      val n = math.min(lut.length, cs.length)
+      while (sub < n) { s += lut(sub)(cs(sub)); sub += 1 }
+      s
+    }
+    val cands = probePairs.join(encoded, "cluster")
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        adc($"query_id", $"pq_codes").as("score"))
+    val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
+
+    val qVecs = spark.createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
+      .toDF("query_id", "qv")
+    val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
+    val exact = survivors
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
+      .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
+    Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"score", 4).as("score"))
+  }
+
   /** PQ-ADC top-k with exact refine: score every encoded corpus row by
     * LUT adds (per-partition bounded heaps keep the best `refine`
     * candidates per query), then re-rank ONLY those candidates with

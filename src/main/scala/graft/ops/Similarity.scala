@@ -254,6 +254,50 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rank", round($"score", 4).as("score"))
   }
 
+  /** Cross-corpus near-duplicate pairs: cosine >= threshold between a
+    * row of `a` and a row of `b`, via the same LSH bucketing — the two
+    * corpora are bucketed under the SAME hyperplanes and only
+    * intra-bucket A x B pairs are scored (never the full cross
+    * product). This is the semantic-decontamination primitive: `a` =
+    * training corpus, `b` = benchmark embeddings; any training row
+    * matching a benchmark row above threshold is contamination the
+    * verbatim k-gram scan ([[Contamination]]) cannot see after
+    * paraphrase. Output (id_a, id_b, cos).
+    */
+  def crossNearDuplicates(
+      a: DataFrame,
+      b: DataFrame,
+      threshold: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tables: Int = DefaultTables,
+      bits: Int = DefaultBits): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val first = a.select(col(vecCol)).head(1)
+    if (first.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    val dim = first(0).getSeq[Float](0).length
+    val planes = spark.sparkContext.broadcast(hyperplanes(dim, tables, bits))
+    val sigUdf = udf((vec: Seq[Float], t: Int) => sig(planes.value, t, unit(vec)))
+    def bucketed(df: DataFrame, idName: String) = df
+      .select(col(idCol).cast("long").as(idName), col(vecCol).as(s"vec_$idName"))
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", sigUdf(col(s"vec_$idName"), col("t")))
+    val candIds = bucketed(a, "id_a").select($"t", $"sig", $"id_a")
+      .join(bucketed(b, "id_b").select($"t", $"sig", $"id_b"), Seq("t", "sig"))
+      .select($"id_a", $"id_b")
+      .distinct() // ids only — vectors join in after dedupe
+    val aVecs = a.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("vec_a"))
+    val bVecs = b.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("vec_b"))
+    candIds
+      .join(aVecs, "id_a")
+      .join(bVecs, "id_b")
+      .withColumn("cos", cosineCol(spark, $"vec_a", $"vec_b"))
+      .filter($"cos" >= threshold)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+  }
+
   /** Embedding-based near-duplicate pairs: cosine >= threshold via the
     * same LSH bucketing (corpus joined to itself bucket-wise, never
     * all-pairs).

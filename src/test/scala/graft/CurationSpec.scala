@@ -34,6 +34,25 @@ class CurationSpec extends SparkSpec {
     assert(res.packed.filter($"pack_offset" < 0 || $"pack_offset" >= 256).count() == 0)
   }
 
+  test("perplexity band stage: drops planted gibberish, survivors match the operator") {
+    val gib = (9000001L to 9000010L)
+      .map(i => (i, (0 until 30).map(j => s"zqx${i}_$j").mkString(" "), "src0"))
+      .toDF("doc_id", "text", "source")
+    val all = docs.select($"doc_id", $"text", $"source").unionByName(gib)
+    // Band: up to the natural corpus's worst cross-entropy. All-OOV
+    // gibberish sits strictly above it under the corpus LM.
+    val natural = Curation.rowStages(all, cfg).filter($"doc_id" < 9000000L)
+    val hi = graft.ops.LanguageModel.perplexityScores(natural, minCount = 2)
+      .agg(max($"cross_entropy")).as[Double].head() + 1e-9
+    val res = Curation.curate(all, cfg.copy(perplexityBand = Some((0.0, hi))))
+    val names = res.report.map(_._1)
+    assert(names.contains("perplexity_band"))
+    val byName = res.report.toMap
+    assert(byName("perplexity_band") <= byName("row_filters"))
+    assert(res.packed.filter($"doc_id" >= 9000000L).count() == 0,
+      "gibberish must not survive the band")
+  }
+
   test("substring stage: same survivors, duplicated spans keep one copy") {
     val withSub = cfg.copy(substringMinTokens = Some(8))
     val res = Curation.curate(docs, withSub)

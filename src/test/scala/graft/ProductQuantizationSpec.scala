@@ -69,6 +69,32 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ+refine recall too low: $recall")
   }
 
+  test("ivfPqTopK: probe-restricted scan keeps a recall floor, exact scores") {
+    val queries = embs.filter($"vec_id" < 20)
+    val got = PQ.ivfPqTopK(embs, queries, k = 10,
+      nClusters = 8, nProbe = 4, m = 16, codes = 32, iters = 3, refine = 60)
+    val rows = got.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to 10L), s"ranks broken for $q")
+    }
+    val vecs = embs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { r =>
+      val expect = math.round(Similarity.cosine(vecs(r.getLong(0)), vecs(r.getLong(1))) * 1e4) / 1e4
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9, s"score not exact cosine: $r")
+    }
+    val exact = Similarity.topK(embs, queries, k = 10)
+      .select($"query_id", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pqSet).size.toDouble / exact.size
+    // Probing 4 of 8 cells THEN PQ-quantizing is the double-approximate
+    // path; the floor reflects IVF's hard regime on this far-neighbor
+    // corpus (cosine 0.3-0.5), same as ClusteringSpec's IVF floor.
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+  }
+
   test("ragged dimension split: m that does not divide d") {
     // 64 dims over m=6 -> subspaces of width ceil(64/6)=11, last = 9.
     val books = PQ.trainCodebooks(embs, m = 6, codes = 4, iters = 1)

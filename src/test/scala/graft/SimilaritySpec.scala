@@ -74,6 +74,20 @@ class SimilaritySpec extends SparkSpec {
     val empty = embs.filter($"vec_id" < 0)
     assert(Similarity.annTopK(empty, embs.limit(3), k = 5).isEmpty)
     assert(Similarity.embeddingNearDuplicates(empty).isEmpty)
+    assert(Similarity.crossNearDuplicates(empty, embs.limit(3)).isEmpty)
+  }
+
+  test("cross-corpus near-dup: finds exactly the planted benchmark matches") {
+    // Benchmark = exact copies of 10 corpus vectors under new ids; the
+    // cross search must find exactly those 10 (corpus id, bench id)
+    // pairs — nothing intra-corpus (it never compares A to A), nothing
+    // else cross (natural max cosine ~0.5 < 0.99).
+    val bench = embs.limit(10)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding", $"label")
+    val pairs = Similarity.crossNearDuplicates(embs, bench, threshold = 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 10L).map(i => (i, i + 500000L)).toSet
+    assert(pairs == want, s"diff: +${pairs.diff(want)} -${want.diff(pairs)}")
   }
 
   test("ragged corpus vector longer than query does not throw in topK") {
