@@ -337,6 +337,23 @@ object SparkEntry {
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // BPE tokenizer (Sennrich ACL'16): vocab trained on the corpus's
+    // capped word-frequency table, greedy ranked-merge encoding. The
+    // merge loop is data-dependent, so the oracle can't replay it in
+    // SQL; the contract is the all-true boolean grid — exact round trip
+    // through encode/decode per document, and token count bounded by
+    // the character count (real compression is spec-asserted).
+    "q_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val model = ops.Bpe.train(d, vocabSize = 300, maxWords = 5000)
+      val dec = udf((toks: Seq[String]) => ops.Bpe.decode(toks))
+      ops.Bpe.encode(d, model)
+        .join(d.select($"doc_id", ops.Dedup.normalizeText($"text").as("norm")), "doc_id")
+        .select($"doc_id",
+          (dec($"tokens") === $"norm").as("round_trip_ok"),
+          ($"n_tokens" <= length($"norm")).as("tokens_le_chars"))
+    }),
     // Corpus-LM perplexity scoring (CCNet-style quality signal). The
     // portable surface is integer micro-nats: per-token round(ln p *
     // 1e6) summed as longs, so the score is independent of summation
@@ -1160,6 +1177,9 @@ object SparkEntry {
         |  round((len(b) - len(list_distinct(b)))::DOUBLE / greatest(len(b), 1), 4) AS dup_bigram_frac,
         |  round((len(tri) - len(list_distinct(tri)))::DOUBLE / greatest(len(tri), 1), 4) AS dup_trigram_frac
         |FROM g""".stripMargin,
+    "q_bpe" ->
+      """SELECT doc_id, true AS round_trip_ok, true AS tokens_le_chars
+        |FROM documents""".stripMargin,
     // Laplace unigram LM (vocab = tokens with count >= 2): the oracle
     // recomputes the integer micro-nat score exactly — floor(x + 0.5)
     // is rule-identical to Java Math.round, and integer sums are
