@@ -337,6 +337,10 @@ object SparkEntry {
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // Per-(source, lang) data card: every number is exact-integer or
+    // fixed-rounded (integer ten-thousandth quality sums, type-1
+    // quantiles), so the whole release datasheet is a HARD oracle.
+    "q_datacard" -> ((s, dir) => ops.DataCard.card(docs(s, dir))),
     // BPE tokenizer (Sennrich ACL'16): vocab trained on the corpus's
     // capped word-frequency table, greedy ranked-merge encoding. The
     // merge loop is data-dependent, so the oracle can't replay it in
@@ -1180,6 +1184,65 @@ object SparkEntry {
     "q_bpe" ->
       """SELECT doc_id, true AS round_trip_ok, true AS tokens_le_chars
         |FROM documents""".stripMargin,
+    // Full data-card recompute: normalized counts, corpus-wide dup
+    // mass, integer-exact quality means, type-1 quantiles via window
+    // rank (tie order irrelevant — only the VALUE at the rank is read).
+    "q_datacard" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, lang, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, lang,
+        |    (CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END)::BIGINT AS n_toks,
+        |    length(nt)::BIGINT AS n_chars,
+        |    md5(nt) AS h
+        |  FROM norm),
+        |dups AS (SELECT h FROM base GROUP BY h HAVING count(*) > 1),
+        |qt AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'], x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |    round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens::DOUBLE / 50.0, 1.0)
+        |      + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+        |  FROM qt),
+        |perdoc AS (
+        |  SELECT b.source, b.lang, b.n_toks, b.n_chars,
+        |    (b.h IN (SELECT h FROM dups)) AS is_dup, q.quality
+        |  FROM base b JOIN qual q USING (doc_id)),
+        |agg1 AS (
+        |  SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |    sum(n_toks)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS n_chars,
+        |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+        |    round(sum(floor(quality * 10000 + 0.5)::BIGINT) / count(*) / 10000.0, 4) AS mean_quality
+        |  FROM perdoc GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, lang, n_toks,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY n_toks) AS rn
+        |  FROM perdoc),
+        |quant AS (
+        |  SELECT r.source, r.lang,
+        |    min(CASE WHEN rn = ceil(n_docs * 0.5) THEN n_toks END)::BIGINT AS p50_tokens,
+        |    min(CASE WHEN rn = ceil(n_docs * 0.9) THEN n_toks END)::BIGINT AS p90_tokens
+        |  FROM ranked r JOIN agg1 USING (source, lang)
+        |  GROUP BY 1, 2)
+        |SELECT a.source, a.lang, a.n_docs, a.n_tokens, a.n_chars,
+        |  round(a.n_docs / (SELECT sum(n_docs) FROM agg1), 6) AS doc_share,
+        |  round(a.n_tokens / (SELECT sum(n_tokens) FROM agg1), 6) AS token_share,
+        |  q.p50_tokens, coalesce(q.p90_tokens, q.p50_tokens) AS p90_tokens,
+        |  a.n_dup_docs, a.mean_quality
+        |FROM agg1 a JOIN quant q USING (source, lang)""".stripMargin,
     // Laplace unigram LM (vocab = tokens with count >= 2): the oracle
     // recomputes the integer micro-nat score exactly — floor(x + 0.5)
     // is rule-identical to Java Math.round, and integer sums are
