@@ -337,6 +337,27 @@ object SparkEntry {
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
+    // fastText-style linear classifier (Joulin EACL'17), the quality/
+    // domain-filter primitive: planted per-class markers (the corpus
+    // text itself carries no label signal), deterministic 3/4-1/4 hash
+    // split, fixed-point bit-deterministic training — so the oracle
+    // pins EXACT per-document predictions on the held-out quarter, not
+    // an accuracy band.
+    "q_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select($"doc_id", $"text")
+        .withColumn("label", concat(lit("class"), $"doc_id" % 3))
+        .withColumn("text", concat($"text",
+          when($"doc_id" % 3 === 0, lit(" qqzero qqnull qqzero qqnull qqzero qqnull"))
+            .when($"doc_id" % 3 === 1, lit(" qqone qqunit qqone qqunit qqone qqunit"))
+            .otherwise(lit(" qqtwo qqpair qqtwo qqpair qqtwo qqpair"))))
+      val isTrain = ops.Sampling.hashKey("doc_id") < 3221225472L // 0.75 * 2^32, dyadic-exact
+      val model = ops.TextClassifier.train(planted.filter(isTrain), "label")
+      ops.TextClassifier.predict(planted.filter(!isTrain), model)
+        .join(planted.select($"doc_id", $"label".as("actual")), "doc_id")
+        .select($"doc_id", $"predicted", $"actual",
+          ($"predicted" === $"actual").as("correct"))
+    }),
     // Per-(source, lang) data card: every number is exact-integer or
     // fixed-rounded (integer ten-thousandth quality sums, type-1
     // quantiles), so the whole release datasheet is a HARD oracle.
@@ -1184,6 +1205,16 @@ object SparkEntry {
     "q_bpe" ->
       """SELECT doc_id, true AS round_trip_ok, true AS tokens_le_chars
         |FROM documents""".stripMargin,
+    // Exact predictions on the held-out quarter: training is
+    // bit-deterministic and the planted markers are unambiguous, so
+    // predicted == actual on every test doc (verified at both scales).
+    "q_classifier" ->
+      """SELECT doc_id,
+        |  'class' || (doc_id % 3) AS predicted,
+        |  'class' || (doc_id % 3) AS actual,
+        |  true AS correct
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 >= 3221225472""".stripMargin,
     // Full data-card recompute: normalized counts, corpus-wide dup
     // mass, integer-exact quality means, type-1 quantiles via window
     // rank (tie order irrelevant — only the VALUE at the rank is read).
