@@ -829,6 +829,19 @@ object SparkEntry {
         .select($"stream_id", $"session_idx", $"n", $"ts_start", $"ts_end",
           round($"sum_value", 2).as("sum_value"))
     }),
+    // Bucketized interval join: every event joined to its containing
+    // session interval through the bin-and-filter equi-join (a plain
+    // hash join — NEVER the BroadcastNestedLoopJoin a bare non-equi
+    // range predicate plans). Oracle recomputes via SQL BETWEEN join.
+    "q_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Ingest.fromEventsTable(s, dir).toDF().select($"streamId".as("stream_id"), $"ts")
+      val sess = ops.Sessionize
+        .sessionize(Ingest.fromEventsTable(s, dir), 6L * 3600 * 1000000)
+        .select($"stream_id", $"session_idx", $"ts_start", $"ts_end")
+      ops.IntervalJoin.join(ev, sess, "ts", "ts_start", "ts_end", keys = Seq("stream_id"))
+        .select($"stream_id", $"ts", $"session_idx")
+    }),
     // -- As-of join: every event looks up the latest "mark" (every 10th
     //    event per stream) at-or-before its timestamp — one
     //    co-partitioned pass, no range-join blowup. DuckDB's native
@@ -1149,6 +1162,27 @@ object SparkEntry {
         |       min(tsu) AS ts_start, max(tsu) AS ts_end,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // Interval-join oracle: the same session derivation, then a plain
+    // SQL BETWEEN join — the Spark side must produce the identical row
+    // set through its bucketized equi-join.
+    "q_interval_join" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(tsu) AS ts_start, max(tsu) AS ts_end
+        |  FROM s GROUP BY 1, 2)
+        |SELECT e.user_id AS stream_id, e.tsu AS ts, x.session_idx
+        |FROM (SELECT user_id, epoch_us(ts) AS tsu FROM events) e
+        |JOIN sess x ON e.user_id = x.user_id AND e.tsu BETWEEN x.ts_start AND x.ts_end""".stripMargin,
     // As-of oracle: DuckDB's native ASOF LEFT JOIN against the same
     // every-10th-event mark table (rn is 1-based where seq is 0-based).
     "q_asof" ->
