@@ -425,11 +425,14 @@ object Dedup {
         round += 1
       }
       // A silently-truncated propagation would split one true cluster
-      // into several with no symptom — fail loudly instead.
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxRounds rounds " +
-            "(component diameter too large — raise maxRounds or use star-contraction)")
+      // into several with no symptom. Min-label propagation needs
+      // diameter-many rounds; an adversarial chain graph would exceed
+      // any fixed budget — hand those to star-contraction, which
+      // contracts the diameter geometrically (O(log^2 n) rounds).
+      if (!converged) {
+        labels.unpersist(blocking = false)
+        return starContractionComponents(pairs)
+      }
       // Hand back an RDD-persisted localCheckpoint instead of the
       // CacheManager-persisted iterate: checkpoint blocks are released
       // by the ContextCleaner once the returned frame is garbage
@@ -441,6 +444,76 @@ object Dedup {
       labels.unpersist(blocking = false)
       out
     } finally edges.unpersist()
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * the at-scale path for graphs whose DIAMETER defeats min-label
+    * propagation (a duplicate chain a-b-c-...-z needs diameter-many
+    * label rounds but only O(log^2 n) star rounds).
+    *
+    * Each round applies large-star (every node's larger neighbors
+    * re-attach to its minimum neighbor) then small-star (every node's
+    * smaller neighbors and itself re-attach to its minimum smaller
+    * neighbor); both are one groupBy + one join — NO per-node
+    * neighborhood arrays, so a high-degree hub never materializes its
+    * adjacency in one row. At the fixed point the edge set is a star
+    * forest: every node's minimum neighbor IS its component minimum.
+    *
+    * Output (doc_id, rep_id), bit-identical to [[connectedComponents]]
+    * on any input — `DedupSpec` proves parity — and the automatic
+    * fallback when label propagation exhausts its round budget.
+    */
+  def starContractionComponents(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val m = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      nbrs.join(m, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .filter($"u" =!= $"v")
+      val m = d.groupBy($"u").agg(min($"v").as("m"))
+      val withM = d.join(m, "u")
+      withM.select($"v".as("a"), $"m".as("b"))
+        .union(withM.select($"u".as("a"), $"m".as("b")))
+        .filter($"a" =!= $"b")
+        .distinct()
+        .select($"a".as("u"), $"b".as("v"))
+    }
+
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint(eager = true)
+    var round = 0
+    var converged = edges.isEmpty
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      // Exact convergence test (two bounded actions) — a hash-sum
+      // shortcut could falsely converge and silently split a cluster.
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged && round >= maxRounds)
+      throw new IllegalStateException(
+        s"starContractionComponents did not converge in $maxRounds rounds " +
+          "(theoretical bound is O(log^2 n) — this indicates a bug, not a big graph)")
+    // Star forest: rep(u) = min(neighbors(u) ∪ {u}); the component min
+    // maps to itself.
+    val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+    sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("rep_id"))
+      .select($"u".as("doc_id"), $"rep_id")
   }
 
   // ---------------------------------------------------------------- SimHash

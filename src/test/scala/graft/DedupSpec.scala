@@ -169,6 +169,38 @@ class DedupSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("star contraction == union-find on random graphs, handles cycles") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("doc_a", "doc_b")
+    val star = Dedup.starContractionComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uf = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == uf)
+  }
+
+  test("adversarial chain: label propagation budget exceeded -> star contraction solves it") {
+    // Diameter-600 path graph: label propagation needs 600 rounds; the
+    // distributed path (fast path disabled) hits its budget and falls
+    // back to star contraction, which needs O(log^2 n).
+    val chain = (0L until 600L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxRounds = 5, smallGraphEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 600L).map(i => (i, 0L)).toSet)
+    // And directly: star contraction alone, same answer.
+    val direct = Dedup.starContractionComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == got)
+  }
+
+  test("star contraction: empty pair graph returns empty, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.starContractionComponents(empty).isEmpty)
+  }
+
   test("jaccard kernel") {
     assert(Dedup.jaccard(Set("a", "b"), Set("a", "b")) == 1.0)
     assert(Dedup.jaccard(Set("a", "b"), Set("b", "c")) == 1.0 / 3.0)
