@@ -75,6 +75,23 @@ object Demo {
       benchmark = Some(docs.filter($"doc_id" % 17 === 0)))
     println("curation report: " + curated.report.map { case (s, n) => s"$s=$n" }.mkString(" -> "))
 
+    // Round-7 operators: tokenizer, LM quality, classifier persistence,
+    // compressed ANN, data card.
+    val bpe = graft.ops.Bpe.train(docs, vocabSize = 300, maxWords = 5000)
+    val encoded = graft.ops.Bpe.encode(docs, bpe)
+    println("bpe: vocab=" + bpe.vocab.size + " merges=" + bpe.merges.size +
+      " tokens=" + encoded.agg(org.apache.spark.sql.functions.sum($"n_tokens")).head().getLong(0))
+    val ppl = graft.ops.LanguageModel.perplexityScores(docs)
+    println("perplexity p50: " + ppl.stat.approxQuantile("perplexity", Array(0.5), 0.01).head)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pq = graft.ops.ProductQuantization
+      .pqTopK(embs, embs.filter($"vec_id" < 3), k = 5, m = 16, codes = 32, iters = 3)
+    println("pq top-5 of query 0: " + pq.filter($"query_id" === 0)
+      .orderBy($"rank").collect().map(r => r.getLong(1)).mkString(","))
+    val card = graft.ops.DataCard.card(docs)
+    println("data card slices: " + card.count() + " (one shown) " +
+      card.orderBy($"n_docs".desc).head())
+
     // SQL surface tour.
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
