@@ -46,6 +46,12 @@ class IntervalJoinSpec extends SparkSpec {
       s"interval join degraded to a nested loop:\n$plan")
   }
 
+  test("empty interval table: empty result, auto width does not crash") {
+    val facts = Seq((1L, 5L)).toDF("k", "ts")
+    val ivals = Seq.empty[(Long, Long, Long, String)].toDF("k", "lo", "hi", "tag")
+    assert(IntervalJoin.join(facts, ivals, "ts", "lo", "hi", keys = Seq("k")).isEmpty)
+  }
+
   test("degenerate interval fails loudly instead of exploding") {
     val facts = Seq((1L, 5L)).toDF("k", "ts")
     val ivals = Seq((1L, 0L, Long.MaxValue / 4, "boom")).toDF("k", "lo", "hi", "tag")
