@@ -610,6 +610,28 @@ object SparkEntry {
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 4L).as("recall_ok"))
     }),
+    // PCA spectrum contract: for each of the top-16 axes, the empirical
+    // population variance of the corpus's projections must equal the
+    // model's eigenvalue (within fixed-point tolerance) and the
+    // spectrum must be non-increasing — the defining property of PCA,
+    // checkable without the oracle re-deriving an eigendecomposition.
+    "q_pca" -> ((s, dir) => {
+      import s.implicits._
+      val e = embs(s, dir)
+      val m = ops.Pca.fit(e, k = 16)
+      val ev = m.eigenvalues
+      val evDf = s.createDataset(ev.toSeq.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v, i == 0 || ev(i) <= ev(i - 1) + 1e-12)
+      }).toDF("coord", "ev", "desc_ok")
+      ops.Pca.transform(e, m)
+        .select(posexplode($"pca").as(Seq("coord", "x")))
+        .groupBy($"coord".cast("long").as("coord"))
+        .agg(var_pop($"x").as("v"))
+        .join(broadcast(evDf), "coord")
+        .select($"coord",
+          (abs($"v" - $"ev") / greatest($"ev", lit(1e-12)) < 0.05).as("spectrum_ok"),
+          $"desc_ok")
+    }),
     // PQ-ADC recall contract: 16 sub-codebooks x 32 codes compress each
     // 256 B vector to 16 codes; the ADC scan + exact refine of the top
     // 80 candidates must recover >= 5 of the exact top-10 per query
@@ -1626,6 +1648,9 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_pca" ->
+      """SELECT r AS coord, true AS spectrum_ok, true AS desc_ok
+        |FROM unnest(range(0, 16)) AS u(r)""".stripMargin,
     "q_pii" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
