@@ -85,6 +85,34 @@ object ModelIO {
     TextClassifier.Model(labels, nBuckets, w)
   }
 
+  // ------------------------------------------------------------------ PCA
+
+  def savePca(spark: SparkSession, model: Pca.Model, path: String): Unit = {
+    import spark.implicits._
+    val meanRows = model.mean.iterator.zipWithIndex.map { case (v, d) => (-1, d, v) }
+    val compRows = for {
+      c <- model.components.indices.iterator
+      d <- model.components(c).indices.iterator
+    } yield (c, d, model.components(c)(d))
+    // component -1 = the mean vector; dim -1 = the eigenvalue row.
+    val evRows = model.eigenvalues.iterator.zipWithIndex.map { case (v, c) => (c, -1, v) }
+    spark.createDataset((meanRows ++ compRows ++ evRows).toSeq)
+      .toDF("component", "dim", "weight")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def loadPca(spark: SparkSession, path: String): Pca.Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select($"component".cast("int"), $"dim".cast("int"), $"weight".cast("double"))
+      .as[(Int, Int, Double)].collect()
+    val mean = rows.filter(_._1 == -1).sortBy(_._2).map(_._3)
+    val ev = rows.filter(r => r._1 >= 0 && r._2 == -1).sortBy(_._1).map(_._3)
+    val comps = rows.filter(r => r._1 >= 0 && r._2 >= 0).groupBy(_._1).toArray
+      .sortBy(_._1).map { case (_, rs) => rs.sortBy(_._2).map(_._3) }
+    Pca.Model(mean, comps, ev)
+  }
+
   // ------------------------------------------------------------------- PQ
 
   def savePqCodebooks(spark: SparkSession, books: ProductQuantization.Codebooks, path: String): Unit = {

@@ -42,6 +42,21 @@ class ModelIOSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PCA model: save/load round trip preserves every projection") {
+    val m = graft.ops.Pca.fit(embs, k = 8)
+    val p = tmp("pca")
+    ModelIO.savePca(spark, m, p)
+    val m2 = ModelIO.loadPca(spark, p)
+    assert(m.mean.sameElements(m2.mean))
+    assert(m.eigenvalues.sameElements(m2.eigenvalues))
+    m.components.zip(m2.components).foreach { case (x, y) => assert(x.sameElements(y)) }
+    val a = graft.ops.Pca.transform(embs, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = graft.ops.Pca.transform(embs, m2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
+
   test("PQ codebooks: save/load round trip preserves every code") {
     val books = PQ.trainCodebooks(embs, m = 8, codes = 16, iters = 2)
     val p = tmp("pq")
