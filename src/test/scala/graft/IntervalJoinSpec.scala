@@ -46,6 +46,29 @@ class IntervalJoinSpec extends SparkSpec {
       s"interval join degraded to a nested loop:\n$plan")
   }
 
+  test("randomized parity with the brute-force non-equi join") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val facts = Seq.fill(200)((rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "ts")
+      val ivals = Seq.fill(50) {
+        val lo = rnd.nextInt(1000).toLong
+        (rnd.nextInt(6).toLong, lo, lo + rnd.nextInt(300).toLong, rnd.nextInt(100))
+      }.toDF("k", "lo", "hi", "tag")
+      val width = 1L + rnd.nextInt(400)
+      val got = IntervalJoin.join(facts, ivals, "ts", "lo", "hi", Seq("k"), bucketWidth = width)
+        .select($"k", $"ts", $"lo", $"hi", $"tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = facts.as("f").join(ivals.as("i"),
+          $"f.k" === $"i.k" && $"f.ts" >= $"i.lo" && $"f.ts" <= $"i.hi")
+        .select($"f.k", $"ts", $"lo", $"hi", $"tag")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want, s"trial $trial width $width diverged")
+    }
+  }
+
   test("empty interval table: empty result, auto width does not crash") {
     val facts = Seq((1L, 5L)).toDF("k", "ts")
     val ivals = Seq.empty[(Long, Long, Long, String)].toDF("k", "lo", "hi", "tag")
