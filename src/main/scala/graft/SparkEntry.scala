@@ -330,6 +330,15 @@ object SparkEntry {
           concat(lit(" see https://ex.org/d/"), $"doc_id", lit(" ok"))).otherwise(lit(""))))
       ops.TextAnalysis.piiScan(injected)
     }),
+    // Oversampling mixture (rate > 1 = repeat the domain): dyadic
+    // rates keep every hash threshold integer-exact, so the oracle
+    // replays the full copy/fraction expansion.
+    "q_mixture_epochs" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sampling.mixtureSampleRepeats(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select($"source", $"doc_id", $"copy")
+    }),
     // -- Text analysis over documents.
     "q_text_stats" -> ((s, dir) =>
       ops.TextAnalysis.analyze(docs(s, dir))),
@@ -1671,6 +1680,17 @@ object SparkEntry {
         |  WHEN (doc_id * 2654435761) % 4294967296 < 3758096384 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_mixture_epochs" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.25 ELSE 0.0 END AS rate
+        |  FROM documents)
+        |SELECT source, doc_id, c AS copy
+        |FROM r, unnest(range(0, greatest(ceil(rate)::BIGINT, 1))) AS u(c)
+        |WHERE c < floor(rate)
+        |   OR (c = floor(rate) AND (doc_id * 2654435761) % 4294967296
+        |       < (rate * 4294967296)::BIGINT - (floor(rate) * 4294967296)::BIGINT)""".stripMargin,
     // Thresholds are floor(rate * 2^32), matching Scala's .toLong.
     "q_mixture" ->
       """SELECT source, doc_id FROM documents

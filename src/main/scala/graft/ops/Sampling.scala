@@ -95,6 +95,50 @@ object Sampling {
     df.filter(hashKey(idCol) < thr)
   }
 
+  /** Mixture sampling WITH oversampling: rates above 1 REPEAT a domain
+    * (epochs), the standard up-weighting move of training-mixture
+    * recipes (a rate of 2.5 = two full copies of every doc plus the
+    * deterministic 0.5 hash-subsample as a third). Output adds a
+    * `copy` column (0-based epoch index) so downstream packing and
+    * shuffling see distinct rows. Full copies keep every doc; the one
+    * FRACTIONAL copy keeps exactly the [[mixtureSample]] subset for
+    * the fractional rate — the same portable hash-threshold
+    * arithmetic, so the whole expansion is engine-recomputable
+    * (`q_mixture_epochs`).
+    */
+  def mixtureSampleRepeats(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      s"rates >= 0: $rates default=$defaultRate")
+    val maxCopies = math.ceil((rates.values ++ Seq(defaultRate)).max).toLong
+    if (maxCopies == 0L)
+      return df.withColumn("copy", lit(0L)).limit(0)
+    // Per-row rate (sorted fold; Map order must not leak into the plan).
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (dom, r)) => when(col(domainCol) === dom, lit(r)).otherwise(acc)
+    }
+    // copy < floor(rate): full epoch. copy == floor(rate): fractional
+    // epoch, kept when hashKey < frac * 2^32 (floor(rate * 2^32) -
+    // floor(floor(rate) * 2^32) keeps the threshold arithmetic in the
+    // exact integer domain the oracle replays).
+    // Per-row sequence bound (not the global max) so a rate-0.1 domain
+    // never fans out to a rate-3 domain's copy count; greatest(.,1)
+    // guards sequence's descending-on-inverted-bounds behavior at
+    // rate 0 (the filter then drops the lone copy).
+    df.withColumn("__rate", rateCol)
+      .withColumn("copy",
+        explode(sequence(lit(0L), greatest(ceil(col("__rate")).cast("long"), lit(1L)) - 1L)))
+      .filter(
+        col("copy") < floor(col("__rate")) ||
+          (col("copy") === floor(col("__rate")) &&
+            hashKey(idCol) < (col("__rate") * M32).cast("long") - (floor(col("__rate")) * M32).cast("long")))
+      .drop("__rate")
+  }
+
   /** Deterministic train/validation/test split by hash-key range:
     * (label, row) with labels assigned by cumulative fraction bands.
     * Bands are disjoint and exhaustive, so every row appears exactly

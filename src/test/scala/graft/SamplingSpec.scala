@@ -69,6 +69,33 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"mixtureSample should not shuffle:\n$plan")
   }
 
+  test("mixtureSampleRepeats: rate > 1 repeats, fraction matches subsample, rate 0 drops") {
+    val rates = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+    val out = Sampling.mixtureSampleRepeats(docs, "source", "doc_id", rates)
+    val bySrc = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(rates.keySet), "defaultRate=0 drops other domains")
+    def n(src: String) = docs.filter($"source" === src).count()
+    // src0 at 2.5: two full copies + the 0.5 hash-subsample.
+    val frac0 = Sampling.hashSample(docs.filter($"source" === "src0"), "doc_id", 0.5).count()
+    assert(bySrc("src0") == 2 * n("src0") + frac0)
+    assert(bySrc("src1") == n("src1"))
+    // copy indices: src0 in {0,1,2}, src1 only 0, and each (doc, copy)
+    // appears once.
+    val copies = out.filter($"source" === "src0").select($"copy").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(copies.subsetOf(Set(0L, 1L, 2L)) && copies.contains(1L))
+    assert(out.filter($"source" === "src1").select($"copy").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(out.groupBy($"doc_id", $"copy").count().filter($"count" > 1).count() == 0)
+    // fractional copy membership == mixtureSample at the fractional rate
+    val fracSet = out.filter($"source" === "src0" && $"copy" === 2L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expect = Sampling.mixtureSample(docs, "source", "doc_id", Map("src0" -> 0.5))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(fracSet == expect)
+  }
+
   test("split: disjoint, exhaustive, dyadic fractions land exactly") {
     val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     assert(sp.count() == docs.count())
