@@ -43,6 +43,40 @@ class ScaleDemoSpec extends SparkSpec {
     info(f"partial-range query in $qMs%.0f ms -> ${part.value}%.0f +- ${part.error}%.1f (exact $exact%.0f)")
   }
 
+  test("interval join: 1M facts x 10k intervals through the bucket grid") {
+    // Brute force would be 10^10 candidate pairs; the bucketized join
+    // touches facts_per_bucket x intervals_per_bucket only. Intervals
+    // tile the key space so every fact matches exactly one — the count
+    // is the exactness check at scale.
+    val facts = spark.range(1000000L)
+      .select(($"id" % 100L).as("k"), ($"id" * 13L % 10000000L).as("ts"))
+    val ivals = spark.range(10000L)
+      .select(($"id" % 100L).as("k"),
+        (expr("id div 100") * 100000L).as("lo"),
+        (expr("id div 100") * 100000L + 99999L).as("hi"))
+    val t0 = System.nanoTime()
+    val n = graft.ops.IntervalJoin
+      .join(facts, ivals, "ts", "lo", "hi", keys = Seq("k"), bucketWidth = 100000L)
+      .count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 1000000L, s"every fact lies in exactly one tile: $n")
+    info(f"1M x 10k interval join in $sec%.1fs (${1000000 / sec}%.0f rows/s)")
+  }
+
+  test("star contraction: 100k-node chain resolves in O(log^2 n) rounds") {
+    // Diameter 10^5 — label propagation would need 10^5 rounds; the
+    // alternating algorithm's round count is logarithmic.
+    val n = 100000L
+    val chain = spark.range(n - 1).select($"id".as("doc_a"), ($"id" + 1L).as("doc_b"))
+    val t0 = System.nanoTime()
+    val reps = graft.ops.Dedup.starContractionComponents(chain)
+    val distinctReps = reps.select($"rep_id").distinct().count()
+    val total = reps.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(distinctReps == 1L && total == n, s"one component of $n nodes: $distinctReps, $total")
+    info(f"100k-node diameter-100k chain solved in $sec%.1fs")
+  }
+
   test("1M streams summarize without any O(#streams) driver structure") {
     // 1M distinct streams x 4 elements: the old design built and
     // broadcast a Map[streamId -> Array[Long]] here (GBs at 10^8
