@@ -330,6 +330,16 @@ object SparkEntry {
           concat(lit(" see https://ex.org/d/"), $"doc_id", lit(" ok"))).otherwise(lit(""))))
       ops.TextAnalysis.piiScan(injected)
     }),
+    // Per-epoch deterministic shuffle keys (training order): exact
+    // integer arithmetic, so the oracle replays both epochs' keys.
+    "q_epoch_order" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      d.select($"doc_id", lit(0L).as("epoch"),
+          ops.Sampling.epochOrderKey("doc_id", 0).as("order_key"))
+        .unionByName(d.select($"doc_id", lit(1L).as("epoch"),
+          ops.Sampling.epochOrderKey("doc_id", 1).as("order_key")))
+    }),
     // Oversampling mixture (rate > 1 = repeat the domain): dyadic
     // rates keep every hash threshold integer-exact, so the oracle
     // replays the full copy/fraction expansion.
@@ -1680,6 +1690,10 @@ object SparkEntry {
         |  WHEN (doc_id * 2654435761) % 4294967296 < 3758096384 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_epoch_order" ->
+      """SELECT doc_id, e AS epoch,
+        |  ((doc_id % 4294967296) * 31 + e) * 2654435761 % 4294967296 AS order_key
+        |FROM documents, unnest(range(0, 2)) AS u(e)""".stripMargin,
     "q_mixture_epochs" ->
       """WITH r AS (
         |  SELECT doc_id, source,

@@ -47,6 +47,35 @@ object Sampling {
         raise_error(concat(lit("Sampling.hashKey: negative id "), id.cast("string"))))
   }
 
+  /** Per-EPOCH deterministic shuffle key: training runs want a
+    * DIFFERENT document order every epoch, reproducibly. The key is
+    * the portable Knuth hash of the epoch-salted id
+    * (`((id mod 2^32) * 31 + epoch) * K mod 2^32` — the salt stays
+    * under 2^38, and the multiply reuses [[hashKey]]'s hi/lo split, so
+    * the whole arithmetic is exact in any 64-bit engine). Sorting by
+    * (key, id) at write time gives the epoch's order; emitting the KEY
+    * rather than a global rank keeps the operator shuffle-free — the
+    * consumer's write is the one global sort, where it belongs.
+    */
+  def epochOrderKey(idCol: String, epoch: Int): org.apache.spark.sql.Column = {
+    require(epoch >= 0, s"epoch >= 0: $epoch")
+    val id = col(idCol).cast("long")
+    val salted = pmod(pmod(id, lit(M32)) * 31L + epoch.toLong, lit(M32))
+    val hi = shiftright(salted, 16)
+    val lo = salted.bitwiseAND(lit(0xFFFFL))
+    val key = pmod(pmod(hi * Knuth, lit(M32)) * 65536L + lo * Knuth, lit(M32))
+    when(id.isNull, lit(null).cast("long"))
+      .when(id >= 0, key)
+      .otherwise(
+        raise_error(concat(lit("Sampling.epochOrderKey: negative id "), id.cast("string"))))
+  }
+
+  /** `df` in its epoch-`epoch` training order (global sort by the
+    * epoch key; ties broken by id).
+    */
+  def epochShuffled(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.orderBy(epochOrderKey(idCol, epoch), col(idCol))
+
   /** Up to `k` rows per stratum, chosen by ascending hash order (ties
     * broken by id — total order, fully deterministic).
     */

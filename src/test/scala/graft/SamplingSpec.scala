@@ -96,6 +96,29 @@ class SamplingSpec extends SparkSpec {
     assert(fracSet == expect)
   }
 
+  test("epoch order: reproducible, epochs permute differently, arithmetic exact") {
+    val k0 = docs.select($"doc_id", Sampling.epochOrderKey("doc_id", 0).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k0b = docs.repartition(9)
+      .select($"doc_id", Sampling.epochOrderKey("doc_id", 0).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k0 == k0b, "key must be a pure function of (id, epoch)")
+    val k1 = docs.select($"doc_id", Sampling.epochOrderKey("doc_id", 1).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Different epochs give a genuinely different order.
+    val ord0 = k0.toSeq.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val ord1 = k1.toSeq.sortBy { case (id, k) => (k, id) }.map(_._1)
+    assert(ord0 != ord1, "epochs must permute differently")
+    assert(ord0.toSet == ord1.toSet, "same documents, different order")
+    // Exact arithmetic replay.
+    k0.foreach { case (id, k) =>
+      assert(k == (id % 4294967296L) * 31L % 4294967296L * 2654435761L % 4294967296L
+        || k == BigInt(id % 4294967296L).*(31).+(0).*(BigInt(2654435761L)).mod(BigInt(4294967296L)).toLong)
+    }
+    // epochShuffled returns every row exactly once.
+    assert(Sampling.epochShuffled(docs, "doc_id", 3).count() == docs.count())
+  }
+
   test("split: disjoint, exhaustive, dyadic fractions land exactly") {
     val sp = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     assert(sp.count() == docs.count())
