@@ -349,6 +349,23 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
         .select($"source", $"doc_id", $"copy")
     }),
+    // -- Semi-structured metadata promotion: infer the props JSON
+    //    schema from a bounded deterministic bottom-k sample, promote
+    //    to typed columns (from_json — codegen, no UDF), aggregate the
+    //    promoted field. The oracle re-extracts with DuckDB's JSON
+    //    functions; n_corrupt pins the corrupt-flag plumbing to 0 on
+    //    this well-formed corpus.
+    "q_props_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val schema = ops.SemiStructured.inferSchema(ev, "props", "event_id")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      ops.SemiStructured.promote(ev, "props", schema)
+        .groupBy($"event_type")
+        .agg(count($"k").as("n_k"), sum($"k").cast("long").as("sum_k"),
+          max($"k").cast("long").as("max_k"),
+          sum(when($"_corrupt", 1L).otherwise(0L)).as("n_corrupt"))
+    }),
     // -- Text analysis over documents.
     "q_text_stats" -> ((s, dir) =>
       ops.TextAnalysis.analyze(docs(s, dir))),
@@ -852,6 +869,19 @@ object SparkEntry {
     "q_window_quantile" -> ((s, dir) =>
       QuantileSummary.quantileContract(
         Ingest.fromEventsTable(s, dir), Spec, Seq(0.5, 0.9, 0.99), k = 32)),
+    // -- Windowed bottom-k sample summaries ("show me k events from the
+    //    range"): per-window samples keyed by the portable Knuth hash of
+    //    seq, routed THROUGH a real decay merge, then full-range-
+    //    unioned. Bottom-k by a fixed hash is an EXACT monoid (bottom-k
+    //    of a union == bottom-k of the members' bottom-ks), so unlike
+    //    the sketch contracts this is a HARD value-level oracle: DuckDB
+    //    recomputes the identical k rows per stream from raw events.
+    "q_window_sample" -> ((s, dir) => {
+      import s.implicits._
+      SampleSummary.rangeSample(
+        SampleSummary.throughMerge(Ingest.fromEventsTable(s, dir), Spec, k = 16), k = 16)
+        .select($"stream_id", $"rank", $"seq", $"value", $"hk")
+    }),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -993,6 +1023,14 @@ object SparkEntry {
         |round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
         |  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
         |FROM documents""".stripMargin,
+    // Semi-structured promotion: DuckDB's JSON extraction must agree
+    // with the Spark-side inferred-schema from_json promotion.
+    "q_props_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n_k,
+        |  sum(CAST(json_extract_string(props, 'k') AS BIGINT))::BIGINT AS sum_k,
+        |  max(CAST(json_extract_string(props, 'k') AS BIGINT))::BIGINT AS max_k,
+        |  0::BIGINT AS n_corrupt
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_knn" ->
       """WITH r AS (
         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1165,6 +1203,23 @@ object SparkEntry {
       """SELECT user_id AS stream_id, p, true AS within_bound
         |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
         |GROUP BY user_id, p""".stripMargin,
+    // Windowed bottom-k sample: the exact engine recomputes seq (dense
+    // 0-based per stream by (ts, event_id) — the ingest order), the
+    // portable Knuth hash, and the per-stream bottom-16 — value-level
+    // equality because bottom-k survives any merge tree exactly.
+    "q_window_sample" ->
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, seq, value, (seq * 2654435761) % 4294967296 AS hk FROM s),
+        |r AS (
+        |  SELECT user_id, seq, value, hk,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY hk, seq) AS rank
+        |  FROM h)
+        |SELECT user_id AS stream_id, rank, seq, value, hk FROM r
+        |WHERE rank <= 16""".stripMargin,
     // GK-sketch rank-error contract: the exact engine confirms every
     // (stream, probability) row is in-bound (see quantileContract).
     "q_quantiles" ->

@@ -159,6 +159,37 @@ object Compactor {
       .select($"streamId", $"ts", $"te", $"cs", $"ce", $"bloom", $"cms", $"cand")
   }
 
+  /** [[recoarsen]] for the sample summary table ([[SampleSummary
+    * .summarizePerStream]] schema): bottom-k by a fixed hash is an
+    * EXACT monoid (the bottom-k of a union is the bottom-k of the
+    * members' bottom-ks), so decay maintenance is the same
+    * groupBy-the-new-partition — and unlike the sketch ops the coarse
+    * window's sample is bit-identical to a fresh draw from raw data.
+    */
+  def recoarsenSample(
+      samples: org.apache.spark.sql.DataFrame,
+      specOf: Long => WindowingSpec,
+      k: Int = SampleSummary.K,
+      bufferSize: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val counts = samples.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+    val bs = bufferSize
+    val widOf = udf((sid: Long, n: Long, cs: Long) =>
+      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
+    samples
+      .join(counts, "streamId")
+      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        min($"ts").as("ts"),
+        max($"te").as("te"),
+        min($"cs").as("cs"),
+        max($"ce").as("ce"),
+        graft.functions.SampleSketch.ksUnionAgg($"sample", k).as("sample"))
+      .select($"streamId", $"ts", $"te", $"cs", $"ce", $"sample")
+  }
+
   /** [[recoarsen]] for the quantile summary table ([[QuantileSummary
     * .summarizePerStream]] schema): KLL-style sketches merge by level
     * concatenation + re-compaction with their certified rank-error

@@ -280,6 +280,12 @@ final class SummaryDB private (
       if (forceRecompute) rebuildFreq(includeUncommittedTag = Some(tag))
       else appendIncrementalFreq(prepared)
     }
+    // And for the bottom-k sample table (exact monoid — but the same
+    // double-count drift would corrupt cs/ce bookkeeping on replay).
+    if (sampleEnabled) {
+      if (forceRecompute) rebuildSample(includeUncommittedTag = Some(tag))
+      else appendIncrementalSample(prepared)
+    }
     // The summaries now reflect this batch: commit it. A crash before
     // this line leaves an unmarked events/<tag> dir that readEvents
     // skips, so a later recompute can never resurrect a batch the
@@ -571,6 +577,90 @@ final class SummaryDB private (
       writeVersioned("freq_sketches",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
+  }
+
+  // ------------------------------------------------ sample hookup
+
+  private var sampleEnabled = false
+  private var sampleK = SampleSummary.K
+
+  /** Maintain a windowed bottom-k sample table ([[SampleSummary]]
+    * schema) alongside the scalar summaries: "show me k events from
+    * [t0, t1]" ([[sampleEvents]]) then reads O(log N) sample rows
+    * instead of raw events. Bottom-k by the portable seq hash is an
+    * EXACT monoid, so the incrementally maintained table is
+    * bit-identical to a fresh build at every point. Incremental:
+    * appends aggregate at the post-append canonical partition and
+    * re-coarsen on the [[mergeEvery]] cadence.
+    */
+  def enableSampleSummaries(k: Int = SampleSummary.K): Unit = {
+    sampleEnabled = true
+    sampleK = k
+    rebuildSample()
+  }
+
+  /** Canonical sample table from the committed WAL (plus the batch
+    * being applied, on replay) — the recovery twin of
+    * [[refreshSummaries]] for the sample path.
+    */
+  private def rebuildSample(includeUncommittedTag: Option[String] = None): Unit =
+    writeVersioned("sample_windows",
+      SampleSummary.summarizePerStream(readEvents(includeUncommittedTag), specOf, sampleK)
+        .write.mode(SaveMode.Overwrite).parquet(_))
+
+  /** The current sample table (empty schema-stable frame before any
+    * data).
+    */
+  def sampleWindows: org.apache.spark.sql.DataFrame =
+    currentVersion("sample_windows")
+      .map(v => spark.read.parquet(v.toString))
+      .getOrElse(SampleSummary.summarizePerStream(spark.emptyDataset[Event], specOf, sampleK))
+
+  // Re-coarsening cadence, mirroring sinceMergeFreq (the sample path
+  // also runs on landmarked stores — samples rank over ALL elements).
+  private var sinceMergeSample = 0
+
+  private def appendIncrementalSample(prepared: Dataset[Event]): Unit = {
+    val old = sampleWindows.persist()
+    try {
+      val baseCounts = old.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+      val rebased = prepared.toDF()
+        .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
+        .select($"streamId", $"ts",
+          ($"seq" + coalesce($"base", lit(0L))).as("seq"), $"value")
+      // Aggregate at the POST-APPEND canonical partition (the freq
+      // path's delta shape): O(log n) sample rows per stream, nesting
+      // into every later partition. The hash key is of the GLOBAL
+      // element index, so the incremental table samples identically to
+      // a full rebuild.
+      val newCounts = rebased.groupBy($"streamId").agg((max($"seq") + 1L).as("n"))
+      val delta = SampleSummary.partialsAt(rebased, specOf, newCounts, sampleK)
+      sinceMergeSample += 1
+      val next =
+        if (sinceMergeSample >= mergeEvery) {
+          sinceMergeSample = 0
+          Compactor.recoarsenSample(old.unionByName(delta), specOf, sampleK)
+        } else old.unionByName(delta)
+      writeVersioned("sample_windows",
+        next.write.mode(SaveMode.Overwrite).parquet(_))
+    } finally old.unpersist()
+  }
+
+  /** "Show me up to k events from [t0, t1]" — union the overlapping
+    * windows' samples and keep the bottom-k: an exact uniform sample of
+    * the covered range (whole edge windows — the storage-resolution
+    * semantics every range op shares). O(log N) sample rows read.
+    * Returns (seq, value) ascending by the sample order.
+    */
+  def sampleEvents(streamId: Long, k: Int = SampleSummary.K,
+      t0: Long = Long.MinValue, t1: Long = Long.MaxValue): Seq[(Long, Double)] = {
+    require(sampleEnabled, "call enableSampleSummaries() first")
+    requireDeclared(streamId, "sample")
+    SampleSummary.rangeSample(
+        sampleWindows.filter($"streamId" === streamId), math.min(k, sampleK), t0, t1)
+      .orderBy($"rank")
+      .select("seq", "value").as[(Long, Double)]
+      .collect().toSeq
   }
 
   /** "Did `key` appear in stream `streamId` during [t0, t1]?" — union
