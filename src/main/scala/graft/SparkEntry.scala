@@ -882,6 +882,23 @@ object SparkEntry {
         SampleSummary.throughMerge(Ingest.fromEventsTable(s, dir), Spec, k = 16), k = 16)
         .select($"stream_id", $"rank", $"seq", $"value", $"hk")
     }),
+    // -- Tumbling-bucket anomaly scores: per-day bucket means scored
+    //    against each stream's robust median/MAD baseline (outliers
+    //    cannot drag the baseline they should be flagged against). The
+    //    oracle recomputes buckets, exact interpolated medians, MAD,
+    //    and the 1.4826-normalized z. Rounding is floor(x*k + 0.5)/k on
+    //    BOTH sides — pure IEEE double ops, so identical inputs round
+    //    identically (Spark's round() rounds the shortest DECIMAL
+    //    string while DuckDB's rounds the binary value: a mean of
+    //    exactly 8.0125 rounds to 8.013 vs 8.012).
+    "q_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      def r(c: org.apache.spark.sql.Column, k: Int) = floor(c * k + 0.5) / k
+      StreamStats.anomalyScores(Ingest.fromEventsTable(s, dir), 86400000000L)
+        .select($"stream_id", $"bucket", $"n", r($"mean", 1000).as("mean"),
+          r($"med", 1000).as("med"), r($"mad", 1000).as("mad"),
+          r($"z", 100).as("z"))
+    }),
     // -- Rolling window (last 5 events per stream): exact running
     //    sum/min/max over a row-bounded frame — one shuffle, O(width)
     //    state. DuckDB recomputes the identical frames.
@@ -1226,6 +1243,28 @@ object SparkEntry {
       """SELECT user_id AS stream_id, p, true AS within_bound
         |FROM events, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) AS probs(p)
         |GROUP BY user_id, p""".stripMargin,
+    // Anomaly oracle: identical buckets, exact interpolated medians
+    // (DuckDB median == quantile_cont == Spark's exact percentile),
+    // MAD, and the normalized z — null where MAD is 0. floor(x*k+0.5)/k
+    // rounding mirrors the Spark side bit-for-bit (see the query note).
+    "q_anomaly" ->
+      """WITH b AS (
+        |  SELECT user_id AS stream_id, (epoch_us(ts) // 86400000000) AS bucket,
+        |         count(*)::BIGINT AS n, sum(value) / count(*) AS mean
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT stream_id, median(mean) AS med FROM b GROUP BY 1),
+        |d AS (SELECT b.stream_id, b.bucket, b.n, b.mean, m.med,
+        |             abs(b.mean - m.med) AS dev
+        |      FROM b JOIN m USING (stream_id)),
+        |a AS (SELECT stream_id, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.stream_id, d.bucket, d.n,
+        |       floor(d.mean * 1000 + 0.5) / 1000 AS mean,
+        |       floor(d.med * 1000 + 0.5) / 1000 AS med,
+        |       floor(a.mad * 1000 + 0.5) / 1000 AS mad,
+        |       CASE WHEN a.mad > 0
+        |            THEN floor(abs(d.mean - d.med) / (1.4826 * a.mad) * 100 + 0.5) / 100
+        |       END AS z
+        |FROM d JOIN a USING (stream_id)""".stripMargin,
     // Rolling-window oracle: identical ROWS 4 PRECEDING frames.
     "q_rolling" ->
       """WITH r AS (

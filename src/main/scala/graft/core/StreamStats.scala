@@ -89,6 +89,73 @@ object StreamStats {
       max($"value").over(w).as("roll_max"))
   }
 
+  /** Per-stream tumbling-bucket anomaly scores: bucket the stream into
+    * fixed `widthMicros` time windows, score each bucket's mean value
+    * against the stream's ROBUST baseline — median of bucket means and
+    * MAD (median absolute deviation), the standard outlier-resistant
+    * location/scale pair (Hampel; 1.4826·MAD is the normal-consistent
+    * sigma). `z = |mean − median| / (1.4826·MAD)` (null when MAD = 0):
+    * "which hours deviated from this stream's norm" without the
+    * baseline itself being dragged by the anomalies it should flag —
+    * the failure mode of a plain mean/stddev z-score.
+    *
+    * Scale shape: one groupBy to bucket aggregates (events never leave
+    * that shuffle), then all remaining passes run over the bucket frame
+    * (streams × buckets rows — O(time-range / width) per stream). The
+    * exact `percentile` aggregate buffers only bucket MEANS per stream,
+    * never raw values. Baselines join back via broadcast (O(#streams)
+    * rows).
+    */
+  def anomalyScores(events: Dataset[Event], widthMicros: Long): DataFrame = {
+    require(widthMicros > 0, s"bucket width must be positive: $widthMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Integral `div`, not floor(ts/width): double division at
+    // epoch-micros magnitude can misplace exact-boundary timestamps
+    // (the Ingest.fromEventsTable nanos note).
+    val buckets = events
+      .groupBy($"streamId".as("stream_id"),
+        expr(s"ts div ${widthMicros}L").as("bucket"))
+      .agg(count(lit(1)).as("n"), (sum($"value") / count(lit(1))).as("mean"))
+    scoreBuckets(buckets)
+  }
+
+  /** The decay-window twin of [[anomalyScores]]: score each SUMMARY
+    * window's mean (sum/count — already materialized, no raw scan)
+    * against the stream's median/MAD baseline. This is the
+    * summary-store-native form: anomaly triage over the whole retained
+    * history at O(log N) rows per stream, with the decay partition's
+    * resolution (fine recent windows, coarse old ones). Emits
+    * (stream_id, bucket = cs, n, mean, med, mad, z).
+    */
+  def anomalousWindows(summary: Dataset[SummaryWindow]): DataFrame = {
+    val spark = summary.sparkSession
+    import spark.implicits._
+    scoreBuckets(summary
+      .select($"streamId".as("stream_id"), $"cs".as("bucket"),
+        $"count".cast("long").as("n"), ($"sum" / $"count").as("mean")))
+  }
+
+  /** Median/MAD scoring over a (stream_id, bucket, n, mean) frame. */
+  private def scoreBuckets(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    // The bucket frame feeds three passes (median, deviations, output
+    // join); localCheckpoint materializes it once so the raw scan
+    // behind it is not re-run per pass (the dedupShared discipline).
+    val b = buckets.localCheckpoint()
+    val med = b.groupBy($"stream_id").agg(percentile($"mean", lit(0.5)).as("med"))
+    val withMed = b.join(broadcast(med), "stream_id")
+    val mad = withMed
+      .groupBy($"stream_id")
+      .agg(percentile(abs($"mean" - $"med"), lit(0.5)).as("mad"))
+    withMed
+      .join(broadcast(mad), "stream_id")
+      .select($"stream_id", $"bucket", $"n", $"mean", $"med", $"mad",
+        when($"mad" > 0.0, abs($"mean" - $"med") / (lit(1.4826) * $"mad"))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Self-checking contract surface for [[quantiles]]: the estimate's
     * RANK in the stream's exact value order must sit within the GK
     * sketch's guarantee (relative rank error 1/accuracy). The estimate
