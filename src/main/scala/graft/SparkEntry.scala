@@ -445,6 +445,18 @@ object SparkEntry {
         substrShared(s, dir).filter($"rk" > 1).select($"doc_id", $"start"),
         minTokens = 8)
     }),
+    // -- Line-level dedup (C4/RefinedWeb boilerplate removal): the
+    //    corpus text is single-line, so the query injects deterministic
+    //    boilerplate (a footer on every doc, a newsletter line on
+    //    doc_id%3, a DOUBLED click-bait line on doc_id%11 — within-doc
+    //    repeats included); the oracle replays the identical
+    //    construction and recomputes flags grouping on raw CONTENT
+    //    where the plan groups on xxhash64, so agreement doubles as a
+    //    collision check (the q_substring_spans discipline).
+    "q_line_spans" -> ((s, dir) =>
+      ops.LineDedup.duplicatedLines(lineInjected(docs(s, dir)))),
+    "q_line_clean" -> ((s, dir) =>
+      ops.LineDedup.removeDuplicatedLines(lineInjected(docs(s, dir)))),
     // Decontamination: the "benchmark" is the deterministic doc_id%17
     // subset of the corpus itself, so benchmark members are fully
     // contaminated by construction and the oracle re-derives the same
@@ -711,6 +723,22 @@ object SparkEntry {
           round(sum($"o_totalprice"), 2).as("revenue"))
         .withColumnRenamed("n_name", "nation")
     }),
+    // -- Bloom-pruned fact⋈dim join: lineitem is pruned by a bloom of
+    //    the ~1% filtered orders' keys BEFORE its shuffle; the result
+    //    is row-identical to the plain join (no false negatives), so
+    //    the oracle is the plain SQL join — the pruning is invisible
+    //    in the rows, which is exactly the contract. Quantities are
+    //    integer-valued doubles, so the long-cast sum is FP-exact.
+    "q_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val dim = s.read.parquet(s"$dir/orders.parquet")
+        .where($"o_orderkey" % 97 === 0)
+      ops.BloomJoin.prunedJoin(li, dim, "l_orderkey", "o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity").cast("long").as("qty"))
+    }),
     // -- Sketch ops (declared-but-absent in the reference: bloom/cms/freq).
     "q_distinct_exact" -> ((s, dir) => {
       import s.implicits._
@@ -804,6 +832,23 @@ object SparkEntry {
       import s.implicits._
       ops.Multimodal.videoFrameStats(
         ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 2)))
+    }),
+    // -- Media dedup by DECODED pixels: the doc_id%21 image subset is
+    //    re-encoded as BMP (bytes change, raster doesn't) and unioned
+    //    back under id+1e6; byte-level dedup misses every such pair,
+    //    pixel-signature dedup catches exactly them PLUS the natural
+    //    twins — image ids congruent mod 256 share (dims, gradient
+    //    phase) by the generator rules, so the oracle enumerates the
+    //    full expected pair set in SQL at ANY scale factor.
+    "q_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = ops.Multimodal
+        .syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 0))
+        .select($"doc_id", $"payload")
+      val copies = ops.MediaDedup
+        .transcodeImages(media.filter($"doc_id" % 21 === 0), "bmp")
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"payload")
+      ops.MediaDedup.exactPixelDuplicatePairs(media.union(copies))
     }),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
@@ -978,6 +1023,16 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Deterministic boilerplate injection for the line-dedup queries —
+    * mirrored verbatim by the DuckDB oracle. */
+  private def lineInjected(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat_ws("\n",
+      when(col("doc_id") % 11 === 0, lit("click here to continue reading")),
+      when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+      col("text"),
+      when(col("doc_id") % 11 === 0, lit("click here to continue reading")),
+      lit("all rights reserved")).as("text"))
+
   private def rawEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
@@ -1081,6 +1136,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // Bloom-pruned join: plain SQL join — bloom pruning must be
+    // invisible in the result set.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |sum(l_quantity)::BIGINT AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
     // Boundary oracles: DuckDB independently recomputes the base-2 decay
     // decomposition's first-window size via the self-similar recurrence
     // D(n) = 2*D(floor((n-1)/2)) ++ D(s) — the chain cur -> (cur-1)//2
@@ -1123,6 +1186,21 @@ object SparkEntry {
         |FROM ranked r JOIN k ON r.user_id = k.user_id
         |WHERE r.rn <= k.kk
         |GROUP BY r.user_id""".stripMargin,
+    // Media-dedup oracle: pixel identity of the generated gradient
+    // images is EXACTLY doc_id congruence mod 256 (pixel value =
+    // (y + id) % 256; dims = id*7 % 128 / id*13 % 128, both implied by
+    // the mod-256 class), and a lossless BMP re-encode keeps its
+    // original's class. Group by the class, emit (min, other) pairs —
+    // the same rule exactPixelDuplicatePairs applies to real rasters.
+    "q_media_dedup" ->
+      """WITH grp AS (
+        |  SELECT doc_id, doc_id % 256 AS g FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id % 256 FROM documents WHERE doc_id % 21 = 0),
+        |m AS (SELECT g, min(doc_id) AS a, count(*) AS n FROM grp GROUP BY g)
+        |SELECT m.a, grp.doc_id AS b
+        |FROM grp JOIN m USING (g)
+        |WHERE m.n >= 2 AND grp.doc_id <> m.a""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -1476,6 +1554,53 @@ object SparkEntry {
         |  array_to_string(list_slice(t, i * 20 + 1, i * 20 + 40), ' ') AS chunk_text,
         |  len(list_slice(t, i * 20 + 1, i * 20 + 40))::BIGINT AS n_chunk_tokens
         |FROM c, unnest(range(0, n_chunks)) AS u(i)""".stripMargin,
+    // Line-dedup oracles: replay the injected boilerplate construction,
+    // explode lines, and recompute flags/rebuild grouping on raw
+    // CONTENT (the Spark plan groups on xxhash64 — agreement is the
+    // collision check).
+    "q_line_spans" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 11 = 0 THEN 'click here to continue reading' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+        |    text,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'click here to continue reading' END,
+        |    'all rights reserved') AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+        |l AS (SELECT doc_id, i AS line_idx, trim(parts[i + 1]) AS norm
+        |      FROM p, unnest(range(0, len(parts))) AS u(i)),
+        |f AS (SELECT doc_id, line_idx,
+        |             count(*) OVER (PARTITION BY norm) AS cnt,
+        |             row_number() OVER (PARTITION BY norm ORDER BY doc_id, line_idx) AS rn
+        |      FROM l WHERE norm <> '')
+        |SELECT doc_id, line_idx::INT AS line_idx, cnt::BIGINT AS cnt, (rn = 1) AS kept
+        |FROM f WHERE cnt >= 2""".stripMargin,
+    "q_line_clean" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 11 = 0 THEN 'click here to continue reading' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+        |    text,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'click here to continue reading' END,
+        |    'all rights reserved') AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+        |l AS (SELECT doc_id, i AS line_idx, parts[i + 1] AS raw, trim(parts[i + 1]) AS norm
+        |      FROM p, unnest(range(0, len(parts))) AS u(i)),
+        |dup AS (SELECT doc_id, line_idx,
+        |               count(*) OVER (PARTITION BY norm) AS cnt,
+        |               row_number() OVER (PARTITION BY norm ORDER BY doc_id, line_idx) AS rn
+        |        FROM l WHERE norm <> ''),
+        |drops AS (SELECT doc_id, line_idx FROM dup WHERE cnt >= 2 AND rn > 1)
+        |SELECT d2.doc_id,
+        |       coalesce(k.clean_text, '') AS clean_text
+        |FROM d2 LEFT JOIN (
+        |  SELECT doc_id, string_agg(raw, chr(10) ORDER BY line_idx) AS clean_text
+        |  FROM l
+        |  WHERE NOT EXISTS (SELECT 1 FROM drops d
+        |                    WHERE d.doc_id = l.doc_id AND d.line_idx = l.line_idx)
+        |  GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     // Groups on raw window content where the Spark plan groups on
     // xxhash64 of it — hash-collision-free agreement is part of the
     // contract being checked.

@@ -547,10 +547,22 @@ object Dedup {
     * distance <= 3 matches exactly on >= 1 segment — so candidates are
     * the intra-bucket pairs of (segment-index, segment-value) buckets.
     */
-  def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+  def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3, maxBucket: Int = 256): DataFrame =
+    hammingNearDuplicates(simhashFingerprints(docs).select(col("doc_id"), col("simhash")),
+      maxDist, maxBucket)
+
+  /** Generic 64-bit Hamming near-duplicate join over any fingerprint
+    * frame `(doc_id, <fpCol>)` — the 4×16-bit segment bucketing behind
+    * [[simhashNearDuplicates]], shared with [[MediaDedup]]'s
+    * perceptual dHash (any ≤3-bit-distant pair agrees on at least one
+    * segment by pigeonhole). Emits (doc_a, doc_b, dist), doc_a < doc_b.
+    */
+  def hammingNearDuplicates(fingerprints: DataFrame, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(maxDist <= 3, "4-segment bucketing covers Hamming distance <= 3")
     require(maxBucket >= 2, s"maxBucket must admit at least one pair: $maxBucket")
-    val fps = simhashFingerprints(docs)
+    val fpCol = fingerprints.columns(1)
+    val fps = fingerprints.select(col(fingerprints.columns.head).as("doc_id"),
+      col(fpCol).as("simhash"))
     val seg = udf((fp: Long, i: Int) => (fp >>> (16 * i)) & 0xFFFFL)
     // One groupBy per (segment-index, segment-value) bucket; buckets above
     // `maxBucket` are DROPPED before pair generation — a boilerplate-heavy
