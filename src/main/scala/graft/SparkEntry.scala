@@ -371,6 +371,27 @@ object SparkEntry {
       ops.TextAnalysis.analyze(docs(s, dir))),
     "q_quality" -> ((s, dir) =>
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
+    // -- Auto-tuned quality cutoff: keep the corpus's upper half by
+    //    quality score — the percentile threshold replaces a guessed
+    //    absolute cutoff. Exact percentile here so DuckDB's
+    //    quantile_cont recomputes the identical threshold double.
+    "q_quality_cut" -> ((s, dir) =>
+      ops.Curation.filterByQuantile(
+        ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality"),
+        "quality", 0.5, exact = true)),
+    // -- Corpus snapshot diff: next = prev with doc_id%13 removed,
+    //    doc_id%7 texts edited, and doc_id%19 re-added under id+1e6 —
+    //    the oracle enumerates the expected delta classes directly.
+    "q_corpus_diff" -> ((s, dir) => {
+      import s.implicits._
+      val prev = docs(s, dir)
+      val next = prev.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+        .union(prev.filter($"doc_id" % 19 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      ops.CorpusDiff.diff(prev, next)
+    }),
     "q_repetition" -> ((s, dir) =>
       ops.TextAnalysis.repetitionSignals(docs(s, dir))),
     // fastText-style linear classifier (Joulin EACL'17), the quality/
@@ -1429,6 +1450,38 @@ object SparkEntry {
         |    + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
         |    + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
         |FROM t""".stripMargin,
+    // Quantile-cut oracle: identical quality CTE, quantile_cont
+    // threshold (== Spark's exact interpolated percentile on identical
+    // doubles), ties kept by >=.
+    "q_quality_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','at','by','it','this','that'], x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |    round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens::DOUBLE / 50.0, 1.0)
+        |      + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
+        |      + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
+        |  FROM t),
+        |th AS (SELECT quantile_cont(quality, 0.5) AS th FROM q)
+        |SELECT doc_id, quality FROM q, th WHERE quality >= th.th""".stripMargin,
+    // Snapshot-diff oracle: enumerate the delta classes from the
+    // deterministic next-version construction.
+    "q_corpus_diff" ->
+      """SELECT doc_id AS id, 'removed' AS change FROM documents WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 19 = 0""".stripMargin,
     // Gopher repetition signals. list_slice mirrors Spark's slice()
     // exactly (1-based, begin>end -> empty), so short docs (< k tokens)
     // yield empty k-gram lists and a 0 fraction on both sides.

@@ -68,6 +68,36 @@ object Curation {
       input.join(lang, "doc_id").join(quality, "doc_id").join(lowRep, "doc_id"))
   }
 
+  /** Percentile-threshold filter — the auto-tuned form of a fixed
+    * cutoff ("keep the top half by quality" instead of guessing
+    * `minQuality`), standard practice when a score's absolute scale
+    * drifts between crawls but its ranking is trustworthy. The
+    * threshold is the corpus p-quantile of `valueCol`; `keepUpper`
+    * keeps values >= it (ties INCLUDED on both modes — a threshold
+    * filter must not split equal scores).
+    *
+    * `exact = false` (default, the 100 TB path) uses the mergeable GK
+    * sketch (`percentile_approx`): one map-side-combinable pass,
+    * bounded memory. `exact = true` uses the exact interpolated
+    * percentile, which buffers the value column per aggregation
+    * buffer — fine to ~10^8 rows, and what an engine-to-engine
+    * equality check needs. Either way the threshold joins back as a
+    * broadcast literal: one scan, one tiny agg, no corpus shuffle.
+    */
+  def filterByQuantile(
+      df: DataFrame, valueCol: String, p: Double,
+      keepUpper: Boolean = true, exact: Boolean = false): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"quantile must be in (0, 1): $p")
+    val th =
+      if (exact) org.apache.spark.sql.functions.percentile(col(valueCol), lit(p))
+      else percentile_approx(col(valueCol), lit(p), lit(10000))
+    val t = df.agg(th.as("qf_th"))
+    val kept = df.join(org.apache.spark.sql.functions.broadcast(t))
+      .where(if (keepUpper) col(valueCol) >= col("qf_th")
+             else col(valueCol) <= col("qf_th"))
+    kept.drop("qf_th")
+  }
+
   /** Run the full pipeline. `benchmark` (optional) enables the
     * decontamination stage. NOTE: the report counts force one action
     * per stage — this is a curation job, not an interactive query; at
