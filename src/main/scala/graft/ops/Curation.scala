@@ -38,6 +38,20 @@ object Curation {
         * substrings keep one canonical copy corpus-wide.
         */
       substringMinTokens: Option[Int] = None,
+      /** When set, rewrite survivors' text with [[LineDedup
+        * .removeDuplicatedLines]] at this occurrence threshold BEFORE
+        * document-level dedup — C4-style boilerplate lines (footers,
+        * banners) vanish first, so they can no longer glue unrelated
+        * documents into near-duplicate clusters.
+        */
+      lineDedupMinCount: Option[Int] = None,
+      /** When set, keep only documents at or above this corpus
+        * quality QUANTILE (e.g. 0.25 drops the worst quarter) — the
+        * auto-tuned alternative to the absolute `minQuality` cutoff;
+        * both may be active. Uses the mergeable approximate
+        * percentile (the 100 TB path).
+        */
+      qualityQuantile: Option[Double] = None,
       /** When set, keep only documents whose corpus-LM cross-entropy
         * (nats/token, [[LanguageModel.filterByPerplexity]]) lies in
         * [lo, hi] — the CCNet band filter: too low = boilerplate, too
@@ -114,10 +128,33 @@ object Curation {
 
     val input = stage("input", docs.select(col("doc_id"), col("text"), col("source")))
 
+    // 0. Line dedup (optional): a TRANSFORM before everything else —
+    //    shared boilerplate lines keep one copy corpus-wide, so they
+    //    cannot glue unrelated documents into near-dup clusters and
+    //    they stop polluting the quality/repetition signals below.
+    val lineDeduped = cfg.lineDedupMinCount match {
+      case Some(m) =>
+        val cleaned = LineDedup.removeDuplicatedLines(input, m)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        stage("line_dedup", input.drop("text").join(cleaned, "doc_id"))
+      case None => input
+    }
+
     // 1.+2. Row-local filters + PII scrub (shared with the streaming
     // variant, so micro-batch and whole-corpus runs apply literally the
     // same predicates).
-    val scrubbed = rowStages(input, cfg)
+    val scrubbed0 = rowStages(lineDeduped, cfg)
+    // 1b. Quantile quality cutoff (optional): threshold = the corpus
+    //     p-quantile of the quality score — corpus-level state (one
+    //     tiny agg + broadcast), so like the perplexity band it is a
+    //     batch-stage; streaming runs pin the threshold offline.
+    val scrubbed = cfg.qualityQuantile match {
+      case Some(p) =>
+        val q = TextAnalysis.qualityScore(scrubbed0).select("doc_id", "quality")
+        scrubbed0.join(
+          filterByQuantile(q, "quality", p).select("doc_id"), "doc_id")
+      case None => scrubbed0
+    }
     stage("row_filters", scrubbed)
 
     // 2b. Perplexity band (optional): corpus-LM outlier filter. The

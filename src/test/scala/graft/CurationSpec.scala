@@ -80,6 +80,35 @@ class CurationSpec extends SparkSpec {
     assert(got.exists { case (id, n) => n < plainCounts(id) })
   }
 
+  test("line-dedup stage: boilerplate keeps one copy before doc-level dedup") {
+    val boiler = docs.select($"doc_id",
+      concat($"text", lit("\nall rights reserved")).as("text"), $"source")
+    val res = Curation.curate(boiler, cfg.copy(lineDedupMinCount = Some(2)))
+    val byName = res.report.toMap
+    assert(byName("line_dedup") == byName("input"), "a transform, not a filter")
+    // exactly one surviving copy of the injected footer corpus-wide:
+    // recompute the standalone operator on the same input
+    val cleaned = graft.ops.LineDedup.removeDuplicatedLines(boiler)
+    assert(cleaned.filter($"clean_text".contains("all rights reserved")).count() == 1)
+  }
+
+  test("quality-quantile stage: drops the lower tail, survivors match the operator") {
+    val res = Curation.curate(docs, cfg.copy(minQuality = 0.0, qualityQuantile = Some(0.25)))
+    val plain = Curation.curate(docs, cfg.copy(minQuality = 0.0))
+    val byName = res.report.toMap
+    val plainByName = plain.report.toMap
+    assert(byName("row_filters") < plainByName("row_filters"),
+      "the quantile cutoff must drop documents the absolute cutoff kept")
+    // survivors = the operator's own answer over the row-stage output
+    val scrubbed = Curation.rowStages(
+      docs.select($"doc_id", $"text", $"source"), cfg.copy(minQuality = 0.0))
+    val q = graft.ops.TextAnalysis.qualityScore(scrubbed).select($"doc_id", $"quality")
+    val expect = Curation.filterByQuantile(q, "quality", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val got = res.packed.select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(expect), "every packed survivor passed the quantile cut")
+  }
+
   test("pipeline is deterministic across input partitionings") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Curation.curate(d, cfg).packed.collect()
