@@ -371,6 +371,20 @@ object SparkEntry {
       ops.TextAnalysis.analyze(docs(s, dir))),
     "q_quality" -> ((s, dir) =>
       ops.TextAnalysis.qualityScore(docs(s, dir)).select("doc_id", "quality")),
+    // -- Unicode NFC normalization (native codegen Expression): the
+    //    doc_id%4 subset gets decomposed sequences appended (e +
+    //    U+0301, i + U+0308); both engines implement UAX #15, so the
+    //    normalized text and the changed flag match byte-for-byte.
+    "q_nfc" -> ((s, dir) => {
+      import s.implicits._
+      val injected = docs(s, dir).select($"doc_id",
+        when($"doc_id" % 4 === 0,
+          concat($"text", lit(" cafe\u0301 nai\u0308ve"))).otherwise($"text")
+          .as("text"))
+      injected.select($"doc_id",
+        ops.TextAnalysis.nfcCol(s, $"text").as("norm_text"),
+        (ops.TextAnalysis.nfcCol(s, $"text") =!= $"text").as("changed"))
+    }),
     // -- Auto-tuned quality cutoff: keep the corpus's upper half by
     //    quality score — the percentile threshold replaces a guessed
     //    absolute cutoff. Exact percentile here so DuckDB's
@@ -1450,6 +1464,18 @@ object SparkEntry {
         |    + CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END
         |    + CASE WHEN n_punct * 10 <= n_chars THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality
         |FROM t""".stripMargin,
+    // NFC oracle: DuckDB's nfc_normalize implements the same UAX #15
+    // canonical composition as java.text.Normalizer — replay the
+    // decomposed-sequence injection and compare bytes.
+    "q_nfc" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |       nfc_normalize(text) <> text AS changed
+        |FROM d2""".stripMargin,
     // Quantile-cut oracle: identical quality CTE, quantile_cont
     // threshold (== Spark's exact interpolated percentile on identical
     // doubles), ties kept by >=.

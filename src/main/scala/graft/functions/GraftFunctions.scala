@@ -38,6 +38,20 @@ object GraftFunctions {
       Sketches.cmsEstimate(cms, item))
 
     registerNativeCosine(spark)
+    registerNativeNfc(spark)
+  }
+
+  /** `graft_nfc(text)`: Unicode NFC normalization as a native codegen
+    * expression — see [[NfcNormalize]]. */
+  def registerNativeNfc(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        id.funcName,
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          NfcNormalize(children.head),
+        "built-in")
   }
 
   /** Native codegen expression (not a UDF): registered straight into

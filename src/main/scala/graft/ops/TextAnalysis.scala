@@ -104,6 +104,29 @@ object TextAnalysis {
   /** Whitespace tokenization shared by the n-gram operators. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Unicode NFC normalization via the native codegen expression
+    * ([[graft.functions.NfcNormalize]]) — precomposed and decomposed
+    * renderings of the same text become one string, so every
+    * downstream identity (dedup hashes, shingles, line keys, BPE
+    * merges) sees one form. DuckDB-equivalent: `nfc_normalize(text)`.
+    */
+  def nfcCol(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.functions.GraftFunctions.registerNativeNfc(spark)
+    call_function("graft_nfc", text)
+  }
+
+  /** The standard text-normalization stage: NFC, control characters
+    * stripped (newlines/tabs survive — line structure is load-bearing
+    * for [[LineDedup]]), space/tab runs collapsed, edges trimmed.
+    * Pure codegen projection over the scan — no UDF, no shuffle.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn(textCol,
+      trim(regexp_replace(
+        regexp_replace(nfcCol(df.sparkSession, col(textCol)),
+          "[\\p{Cc}&&[^\\n\\t]]", ""),
+        "[ \\t]+", " ")))
+
   def repetitionSignals(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def dupFrac(arr: Column): Column =
