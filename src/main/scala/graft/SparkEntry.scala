@@ -118,6 +118,21 @@ object SparkEntry {
         .localCheckpoint()
     })
 
+  /** The exploded line frame of the boilerplate-injected corpus,
+    * shared by the two line-dedup queries (flags and rebuild) — one
+    * explode instead of three, the substrShared discipline.
+    */
+  private val lineCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def lineShared(s: SparkSession, dir: String): DataFrame =
+    lineCache.synchronized {
+      lineCache.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, { _ =>
+      ops.LineDedup.lines(lineInjected(docs(s, dir))).localCheckpoint()
+    })
+
   private def emptyLandmarks(spark: SparkSession): Dataset[LandmarkWindow] = {
     import spark.implicits._
     spark.emptyDataset[LandmarkWindow]
@@ -489,9 +504,12 @@ object SparkEntry {
     //    where the plan groups on xxhash64, so agreement doubles as a
     //    collision check (the q_substring_spans discipline).
     "q_line_spans" -> ((s, dir) =>
-      ops.LineDedup.duplicatedLines(lineInjected(docs(s, dir)))),
-    "q_line_clean" -> ((s, dir) =>
-      ops.LineDedup.removeDuplicatedLines(lineInjected(docs(s, dir)))),
+      ops.LineDedup.duplicatedLinesFrom(lineShared(s, dir))),
+    "q_line_clean" -> ((s, dir) => {
+      import s.implicits._
+      ops.LineDedup.removeDuplicatedLinesFrom(
+        lineShared(s, dir), docs(s, dir).select($"doc_id"))
+    }),
     // Decontamination: the "benchmark" is the deterministic doc_id%17
     // subset of the corpus itself, so benchmark members are fully
     // contaminated by construction and the oracle re-derives the same

@@ -58,9 +58,17 @@ object LineDedup {
     */
   def duplicatedLines(
       docs: DataFrame, minCount: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    duplicatedLinesFrom(lines(docs, textCol, idCol), minCount)
+
+  /** As [[duplicatedLines]], from an already-built [[lines]] frame —
+    * callers running BOTH the flag and removal passes should build the
+    * line frame once (and at 100 TB persist/localCheckpoint it, the
+    * `SubstringDedup` sharing discipline) instead of re-exploding the
+    * corpus per pass.
+    */
+  def duplicatedLinesFrom(l: DataFrame, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
-    val l = lines(docs, textCol, idCol)
     // One hash shuffle with map-side partial counts; min(struct) rides
     // the same aggregation, so the keeper needs no second pass. The
     // filtered duplicate side is tiny next to the line table — AQE
@@ -86,9 +94,18 @@ object LineDedup {
     */
   def removeDuplicatedLines(
       docs: DataFrame, minCount: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val l = lines(docs, textCol, idCol)
-    val drop = duplicatedLines(docs, minCount, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    removeDuplicatedLinesFrom(
+      lines(docs, textCol, idCol),
+      docs.select(col(idCol).cast("long").as("doc_id")), minCount)
+
+  /** As [[removeDuplicatedLines]], from an already-built (ideally
+    * persisted) [[lines]] frame plus the id set to preserve — ONE
+    * explode feeds both the flag pass and the rebuild.
+    */
+  def removeDuplicatedLinesFrom(
+      l: DataFrame, docIds: DataFrame, minCount: Int = 2): DataFrame = {
+    val drop = duplicatedLinesFrom(l, minCount)
       .where(!col("kept"))
       .select(col("doc_id"), col("line_idx"))
     val rebuilt = l
@@ -99,8 +116,7 @@ object LineDedup {
       .agg(concat_ws("\n",
         transform(sort_array(collect_list(struct(col("line_idx"), col("raw")))),
           x => x("raw"))).as("clean_text"))
-    docs
-      .select(col(idCol).cast("long").as("doc_id"))
+    docIds
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
