@@ -92,6 +92,34 @@ object Demo {
     println("data card slices: " + card.count() + " (one shown) " +
       card.orderBy($"n_docs".desc).head())
 
+    // Round-7 additions: line dedup, bloom-pruned join, snapshot diff,
+    // NFC normalization, anomaly triage over the summary store.
+    val boiler = docs.select($"doc_id",
+      org.apache.spark.sql.functions.concat($"text",
+        org.apache.spark.sql.functions.lit("\nall rights reserved")).as("text"))
+    val lineClean = graft.ops.LineDedup.removeDuplicatedLines(boiler)
+    println("line dedup: footer copies surviving = " +
+      lineClean.filter($"clean_text".contains("all rights reserved")).count())
+
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_orderkey" % 97 === 0)
+    val (bin, bpruned, bmatch) =
+      graft.ops.BloomJoin.pruneStats(li, dim, "l_orderkey", "o_orderkey")
+    println(s"bloom join: fact rows $bin -> pruned $bpruned (matching $bmatch)")
+
+    val next = docs.filter($"doc_id" % 13 =!= 0)
+    println("snapshot diff: " + graft.ops.CorpusDiff.diffSummary(docs, next)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+
+    println("nfc: " + spark.range(1)
+      .select(graft.ops.TextAnalysis
+        .nfcCol(spark, org.apache.spark.sql.functions.lit("cafe\u0301")))
+      .head().getString(0))
+
+    val anomalies = StreamStats.anomalousWindows(db2.summaryWindows)
+    println("anomaly triage rows (from summary store alone): " + anomalies.count())
+
     // SQL surface tour.
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
