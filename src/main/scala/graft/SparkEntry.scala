@@ -263,6 +263,29 @@ object SparkEntry {
     // oracle recomputes the transitive closure with a recursive CTE.
     "q_dedup_components" -> ((s, dir) =>
       ops.Dedup.connectedComponents(dedupShared(s, dir).pairs09)),
+    // -- Leakage-free split: near-dup clusters (the verified J>=0.9
+    //    pair graph, shared with q_dedup_components) land in ONE split
+    //    atomically — a test doc can never have a near-duplicate in
+    //    train. The oracle recomputes the closure AND the portable
+    //    split hash of each cluster representative.
+    "q_leakfree_split" -> ((s, dir) => {
+      import s.implicits._
+      ops.Sampling.leakageFreeSplit(
+        docs(s, dir).select($"doc_id"),
+        dedupShared(s, dir).pairs09.select($"doc_a", $"doc_b"),
+        "doc_id", Seq("train" -> 0.75, "test" -> 0.25))
+    }),
+    // -- Token-budget mixture: fill each source's token budget in
+    //    portable-hash order — budget-shaped (not rate-shaped)
+    //    mixture specification; integer token weights make the SQL
+    //    replay exact.
+    "q_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"source",
+        ops.TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      ops.Sampling.tokenBudgetSample(d, "source", "doc_id", "n_tokens",
+        Map("src0" -> 400L, "src1" -> 137L), defaultBudget = 65L)
+    }),
     // SimHash containment contract (hard oracle, q_ann_recall pattern
     // inverted): Hamming <= 3 is the standard SimHash operating point
     // (Manku et al. 2007) and its pair set is a legitimate SUBSET of
@@ -1938,6 +1961,38 @@ object SparkEntry {
          |  UNION
          |  SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a)
          |SELECT a AS doc_id, min(b) AS rep_id FROM walk GROUP BY a""".stripMargin,
+    // Leakage-free split oracle: the same pair closure, then the plain
+    // Knuth split hash of each doc's cluster representative (self for
+    // singletons).
+    "q_leakfree_split" ->
+      s"""WITH RECURSIVE pp AS (${neardupOracleSql(0.9)}),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pp
+         |      UNION ALL SELECT doc_b, doc_a FROM pp),
+         |walk(a, b) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a),
+         |reps AS (SELECT a AS doc_id, min(b) AS rep_id FROM walk GROUP BY a)
+         |SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS rep_id,
+         |  CASE WHEN (coalesce(r.rep_id, d.doc_id) * 2654435761) % 4294967296 < 3221225472
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN reps r USING (doc_id)""".stripMargin,
+    // Token-budget oracle: identical integer token counts, identical
+    // (hash, id) fill order, identical budget CASE — the running-sum
+    // window replays the member set exactly.
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum_after,
+        |    CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 137 ELSE 65 END AS budget
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum_after - n_tokens < budget""".stripMargin,
     "q_ann_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     // ANN score/shape contract: Spark self-checks its output (scores

@@ -105,11 +105,19 @@ object Curation {
     val th =
       if (exact) org.apache.spark.sql.functions.percentile(col(valueCol), lit(p))
       else percentile_approx(col(valueCol), lit(p), lit(10000))
-    val t = df.agg(th.as("qf_th"))
-    val kept = df.join(org.apache.spark.sql.functions.broadcast(t))
-      .where(if (keepUpper) col(valueCol) >= col("qf_th")
-             else col(valueCol) <= col("qf_th"))
-    kept.drop("qf_th")
+    // The threshold is corpus-level state, like k-means centers: one
+    // tiny aggregate action, then a literal filter. (A 1-row cross
+    // join would keep the plan lazy but compiles to the
+    // BroadcastNestedLoopJoin shape PlanAuditSpec forbids — and a
+    // literal filter is the better plan anyway: pushdown-able,
+    // join-free.)
+    val row = df.agg(th.cast("double").as("qf_th")).head()
+    if (row.isNullAt(0)) df.where(lit(false)) // empty input: no threshold
+    else {
+      val threshold = row.getDouble(0)
+      df.where(if (keepUpper) col(valueCol) >= threshold
+               else col(valueCol) <= threshold)
+    }
   }
 
   /** Run the full pipeline. `benchmark` (optional) enables the

@@ -35,8 +35,12 @@ object Sampling {
     * raise instead of silently hashing (pmod would happily return a
     * value no external engine recomputes the same way).
     */
-  def hashKey(idCol: String): org.apache.spark.sql.Column = {
-    val id = col(idCol).cast("long")
+  def hashKey(idCol: String): org.apache.spark.sql.Column = hashKeyOf(col(idCol))
+
+  /** As [[hashKey]], over any id-valued Column (e.g. a derived cluster
+    * representative). */
+  def hashKeyOf(idExpr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val id = idExpr.cast("long")
     val id32 = pmod(id, lit(M32))
     val hi = shiftright(id32, 16)
     val lo = id32.bitwiseAND(lit(0xFFFFL))
@@ -176,13 +180,80 @@ object Sampling {
   def split(
       df: DataFrame,
       idCol: String,
-      fractions: Seq[(String, Double)]): DataFrame = {
+      fractions: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(hashKey(idCol), fractions))
+
+  private def splitLabel(
+      key: org.apache.spark.sql.Column,
+      fractions: Seq[(String, Double)]): org.apache.spark.sql.Column = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val key = hashKey(idCol)
-    val label = fractions.zip(cuts).foldRight(lit(fractions.last._1)) {
+    fractions.zip(cuts).foldRight(lit(fractions.last._1)) {
       case (((name, _), cut), rest) => when(key < (cut * M32).toLong, name).otherwise(rest)
     }
-    df.withColumn("split", label)
+  }
+
+  /** Leakage-free split: assign every NEAR-DUPLICATE CLUSTER to one
+    * split atomically, so a test document can never have a
+    * near-duplicate sitting in train — the contamination mode Lee et
+    * al. (ACL'22) measure in public benchmarks, invisible to a plain
+    * per-id split. `pairs` is any (doc_a, doc_b) near-dup pair frame
+    * (LSH-verified, SimHash, SemDeDup — caller's choice of notion);
+    * the cluster representative comes from
+    * [[Dedup.connectedComponents]] and the WHOLE cluster takes the
+    * representative's portable hash, so the member set of each split
+    * is engine-recomputable. Singleton documents hash their own id —
+    * identical to [[split]] for them.
+    *
+    * Scale shape: the components pass (label propagation / star
+    * contraction — bounded rounds) plus ONE left join of the corpus to
+    * the rep table; the label is a codegen'd expression.
+    */
+  def leakageFreeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val reps = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("__lf_id"), col("rep_id"))
+    df
+      .join(reps, col(idCol).cast("long") === col("__lf_id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col(idCol).cast("long")))
+      .drop("__lf_id")
+      .withColumn("split", splitLabel(hashKeyOf(col("rep_id")), fractions))
+  }
+
+  /** Per-group token-budget sampling: fill each group's budget with
+    * documents in portable-hash order, keeping a document while its
+    * group's budget is not yet exhausted — "give me ~1B tokens of web,
+    * ~200M of code", the budget-shaped (rather than rate-shaped,
+    * [[mixtureSample]]) way training mixtures are actually specified.
+    * Deterministic and engine-recomputable: the fill order is
+    * (hashKey(id), id) and the keep rule is `running_total_before <
+    * budget`, so totals overshoot by at most one document and the
+    * member set replays exactly in SQL with integer weights.
+    *
+    * One shuffle (the per-group window); budgets fold into a literal
+    * CASE. Groups absent from `budgets` fall back to `defaultBudget`
+    * (0 = drop).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
+      s"budgets must be non-negative: $budgets default=$defaultBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hashKey(idCol), col(idCol))
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    df
+      .withColumn("__cum_after", sum(col(weightCol).cast("long")).over(w))
+      .where(col("__cum_after") - col(weightCol).cast("long") < budget)
+      .drop("__cum_after")
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Leakage-free splitting and token-budget sampling. */
+class LeakageBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leakageFreeSplit: clusters move atomically, singletons match split()") {
+    val docs = (0L until 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters: {0,1,2} (chain), {10,11}, rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageFreeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.75, "test" -> 0.25))
+    val bySplit = out.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // every cluster member shares its cluster's label
+    assert(Set(bySplit(0L), bySplit(1L), bySplit(2L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    // singletons agree with the plain per-id split
+    val plain = Sampling.split(docs, "doc_id", Seq("train" -> 0.75, "test" -> 0.25))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L)
+    assert(bySplit.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+    // cluster label = the representative's (min id's) plain label
+    assert(bySplit(1L) == plain(0L) && bySplit(11L) == plain(10L))
+    // both splits are populated at these fractions
+    assert(out.select("split").distinct().count() == 2)
+  }
+
+  test("leakageFreeSplit: no test doc has a near-dup in train (the contract)") {
+    val docs = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (0L until 40L by 2L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageFreeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val leak = out.as("x").join(out.as("y"),
+        $"x.split" =!= $"y.split").join(pairs,
+        ($"x.doc_id" === $"doc_a" && $"y.doc_id" === $"doc_b") ||
+          ($"x.doc_id" === $"doc_b" && $"y.doc_id" === $"doc_a"))
+    assert(leak.isEmpty, "a near-dup pair crossed the split boundary")
+  }
+
+  test("tokenBudgetSample: budgets bound totals, fill order is the portable hash") {
+    val rows = (0L until 50L).map(i => (i, if (i < 25) "web" else "code", 10L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.tokenBudgetSample(df, "source", "doc_id", "n_tokens",
+      Map("web" -> 100L, "code" -> 35L))
+    val web = out.filter($"source" === "web")
+    val code = out.filter($"source" === "code")
+    assert(web.count() == 10, "100-token budget at 10 tokens/doc keeps exactly 10")
+    // 35-token budget: docs fill at 10 each; the 4th starts at 30 < 35 -> kept
+    assert(code.count() == 4, "budget overshoots by at most one document")
+    // the kept web docs are exactly the 10 smallest by (hash, id)
+    val expectWeb = rows.filter(_._2 == "web")
+      .sortBy { case (i, _, _) => ((i * 2654435761L) % 4294967296L, i) }
+      .take(10).map(_._1).toSet
+    assert(web.select("doc_id").as[Long].collect().toSet == expectWeb)
+  }
+
+  test("tokenBudgetSample: defaultBudget 0 drops unlisted groups; determinism") {
+    val df = (0L until 30L).map(i => (i, s"g${i % 3}", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.tokenBudgetSample(df, "source", "doc_id", "n_tokens",
+      Map("g0" -> 20L))
+    assert(out.select("source").distinct().as[String].collect().toSeq == Seq("g0"))
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetSample(df.repartition(7), "source", "doc_id",
+      "n_tokens", Map("g0" -> 20L)).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
