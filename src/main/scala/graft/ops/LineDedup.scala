@@ -104,10 +104,18 @@ object LineDedup {
     * explode feeds both the flag pass and the rebuild.
     */
   def removeDuplicatedLinesFrom(
-      l: DataFrame, docIds: DataFrame, minCount: Int = 2): DataFrame = {
-    val drop = duplicatedLinesFrom(l, minCount)
-      .where(!col("kept"))
-      .select(col("doc_id"), col("line_idx"))
+      l: DataFrame, docIds: DataFrame, minCount: Int = 2): DataFrame =
+    rebuildWithout(l, docIds,
+      duplicatedLinesFrom(l, minCount)
+        .where(!col("kept"))
+        .select(col("doc_id"), col("line_idx")))
+
+  /** Rebuild (doc_id, clean_text) from a [[lines]] frame minus the
+    * given (doc_id, line_idx) drop set — the shared kernel of the
+    * batch removal and [[graft.streaming.StreamingLineDedup]]'s
+    * cross-batch removal. */
+  def rebuildWithout(
+      l: DataFrame, docIds: DataFrame, drop: DataFrame): DataFrame = {
     val rebuilt = l
       .join(drop.withColumn("dropped", lit(true)),
         Seq("doc_id", "line_idx"), "left")
