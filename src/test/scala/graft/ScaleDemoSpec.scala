@@ -99,4 +99,35 @@ class ScaleDemoSpec extends SparkSpec {
       assert(s7.map(_.count).sum == 4.0)
     } finally sw.unpersist()
   }
+
+  test("line dedup: 1M docs, 5M lines, one boilerplate class — linear, no blowup") {
+    // 1M documents of 5 lines: 4 unique lines each + ONE footer shared
+    // by every doc — a 10^6-occurrence duplicate class. The pairwise
+    // designs this replaces would enumerate 10^12 pairs; the count+join
+    // shape touches each line twice.
+    val docs = spark.range(1000000L).select($"id".as("doc_id"),
+      expr("concat('u', id, ' a\nu', id, ' b\nshared footer line\nu', id, ' c\nu', id, ' d')")
+        .as("text"))
+    val t0 = System.nanoTime()
+    val flagged = graft.ops.LineDedup.duplicatedLines(docs)
+    val n = flagged.count()
+    val kept = flagged.filter($"kept").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 1000000L, s"every footer occurrence flagged: $n")
+    assert(kept == 1L, "exactly one canonical footer corpus-wide")
+    info(f"1M docs / 5M lines flagged in $sec%.1fs (${5000000 / sec}%.0f lines/s)")
+  }
+
+  test("bloom join: 10M facts pruned by a 1k-key dim before the shuffle") {
+    val facts = spark.range(10000000L).select(($"id" % 1000000L).as("k"), $"id".as("v"))
+    val dim = spark.range(1000L).select(($"id" * 1000L).as("dk"))
+    val t0 = System.nanoTime()
+    val joined = graft.ops.BloomJoin.prunedJoin(facts, dim, "k", "dk",
+      expectedItems = 1000L)
+    val n = joined.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // every dim key matches facts with id % 1e6 == dk: 10 each
+    assert(n == 10000L, s"exact join rows through the pruned path: $n")
+    info(f"10M-fact bloom-pruned join in $sec%.1fs (${10000000 / sec}%.0f rows/s scanned)")
+  }
 }
