@@ -118,6 +118,24 @@ object SparkEntry {
         .localCheckpoint()
     })
 
+  /** The synthetic media table shared by the five media queries
+    * (features/meta/audio/video/dedup): payload generation is the
+    * family's dominant cost and each query previously regenerated its
+    * modality — one materialized table halves total generation work.
+    * Queries filter their modality from it; with a REAL media table
+    * the same pruning comes from partitioning by media_type.
+    */
+  private val mediaCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def mediaShared(s: SparkSession, dir: String): DataFrame =
+    mediaCache.synchronized {
+      mediaCache.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }.computeIfAbsent(dir, { _ =>
+      ops.Multimodal.syntheticMedia(docs(s, dir)).localCheckpoint()
+    })
+
   /** The exploded line frame of the boilerplate-injected corpus,
     * shared by the two line-dedup queries (flags and rebuild) — one
     * explode instead of three, the substrShared discipline.
@@ -885,14 +903,14 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       ops.Multimodal.imagePixelStats(
-        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 0)))
+        mediaShared(s, dir).filter($"media_type" === "image"))
     }),
     // -- Media metadata surface: types/dims/durations (and the audio
     //    WAV size, 44 + 2*n_samples) follow SQL-expressible rules, so
     //    this one is fully oracle-checkable; image/video n_bytes (real
     //    PNG/GIF sizes) project NULL.
     "q_media_meta" -> ((s, dir) =>
-      ops.Multimodal.mediaSummary(ops.Multimodal.syntheticMedia(docs(s, dir)))),
+      ops.Multimodal.mediaSummary(mediaShared(s, dir))),
     // -- Audio decode: real WAV payloads -> javax.sound.sampled decode
     //    -> integer sample stats. The oracle recomputes rate/count/sum
     //    from the PCM generation rule, so a broken encoder OR decoder
@@ -900,14 +918,14 @@ object SparkEntry {
     "q_audio_stats" -> ((s, dir) => {
       import s.implicits._
       ops.Multimodal.audioSampleStats(
-        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 1)))
+        mediaShared(s, dir).filter($"media_type" === "audio"))
     }),
     // -- Video frame decode: real animated-GIF payloads -> ImageIO
     //    frame reads -> per-frame integer pixel sums, one row per frame.
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
       ops.Multimodal.videoFrameStats(
-        ops.Multimodal.syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 2)))
+        mediaShared(s, dir).filter($"media_type" === "video"))
     }),
     // -- Media dedup by DECODED pixels: the doc_id%21 image subset is
     //    re-encoded as BMP (bytes change, raster doesn't) and unioned
@@ -918,8 +936,7 @@ object SparkEntry {
     //    full expected pair set in SQL at ANY scale factor.
     "q_media_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = ops.Multimodal
-        .syntheticMedia(docs(s, dir).filter($"doc_id" % 3 === 0))
+      val media = mediaShared(s, dir).filter($"media_type" === "image")
         .select($"doc_id", $"payload")
       val copies = ops.MediaDedup
         .transcodeImages(media.filter($"doc_id" % 21 === 0), "bmp")
