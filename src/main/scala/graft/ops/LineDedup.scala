@@ -44,12 +44,26 @@ object LineDedup {
     */
   def lines(
       docs: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id",
+      sep: String = "\n"): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "raw")))
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("line_idx", "raw")))
       .withColumn("norm", trim(col("raw")))
       .withColumn("h", xxhash64(col("norm")))
+
+  /** Paragraph-granularity twin of [[lines]]: split on the LITERAL
+    * blank-line separator "\n\n" (quoted, so rebuild via
+    * `concat_ws(sep)` round-trips byte-identically — a regex split
+    * would collapse separator runs and corrupt untouched documents).
+    * Feed to the `*From` variants with `sep = "\n\n"` rebuilds
+    * downstream.
+    */
+  def paragraphs(
+      docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    lines(docs, textCol, idCol, sep = "\n\n")
 
   /** Every occurrence of a duplicated line: (doc_id, line_idx, cnt,
     * kept). `cnt` is the corpus-wide occurrence count of the line's
@@ -94,34 +108,44 @@ object LineDedup {
     */
   def removeDuplicatedLines(
       docs: DataFrame, minCount: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id",
+      sep: String = "\n"): DataFrame =
     removeDuplicatedLinesFrom(
-      lines(docs, textCol, idCol),
-      docs.select(col(idCol).cast("long").as("doc_id")), minCount)
+      lines(docs, textCol, idCol, sep),
+      docs.select(col(idCol).cast("long").as("doc_id")), minCount, sep)
+
+  /** Paragraph-granularity keep-one removal — [[removeDuplicatedLines]]
+    * over the literal "\n\n" separator. */
+  def removeDuplicatedParagraphs(
+      docs: DataFrame, minCount: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    removeDuplicatedLines(docs, minCount, textCol, idCol, sep = "\n\n")
 
   /** As [[removeDuplicatedLines]], from an already-built (ideally
     * persisted) [[lines]] frame plus the id set to preserve — ONE
     * explode feeds both the flag pass and the rebuild.
     */
   def removeDuplicatedLinesFrom(
-      l: DataFrame, docIds: DataFrame, minCount: Int = 2): DataFrame =
+      l: DataFrame, docIds: DataFrame, minCount: Int = 2,
+      sep: String = "\n"): DataFrame =
     rebuildWithout(l, docIds,
       duplicatedLinesFrom(l, minCount)
         .where(!col("kept"))
-        .select(col("doc_id"), col("line_idx")))
+        .select(col("doc_id"), col("line_idx")), sep)
 
   /** Rebuild (doc_id, clean_text) from a [[lines]] frame minus the
     * given (doc_id, line_idx) drop set — the shared kernel of the
     * batch removal and [[graft.streaming.StreamingLineDedup]]'s
     * cross-batch removal. */
   def rebuildWithout(
-      l: DataFrame, docIds: DataFrame, drop: DataFrame): DataFrame = {
+      l: DataFrame, docIds: DataFrame, drop: DataFrame,
+      sep: String = "\n"): DataFrame = {
     val rebuilt = l
       .join(drop.withColumn("dropped", lit(true)),
         Seq("doc_id", "line_idx"), "left")
       .where(col("dropped").isNull)
       .groupBy(col("doc_id"))
-      .agg(concat_ws("\n",
+      .agg(concat_ws(sep,
         transform(sort_array(collect_list(struct(col("line_idx"), col("raw")))),
           x => x("raw"))).as("clean_text"))
     docIds

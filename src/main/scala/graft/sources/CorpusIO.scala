@@ -98,6 +98,19 @@ object CorpusIO {
     finish(parsed, schema, idField)
   }
 
+  /** Write a frame back out as JSONL for interchange (gzip-compressed
+    * by default — the format crawl pipelines exchange). One file per
+    * partition; size output files by repartitioning first or
+    * compacting after ([[BucketedLayout.compact]]). Internal columns
+    * (`_corrupt*`) are dropped — re-exporting parse failures verbatim
+    * belongs to an explicit quarantine path, not the clean feed.
+    */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = true): Unit = {
+    val clean = df.drop("_corrupt", "_corrupt_record")
+    val w = clean.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Corrupt-rate report: (n_rows, n_corrupt) — the ingestion health
     * line every pipeline run should log. */
   def corruptStats(df: DataFrame): (Long, Long) = {

@@ -65,6 +65,19 @@ class CorpusIOSpec extends SparkSpec {
     assert(schema.fieldNames.toSet == Set("id", "text", "source"))
   }
 
+  test("jsonl round trip: write gzip, read back identical clean rows") {
+    val path = writeLines(jsonl, ".jsonl")
+    val schema = StructType.fromDDL("id BIGINT, text STRING, source STRING")
+    val df = CorpusIO.readJsonl(spark, path, schema, idField = Some("id"))
+    val out = Files.createTempDirectory("graft_io_out").toString + "/clean"
+    CorpusIO.writeJsonl(df.filter(!$"_corrupt")
+      .select("id", "text", "source"), out)
+    val back = CorpusIO.readJsonl(spark, out, schema, idField = Some("id"))
+    assert(CorpusIO.corruptStats(back) == ((3L, 0L)))
+    assert(back.select("id", "text", "source").collect().toSet ==
+      df.filter(!$"_corrupt").select("id", "text", "source").collect().toSet)
+  }
+
   test("csv: corrupt rows flagged; header respected") {
     val rows = Seq(
       "id,text,source",

@@ -58,6 +58,20 @@ class LineDedupSpec extends SparkSpec {
     assert(clean(2L) == "thrice\nx" && clean(3L) == "y" && clean(4L) == "z")
   }
 
+  test("paragraph granularity: duplicated paragraphs keep one copy, round trip exact") {
+    val para = Seq(
+      (0L, "intro text here\n\nShared disclaimer paragraph.\n\nbody zero"),
+      (1L, "other intro\n\nShared disclaimer paragraph.\n\nbody one"),
+      // single-newline lines inside one paragraph stay intact
+      (2L, "line a\nline b\n\nunique closing")
+    ).toDF("doc_id", "text")
+    val clean = LineDedup.removeDuplicatedParagraphs(para)
+      .as[(Long, String)].collect().toMap
+    assert(clean(0L) == "intro text here\n\nShared disclaimer paragraph.\n\nbody zero")
+    assert(clean(1L) == "other intro\n\nbody one")
+    assert(clean(2L) == "line a\nline b\n\nunique closing")
+  }
+
   test("deterministic under repartition") {
     val parts = docs.repartition(7)
     val a = LineDedup.removeDuplicatedLines(docs).orderBy("doc_id").collect().toSeq
