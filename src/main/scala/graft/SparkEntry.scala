@@ -293,6 +293,16 @@ object SparkEntry {
         dedupShared(s, dir).pairs09.select($"doc_a", $"doc_b"),
         "doc_id", Seq("train" -> 0.75, "test" -> 0.25))
     }),
+    // -- Weighted sample (Efraimidis–Spirakis): 3 docs per source with
+    //    token-count weights; u from the portable hash, the key in
+    //    integer micro-nats (the q_perplexity libm-portability trick),
+    //    so DuckDB replays the race bit-for-bit.
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"source",
+        ops.TextAnalysis.tokenCount($"text").cast("long").as("w"))
+      ops.Sampling.weightedSamplePerGroup(d, "source", "doc_id", "w", 3)
+    }),
     // -- Token-budget mixture: fill each source's token budget in
     //    portable-hash order — budget-shaped (not rate-shaped)
     //    mixture specification; integer token weights make the SQL
@@ -1994,6 +2004,23 @@ object SparkEntry {
          |  CASE WHEN (coalesce(r.rep_id, d.doc_id) * 2654435761) % 4294967296 < 3221225472
          |       THEN 'train' ELSE 'test' END AS split
          |FROM documents d LEFT JOIN reps r USING (doc_id)""".stripMargin,
+    // Weighted-sample oracle: identical u, identical micro-nat key,
+    // identical (score desc, id) rank.
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS w,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id,
+        |    floor(ln((hk + 1) / 4294967297.0) / w * 1000000 + 0.5) AS score
+        |  FROM t WHERE w > 0),
+        |r AS (
+        |  SELECT source, doc_id, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+        |  FROM s)
+        |SELECT source, doc_id, rank::INT AS rank, score FROM r WHERE rank <= 3""".stripMargin,
     // Token-budget oracle: identical integer token counts, identical
     // (hash, id) fill order, identical budget CASE — the running-sum
     // window replays the member set exactly.

@@ -223,6 +223,38 @@ object Sampling {
       .withColumn("split", splitLabel(hashKeyOf(col("rep_id")), fractions))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * per group, keep the k items with the largest `u^(1/w)` — the
+    * exponential-race key that gives every item inclusion odds
+    * proportional to its weight, the standard "sample k docs per
+    * domain, quality-weighted" primitive. Deterministic end to end:
+    * `u = (hashKey(id)+1) / (2^32+1)` (portable, in (0,1)), and the
+    * key is compared in integer micro-nats `floor(ln(u)/w * 1e6 +
+    * 0.5)` — the [[graft.ops.LanguageModel]] trick that makes libm
+    * output engine-comparable — with id tie-breaks. Non-positive
+    * weights are excluded (they cannot win a weighted race).
+    *
+    * Selection rides [[TopK.topKPerGroup]]'s bounded per-partition
+    * heaps: O(parts · groups · k) rows reach the one shuffle, never
+    * the corpus. Emits (groupCol, idCol, rank, score).
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val u = (hashKey(idCol) + lit(1L)) / lit(4294967297.0)
+    val score = floor(log(u) / col(weightCol).cast("double") * 1e6 + 0.5)
+    val scored = df
+      .where(col(weightCol) > 0)
+      .withColumn("__ws_score", score)
+    TopK.topKPerGroup(scored, groupCol, idCol, "__ws_score", k)
+      .withColumnRenamed("group", groupCol)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("value", "score")
+  }
+
   /** Per-group token-budget sampling: fill each group's budget with
     * documents in portable-hash order, keeping a document while its
     * group's budget is not yet exhausted — "give me ~1B tokens of web,

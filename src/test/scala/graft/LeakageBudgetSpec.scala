@@ -58,6 +58,35 @@ class LeakageBudgetSpec extends SparkSpec {
     assert(web.select("doc_id").as[Long].collect().toSet == expectWeb)
   }
 
+  test("weightedSamplePerGroup: exact parity with a driver-side replay") {
+    val rows = (0L until 60L).map(i => (i, s"g${i % 3}", 1L + (i % 7) * 3L))
+    val df = rows.toDF("doc_id", "source", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "source", "doc_id", "w", 4)
+      .select($"source", $"doc_id", $"rank", $"score")
+      .as[(String, Long, Int, Double)].collect().toSet
+    val expect = rows
+      .map { case (id, g, w) =>
+        val u = (((id * 2654435761L) % 4294967296L) + 1L).toDouble / 4294967297.0
+        (g, id, math.floor(math.log(u) / w * 1e6 + 0.5))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (g, items) =>
+        items.sortBy { case (_, id, s) => (-s, id) }.take(4).zipWithIndex
+          .map { case ((_, id, s), i) => (g, id, i + 1, s) }
+      }.toSet
+    assert(got == expect)
+  }
+
+  test("weightedSamplePerGroup: a dominant weight always wins; w <= 0 excluded") {
+    val df = ((0L until 20L).map(i => (i, "g", 1L)) :+ ((99L, "g", 1000000L)) :+
+      ((100L, "g", 0L))).toDF("doc_id", "source", "w")
+    val top = Sampling.weightedSamplePerGroup(df, "source", "doc_id", "w", 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 99L, "the million-fold weight must win the race")
+    val all = Sampling.weightedSamplePerGroup(df, "source", "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!all.contains(100L), "zero weight cannot be sampled")
+  }
+
   test("tokenBudgetSample: defaultBudget 0 drops unlisted groups; determinism") {
     val df = (0L until 30L).map(i => (i, s"g${i % 3}", 5L))
       .toDF("doc_id", "source", "n_tokens")
