@@ -37,6 +37,15 @@ class BloomJoinSpec extends SparkSpec {
       s"false-positive passthrough out of band: in=$in pruned=$pruned matched=$matched")
   }
 
+  test("string keys work (xxhash64 probe generalizes beyond numerics)") {
+    val big = (0L until 1000L).map(i => (s"key_${i % 100}", i)).toDF("k", "v")
+    val small = Seq("key_3", "key_7", "key_42").toDF("dk")
+    val pruned = BloomJoin.prunedJoin(big, small, "k", "dk")
+    val plain = big.join(small, big("k") === small("dk"))
+    assert(pruned.count() == 30 &&
+      pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
   test("outer join types are rejected") {
     intercept[IllegalArgumentException] {
       BloomJoin.prunedJoin(lineitem, dim, "l_orderkey", "o_orderkey", "left_outer")

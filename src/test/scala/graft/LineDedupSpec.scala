@@ -79,6 +79,35 @@ class LineDedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("randomized: keep-one removal matches a driver-side reference on 40 corpora") {
+    val rng = new scala.util.Random(77)
+    for (trial <- 0 until 40) {
+      val nDocs = 1 + rng.nextInt(12)
+      val alphabet = Vector("aa", "bb", "cc", " dd ", "", "ee ff")
+      val corpus = (0L until nDocs.toLong).map { id =>
+        val n = rng.nextInt(6)
+        (id, (0 until n).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString("\n"))
+      }
+      // reference: count trimmed non-blank lines, keep first occurrence
+      val occs = corpus.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, i) => (id, i, l, l.trim) }
+      }
+      val counts = occs.filter(_._4.nonEmpty).groupBy(_._4).map { case (k, v) => k -> v.size }
+      val keeper = occs.filter(_._4.nonEmpty).groupBy(_._4)
+        .map { case (k, v) => k -> v.map(o => (o._1, o._2)).min }
+      val expect = corpus.map { case (id, t) =>
+        val kept = t.split("\n", -1).zipWithIndex.filter { case (l, i) =>
+          val n = l.trim
+          n.isEmpty || counts(n) < 2 || keeper(n) == ((id, i))
+        }.map(_._1)
+        (id, kept.mkString("\n"))
+      }.toMap
+      val got = LineDedup.removeDuplicatedLines(corpus.toDF("doc_id", "text"))
+        .as[(Long, String)].collect().toMap
+      assert(got == expect, s"trial $trial corpus=$corpus")
+    }
+  }
+
   test("real corpus: flags agree with a content-grouped recompute") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", concat_ws("\n",
