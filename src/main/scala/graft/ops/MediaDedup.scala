@@ -132,6 +132,76 @@ object MediaDedup {
     media.withColumn(payloadCol, t(col(payloadCol)))
   }
 
+  /** Decoded-content hash for AUDIO: FNV-1a over (rate, PCM samples).
+    * Catches byte-different payloads with identical sound — extra
+    * header chunks, container re-muxes — exactly as the pixel hash
+    * does for re-encoded images. None when undecodable. */
+  private[graft] def audioContentHash(payload: Array[Byte]): Option[Long] =
+    Multimodal.decodeAudio(payload).map { case (rate, samples) =>
+      val Prime = 0x100000001b3L
+      var h = 0xcbf29ce484222325L
+      def mix(v: Int): Unit = {
+        var i = 0; var x = v
+        while (i < 4) { h = (h ^ (x & 0xFF)) * Prime; x >>>= 8; i += 1 }
+      }
+      mix(rate); mix(samples.length)
+      var i = 0
+      while (i < samples.length) { mix(samples(i).toInt); i += 1 }
+      h
+    }
+
+  /** Decoded-content hash for VIDEO: FNV-1a over the per-frame pixel
+    * hashes — trailing bytes after the GIF trailer, re-muxed
+    * containers with identical frames, etc. hash equal. */
+  private[graft] def videoContentHash(payload: Array[Byte]): Option[Long] =
+    Multimodal.decodeGifFrames(payload).map { frames =>
+      val Prime = 0x100000001b3L
+      var h = 0xcbf29ce484222325L
+      frames.foreach { f =>
+        var x = pixelHash(f)
+        var i = 0
+        while (i < 8) { h = (h ^ (x & 0xFF)) * Prime; x >>>= 8; i += 1 }
+      }
+      h
+    }
+
+  /** (doc_id, media_type, sig): decoded-content signature for ANY
+    * modality — images by raster, audio by PCM samples, video by
+    * frame rasters. Undecodable payloads drop (they cannot have
+    * content-identical twins). */
+  def contentSignatures(
+      media: DataFrame,
+      idCol: String = "doc_id", typeCol: String = "media_type",
+      payloadCol: String = "payload"): DataFrame = {
+    val sigOf = udf((t: String, p: Array[Byte]) => t match {
+      case "image" => decodePixelHash(p)
+      case "audio" => audioContentHash(p)
+      case "video" => videoContentHash(p)
+      case _ => None
+    })
+    media
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(typeCol).as("media_type"),
+        sigOf(col(typeCol), col(payloadCol)).as("sig"))
+      .where(col("sig").isNotNull)
+  }
+
+  /** [[exactPixelDuplicatePairs]] across ALL modalities: (a, b) pairs
+    * grouped by (media_type, signature) — hash spaces never collide
+    * across modalities by construction of the key. */
+  def exactContentDuplicatePairs(
+      media: DataFrame,
+      idCol: String = "doc_id", typeCol: String = "media_type",
+      payloadCol: String = "payload"): DataFrame = {
+    val sigs = contentSignatures(media, idCol, typeCol, payloadCol)
+    val groups = sigs.groupBy(col("media_type"), col("sig"))
+      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    sigs.join(groups, Seq("media_type", "sig"))
+      .where(col("doc_id") =!= col("a"))
+      .select(col("media_type"), col("a"), col("doc_id").as("b"))
+  }
+
   /** (doc_id, sig): decoded-pixel content signature per image row.
     * Rows whose payload no reader accepts are dropped (they cannot
     * have pixel-identical twins). */

@@ -79,6 +79,60 @@ class MediaDedupSpec extends SparkSpec {
     assert(pairs == Set((5L, 200L)))
   }
 
+  /** Canonical 44-byte-header mono 16-bit WAV; `padded` inserts a
+    * benign LIST chunk between fmt and data — same sound, different
+    * bytes (the metadata-stripped-duplicate scenario). */
+  private def wav(samples: Array[Short], rate: Int, padded: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = { d.write(v & 0xFF); d.write(v >> 8 & 0xFF); d.write(v >> 16 & 0xFF); d.write(v >> 24 & 0xFF) }
+    def le16(v: Int): Unit = { d.write(v & 0xFF); d.write(v >> 8 & 0xFF) }
+    val extra = if (padded) 12 else 0
+    d.writeBytes("RIFF"); le32(36 + extra + samples.length * 2); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(rate); le32(rate * 2); le16(2); le16(16)
+    if (padded) { d.writeBytes("LIST"); le32(4); d.writeBytes("INFO") }
+    d.writeBytes("data"); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xFFFF))
+    bos.toByteArray
+  }
+
+  test("audio: padded-chunk twin hashes equal; different samples differ") {
+    val s1 = Array.tabulate(500)(i => ((i * 37) % 2000 - 1000).toShort)
+    val plain = wav(s1, 16000, padded = false)
+    val pad = wav(s1, 16000, padded = true)
+    assert(!java.util.Arrays.equals(plain, pad))
+    assert(MediaDedup.audioContentHash(plain).isDefined)
+    assert(MediaDedup.audioContentHash(plain) == MediaDedup.audioContentHash(pad))
+    val other = wav(s1.map(x => (x + 1).toShort), 16000, padded = false)
+    assert(MediaDedup.audioContentHash(plain) != MediaDedup.audioContentHash(other))
+  }
+
+  test("video: trailing junk after the GIF trailer hashes equal") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(noiseImage(11L, 24, 18)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    val junked = gif ++ Array[Byte](9, 9, 9, 9)
+    assert(MediaDedup.videoContentHash(gif).isDefined)
+    assert(MediaDedup.videoContentHash(gif) == MediaDedup.videoContentHash(junked))
+  }
+
+  test("exactContentDuplicatePairs: all modalities in one pass, typed groups") {
+    val s1 = Array.tabulate(300)(i => ((i * 13) % 1000 - 500).toShort)
+    val rows = Seq(
+      (0L, "image", noiseImage(3L, 32, 24)),
+      (1L, "image", reencodeBmp(noiseImage(3L, 32, 24))),
+      (2L, "audio", wav(s1, 16000, padded = false)),
+      (3L, "audio", wav(s1, 16000, padded = true)),
+      (4L, "image", noiseImage(9L, 32, 24)),
+      (5L, "audio", wav(s1.map(x => (x + 5).toShort), 16000, padded = false)))
+    val media = rows.toDF("doc_id", "media_type", "payload")
+    val pairs = MediaDedup.exactContentDuplicatePairs(media)
+      .select($"media_type", $"a", $"b").as[(String, Long, Long)].collect().toSet
+    assert(pairs == Set(("image", 0L, 1L), ("audio", 2L, 3L)))
+  }
+
   test("hammingNearDuplicates drops oversize buckets (cap respected)") {
     // 300 identical fingerprints: every segment bucket is size 300 >
     // maxBucket 256 → dropped, no quadratic pair explosion
