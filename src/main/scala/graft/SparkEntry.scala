@@ -944,14 +944,24 @@ object SparkEntry {
     //    twins — image ids congruent mod 256 share (dims, gradient
     //    phase) by the generator rules, so the oracle enumerates the
     //    full expected pair set in SQL at ANY scale factor.
+    //    Audio/video join the contract through container-level twins:
+    //    %21==1 audio gets a LIST chunk inserted (bytes change, PCM
+    //    doesn't), %21==2 video gets junk after the GIF trailer —
+    //    mod-21 residues align with the mod-3 modality rule, so each
+    //    twin class stays within its modality.
     "q_media_dedup" -> ((s, dir) => {
       import s.implicits._
-      val media = mediaShared(s, dir).filter($"media_type" === "image")
-        .select($"doc_id", $"payload")
-      val copies = ops.MediaDedup
-        .transcodeImages(media.filter($"doc_id" % 21 === 0), "bmp")
-        .select(($"doc_id" + 1000000L).as("doc_id"), $"payload")
-      ops.MediaDedup.exactPixelDuplicatePairs(media.union(copies))
+      val media = mediaShared(s, dir).select($"doc_id", $"media_type", $"payload")
+      val imgCopies = ops.MediaDedup
+        .transcodeImages(media.filter($"media_type" === "image" && $"doc_id" % 21 === 0), "bmp")
+      val padWav = udf((p: Array[Byte]) => ops.MediaDedup.padWavChunk(p))
+      val audCopies = media.filter($"media_type" === "audio" && $"doc_id" % 21 === 1)
+        .withColumn("payload", padWav($"payload"))
+      val vidCopies = media.filter($"media_type" === "video" && $"doc_id" % 21 === 2)
+        .withColumn("payload", concat($"payload", lit(Array[Byte](9, 9, 9, 9))))
+      val copies = imgCopies.union(audCopies).union(vidCopies)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"media_type", $"payload")
+      ops.MediaDedup.exactContentDuplicatePairs(media.union(copies))
     }),
     // -- Stream statistics (Welford aggregator, distributed merge).
     // Oracle-compare note: means/variances are rounded via decimally-
@@ -1295,14 +1305,28 @@ object SparkEntry {
     // the mod-256 class), and a lossless BMP re-encode keeps its
     // original's class. Group by the class, emit (min, other) pairs —
     // the same rule exactPixelDuplicatePairs applies to real rasters.
+    // Audio/video content identity is per-id (the generator rules
+    // admit no natural twins below id ~8*10^5), so their group key is
+    // the id itself; images keep the mod-256 class.
     "q_media_dedup" ->
       """WITH grp AS (
-        |  SELECT doc_id, doc_id % 256 AS g FROM documents WHERE doc_id % 3 = 0
+        |  SELECT doc_id, 'image' AS media_type, doc_id % 256 AS g
+        |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id % 256 FROM documents WHERE doc_id % 21 = 0),
-        |m AS (SELECT g, min(doc_id) AS a, count(*) AS n FROM grp GROUP BY g)
-        |SELECT m.a, grp.doc_id AS b
-        |FROM grp JOIN m USING (g)
+        |  SELECT doc_id, 'audio', doc_id FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'video', doc_id FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'image', doc_id % 256
+        |  FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'audio', doc_id FROM documents WHERE doc_id % 21 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'video', doc_id FROM documents WHERE doc_id % 21 = 2),
+        |m AS (SELECT media_type, g, min(doc_id) AS a, count(*) AS n
+        |      FROM grp GROUP BY media_type, g)
+        |SELECT grp.media_type, m.a, grp.doc_id AS b
+        |FROM grp JOIN m USING (media_type, g)
         |WHERE m.n >= 2 AND grp.doc_id <> m.a""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,

@@ -165,6 +165,34 @@ object MediaDedup {
       h
     }
 
+  /** Insert a benign LIST/INFO chunk between a canonical 44-byte-header
+    * WAV's fmt and data chunks — byte-different, sound-identical (the
+    * container-remux duplicate class the content hash must catch).
+    * Requires the canonical layout ([[Multimodal]]'s encoder and most
+    * simple writers); anything else passes through unchanged.
+    */
+  private[graft] def padWavChunk(payload: Array[Byte]): Array[Byte] = {
+    def tag(off: Int, t: String) =
+      payload.length >= off + 4 && new String(payload, off, 4, "US-ASCII") == t
+    if (!(tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt ") && tag(36, "data")))
+      payload
+    else {
+      val out = new Array[Byte](payload.length + 12)
+      System.arraycopy(payload, 0, out, 0, 36)
+      System.arraycopy("LIST".getBytes("US-ASCII"), 0, out, 36, 4)
+      out(40) = 4; out(41) = 0; out(42) = 0; out(43) = 0
+      System.arraycopy("INFO".getBytes("US-ASCII"), 0, out, 44, 4)
+      System.arraycopy(payload, 36, out, 48, payload.length - 36)
+      // RIFF size field (LE at offset 4) grows by the 12 chunk bytes
+      val sz = (payload(4) & 0xFF) | (payload(5) & 0xFF) << 8 |
+        (payload(6) & 0xFF) << 16 | (payload(7) & 0xFF) << 24
+      val ns = sz + 12
+      out(4) = (ns & 0xFF).toByte; out(5) = (ns >> 8 & 0xFF).toByte
+      out(6) = (ns >> 16 & 0xFF).toByte; out(7) = (ns >> 24 & 0xFF).toByte
+      out
+    }
+  }
+
   /** (doc_id, media_type, sig): decoded-content signature for ANY
     * modality — images by raster, audio by PCM samples, video by
     * frame rasters. Undecodable payloads drop (they cannot have
