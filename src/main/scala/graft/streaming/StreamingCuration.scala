@@ -87,8 +87,28 @@ final class StreamingCuration(
     * state. Usable directly, or via [[sink]] from
     * `writeStream.foreachBatch`.
     */
+  // Cross-batch line dedup (optional stage 0): the batch pipeline's
+  // keep-one rule at minCount=2 via [[StreamingLineDedup]]'s
+  // presence state. Higher thresholds need occurrence counts in
+  // state and stay batch-only.
+  private lazy val lineDedup: Option[StreamingLineDedup] =
+    cfg.lineDedupMinCount.map { m =>
+      require(m == 2,
+        s"streaming line dedup supports minCount=2 only (presence state): $m")
+      new StreamingLineDedup(spark, s"$stateDir/line")
+    }
+
   def curateBatch(batch: DataFrame, batchId: Long): DataFrame = {
-    val input = batch.select(col("doc_id"), col("text"), col("source"))
+    val raw = batch.select(col("doc_id"), col("text"), col("source"))
+
+    // 0. Line dedup (optional) — a transform, document set unchanged.
+    val input = lineDedup match {
+      case Some(ld) =>
+        raw.drop("text").join(
+          ld.cleanBatch(raw, batchId).withColumnRenamed("clean_text", "text"),
+          "doc_id")
+      case None => raw
+    }
 
     // 1. Stateless row stages — the batch pipeline's own code.
     val scrubbed = Curation.rowStages(input, cfg)

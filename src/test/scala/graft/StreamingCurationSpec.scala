@@ -64,6 +64,41 @@ class StreamingCurationSpec extends SparkSpec {
         s"batch-only=${(batchIds -- streamIds).toSeq.sorted.take(10)}")
   }
 
+  test("line-dedup stage: survivors AND cleaned text match the batch pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat_ws("\n",
+          when($"doc_id" % 3 === 0, lit("subscribe to our newsletter")),
+          $"text", lit("all rights reserved")).as("text"),
+        $"source")
+    val cfgLine = Curation.Config(
+      langs = Set("en", "de", "fr", "es", "zh", "und"),
+      minQuality = 0.0,
+      mixtureRates = Map("src0" -> 1.0), defaultRate = 1.0,
+      lineDedupMinCount = Some(2))
+
+    val batchOut = Curation.curate(docs, cfgLine)
+      .packed.select("doc_id").as[Long].collect().toSet
+
+    val sc = new StreamingCuration(spark, tmp("graft_scur_line"), cfgLine)
+    val streamed = Seq(
+      docs.filter($"doc_id" < 150),
+      docs.filter($"doc_id" >= 150 && $"doc_id" < 350),
+      docs.filter($"doc_id" >= 350))
+      .zipWithIndex
+      .flatMap { case (b, i) =>
+        sc.curateBatch(b, i.toLong)
+          .select($"doc_id", $"text").as[(Long, String)].collect()
+      }
+    assert(streamed.map(_._1).toSet == batchOut)
+    // cleaned text: exactly one footer copy survives across all batches
+    assert(streamed.count(_._2.contains("all rights reserved")) == 1)
+    // and the surviving texts equal the standalone batch operator's
+    val expectedText = graft.ops.LineDedup.removeDuplicatedLines(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(streamed.forall { case (id, t) => expectedText(id) == t })
+  }
+
   test("exact duplicates are dropped across batches; first arrival survives") {
     val sc = new StreamingCuration(spark, tmp("graft_scur_exact"), cfg)
     val b0 = sc.curateBatch(corpus(1L -> base, 2L -> s"$base entirely different tail here"), 0L)
