@@ -110,12 +110,15 @@ object StreamStats {
     require(widthMicros > 0, s"bucket width must be positive: $widthMicros")
     val spark = events.sparkSession
     import spark.implicits._
-    // Integral `div`, not floor(ts/width): double division at
-    // epoch-micros magnitude can misplace exact-boundary timestamps
-    // (the Ingest.fromEventsTable nanos note).
+    // Integer FLOORED division, not double division (epoch-micros
+    // magnitude can misplace exact-boundary timestamps — the
+    // Ingest.fromEventsTable nanos note) and not bare `div` (which
+    // truncates toward zero, bucketing negative timestamps differently
+    // from a flooring engine): ts - pmod(ts, w) is the largest
+    // multiple of w at or below ts for ANY sign, all in exact longs.
     val buckets = events
       .groupBy($"streamId".as("stream_id"),
-        expr(s"ts div ${widthMicros}L").as("bucket"))
+        expr(s"(ts - pmod(ts, ${widthMicros}L)) div ${widthMicros}L").as("bucket"))
       .agg(count(lit(1)).as("n"), (sum($"value") / count(lit(1))).as("mean"))
     scoreBuckets(buckets)
   }
