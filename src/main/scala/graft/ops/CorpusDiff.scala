@@ -51,6 +51,26 @@ object CorpusDiff {
     if (includeUnchanged) j else j.where(col("change") =!= "unchanged")
   }
 
+  /** The incremental-reprocessing split: (docs to re-process, ids to
+    * tombstone). Only `added`/`changed` documents re-enter a stateless
+    * pipeline stage; `unchanged` results carry over from the previous
+    * run and `removed` ids propagate as deletions — with per-row
+    * stages (filters, scrubs, scoring) the carried-over + reprocessed
+    * union is IDENTICAL to a full recompute (`CorpusDiffSpec` proves
+    * it against [[Curation.rowStages]]), at the cost of the delta
+    * instead of the corpus.
+    */
+  def incrementalTargets(
+      prev: DataFrame, next: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): (DataFrame, DataFrame) = {
+    val d = diff(prev, next, idCol, contentCol)
+    val reprocess = next.join(
+      d.where(col("change").isin("added", "changed")).select(col("id")),
+      next(idCol).cast("long") === col("id")).drop("id")
+    val tombstones = d.where(col("change") === "removed").select(col("id"))
+    (reprocess, tombstones)
+  }
+
   /** Per-class counts — the release-note line. One extra aggregation
     * over the diff, nothing collected beyond 4 rows. */
   def diffSummary(

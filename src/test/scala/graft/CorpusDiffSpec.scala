@@ -28,6 +28,37 @@ class CorpusDiffSpec extends SparkSpec {
     assert(CorpusDiff.diff(docs, again).isEmpty)
   }
 
+  test("incremental reprocess == full recompute through stateless row stages") {
+    val prev = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val next = prev.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", when($"doc_id" % 7 === 0, concat($"text", lit(" extra words here")))
+        .otherwise($"text").as("text"), $"source")
+      .union(prev.filter($"doc_id" % 19 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"source"))
+    val cfg = graft.ops.Curation.Config(
+      langs = Set("en", "de", "fr", "es", "zh", "und"), minQuality = 0.3)
+
+    val full = graft.ops.Curation.rowStages(next, cfg)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+
+    val (reprocess, tombstones) = CorpusDiff.incrementalTargets(prev, next)
+    val dead = tombstones.as[Long].collect().toSet
+    val redone = graft.ops.Curation.rowStages(reprocess, cfg)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // carried over: the PREVIOUS run's results for unchanged survivors
+    val prevRun = graft.ops.Curation.rowStages(prev, cfg)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val changedOrNew = redone.keySet ++
+      CorpusDiff.diff(prev, next).where($"change" === "changed")
+        .select($"id").as[Long].collect().toSet
+    val carried = prevRun.filter { case (id, _) =>
+      !dead(id) && !changedOrNew(id) }
+    assert(carried ++ redone == full,
+      "delta reprocess + carry-over must equal the full recompute")
+    assert(redone.size < full.size, "the delta is genuinely smaller")
+  }
+
   test("filterByQuantile keeps the upper half inclusive of ties, both modes agree on rank") {
     val df = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
     val exact = Curation.filterByQuantile(df, "v", 0.5, exact = true)
