@@ -310,6 +310,17 @@ object FreqSummary {
       fpp: Double = Fpp): DataFrame =
     bloomContractFrom(throughMerge(events, spec, expectedItems, fpp), events)
 
+  /** Probe-set chunking for the audit contracts: distinct keys are
+    * grouped into `pmod(xxhash64(key), ContractChunks)` buckets before
+    * any `collect_list`, so no single row ever holds a stream's whole
+    * key set — at C chunks a stream of D distinct keys costs C rows of
+    * ~D/C keys each (bounded for any realistic D), instead of one
+    * unbounded map/array row that OOMs on a high-cardinality stream.
+    * Per-chunk sketch deserialization also drops from per-key to
+    * per-chunk.
+    */
+  private val ContractChunks = 1024
+
   /** [[bloomContract]] over a prebuilt (typically cached) sketch table
     * — several contracts share one [[throughMerge]] materialization.
     */
@@ -323,13 +334,14 @@ object FreqSummary {
       if (b == null) ks.size.toLong
       else Sketches.mightContainAll(b, ks).count(!_._2).toLong)
     val present = events
-      .groupBy($"streamId")
-      .agg(collect_set(DistinctSummary.canonicalValue($"value")).as("keys"))
+      .select($"streamId", DistinctSummary.canonicalValue($"value").as("key"))
+      .distinct()
+      .groupBy($"streamId", pmod(xxhash64($"key"), lit(ContractChunks)).as("chunk"))
+      .agg(collect_set($"key").as("keys"))
     merged.join(present, "streamId")
-      .select(
-        $"streamId".as("stream_id"),
-        size($"keys").cast("long").as("n_present"),
-        missed($"bf", $"keys").as("n_missed"))
+      .select($"streamId", size($"keys").cast("long").as("np"), missed($"bf", $"keys").as("nm"))
+      .groupBy($"streamId".as("stream_id"))
+      .agg(sum($"np").as("n_present"), sum($"nm").as("n_missed"))
   }
 
   /** Self-checking CMS contract through the same decay-merge path:
@@ -347,36 +359,42 @@ object FreqSummary {
       confidence: Double = Confidence): DataFrame =
     cmsContractFrom(throughMerge(events, spec, eps = eps, confidence = confidence), events, eps)
 
-  /** [[cmsContract]] over a prebuilt sketch table. */
+  /** [[cmsContract]] over a prebuilt sketch table. Every key is still
+    * audited; the exact counts reach the probe as [[ContractChunks]]
+    * bounded chunk rows, never one per-stream map (a map of ALL
+    * distinct keys is the OOM shape `freqContract`'s `minFrac` cut
+    * avoids — this contract can't cut, so it chunks).
+    */
   def cmsContractFrom(table: DataFrame, events: Dataset[Event], eps: Double = Eps): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val merged = table
       .groupBy($"streamId")
       .agg(Sketches.cmsUnionAgg($"cms").as("s"))
-    val exact = events
+    val keyCounts = events
       .groupBy($"streamId", DistinctSummary.canonicalValue($"value").as("key"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy($"streamId")
-      .agg(
-        map_from_entries(collect_list(struct($"key", $"cnt"))).as("exact"),
-        sum($"cnt").as("n"))
+    val totals = keyCounts.groupBy($"streamId").agg(sum($"cnt").as("n"))
+    // Parallel key/cnt arrays from ONE collect_list of structs (field
+    // extraction preserves the element order, unlike two independent
+    // collect_list aggregates, whose order Spark does not contract).
+    val chunked = keyCounts
+      .groupBy($"streamId", pmod(xxhash64($"key"), lit(ContractChunks)).as("chunk"))
+      .agg(collect_list(struct($"key", $"cnt")).as("kc"))
+      .select($"streamId", $"kc.key".as("keys"), $"kc.cnt".as("cnts"))
     val e = eps
-    val oob = udf((s: Array[Byte], exactCnt: Map[String, Long], n: Long) =>
-      if (s == null) exactCnt.size.toLong
+    val oob = udf((s: Array[Byte], keys: Seq[String], cnts: Seq[Long], n: Long) =>
+      if (s == null) keys.size.toLong
       else {
         val bound = math.ceil(e * n).toLong
-        Sketches.cmsEstimateAll(s, exactCnt.keys.toSeq).count { case (k, est) =>
-          val ex = exactCnt(k)
-          est < ex || est > ex + bound
-        }.toLong
+        val est = Sketches.cmsEstimateAll(s, keys).iterator.map(_._2)
+        cnts.iterator.zip(est).count { case (ex, es) => es < ex || es > ex + bound }.toLong
       })
-    merged.join(exact, "streamId")
-      .select(
-        $"streamId".as("stream_id"),
-        size($"exact").cast("long").as("n_keys"),
-        $"n".as("n_events"),
-        oob($"s", $"exact", $"n").as("n_out_of_bounds"))
+    merged.join(chunked, "streamId").join(totals, "streamId")
+      .select($"streamId", size($"keys").cast("long").as("nk"), $"n",
+        oob($"s", $"keys", $"cnts", $"n").as("noob"))
+      .groupBy($"streamId".as("stream_id"))
+      .agg(sum($"nk").as("n_keys"), first($"n").as("n_events"), sum($"noob").as("n_out_of_bounds"))
   }
 
   /** One sketch window per ELEMENT (windowId = seq): the append-delta

@@ -59,6 +59,15 @@ object BloomJoin {
     * bloom-pruned before its shuffle. `joinType` must be `inner` or
     * `left_semi`. The returned frame is row-identical to the unpruned
     * join.
+    *
+    * Broadcast lifetime: the filter's broadcast is captured by the
+    * returned plan's probe UDF and lives until that plan is no longer
+    * referenced (Spark's ContextCleaner reclaims it with the plan, not
+    * before). One-shot jobs never notice; a long-running or per-batch
+    * caller that builds many pruned joins should use
+    * [[broadcastKeyFilter]] + [[pruneBroadcast]] and
+    * `Broadcast.destroy()` each filter after materializing its join,
+    * instead of accumulating executor-side broadcast blocks until GC.
     */
   def prunedJoin(
       big: DataFrame, small: DataFrame,
@@ -67,18 +76,39 @@ object BloomJoin {
       fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom pruning preserves only inner/left_semi joins: $joinType")
-    val bf = keyFilter(small, smallKey, fpp, expectedItems)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((h: Long) => bc.value.mightContainLong(h))
-    val pruned = big.where(probe(xxhash64(col(bigKey))))
+    val bc = big.sparkSession.sparkContext
+      .broadcast(keyFilter(small, smallKey, fpp, expectedItems))
+    val pruned = pruneBroadcast(big, bigKey, bc)
     pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 
   /** The pruned big side alone (no join) — for callers that feed the
-    * survivors into a larger plan, and for measuring the reduction. */
+    * survivors into a larger plan, and for measuring the reduction.
+    * Same broadcast lifetime as [[prunedJoin]]; lifetime-sensitive
+    * callers broadcast the filter themselves via [[broadcastKeyFilter]].
+    */
   def prune(
-      big: DataFrame, bigKey: String, bf: BloomFilter): DataFrame = {
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
+      big: DataFrame, bigKey: String, bf: BloomFilter): DataFrame =
+    pruneBroadcast(big, bigKey, big.sparkSession.sparkContext.broadcast(bf))
+
+  /** [[keyFilter]] pre-broadcast, for callers that manage the
+    * broadcast's lifetime: materialize every plan built over it, then
+    * `destroy()` it — the per-batch discipline of a streaming job that
+    * would otherwise pin one filter per micro-batch for the executor
+    * lifetime.
+    */
+  def broadcastKeyFilter(
+      small: DataFrame, keyCol: String,
+      fpp: Double = 0.01, expectedItems: Long = -1L)
+      : org.apache.spark.broadcast.Broadcast[BloomFilter] =
+    small.sparkSession.sparkContext.broadcast(
+      keyFilter(small, keyCol, fpp, expectedItems))
+
+  /** [[prune]] over a caller-managed broadcast filter. The returned
+    * plan is only valid until the caller destroys `bc`. */
+  def pruneBroadcast(
+      big: DataFrame, bigKey: String,
+      bc: org.apache.spark.broadcast.Broadcast[BloomFilter]): DataFrame = {
     val probe = udf((h: Long) => bc.value.mightContainLong(h))
     big.where(probe(xxhash64(col(bigKey))))
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff between two corpus versions — the bookkeeping every
@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** The diff join key: `idCol` as a long, FAILING LOUDLY on null or
+    * non-integral ids ([[Sampling.hashKeyOf]]'s discipline). A silent
+    * cast-to-null here is worse than elsewhere: null keys never match
+    * in the full-outer join, so every doc present in BOTH snapshots
+    * would be misreported as added+removed — corruption, not an error.
+    */
+  private def idAsLong(idCol: String): Column = {
+    val asLong = col(idCol).cast("long")
+    when(asLong.isNotNull, asLong)
+      .otherwise(raise_error(concat(
+        lit(s"CorpusDiff: null or non-integral $idCol: "),
+        coalesce(col(idCol).cast("string"), lit("null")))))
+  }
+
   /** (id, change) for every id present in either snapshot;
     * `change ∈ {added, removed, changed, unchanged}`. Set
     * `includeUnchanged = false` (default) to emit only the delta.
@@ -38,9 +52,9 @@ object CorpusDiff {
       prev: DataFrame, next: DataFrame,
       idCol: String = "doc_id", contentCol: String = "text",
       includeUnchanged: Boolean = false): DataFrame = {
-    val p = prev.select(col(idCol).cast("long").as("id"),
+    val p = prev.select(idAsLong(idCol).as("id"),
       xxhash64(col(contentCol)).as("ph"))
-    val n = next.select(col(idCol).cast("long").as("id"),
+    val n = next.select(idAsLong(idCol).as("id"),
       xxhash64(col(contentCol)).as("nh"))
     val j = p.join(n, Seq("id"), "full_outer")
       .select(col("id"),
@@ -64,9 +78,13 @@ object CorpusDiff {
       prev: DataFrame, next: DataFrame,
       idCol: String = "doc_id", contentCol: String = "text"): (DataFrame, DataFrame) = {
     val d = diff(prev, next, idCol, contentCol)
-    val reprocess = next.join(
-      d.where(col("change").isin("added", "changed")).select(col("id")),
-      next(idCol).cast("long") === col("id")).drop("id")
+    // Reserved-name alias (leakageFreeSplit's __lf_id discipline): a
+    // bare "id" would be ambiguous — and then dropped — if the caller's
+    // idCol is itself literally "id".
+    val targets = d.where(col("change").isin("added", "changed"))
+      .select(col("id").as("__cd_id"))
+    val reprocess = next.join(targets, next(idCol).cast("long") === col("__cd_id"))
+      .drop("__cd_id")
     val tombstones = d.where(col("change") === "removed").select(col("id"))
     (reprocess, tombstones)
   }

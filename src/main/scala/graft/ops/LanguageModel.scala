@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * high-perplexity tail.
   *
   * Scale shape: vocabulary = one token-count groupBy with map-side
-  * combine, cut at `minCount` (bounded by Heaps'-law vocabulary growth,
-  * NOT corpus size — broadcastable at 100 TB for any sane cut); scoring
-  * = one map over documents with the vocab broadcast. No shuffle touches
-  * the documents themselves.
+  * combine, cut at `minCount` and HARD-CAPPED at `maxVocab` rows by
+  * (freq desc, token asc) — the same top-N discipline as
+  * [[Bpe.wordCounts]], compiling to TakeOrderedAndProject. A frequency
+  * threshold alone is Heaps'-law bounded in expectation but unbounded
+  * in the adversarial case (a 100 TB crawl holds 10^8-10^9 distinct
+  * tokens even above minCount); the cap makes the driver collect and
+  * the executor broadcast O(maxVocab) by construction. Scoring = one
+  * map over documents with the capped vocab broadcast. No shuffle
+  * touches the documents themselves.
   *
   * Engine portability (what makes `q_perplexity` a HARD oracle): the
   * per-token log-probability is quantized to integer micro-nats —
@@ -36,20 +41,36 @@ object LanguageModel {
   private def tokensCol(textCol: String) =
     split(Dedup.normalizeText(col(textCol)), " ")
 
+  /** Default vocabulary cap: 2^20 tokens ≈ tens of MB collected and
+    * broadcast — comfortably driver/executor-safe, far above any test
+    * or sf0.1 vocabulary (so results there are cap-invariant).
+    */
+  val DefaultMaxVocab: Int = 1 << 20
+
   /** (token, cnt) vocabulary: corpus token counts cut at `minCount`
     * (a frequency threshold is tie-free and engine-portable, unlike a
-    * top-K cut whose boundary ties need careful ordering).
+    * top-K cut whose boundary ties need careful ordering), then capped
+    * at the top `maxVocab` rows by (cnt desc, token asc) — the
+    * deterministic tie-break [[Bpe.wordCounts]] uses. Tokens cut by
+    * either bound score as OOV downstream; the LM is defined OVER the
+    * capped vocabulary (its total/V are the capped table's), so the
+    * model stays self-consistent at any cap.
     */
   def vocabulary(
       docs: DataFrame,
       minCount: Long = 2L,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
     docs
       .select(explode(tokensCol(textCol)).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(maxVocab)
+  }
 
   /** Score documents against a Laplace-smoothed unigram LM trained on
     * `vocab`: p(tok) = (cnt(tok) + 1) / (total + V + 1), OOV cnt = 0.
@@ -68,7 +89,13 @@ object LanguageModel {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = vocab.select(col("token"), col("cnt").cast("long")).as[(String, Long)].collect()
+    // Bounded collect: [[vocabulary]] caps its output, but `vocab` is
+    // caller-provided — limit BEFORE the collect so an uncapped frame
+    // fails loudly after O(DefaultMaxVocab) rows, never after 10^9.
+    val rows = vocab.select(col("token"), col("cnt").cast("long"))
+      .limit(DefaultMaxVocab + 1).as[(String, Long)].collect()
+    require(rows.length <= DefaultMaxVocab,
+      s"vocab exceeds $DefaultMaxVocab rows; cap it (LanguageModel.vocabulary(maxVocab = ...))")
     val total = rows.iterator.map(_._2).sum
     val v = rows.length.toLong
     val bc = spark.sparkContext.broadcast(rows.toMap)
@@ -105,8 +132,9 @@ object LanguageModel {
       docs: DataFrame,
       minCount: Long = 2L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    scoreDocs(docs, vocabulary(docs, minCount, textCol), idCol, textCol)
+      textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame =
+    scoreDocs(docs, vocabulary(docs, minCount, textCol, maxVocab), idCol, textCol)
 
   /** Documents whose perplexity falls within [lo, hi] — the CCNet-style
     * band filter (too low = boilerplate/repetition, too high =
@@ -120,9 +148,10 @@ object LanguageModel {
       hiNats: Double,
       minCount: Long = 2L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
     require(loNats <= hiNats, s"loNats <= hiNats: $loNats, $hiNats")
-    val scores = perplexityScores(docs, minCount, idCol, textCol)
+    val scores = perplexityScores(docs, minCount, idCol, textCol, maxVocab)
       .filter(col("n_tokens") > 0)
       // -lp_micro in [lo*1e6*n, hi*1e6*n] — integer-exact band.
       .filter(-col("lp_micro") >= col("n_tokens") * (loNats * 1e6) &&

@@ -283,9 +283,17 @@ object Sampling {
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
       case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
+    // Weights are token counts — a negative or null one is corrupt data
+    // that would silently shrink the running sum and over-admit past the
+    // budget. Fail loudly ([[hashKeyOf]]'s discipline) instead.
+    val wl = col(weightCol).cast("long")
+    val checked = when(wl >= 0, wl).otherwise(raise_error(concat(
+      lit(s"Sampling.tokenBudgetSample: negative or null $weightCol: "),
+      coalesce(col(weightCol).cast("string"), lit("null")))))
     df
-      .withColumn("__cum_after", sum(col(weightCol).cast("long")).over(w))
-      .where(col("__cum_after") - col(weightCol).cast("long") < budget)
-      .drop("__cum_after")
+      .withColumn("__tb_w", checked)
+      .withColumn("__cum_after", sum(col("__tb_w")).over(w))
+      .where(col("__cum_after") - col("__tb_w") < budget)
+      .drop("__tb_w", "__cum_after")
   }
 }

@@ -83,19 +83,61 @@ object CorpusIO {
   /** Read a CSV corpus with the same corrupt-record discipline. With
     * `header = true`, lines byte-equal to the schema's comma-joined
     * field names are dropped (one per input file).
+    *
+    * RECORD = LINE in the default path: the line-by-line parse cannot
+    * reassemble quoted fields containing embedded newlines (common for
+    * document text exported as CSV) — such records split into flagged
+    * corrupt fragments. For corpora that quote newlines, pass
+    * `multiLine = true`: the datasource CSV reader then handles quoted
+    * record spans (at the cost of per-file rather than per-line input
+    * splits — multiline CSV is not splittable), still PERMISSIVE with
+    * `_corrupt`/`_corrupt_record` populated. In that mode an id-less
+    * corpus gets `doc_id = xxhash64(to_json(all fields))` (the raw
+    * line is not available), same determinism, same
+    * identical-records-collapse caveat.
     */
   def readCsv(
       spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, idField: Option[String] = None): DataFrame = {
+      header: Boolean = true, idField: Option[String] = None,
+      multiLine: Boolean = false): DataFrame = {
     val full = schema.add("_corrupt_record", "string")
-    val text = spark.read.text(path)
-    val body =
-      if (header) text.where(col("value") =!= schema.fieldNames.mkString(","))
-      else text
-    val parsed = body.withColumn("p", from_csv(col("value"), full,
-      Map("mode" -> "PERMISSIVE",
-        "columnNameOfCorruptRecord" -> "_corrupt_record")))
-    finish(parsed, schema, idField)
+    if (multiLine) {
+      // The datasource reader refuses scans whose required schema is
+      // ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+      // which is exactly what a pruned `select(_corrupt)` / corrupt
+      // count compiles to. `_corrupt` therefore keeps one data-field
+      // reference alive via an always-true term the optimizer cannot
+      // constant-fold (length >= 0), so corrupt-only queries still
+      // plan. (Queries selecting only `_corrupt_record` itself remain
+      // subject to the engine restriction; use `_corrupt` to filter.)
+      val f0 = col(schema.fieldNames.head)
+      val keepScan = length(coalesce(f0.cast("string"), lit(""))) >= 0
+      val parsed = spark.read
+        .options(Map(
+          "header" -> header.toString, "multiLine" -> "true",
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record"))
+        .schema(full)
+        .csv(path)
+        .withColumn("_corrupt", keepScan && col("_corrupt_record").isNotNull)
+      val cols = schema.fieldNames.map(col) ++
+        Seq(col("_corrupt"), col("_corrupt_record"))
+      val flat = parsed.select(cols.toSeq: _*)
+      idField match {
+        case Some(f) => flat.withColumn("doc_id", col(f).cast("long"))
+        case None => flat.withColumn("doc_id",
+          xxhash64(to_json(struct(schema.fieldNames.map(col).toSeq: _*))))
+      }
+    } else {
+      val text = spark.read.text(path)
+      val body =
+        if (header) text.where(col("value") =!= schema.fieldNames.mkString(","))
+        else text
+      val parsed = body.withColumn("p", from_csv(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      finish(parsed, schema, idField)
+    }
   }
 
   /** Write a frame back out as JSONL for interchange (gzip-compressed

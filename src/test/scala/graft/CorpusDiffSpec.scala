@@ -16,6 +16,27 @@ class CorpusDiffSpec extends SparkSpec {
     assert(delta == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
 
+  test("null / non-integral ids fail loudly instead of misclassifying") {
+    val good = Seq(("1", "a"), ("2", "b")).toDF("doc_id", "text")
+    val nulls = Seq((Some("1"), "a"), (None, "b")).toDF("doc_id", "text")
+    val strs = Seq(("1", "a"), ("not-a-number", "b")).toDF("doc_id", "text")
+    // Integral strings are fine — and both present docs match, never
+    // added+removed (the silent-cast corruption the guard exists for).
+    assert(CorpusDiff.diff(good, good).isEmpty)
+    intercept[Exception] { CorpusDiff.diff(nulls, good).collect() }
+    intercept[Exception] { CorpusDiff.diff(good, strs).collect() }
+  }
+
+  test("incrementalTargets works when the id column is literally 'id'") {
+    val prev = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val next = Seq((1L, "a"), (2L, "b2"), (3L, "c")).toDF("id", "text")
+    val (reprocess, tomb) = CorpusDiff.incrementalTargets(prev, next, idCol = "id")
+    // The caller's id column must survive the join (no ambiguity, no drop).
+    assert(reprocess.columns.toSeq == Seq("id", "text"))
+    assert(reprocess.select($"id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(tomb.isEmpty)
+  }
+
   test("diffSummary counts per class; identical snapshots are all-unchanged") {
     val prev = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val s = CorpusDiff.diffSummary(prev, prev).as[(String, Long)].collect().toMap

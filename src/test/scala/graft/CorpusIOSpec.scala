@@ -78,6 +78,36 @@ class CorpusIOSpec extends SparkSpec {
       df.filter(!$"_corrupt").select("id", "text", "source").collect().toSet)
   }
 
+  test("csv: multiLine reassembles quoted embedded newlines; default path flags them") {
+    val rows = Seq(
+      "id,text,source",
+      "1,\"first line", // quoted field spans two physical lines
+      "second line\",web",
+      "2,plain,books")
+    val path = writeLines(rows, ".csv")
+    val schema = StructType.fromDDL("id BIGINT, text STRING, source STRING")
+    val ml = CorpusIO.readCsv(spark, path, schema, header = true,
+      idField = Some("id"), multiLine = true)
+    assert(CorpusIO.corruptStats(ml) == ((2L, 0L)))
+    val text = ml.filter($"id" === 1L).select("text").as[String].head()
+    assert(text == "first line\nsecond line")
+    // The line-by-line default is documented lossy here: fragments are
+    // flagged corrupt, never silently dropped.
+    val ll = CorpusIO.readCsv(spark, path, schema, header = true, idField = Some("id"))
+    assert(CorpusIO.corruptStats(ll)._2 >= 1L)
+  }
+
+  test("csv multiLine: id-less corpora get deterministic content-hash ids") {
+    val rows = Seq("text", "\"a\ndoc\"", "other")
+    val path = writeLines(rows, ".csv")
+    val schema = StructType.fromDDL("text STRING")
+    val a = CorpusIO.readCsv(spark, path, schema, multiLine = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusIO.readCsv(spark, path, schema, multiLine = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.distinct.size == 2)
+  }
+
   test("csv: corrupt rows flagged; header respected") {
     val rows = Seq(
       "id,text,source",

@@ -17,6 +17,37 @@ class LanguageModelSpec extends SparkSpec {
     assert(v == Map("the" -> 2L, "cat" -> 2L, "ran" -> 2L))
   }
 
+  test("maxVocab cap: top-N by (cnt desc, token asc); cut tokens score OOV") {
+    // counts: a->3, b->2, c->2, d->1. maxVocab=2 under minCount=1 keeps
+    // a (3) and b (2, tie with c broken by token asc); c and d are cut.
+    val docs = toDocs(Seq((1L, "a a a b"), (2L, "b c c d")))
+    val v = LanguageModel.vocabulary(docs, minCount = 1, maxVocab = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("a" -> 3L, "b" -> 2L))
+    // The LM is defined over the CAPPED table: total=5, V=2, denom=8.
+    val s = LanguageModel.perplexityScores(docs, minCount = 1, maxVocab = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def lp(cnt: Long): Long = math.round(math.log((cnt + 1) / 8.0) * 1e6)
+    assert(s(2L).getLong(2) == 3L, "c, c, d must be OOV at the cap")
+    assert(s(2L).getLong(3) == lp(2) + 3 * lp(0))
+    // Raising the cap past the vocabulary is a no-op (cap-invariance).
+    val uncapped = LanguageModel.perplexityScores(docs, minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val bigCap = LanguageModel.perplexityScores(docs, minCount = 1, maxVocab = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uncapped == bigCap)
+  }
+
+  test("scoreDocs rejects an oversized caller-provided vocab loudly") {
+    val docs = toDocs(Seq((1L, "a b")))
+    val big = spark.range(LanguageModel.DefaultMaxVocab + 1L)
+      .selectExpr("cast(id as string) AS token", "1L AS cnt")
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.scoreDocs(docs, big).collect()
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("scoreDocs: hand-computed Laplace unigram on a tiny corpus") {
     val docs = toDocs(Seq((1L, "a a b"), (2L, "a b c")))
     // vocab (minCount=1): a->3, b->2, c->1; total=6, V=3, denom=10.

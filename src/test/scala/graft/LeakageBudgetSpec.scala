@@ -87,6 +87,26 @@ class LeakageBudgetSpec extends SparkSpec {
     assert(!all.contains(100L), "zero weight cannot be sampled")
   }
 
+  test("tokenBudgetSample: negative or null weights fail loudly, never over-admit") {
+    val neg = Seq((1L, "g", 10L), (2L, "g", -5L), (3L, "g", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    intercept[Exception] {
+      Sampling.tokenBudgetSample(neg, "source", "doc_id", "n_tokens",
+        Map("g" -> 15L)).collect()
+    }
+    val nul = Seq((1L, "g", Some(10L)), (2L, "g", None))
+      .toDF("doc_id", "source", "n_tokens")
+    intercept[Exception] {
+      Sampling.tokenBudgetSample(nul, "source", "doc_id", "n_tokens",
+        Map("g" -> 15L)).collect()
+    }
+    // Zero-weight docs are legal (they never consume budget; one
+    // arriving while budget remains is kept).
+    val zero = Seq((1L, "g", 0L), (2L, "g", 10L)).toDF("doc_id", "source", "n_tokens")
+    assert(Sampling.tokenBudgetSample(zero, "source", "doc_id", "n_tokens",
+      Map("g" -> 11L)).count() == 2)
+  }
+
   test("tokenBudgetSample: defaultBudget 0 drops unlisted groups; determinism") {
     val df = (0L until 30L).map(i => (i, s"g${i % 3}", 5L))
       .toDF("doc_id", "source", "n_tokens")
