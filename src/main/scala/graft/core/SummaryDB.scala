@@ -37,6 +37,65 @@ final class SummaryDB private (
   private def fs: FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ------------------------------------------------------------ write lock
+
+  /** Advisory single-writer guard on the versioned swap. The version
+    * protocol is crash-safe for ONE writer (write-new + `_SUCCESS` +
+    * prune), but two jobs opening the same dir could interleave their
+    * multi-table swaps — each sees the other's half-applied frontier
+    * and the losers' versions get pruned mid-read. So every public
+    * mutating call (append/appendOnce/newStream/landmark ops/enable*)
+    * holds `dir/_writer.lock` for the CALL's duration: acquired by
+    * atomic create-if-absent, token-checked on release, reentrant
+    * within the instance. A second concurrent writer fails loudly
+    * instead of racing. Readers never take the lock — the `_SUCCESS`
+    * resolution already guarantees they see only complete versions.
+    *
+    * Scoped (per call, not per instance) so sequential writers — the
+    * normal reopen-after-restart flow, including streaming checkpoint
+    * replay — need no handshake. A writer that DIES mid-call leaves a
+    * stale lock; that is intentionally loud (the died writer may have
+    * left an uncommitted batch worth inspecting) and is cleared with
+    * [[SummaryDB.breakLock]].
+    */
+  private val lockPath = new Path(p("_writer.lock"))
+  private var lockDepth = 0
+  private var lockToken: String = _
+
+  private def readLockHolder(): String =
+    try {
+      val in = fs.open(lockPath)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: Throwable => "<unreadable>" }
+
+  private[graft] def withWriteLock[T](body: => T): T = {
+    if (lockDepth == 0) {
+      val token = java.util.UUID.randomUUID().toString +
+        " pid=" + ProcessHandle.current().pid() + " at=" + System.currentTimeMillis()
+      fs.mkdirs(new Path(dir))
+      val out =
+        try fs.create(lockPath, false)
+        catch {
+          case _: java.io.IOException => throw new IllegalStateException(
+            s"SummaryDB at $dir is locked by another writer (${readLockHolder()}); " +
+              "wait for it, or clear a stale lock from a dead writer with SummaryDB.breakLock")
+        }
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      lockToken = token
+    }
+    lockDepth += 1
+    try body
+    finally {
+      lockDepth -= 1
+      if (lockDepth == 0) {
+        // Token check: never delete a lock someone re-acquired after a
+        // breakLock of ours.
+        if (readLockHolder() == lockToken) fs.delete(lockPath, false)
+        lockToken = null
+      }
+    }
+  }
+
   // ------------------------------------------------------- versioned tables
 
   /** Newest complete version directory of `name`, if any. */
@@ -89,7 +148,7 @@ final class SummaryDB private (
   /** Declare a stream (operators + decay policy), as the reference's
     * `DB.NewStream` (`/root/reference/core/db.go:61-80`).
     */
-  def newStream(meta: StreamMeta): Unit = {
+  def newStream(meta: StreamMeta): Unit = withWriteLock {
     metas += meta.streamId -> meta
     writeVersioned("stream_meta",
       metas.values.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(_))
@@ -132,7 +191,7 @@ final class SummaryDB private (
     * `StartLandmark(t0)` + `EndLandmark(t1)` in one call
     * (`/root/reference/core/stream.go:121-137`).
     */
-  def newLandmark(streamId: Long, t0: Long, t1: Long): Unit = {
+  def newLandmark(streamId: Long, t0: Long, t1: Long): Unit = withWriteLock {
     require(t0 <= t1, s"bad landmark interval [$t0, $t1]")
     saveIntervals((storedIntervals :+ ((streamId, t0, t1))).distinct)
     refreshSummaries(landmarkIntervals)
@@ -154,7 +213,7 @@ final class SummaryDB private (
     * `StartLandmark` (`/root/reference/core/stream.go:121-128`).
     * Callable before any append (an empty DB just records the interval).
     */
-  def startLandmark(streamId: Long, t0: Long): Unit = {
+  def startLandmark(streamId: Long, t0: Long): Unit = withWriteLock {
     require(!hasOpenLandmark(streamId),
       s"stream $streamId already has an open landmark")
     saveIntervals((storedIntervals :+ ((streamId, t0, OpenT1))).distinct)
@@ -166,7 +225,7 @@ final class SummaryDB private (
     * `EndLandmark` (`/root/reference/core/stream.go:130-137`). Elements
     * appended while it was open stay exact; later ones decay normally.
     */
-  def endLandmark(streamId: Long, t1: Long): Unit = {
+  def endLandmark(streamId: Long, t1: Long): Unit = withWriteLock {
     val open = storedIntervals
       .find(r => r._1 == streamId && r._3 == OpenT1)
       .getOrElse(throw new IllegalStateException(
@@ -204,7 +263,7 @@ final class SummaryDB private (
     */
   def append(
       events: Dataset[Event],
-      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
+      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = withWriteLock {
     val tag = f"adhoc-${nextBatchStamp()}%09d"
     appendTagged(tag, events, landmarkIntervals, forceRecompute = false)
   }
@@ -220,7 +279,7 @@ final class SummaryDB private (
   def appendOnce(
       batchId: Long,
       events: Dataset[Event],
-      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = {
+      landmarkIntervals: Seq[(Long, Long)] = Nil): Unit = withWriteLock {
     val marker = new Path(p("commits"), s"batch-$batchId")
     if (fs.exists(marker)) return
     val tag = s"batch-$batchId"
@@ -298,25 +357,39 @@ final class SummaryDB private (
     refreshFreqRegistration()
   }
 
+  // ---------------------------------------------------------- merge cadence
+
+  /** One re-coarsening cadence counter per summary KIND (scalar /
+    * distinct / freq / sample), all sharing [[SummaryDB.open]]'s
+    * `mergeEvery` knob — a single controller instead of one mutable
+    * field per kind, so new summary kinds get cadence by key and the
+    * kinds cannot drift behaviorally. Counters are session-scoped by
+    * design (cadence restarts on reopen — it is not durable state) and
+    * advance independently: not every kind is exercised by every
+    * append (the scalar path skips landmarked stores; the sketch paths
+    * run regardless).
+    */
+  private val sinceMerge = collection.mutable.Map.empty[String, Int]
+
+  /** Advance `kind`'s cadence; true on every `mergeEvery`-th call. */
+  private def mergeDue(kind: String): Boolean = {
+    val n = sinceMerge.getOrElse(kind, 0) + 1
+    sinceMerge(kind) = if (n >= mergeEvery) 0 else n
+    n >= mergeEvery
+  }
+
   /** Old summary + fine windows of the (already clamped) batch ->
     * canonical partition at the new N, by pure monoid re-merge.
     */
-  // Incremental appends since the last re-coarsening (see
-  // [[SummaryDB.open]]'s mergeEvery; session-scoped by design).
-  private var sinceMerge = 0
-
   private def appendIncremental(prepared: Dataset[Event]): Unit = {
     val old = summaryWindows.persist()
     try {
       val baseCounts = old
         .groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
       val fine = Compactor.fineWindows(prepared, baseCounts)
-      sinceMerge += 1
       val next =
-        if (sinceMerge >= mergeEvery) {
-          sinceMerge = 0
-          Compactor.recoarsen(old.unionByName(fine), specOf)
-        } else old.unionByName(fine) // merge deferred: fine windows persist as-is
+        if (mergeDue("scalar")) Compactor.recoarsen(old.unionByName(fine), specOf)
+        else old.unionByName(fine) // merge deferred: fine windows persist as-is
       writeVersioned("summary_windows",
         next.toDF().write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
@@ -436,7 +509,7 @@ final class SummaryDB private (
     * appends union per-element sketches and re-coarsen
     * ([[Compactor.recoarsenDistinct]]) — no full-corpus recompute.
     */
-  def enableDistinctSummaries(): Unit = {
+  def enableDistinctSummaries(): Unit = withWriteLock {
     distinctEnabled = true
     graft.plans.SummaryRewrite.install(spark)
     rebuildDistinct()
@@ -460,11 +533,6 @@ final class SummaryDB private (
       .map(v => spark.read.parquet(v.toString))
       .getOrElse(DistinctSummary.summarizePerStream(spark.emptyDataset[Event], specOf))
 
-  // Re-coarsening cadence for the sketch table, mirroring the scalar
-  // path's sinceMerge (separate counter: the scalar counter is not
-  // advanced on landmarked stores, where the distinct path still runs).
-  private var sinceMergeDistinct = 0
-
   private def appendIncrementalDistinct(prepared: Dataset[Event]): Unit = {
     val old = distinctSketches.persist()
     try {
@@ -482,12 +550,9 @@ final class SummaryDB private (
       // only every mergeEvery-th append; in between, per-element fine
       // sketches persist as-is (sketch merge is a monoid, so the state
       // after the next merge is identical to always-merging).
-      sinceMergeDistinct += 1
       val next =
-        if (sinceMergeDistinct >= mergeEvery) {
-          sinceMergeDistinct = 0
-          Compactor.recoarsenDistinct(old.unionByName(fine), specOf)
-        } else old.unionByName(fine)
+        if (mergeDue("distinct")) Compactor.recoarsenDistinct(old.unionByName(fine), specOf)
+        else old.unionByName(fine)
       writeVersioned("distinct_sketches",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
@@ -506,7 +571,7 @@ final class SummaryDB private (
     * union per-element sketches and re-coarsen on the [[mergeEvery]]
     * cadence — no full-corpus recompute.
     */
-  def enableFreqSummaries(): Unit = {
+  def enableFreqSummaries(): Unit = withWriteLock {
     freqEnabled = true
     graft.plans.SummaryRewrite.install(spark)
     rebuildFreq()
@@ -547,11 +612,6 @@ final class SummaryDB private (
       .map(v => spark.read.parquet(v.toString))
       .getOrElse(FreqSummary.summarizePerStream(spark.emptyDataset[Event], specOf))
 
-  // Re-coarsening cadence, mirroring sinceMergeDistinct (the freq path
-  // also runs on landmarked stores — membership ranks over ALL
-  // elements).
-  private var sinceMergeFreq = 0
-
   private def appendIncrementalFreq(prepared: Dataset[Event]): Unit = {
     val old = freqSketches.persist()
     try {
@@ -568,12 +628,9 @@ final class SummaryDB private (
       // be pre-aggregated.
       val newCounts = rebased.groupBy($"streamId").agg((max($"seq") + 1L).as("n"))
       val delta = FreqSummary.partialsAt(rebased, specOf, newCounts)
-      sinceMergeFreq += 1
       val next =
-        if (sinceMergeFreq >= mergeEvery) {
-          sinceMergeFreq = 0
-          Compactor.recoarsenFreq(old.unionByName(delta), specOf)
-        } else old.unionByName(delta)
+        if (mergeDue("freq")) Compactor.recoarsenFreq(old.unionByName(delta), specOf)
+        else old.unionByName(delta)
       writeVersioned("freq_sketches",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
@@ -593,7 +650,7 @@ final class SummaryDB private (
     * appends aggregate at the post-append canonical partition and
     * re-coarsen on the [[mergeEvery]] cadence.
     */
-  def enableSampleSummaries(k: Int = SampleSummary.K): Unit = {
+  def enableSampleSummaries(k: Int = SampleSummary.K): Unit = withWriteLock {
     sampleEnabled = true
     sampleK = k
     rebuildSample()
@@ -616,10 +673,6 @@ final class SummaryDB private (
       .map(v => spark.read.parquet(v.toString))
       .getOrElse(SampleSummary.summarizePerStream(spark.emptyDataset[Event], specOf, sampleK))
 
-  // Re-coarsening cadence, mirroring sinceMergeFreq (the sample path
-  // also runs on landmarked stores — samples rank over ALL elements).
-  private var sinceMergeSample = 0
-
   private def appendIncrementalSample(prepared: Dataset[Event]): Unit = {
     val old = sampleWindows.persist()
     try {
@@ -635,12 +688,9 @@ final class SummaryDB private (
       // a full rebuild.
       val newCounts = rebased.groupBy($"streamId").agg((max($"seq") + 1L).as("n"))
       val delta = SampleSummary.partialsAt(rebased, specOf, newCounts, sampleK)
-      sinceMergeSample += 1
       val next =
-        if (sinceMergeSample >= mergeEvery) {
-          sinceMergeSample = 0
-          Compactor.recoarsenSample(old.unionByName(delta), specOf, sampleK)
-        } else old.unionByName(delta)
+        if (mergeDue("sample")) Compactor.recoarsenSample(old.unionByName(delta), specOf, sampleK)
+        else old.unionByName(delta)
       writeVersioned("sample_windows",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
@@ -775,4 +825,18 @@ object SummaryDB {
     */
   def open(spark: SparkSession, dir: String, mergeEvery: Int = 1): SummaryDB =
     new SummaryDB(spark, dir, mergeEvery)
+
+  /** Clear a stale `_writer.lock` left by a writer that died mid-call.
+    * Operator intervention, deliberately explicit: verify the old
+    * writer is actually dead first (the lock records its pid and
+    * acquisition time). Returns true iff a lock was removed. The store
+    * itself needs no repair — the versioned-swap protocol leaves only
+    * complete table versions, and an uncommitted events batch is
+    * skipped by readers and recovered by the next appendOnce replay.
+    */
+  def breakLock(spark: SparkSession, dir: String): Boolean = {
+    val lock = new Path(s"$dir/_writer.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(lock) && fs.delete(lock, false)
+  }
 }
