@@ -39,9 +39,9 @@ object Bench {
           ($"id" % 7L).cast("double").as("value"), $"id".as("arrival")))
       graft.core.Summarizer
         .summarize(warm, graft.windowing.ExponentialWindowing(2.0)).count()
-      val (wl, wm) = graft.core.Summarizer.summarizeWithLandmarks(
-        warm, graft.windowing.ExponentialWindowing(2.0), Seq((100L, 200L)))
-      wl.count(); wm.count()
+      val (wl, wsp, wel) = graft.core.Summarizer.summarizeWithLandmarkRowsPerStream(
+        warm, _ => graft.windowing.ExponentialWindowing(2.0), Seq((100L, 200L)))
+      wl.count(); wsp.count(); wel.count()
     } catch { case _: Throwable => () } // warm-up must never fail the bench
 
     // Pipeline materialization: events -> summary/landmark tables.

@@ -31,7 +31,8 @@ object SparkEntry {
   private final case class Tables(
       summary: Dataset[SummaryWindow],
       lmSummary: Dataset[SummaryWindow],
-      landmarks: Dataset[LandmarkWindow])
+      lmSpans: Dataset[LandmarkSpan],
+      lmElems: Dataset[LandmarkElem])
 
   // Keyed weakly by the owning SparkSession: cached Datasets are bound
   // to the session that built them (a later session reusing them would
@@ -47,9 +48,9 @@ object SparkEntry {
       // The ranked event stream feeds both pipelines — rank once.
       val events = Ingest.fromEventsTable(spark, sfDir).persist()
       val summary = Summarizer.summarize(events, Spec).persist()
-      val (lmSummary, landmarks) =
-        Summarizer.summarizeWithLandmarks(events, Spec, Seq((LandmarkLo, LandmarkHi)))
-      Tables(summary, lmSummary.persist(), landmarks.persist())
+      val (lmSummary, spans, elems) = Summarizer.summarizeWithLandmarkRowsPerStream(
+        events, _ => Spec, Seq((LandmarkLo, LandmarkHi)))
+      Tables(summary, lmSummary.persist(), spans.persist(), elems.persist())
     })
 
   /** Intermediates shared by the dedup query family: the per-doc shingle
@@ -241,18 +242,21 @@ object SparkEntry {
           ($"bound_lo" - 1e-6 <= $"raw_sum" && $"raw_sum" <= $"bound_hi" + 1e-6).as("within_bounds"))
     }),
     // -- Landmark path: query range inside the exact interval; the
-    //    estimator must return error 0 and the exact answer.
+    //    estimator must return error 0 and the exact answer. Runs over
+    //    the ROW layout (spans + element rows -> distributed digests).
     "q_landmark_count" -> ((s, dir) => {
       import s.implicits._
       val t = tables(s, dir)
-      QueryEngine.rangeQueryAll(t.lmSummary, t.landmarks, "count", LQ0, LQ1)
+      QueryEngine.rangeQueryAll(
+          t.lmSummary, t.lmSpans, t.lmElems, "count", LQ0, LQ1, QueryParams())
         .filter($"estimate" > 0 && $"ci_width" === 0.0)
         .select($"stream_id", $"estimate".cast("long").as("cnt"))
     }),
     "q_landmark_sum" -> ((s, dir) => {
       import s.implicits._
       val t = tables(s, dir)
-      QueryEngine.rangeQueryAll(t.lmSummary, t.landmarks, "sum", LQ0, LQ1)
+      QueryEngine.rangeQueryAll(
+          t.lmSummary, t.lmSpans, t.lmElems, "sum", LQ0, LQ1, QueryParams())
         .filter($"estimate" > 0 && $"ci_width" === 0.0)
         .select($"stream_id", round($"estimate", 2).as("sum_value"))
     }),
@@ -450,6 +454,28 @@ object SparkEntry {
       injected.select($"doc_id",
         ops.TextAnalysis.nfcCol(s, $"text").as("norm_text"),
         (ops.TextAnalysis.nfcCol(s, $"text") =!= $"text").as("changed"))
+    }),
+    // -- HTML boilerplate extraction: every document is wrapped in a
+    //    deterministic crawl-page shell (comments, script/style
+    //    payloads, nav list, entities); the extractor must drop the
+    //    markup and the under-2-word boilerplate lines and keep the
+    //    prose. The oracle replays the exact regex passes in DuckDB —
+    //    the patterns are RE2-compatible by design (no backrefs).
+    "q_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val html = docs(s, dir).select($"doc_id",
+        concat(
+          lit("<html><!-- crawl id="), $"doc_id", lit(" -->"),
+          lit("<head><title>Doc "), $"doc_id", lit("</title>"),
+          lit("<script type=\"text/javascript\">var id = "), $"doc_id",
+          lit(";</script><style>p { margin: 0 }</style></head>"),
+          lit("<body><div class=\"nav\"><ul><li>Home</li><li>About</li></ul></div>"),
+          lit("<h1>Document &amp; Title</h1><p>"), $"text",
+          lit("</p><div class=\"footer\">Copyright&nbsp;2026</div></body></html>"))
+          .as("html"))
+      ops.HtmlExtract.extract(html, htmlCol = "html", outCol = "txt", minWordsPerLine = 2)
+        .select($"doc_id", $"txt",
+          when($"txt" === "", 0).otherwise(size(split($"txt", "\n"))).as("n_lines"))
     }),
     // -- Auto-tuned quality cutoff: keep the corpus's upper half by
     //    quality score — the percentile threshold replaces a guessed
@@ -1110,7 +1136,7 @@ object SparkEntry {
   def materialize(s: SparkSession, dir: String): (Long, Long) = {
     val t = tables(s, dir)
     val windows = t.summary.count()
-    t.landmarks.count(); t.lmSummary.count()
+    t.lmSpans.count(); t.lmElems.count(); t.lmSummary.count()
     val raw = Ingest.fromEventsTable(s, dir).count()
     (raw, windows)
   }
@@ -1126,9 +1152,9 @@ object SparkEntry {
     try {
       val raw = events.count()
       val windows = Summarizer.summarize(events, Spec).count()
-      val (lmSummary, landmarks) =
-        Summarizer.summarizeWithLandmarks(events, Spec, Seq((LandmarkLo, LandmarkHi)))
-      landmarks.count(); lmSummary.count()
+      val (lmSummary, spans, elems) = Summarizer.summarizeWithLandmarkRowsPerStream(
+        events, _ => Spec, Seq((LandmarkLo, LandmarkHi)))
+      spans.count(); elems.count(); lmSummary.count()
       (raw, windows)
     } finally events.unpersist(blocking = false)
   }
@@ -1208,6 +1234,45 @@ object SparkEntry {
         |round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> length(x)))::DOUBLE
         |  / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
         |FROM documents""".stripMargin,
+    // HTML extraction: the identical wrap + regex passes, RE2 side.
+    // Entity decode order matters (&amp; last) and len(ls) counts the
+    // KEPT lines (0 when all are boilerplate, matching the Spark
+    // empty-string guard).
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><!-- crawl id=' || doc_id || ' --><head><title>Doc ' || doc_id ||
+        |    '</title><script type="text/javascript">var id = ' || doc_id ||
+        |    ';</script><style>p { margin: 0 }</style></head>' ||
+        |    '<body><div class="nav"><ul><li>Home</li><li>About</li></ul></div>' ||
+        |    '<h1>Document &amp; Title</h1><p>' || text ||
+        |    '</p><div class="footer">Copyright&nbsp;2026</div></body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      html,
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+        |      '(?is)<noscript\b[^>]*>.*?</noscript\s*>', '', 'g'),
+        |      '(?is)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|pre|section|article|aside|nav|header|footer|title|form|hr)\b[^>]*>', chr(10), 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g') AS t1
+        |  FROM h),
+        |e AS (
+        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |    t1, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t2
+        |  FROM s),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(string_split(t2, chr(10)),
+        |        x -> trim(regexp_replace(x, '[ \t\r]+', ' ', 'g'))),
+        |      x -> x <> '' AND len(string_split(x, ' ')) >= 2) AS ls
+        |  FROM e)
+        |SELECT doc_id, array_to_string(ls, chr(10)) AS txt, len(ls)::INT AS n_lines
+        |FROM l""".stripMargin,
     // Semi-structured promotion: DuckDB's JSON extraction must agree
     // with the Spark-side inferred-schema from_json promotion.
     "q_props_agg" ->

@@ -34,8 +34,60 @@ object SummaryWindow {
 /** One exact element inside a landmark window. */
 final case class Landmark(ts: Long, value: Double)
 
-/** An exact (non-decayed) window (reference `core/landmark_window.go:5-14`). */
+/** An exact (non-decayed) window (reference `core/landmark_window.go:5-14`).
+  * DRIVER-SIDE VIEW ONLY: one value holding every element of the window.
+  * The persisted/query layout is [[LandmarkSpan]] + [[LandmarkElem]]
+  * rows — a landmark left open across a billion-event stretch must not
+  * materialize one multi-GB array value (Spark's ~2 GB single-value
+  * ceiling); the reference stores elements verbatim but its LAYOUT is
+  * ours to choose (SURVEY §1.5 "exact elements kept as rows").
+  */
 final case class LandmarkWindow(streamId: Long, ts: Long, te: Long, elems: Seq[Landmark])
+
+/** A landmark window's declared span — one bounded row per declared
+  * interval per stream (`windowId` = the interval's index, the join key
+  * to its [[LandmarkElem]] rows). [ts, te] is the DECLARED interval,
+  * as the reference stamps (`core/landmark_window.go:16-26`).
+  */
+final case class LandmarkSpan(streamId: Long, windowId: Long, ts: Long, te: Long)
+
+/** One exact landmark element as a ROW keyed by (streamId, windowId) —
+  * the scale-safe persisted layout: constant row width no matter how
+  * long a landmark stays open.
+  */
+final case class LandmarkElem(streamId: Long, windowId: Long, ts: Long, value: Double)
+
+/** Query-time digest of one landmark window restricted to [t0, t1] —
+  * the ONLY landmark state the estimator consumes: the declared span
+  * (for edge-window length/overlap subtraction) and the in-range
+  * element aggregates (exact count/sum/max/min contribution). Computed
+  * distributively from [[LandmarkElem]] rows; O(#intervals) digests
+  * flow to the estimator instead of O(#elements) values.
+  */
+final case class LandmarkDigest(
+    streamId: Long,
+    ts: Long,
+    te: Long,
+    cnt: Long,
+    sum: Double,
+    vmax: Double,
+    vmin: Double)
+
+object LandmarkDigest {
+  /** Digest a driver-side [[LandmarkWindow]] (legacy/test path). */
+  def of(lw: LandmarkWindow, t0: Long, t1: Long): LandmarkDigest = {
+    var cnt = 0L; var sum = 0.0
+    var vmax = SummaryWindow.EmptyMax; var vmin = SummaryWindow.EmptyMin
+    lw.elems.foreach { e =>
+      if (t0 <= e.ts && e.ts <= t1) {
+        cnt += 1; sum += e.value
+        if (e.value > vmax) vmax = e.value
+        if (e.value < vmin) vmin = e.value
+      }
+    }
+    LandmarkDigest(lw.streamId, lw.ts, lw.te, cnt, sum, vmax, vmin)
+  }
+}
 
 /** Query parameters (reference `core/op.go:5-8`). */
 final case class QueryParams(confidenceLevel: Double = 0.95, sdMultiplier: Double = 1.0)

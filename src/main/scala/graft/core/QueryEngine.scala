@@ -16,12 +16,78 @@ import org.apache.spark.sql.functions._
   * estimator runs per stream inside `cogroup` on executors — every
   * stream in parallel, O(log N) window rows each, nothing collected to
   * the driver.
+  *
+  * Landmark state enters as [[LandmarkSpan]] + [[LandmarkElem]] ROWS:
+  * [[landmarkDigests]] folds the in-range elements of each window into
+  * one bounded [[LandmarkDigest]] row by a distributed aggregation, so
+  * the estimator sees O(#intervals) digests per stream no matter how
+  * many exact elements a landmark holds — no per-window element array
+  * ever materializes. The `Dataset[LandmarkWindow]` overloads (driver
+  * -side view, golden tests) remain and digest inside the cogroup.
   */
 object QueryEngine {
 
-  /** Estimate `op` over [t0, t1] for every stream. Output:
-    * (stream_id, estimate, ci_width). Streams with no overlapping
-    * summary or landmark windows produce no row.
+  /** Per-window landmark digests for [t0, t1]: the declared spans
+    * overlapping the range, each with its in-range element aggregates
+    * (zero-element spans still subtract from edge windows, hence the
+    * left join). One aggregation over the element rows + one join
+    * against the bounded span table; output is O(#intervals) rows.
+    */
+  def landmarkDigests(
+      spans: Dataset[LandmarkSpan],
+      elems: Dataset[LandmarkElem],
+      t0: Long,
+      t1: Long): Dataset[LandmarkDigest] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val sp = spans.filter($"te" >= t0 && $"ts" <= t1).toDF()
+    val ag = elems.filter($"ts" >= t0 && $"ts" <= t1)
+      .groupBy($"streamId", $"windowId")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"value").as("sum"),
+        max($"value").as("vmax"),
+        min($"value").as("vmin"))
+    sp.join(ag, Seq("streamId", "windowId"), "left")
+      .select($"streamId", $"ts", $"te",
+        coalesce($"cnt", lit(0L)).as("cnt"),
+        coalesce($"sum", lit(0.0)).as("sum"),
+        coalesce($"vmax", lit(SummaryWindow.EmptyMax)).as("vmax"),
+        coalesce($"vmin", lit(SummaryWindow.EmptyMin)).as("vmin"))
+      .as[LandmarkDigest]
+  }
+
+  /** Estimate `op` over [t0, t1] for every stream, over the row-layout
+    * landmark tables. Output: (stream_id, estimate, ci_width). Streams
+    * with no overlapping summary or landmark windows produce no row.
+    */
+  def rangeQueryAll(
+      sw: Dataset[SummaryWindow],
+      spans: Dataset[LandmarkSpan],
+      elems: Dataset[LandmarkElem],
+      op: String,
+      t0: Long,
+      t1: Long,
+      params: QueryParams): DataFrame = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    val swF = sw.filter($"te" >= t0 && $"ts" <= t1)
+    swF
+      .groupByKey(_.streamId)
+      .cogroup(landmarkDigests(spans, elems, t0, t1).groupByKey(_.streamId)) { (sid, sws, lds) =>
+        val s = sws.toArray.sortBy(_.ts).toSeq
+        val l = lds.toArray.sortBy(_.ts).toSeq
+        if (s.isEmpty && l.isEmpty) Iterator.empty
+        else {
+          val r = SumEstimator.queryDigest(op, t0, t1, s, l, params)
+          Iterator((sid, r.value, r.error))
+        }
+      }
+      .toDF("stream_id", "estimate", "ci_width")
+  }
+
+  /** [[rangeQueryAll]] over the driver-side landmark view (golden tests
+    * and empty-landmark callers); digests in-executor.
     */
   def rangeQueryAll(
       sw: Dataset[SummaryWindow],
@@ -147,31 +213,54 @@ object QueryEngine {
       .select($"stream_id", $"cnt", round($"sum_raw", 2).as("sum_value"))
   }
 
-  /** Exact aggregates over element timestamps covered by landmark
-    * windows, restricted to [t0, t1]: (stream_id, cnt, sum_value).
-    * Landmark elements are stored verbatim, so this is error-free by
-    * construction (`/root/reference/core/sum_estimator.go:82-86`).
+  /** Exact aggregates over landmark ELEMENT rows restricted to [t0, t1]:
+    * (stream_id, cnt, sum_value). Landmark elements are stored verbatim,
+    * so this is error-free by construction
+    * (`/root/reference/core/sum_estimator.go:82-86`) — and with the row
+    * layout it is one pushed-down filter + groupBy, no explode.
     */
   def landmarkExactAll(
-      lw: Dataset[LandmarkWindow],
+      elems: Dataset[LandmarkElem],
       t0: Long,
       t1: Long): DataFrame = {
-    val spark = lw.sparkSession
+    val spark = elems.sparkSession
     import spark.implicits._
-    lw.filter($"te" >= t0 && $"ts" <= t1)
-      .select($"streamId", explode($"elems").as("e"))
-      .filter($"e.ts" >= t0 && $"e.ts" <= t1)
+    elems.filter($"ts" >= t0 && $"ts" <= t1)
       .groupBy($"streamId".as("stream_id"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum($"e.value").as("sum_value"))
+        sum($"value").as("sum_value"))
   }
 
   /** Driver-side single-stream query — the reference's public API shape
-    * (`Stream.Query(op, t0, t1, params)`). Collects the O(log N)
-    * overlapping windows of one stream; for fleet-wide queries use
+    * (`Stream.Query(op, t0, t1, params)`) over the row-layout landmark
+    * tables. Collects the O(log N) overlapping summary windows and the
+    * O(#intervals) landmark DIGESTS of one stream (the element
+    * aggregation runs distributed); for fleet-wide queries use
     * [[rangeQueryAll]].
     */
+  def queryOne(
+      sw: Dataset[SummaryWindow],
+      spans: Dataset[LandmarkSpan],
+      elems: Dataset[LandmarkElem],
+      streamId: Long,
+      op: String,
+      t0: Long,
+      t1: Long,
+      params: QueryParams): AggResult = {
+    val spark = sw.sparkSession
+    import spark.implicits._
+    val s = sw
+      .filter($"streamId" === streamId && $"te" >= t0 && $"ts" <= t1)
+      .collect().sortBy(_.ts).toSeq
+    val l = landmarkDigests(
+        spans.filter($"streamId" === streamId),
+        elems.filter($"streamId" === streamId), t0, t1)
+      .collect().sortBy(_.ts).toSeq
+    SumEstimator.queryDigest(op, t0, t1, s, l, params)
+  }
+
+  /** [[queryOne]] over the driver-side landmark view (golden tests). */
   def queryOne(
       sw: Dataset[SummaryWindow],
       lw: Dataset[LandmarkWindow],

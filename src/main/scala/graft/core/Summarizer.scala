@@ -100,10 +100,12 @@ object Summarizer {
       bufferSize: Long = 0L): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) =
     summarizeWithLandmarksPerStream(events, _ => spec, intervals, bufferSize)
 
-  /** Per-stream-policy variant of [[summarizeWithLandmarks]].
-    * `perStream` adds stream-specific exact intervals on top of the
-    * global ones — the per-stream `StartLandmark`/`EndLandmark` surface
-    * of the reference (`/root/reference/core/stream.go:121-137`).
+  /** Per-stream-policy variant of [[summarizeWithLandmarks]]: assembles
+    * the driver-side [[LandmarkWindow]] view (one array value per
+    * window) from the row layout. Convenience for tests and small
+    * landmark sets; the SCALE path is
+    * [[summarizeWithLandmarkRowsPerStream]], whose output never holds a
+    * window's elements in one value.
     */
   def summarizeWithLandmarksPerStream(
       events: Dataset[Event],
@@ -111,6 +113,57 @@ object Summarizer {
       intervals: Seq[(Long, Long)],
       bufferSize: Long = 0L,
       perStream: Map[Long, Seq[(Long, Long)]] = Map.empty): (Dataset[SummaryWindow], Dataset[LandmarkWindow]) = {
+    val (sw, spans, elems) =
+      summarizeWithLandmarkRowsPerStream(events, specOf, intervals, bufferSize, perStream)
+    (sw, assembleLandmarkWindows(spans, elems))
+  }
+
+  /** Driver-side view assembly: spans + element rows -> one
+    * [[LandmarkWindow]] per declared interval, elements sorted by
+    * (ts, value). The ONLY place the per-window element array
+    * materializes — callers at scale stay on the row tables.
+    */
+  def assembleLandmarkWindows(
+      spans: Dataset[LandmarkSpan],
+      elems: Dataset[LandmarkElem]): Dataset[LandmarkWindow] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val grouped = elems.toDF()
+      .groupBy($"streamId", $"windowId")
+      .agg(sort_array(collect_list(struct($"ts", $"value"))).as("elems"))
+    spans.toDF()
+      .join(grouped, Seq("streamId", "windowId"), "left")
+      .map { row =>
+        val es = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("elems")
+        LandmarkWindow(
+          streamId = row.getAs[Long]("streamId"),
+          ts = row.getAs[Long]("ts"),
+          te = row.getAs[Long]("te"),
+          elems =
+            if (es == null) Vector.empty
+            else es.iterator.map(r => Landmark(r.getLong(0), r.getDouble(1))).toVector)
+      }
+  }
+
+  /** [[summarizeWithLandmarksPerStream]] with the landmark output in
+    * the SCALE layout: a bounded [[LandmarkSpan]] row per declared
+    * interval and one [[LandmarkElem]] row per exact element — constant
+    * row width however long a landmark stays open (SURVEY §1.5). The
+    * reference stores landmark elements verbatim
+    * (`/root/reference/core/landmark_window.go:5-14`); their layout is
+    * an implementation choice, and one array per window breaches
+    * Spark's ~2 GB single-value ceiling on a billion-element landmark.
+    * A declared interval that matched no element emits no span — the
+    * estimator's subtraction set matches the old element-array table
+    * exactly.
+    */
+  def summarizeWithLandmarkRowsPerStream(
+      events: Dataset[Event],
+      specOf: Long => WindowingSpec,
+      intervals: Seq[(Long, Long)],
+      bufferSize: Long = 0L,
+      perStream: Map[Long, Seq[(Long, Long)]] = Map.empty)
+      : (Dataset[SummaryWindow], Dataset[LandmarkSpan], Dataset[LandmarkElem]) = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -172,20 +225,17 @@ object Summarizer {
     val isLandmark = $"intervalId".isNotNull
 
     // Landmark window [ts, te] is the DECLARED interval — carried as
-    // join columns, no driver-side lookup.
-    val landmarks = classified
-      .filter(isLandmark)
-      .groupBy($"streamId", $"intervalId", $"l0", $"l1")
-      .agg(sort_array(collect_list(struct($"ts", $"value"))).as("elems"))
-      .map { row =>
-        LandmarkWindow(
-          streamId = row.getAs[Long]("streamId"),
-          ts = row.getAs[Long]("l0"),
-          te = row.getAs[Long]("l1"),
-          elems = row
-            .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("elems")
-            .iterator.map(r => Landmark(r.getLong(0), r.getDouble(1))).toVector)
-      }
+    // join columns, no driver-side lookup. Spans = one aggregate row
+    // per matched (stream, interval); elements stay as rows.
+    val landmarkSide = classified.filter(isLandmark)
+    val spans = landmarkSide
+      .groupBy($"streamId", $"intervalId".as("windowId"))
+      .agg(first($"l0").as("ts"), first($"l1").as("te"))
+      .select($"streamId", $"windowId", $"ts", $"te")
+      .as[LandmarkSpan]
+    val lmElems = landmarkSide
+      .select($"streamId", $"intervalId".as("windowId"), $"ts", $"value")
+      .as[LandmarkElem]
 
     // Dense re-rank of the surviving elements. Scale note: one shuffle on
     // streamId; each stream sorts within its partition — streams are the
@@ -197,7 +247,7 @@ object Summarizer {
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .as[Event]
 
-    (summarizePerStream(regular, specOf, bufferSize), landmarks)
+    (summarizePerStream(regular, specOf, bufferSize), spans, lmElems)
   }
 
   /** Per-stream compression stats: raw element count vs emitted windows

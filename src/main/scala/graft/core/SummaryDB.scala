@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   *   dir/stream_meta__vN        one row per declared stream
   *   dir/events                 raw appends (the reference's WAL role)
   *   dir/summary_windows__vN    the decayed materialized view
-  *   dir/landmarks__vN          exact landmark windows
+  *   dir/landmark_spans__vN     declared spans of matched landmark windows
+  *   dir/landmark_elems__vN     exact landmark elements, ONE PER ROW
   *   dir/landmark_intervals__vN declared exact [t0,t1] spans
   *   dir/commits                batch-id markers for streaming replay
+  *
+  * Landmark elements are rows keyed by (streamId, windowId), never one
+  * array per window: a landmark left open across a billion-event
+  * stretch stays at constant row width instead of building toward
+  * Spark's ~2 GB single-value ceiling; queries fold them into bounded
+  * per-window digests distributively ([[QueryEngine.landmarkDigests]]).
   *
   * Crash safety (the reference's atomic "brew" commits,
   * `/root/reference/storage/badger_backend.go:210-263`): every table
@@ -300,9 +307,10 @@ final class SummaryDB private (
       batch: Dataset[Event],
       newIntervals: Seq[(Long, Long)],
       forceRecompute: Boolean): Unit = {
-    // Frontier: newest stored timestamp per stream (summary + landmarks).
+    // Frontier: newest stored timestamp per stream (summary + landmark
+    // spans — the span te IS the old landmark-window te).
     val fromSummary = summaryWindows.groupBy($"streamId").agg(max($"te").as("t"))
-    val fromLandmarks = landmarks.toDF().groupBy($"streamId").agg(max($"te").as("t"))
+    val fromLandmarks = landmarkSpans.toDF().groupBy($"streamId").agg(max($"te").as("t"))
     val frontier: Map[Long, Long] = fromSummary.unionByName(fromLandmarks)
       .groupBy($"streamId").agg(max($"t"))
       .as[(Long, Long)].collect().toMap
@@ -405,16 +413,15 @@ final class SummaryDB private (
       includeUncommittedTag: Option[String] = None): Unit = {
     val events = readEvents(includeUncommittedTag)
     val perStream = streamLandmarks
-    val (sw, lw) =
+    val (sw, spans, elems) =
       if (intervals.isEmpty && perStream.isEmpty)
-        (Summarizer.summarizePerStream(events, specOf), spark.emptyDataset[LandmarkWindow])
-      else {
-        val pair = Summarizer.summarizeWithLandmarksPerStream(
-          events, specOf, intervals, perStream = perStream)
-        (pair._1, pair._2)
-      }
+        (Summarizer.summarizePerStream(events, specOf),
+          spark.emptyDataset[LandmarkSpan], spark.emptyDataset[LandmarkElem])
+      else Summarizer.summarizeWithLandmarkRowsPerStream(
+        events, specOf, intervals, perStream = perStream)
     writeVersioned("summary_windows", sw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
-    writeVersioned("landmarks", lw.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+    writeVersioned("landmark_spans", spans.toDF().write.mode(SaveMode.Overwrite).parquet(_))
+    writeVersioned("landmark_elems", elems.toDF().write.mode(SaveMode.Overwrite).parquet(_))
   }
 
   /** Re-rank the persisted events into dense per-stream order. Arrival
@@ -787,9 +794,25 @@ final class SummaryDB private (
     readVersioned("summary_windows")(path => spark.read.parquet(path).as[SummaryWindow])(
       spark.emptyDataset[SummaryWindow])
 
+  /** Declared spans of landmark windows that matched elements — one
+    * bounded row per (stream, interval). */
+  def landmarkSpans: Dataset[LandmarkSpan] =
+    readVersioned("landmark_spans")(path => spark.read.parquet(path).as[LandmarkSpan])(
+      spark.emptyDataset[LandmarkSpan])
+
+  /** Exact landmark elements, one row each — the scale layout queries
+    * aggregate over. */
+  def landmarkElems: Dataset[LandmarkElem] =
+    readVersioned("landmark_elems")(path => spark.read.parquet(path).as[LandmarkElem])(
+      spark.emptyDataset[LandmarkElem])
+
+  /** Driver-side landmark VIEW: elements assembled into one array per
+    * window. Small-landmark convenience (tests, inspection) — queries
+    * never build it; a wide-open landmark makes this one giant value,
+    * which is exactly what the row tables above exist to avoid.
+    */
   def landmarks: Dataset[LandmarkWindow] =
-    readVersioned("landmarks")(path => spark.read.parquet(path).as[LandmarkWindow])(
-      spark.emptyDataset[LandmarkWindow])
+    Summarizer.assembleLandmarkWindows(landmarkSpans, landmarkElems)
 
   /** The reference's public query API
     * (`/root/reference/core/stream.go:156-192`). Streams declared via
@@ -805,7 +828,8 @@ final class SummaryDB private (
       t1: Long,
       params: QueryParams = QueryParams()): AggResult = {
     requireDeclared(streamId, op)
-    QueryEngine.queryOne(summaryWindows, landmarks, streamId, op, t0, t1, params)
+    QueryEngine.queryOne(
+      summaryWindows, landmarkSpans, landmarkElems, streamId, op, t0, t1, params)
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.estimator
 
-import graft.core.{AggResult, LandmarkWindow, QueryParams, SummaryWindow}
+import graft.core.{AggResult, LandmarkDigest, LandmarkWindow, QueryParams, SummaryWindow}
 
 /** Query-time estimation over the windows overlapping [t0, t1].
   *
@@ -11,6 +11,14 @@ import graft.core.{AggResult, LandmarkWindow, QueryParams, SummaryWindow}
   * variance = sum * ratio * (1 - ratio)); time spans covered by landmark
   * windows are subtracted from the edge windows' length/overlap and the
   * landmark elements in range are added exactly.
+  *
+  * Landmark state arrives as per-window [[LandmarkDigest]]s — the
+  * declared span plus the in-range element aggregates — so the kernel
+  * is O(overlapping windows) regardless of how many exact elements a
+  * landmark holds; the digests are computed distributively from
+  * element ROWS ([[graft.core.QueryEngine.landmarkDigests]]). The
+  * `Seq[LandmarkWindow]` overloads (driver-side view, golden tests)
+  * digest in-memory and delegate.
   *
   * This is pure arithmetic over the O(log N) overlapping windows of one
   * stream; at scale it runs inside `mapGroups` on executors, one group
@@ -42,17 +50,18 @@ object SumEstimator {
     }
   }
 
-  /** `summaryWindows` must be exactly the windows overlapping [t0, t1],
-    * in time order; `landmarkWindows` those with te >= t0 (and ts within
-    * the index probe range), in time order.
+  /** Digest-based kernel. `summaryWindows` must be exactly the windows
+    * overlapping [t0, t1], in time order; `landmarks` the digests of
+    * landmark windows with span overlapping [t0, t1] (in-range element
+    * aggregates already folded in), in time order.
     */
-  def sumStats(
+  def sumStatsDigest(
       t0: Long,
       t1: Long,
       summaryWindows: Seq[SummaryWindow],
-      landmarkWindows: Seq[LandmarkWindow],
+      landmarks: Seq[LandmarkDigest],
       getSummaryData: SummaryWindow => Double,
-      getLandmarkData: Double => Double): (Bounds, MeanVar) = {
+      getLandmarkTotal: LandmarkDigest => Double): (Bounds, MeanVar) = {
     val first = new WindowInfo
     val last = new WindowInfo
     val middle = new WindowInfo
@@ -74,7 +83,7 @@ object SumEstimator {
     first.setLengthAndOverlap(t0, t1)
     last.setLengthAndOverlap(t0, t1)
 
-    landmarkWindows.foreach { lw =>
+    landmarks.foreach { lw =>
       if (first.start < lw.te) {
         first.length -= StatsUtil.windowOverlap(lw.ts, lw.te, first.start, first.end)
         first.overlap -= StatsUtil.windowOverlap(lw.ts, lw.te, t0, first.end)
@@ -83,9 +92,7 @@ object SumEstimator {
         last.length -= StatsUtil.windowOverlap(lw.ts, lw.te, last.start, last.end)
         last.overlap -= StatsUtil.windowOverlap(lw.ts, lw.te, last.start, t1)
       }
-      lw.elems.foreach { lm =>
-        if (t0 <= lm.ts && lm.ts <= t1) landmark.sum += getLandmarkData(lm.value)
-      }
+      landmark.sum += getLandmarkTotal(lw)
     }
 
     val b = Array(0.0, 0.0) // lower, upper
@@ -97,15 +104,42 @@ object SumEstimator {
     (Bounds(b(0), b(1)), MeanVar(s(0), s(1)))
   }
 
-  private def ciQuery(
+  /** Legacy element-view kernel: digests each [[LandmarkWindow]] with
+    * the caller's per-element transform (count passes `_ => 1.0`, sum
+    * `identity`) folded into the digest's `sum`, then delegates.
+    */
+  def sumStats(
+      t0: Long,
+      t1: Long,
+      summaryWindows: Seq[SummaryWindow],
+      landmarkWindows: Seq[LandmarkWindow],
+      getSummaryData: SummaryWindow => Double,
+      getLandmarkData: Double => Double): (Bounds, MeanVar) = {
+    val ds = landmarkWindows.map { lw =>
+      var total = 0.0
+      var cnt = 0L
+      var vmax = SummaryWindow.EmptyMax; var vmin = SummaryWindow.EmptyMin
+      lw.elems.foreach { e =>
+        if (t0 <= e.ts && e.ts <= t1) {
+          total += getLandmarkData(e.value); cnt += 1
+          if (e.value > vmax) vmax = e.value
+          if (e.value < vmin) vmin = e.value
+        }
+      }
+      LandmarkDigest(lw.streamId, lw.ts, lw.te, cnt, total, vmax, vmin)
+    }
+    sumStatsDigest(t0, t1, summaryWindows, ds, getSummaryData, _.sum)
+  }
+
+  private def ciQueryDigest(
       t0: Long,
       t1: Long,
       sw: Seq[SummaryWindow],
-      lw: Seq[LandmarkWindow],
+      lds: Seq[LandmarkDigest],
       params: QueryParams,
       getSummaryData: SummaryWindow => Double,
-      getLandmarkData: Double => Double): AggResult = {
-    val (bounds, mv) = sumStats(t0, t1, sw, lw, getSummaryData, getLandmarkData)
+      getLandmarkTotal: LandmarkDigest => Double): AggResult = {
+    val (bounds, mv) = sumStatsDigest(t0, t1, sw, lds, getSummaryData, getLandmarkTotal)
     val ci = StatsUtil.toCI(bounds, mv, params.sdMultiplier, params.confidenceLevel)
     AggResult(ci.mean, ci.width)
   }
@@ -113,64 +147,80 @@ object SumEstimator {
   /** count over [t0, t1] (reference `core/count_op.go:39-67`). */
   def countQuery(
       t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow], params: QueryParams): AggResult =
-    ciQuery(t0, t1, sw, lw, params, _.count, _ => 1.0)
+    queryDigest("count", t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)), params)
 
   /** sum over [t0, t1] (reference `core/sum_op.go:40-68`). */
   def sumQuery(
       t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow], params: QueryParams): AggResult =
-    ciQuery(t0, t1, sw, lw, params, _.sum, identity)
+    queryDigest("sum", t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)), params)
 
   /** max over [t0, t1]: upper-biased merge of overlapping windows; error
     * drops to 0 only if a landmark element in range is seen (reference
     * `core/max_op.go:32-63`). Not statistical.
     */
   def maxQuery(
-      t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): AggResult = {
-    var value = SummaryWindow.EmptyMax
-    sw.foreach(w => value = math.max(value, w.max))
-    var error = 1.0
-    lw.foreach(_.elems.foreach { lm =>
-      if (lm.ts >= t0 && lm.ts <= t1) {
-        value = math.max(value, lm.value)
-        error = 0.0
-      }
-    })
-    AggResult(value, error)
-  }
+      t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): AggResult =
+    queryDigest("max", t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)), QueryParams())
 
   /** min over [t0, t1]: advertised in the reference README but absent
     * from its code (`README.md:23` vs `core/data.go:9-13`); implemented
     * here as the dual of max (SURVEY §7.3).
     */
   def minQuery(
-      t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): AggResult = {
-    var value = SummaryWindow.EmptyMin
-    sw.foreach(w => value = math.min(value, w.min))
-    var error = 1.0
-    lw.foreach(_.elems.foreach { lm =>
-      if (lm.ts >= t0 && lm.ts <= t1) {
-        value = math.min(value, lm.value)
-        error = 0.0
-      }
-    })
-    AggResult(value, error)
-  }
+      t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): AggResult =
+    queryDigest("min", t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)), QueryParams())
 
   /** Hard deterministic bounds on a count/sum range answer: lower = the
     * fully-covered windows plus landmark elements in range, upper = all
-    * overlapping windows (the b-accumulators of [[sumStats]], mirroring
-    * `/root/reference/core/sum_estimator.go:96-101`). For non-negative
-    * contributions the exact answer always lies within — count
-    * contributions are 1 per element, so count bounds are
+    * overlapping windows (the b-accumulators of [[sumStatsDigest]],
+    * mirroring `/root/reference/core/sum_estimator.go:96-101`). For
+    * non-negative contributions the exact answer always lies within —
+    * count contributions are 1 per element, so count bounds are
     * unconditional; sum bounds require non-negative values.
     */
   def boundsQuery(
       op: String, t0: Long, t1: Long, sw: Seq[SummaryWindow], lw: Seq[LandmarkWindow]): Bounds =
+    boundsQueryDigest(op, t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)))
+
+  /** [[boundsQuery]] over pre-digested landmark state. */
+  def boundsQueryDigest(
+      op: String, t0: Long, t1: Long, sw: Seq[SummaryWindow], lds: Seq[LandmarkDigest]): Bounds =
     op match {
-      case "count" => sumStats(t0, t1, sw, lw, _.count, _ => 1.0)._1
-      case "sum"   => sumStats(t0, t1, sw, lw, _.sum, identity)._1
+      case "count" => sumStatsDigest(t0, t1, sw, lds, _.count, _.cnt.toDouble)._1
+      case "sum"   => sumStatsDigest(t0, t1, sw, lds, _.sum, _.sum)._1
       case other   => throw new IllegalArgumentException(s"no hard bounds for operator: $other")
     }
+
+  /** Dispatch by operator name over pre-digested landmark state — the
+    * executor-side entry of the distributed query paths.
+    */
+  def queryDigest(
+      op: String,
+      t0: Long,
+      t1: Long,
+      sw: Seq[SummaryWindow],
+      lds: Seq[LandmarkDigest],
+      params: QueryParams): AggResult = op match {
+    case "count" => ciQueryDigest(t0, t1, sw, lds, params, _.count, _.cnt.toDouble)
+    case "sum"   => ciQueryDigest(t0, t1, sw, lds, params, _.sum, _.sum)
+    case "max" =>
+      var value = SummaryWindow.EmptyMax
+      sw.foreach(w => value = math.max(value, w.max))
+      var error = 1.0
+      lds.foreach { d =>
+        if (d.cnt > 0) { value = math.max(value, d.vmax); error = 0.0 }
+      }
+      AggResult(value, error)
+    case "min" =>
+      var value = SummaryWindow.EmptyMin
+      sw.foreach(w => value = math.min(value, w.min))
+      var error = 1.0
+      lds.foreach { d =>
+        if (d.cnt > 0) { value = math.min(value, d.vmin); error = 0.0 }
+      }
+      AggResult(value, error)
+    case other => throw new IllegalArgumentException(s"unknown operator: $other")
+  }
 
   /** Dispatch by operator name, as the reference's OpSet does
     * (`/root/reference/core/op_set.go:14-18`).
@@ -181,11 +231,6 @@ object SumEstimator {
       t1: Long,
       sw: Seq[SummaryWindow],
       lw: Seq[LandmarkWindow],
-      params: QueryParams): AggResult = op match {
-    case "count" => countQuery(t0, t1, sw, lw, params)
-    case "sum"   => sumQuery(t0, t1, sw, lw, params)
-    case "max"   => maxQuery(t0, t1, sw, lw)
-    case "min"   => minQuery(t0, t1, sw, lw)
-    case other   => throw new IllegalArgumentException(s"unknown operator: $other")
-  }
+      params: QueryParams): AggResult =
+    queryDigest(op, t0, t1, sw, lw.map(LandmarkDigest.of(_, t0, t1)), params)
 }
