@@ -52,6 +52,13 @@ object Curation {
         * percentile (the 100 TB path).
         */
       qualityQuantile: Option[Double] = None,
+      /** When set, the input `text` column is raw crawl HTML: run
+        * [[HtmlExtract.extractText]] (markup strip + boilerplate-line
+        * drop at this min-words-per-line) BEFORE every other stage.
+        * Row-local (no shuffle, no state), so it applies identically
+        * per micro-batch in the streaming pipeline.
+        */
+      htmlExtractMinWords: Option[Int] = None,
       /** When set, keep only documents whose corpus-LM cross-entropy
         * (nats/token, [[LanguageModel.filterByPerplexity]]) lies in
         * [lo, hi] — the CCNet band filter: too low = boilerplate, too
@@ -71,7 +78,14 @@ object Curation {
     * filters, then PII scrub. Pure scans (no shuffle, no state), so
     * they apply unchanged to a whole corpus or to one micro-batch.
     */
-  def rowStages(input: DataFrame, cfg: Config): DataFrame = {
+  def rowStages(input0: DataFrame, cfg: Config): DataFrame = {
+    // 0a. HTML → text (optional): the crawl-ingestion transform. First
+    //     because every downstream signal (language, quality, dedup
+    //     shingles) must see prose, not markup.
+    val input = cfg.htmlExtractMinWords match {
+      case Some(m) => HtmlExtract.extract(input0, htmlCol = "text", outCol = "text", m)
+      case None => input0
+    }
     val lang = TextAnalysis.languageId(input)
       .filter(col("pred_lang").isInCollection(cfg.langs)).select("doc_id")
     val quality = TextAnalysis.qualityScore(input)
