@@ -165,6 +165,56 @@ object Bench {
       (n / sec, runs.head._2, if (sec > 0) (secs(2) - secs(0)) / sec else 0.0)
     }
 
+    // Scale check (the "second scale point"): the same summarize path
+    // at 1x and 10x rows, both synthetic single-stream (pure pipeline
+    // throughput) and real-events fleet (10 shifted copies of the
+    // sfDir events — 10x streams through the identical rank+summarize
+    // shuffle). A ratio near 10 is linear scaling; well above 10 means
+    // a fixed-overhead-masked superlinearity the single-sf bench would
+    // hide. Runs once per metric after one warm-up (these are ~seconds
+    // -scale measurements where the ratio, not the absolute, matters).
+    val scaleCheck: Option[String] = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
+      def bigRun(n: Long): Double = {
+        val events = spark.range(n)
+          .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))
+          .withColumn("streamId", lit(998L))
+          .as[graft.core.Event]
+        val t0 = System.nanoTime()
+        graft.core.Summarizer
+          .summarize(events, graft.windowing.ExponentialWindowing(2.0)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      bigRun(1000000L) // warm-up
+      val big1 = bigRun(1000000L)
+      val big10 = bigRun(10000000L)
+      val base = graft.core.Ingest.fromEventsTable(spark, sfDir).persist()
+      base.count()
+      def fleetRun(copies: Int): Double = {
+        val ev = (0 until copies).map(i =>
+            base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
+          .reduce(_ unionByName _)
+        val t0 = System.nanoTime()
+        graft.core.Summarizer
+          .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      fleetRun(1) // warm-up
+      val fleet1 = fleetRun(1)
+      val fleet10 = fleetRun(10)
+      base.unpersist()
+      Some(
+        s"""{"big_sec_1x":$big1,"big_sec_10x":$big10,""" +
+        s""""big_ratio":${f"${big10 / big1}%.2f"},""" +
+        s""""fleet_sec_1x":$fleet1,"fleet_sec_10x":$fleet10,""" +
+        s""""fleet_ratio":${f"${fleet10 / fleet1}%.2f"}}""")
+    } catch {
+      case e: Throwable =>
+        errors("__scale_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -179,7 +229,9 @@ object Bench {
       s""""ingest_rows_per_sec":$rowsPerSec,""" +
       s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
       s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +
-      s""""big_stream_spread":${f"$bigSpread%.4f"},"sf":${jq(sfDir)}}""")
+      s""""big_stream_spread":${f"$bigSpread%.4f"},""" +
+      scaleCheck.map(sc => s""""scale_check":$sc,""").getOrElse("") +
+      s""""sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }
