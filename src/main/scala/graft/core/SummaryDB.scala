@@ -353,6 +353,13 @@ final class SummaryDB private (
       if (forceRecompute) rebuildSample(includeUncommittedTag = Some(tag))
       else appendIncrementalSample(prepared)
     }
+    // And for the quantile sketch table (KLL merges are lossy-but-
+    // certified; replay double-application would both drift cs/ce and
+    // double the sketch weights — rebuild from the WAL instead).
+    if (quantileEnabled) {
+      if (forceRecompute) rebuildQuantile(includeUncommittedTag = Some(tag))
+      else appendIncrementalQuantile(prepared)
+    }
     // The summaries now reflect this batch: commit it. A crash before
     // this line leaves an unmarked events/<tag> dir that readEvents
     // skips, so a later recompute can never resurrect a batch the
@@ -701,6 +708,81 @@ final class SummaryDB private (
       writeVersioned("sample_windows",
         next.write.mode(SaveMode.Overwrite).parquet(_))
     } finally old.unpersist()
+  }
+
+  // ------------------------------------------------ quantile hookup
+
+  private var quantileEnabled = false
+  private var quantileK = QuantileSummary.K
+
+  /** Maintain a windowed KLL-style quantile table ([[QuantileSummary]]
+    * schema) alongside the scalar summaries: "p50/p99 of [t0, t1]"
+    * ([[rangeQuantiles]]) then reads O(log N) sketch rows instead of
+    * raw events, with the sketch's self-certified rank-error bound
+    * surviving every merge order. Incremental: appends aggregate at
+    * the post-append canonical partition (the freq/sample delta shape)
+    * and re-coarsen on the [[mergeEvery]] cadence.
+    */
+  def enableQuantileSummaries(k: Int = QuantileSummary.K): Unit = withWriteLock {
+    quantileEnabled = true
+    quantileK = k
+    rebuildQuantile()
+  }
+
+  /** Canonical quantile table from the committed WAL (plus the batch
+    * being applied, on replay) — the recovery twin of
+    * [[refreshSummaries]] for the quantile path.
+    */
+  private def rebuildQuantile(includeUncommittedTag: Option[String] = None): Unit =
+    writeVersioned("quantile_windows",
+      QuantileSummary.summarizePerStream(readEvents(includeUncommittedTag), specOf, quantileK)
+        .write.mode(SaveMode.Overwrite).parquet(_))
+
+  /** The current quantile sketch table (empty schema-stable frame
+    * before any data).
+    */
+  def quantileWindows: org.apache.spark.sql.DataFrame =
+    currentVersion("quantile_windows")
+      .map(v => spark.read.parquet(v.toString))
+      .getOrElse(QuantileSummary.summarizePerStream(spark.emptyDataset[Event], specOf, quantileK))
+
+  private def appendIncrementalQuantile(prepared: Dataset[Event]): Unit = {
+    val old = quantileWindows.persist()
+    try {
+      val baseCounts = old.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
+      val rebased = prepared.toDF()
+        .join(baseCounts.withColumnRenamed("n", "base"), Seq("streamId"), "left")
+        .select($"streamId", $"ts",
+          ($"seq" + coalesce($"base", lit(0L))).as("seq"), $"value")
+      // Aggregate at the POST-APPEND canonical partition, like the
+      // freq/sample paths: O(log n) sketch rows per stream that nest
+      // into every later partition; the KLL merge's error bounds add,
+      // so the maintained table stays within its certified contract
+      // whatever the merge history.
+      val newCounts = rebased.groupBy($"streamId").agg((max($"seq") + 1L).as("n"))
+      val delta = QuantileSummary.partialsAt(rebased, specOf, newCounts, quantileK)
+      val next =
+        if (mergeDue("quantile")) Compactor.recoarsenQuantile(old.unionByName(delta), specOf)
+        else old.unionByName(delta)
+      writeVersioned("quantile_windows",
+        next.write.mode(SaveMode.Overwrite).parquet(_))
+    } finally old.unpersist()
+  }
+
+  /** "p of [t0, t1]" per probe: (stream_id, p, est, rank_err, n) for
+    * one stream — O(log N) sketch rows read, estimate is an actual
+    * data value, rank_err the merged sketches' certified bound.
+    */
+  def rangeQuantiles(streamId: Long, probs: Seq[Double],
+      t0: Long = Long.MinValue, t1: Long = Long.MaxValue): Seq[(Double, Double, Long, Long)] = {
+    require(quantileEnabled, "call enableQuantileSummaries() first")
+    requireDeclared(streamId, "quantile")
+    QuantileSummary.rangeQuantiles(
+        quantileWindows.filter($"streamId" === streamId), probs, t0, t1)
+      .orderBy($"p")
+      .select($"p", $"est", $"rank_err", $"n")
+      .as[(Double, Double, Long, Long)]
+      .collect().toSeq
   }
 
   /** "Show me up to k events from [t0, t1]" — union the overlapping

@@ -64,4 +64,27 @@ class SampleSummaryDbSpec extends SparkSpec {
     // And both answer the same sample regardless of the merge history.
     assert(lzy.sampleEvents(9L, k = 8) == eager.sampleEvents(9L, k = 8))
   }
+
+  test("crash replay rebuilds the sample table instead of double-applying the batch") {
+    val crashDir = tmp("graft_sample_replay")
+    val db = SummaryDB.open(spark, crashDir)
+    db.enableSampleSummaries(k = 8)
+    db.appendOnce(0L, batch(0, 50))
+    db.appendOnce(1L, batch(50, 120))
+    // Crash window: batch 1's events and sample append are on disk but
+    // its commit marker is not — redelivery must rebuild from the WAL,
+    // not re-append (cs/ce bookkeeping would double-count and drift
+    // the partition off the canonical decay).
+    val marker = new java.io.File(s"$crashDir/commits/batch-1")
+    assert(marker.delete(), "commit marker should exist before simulated crash")
+    db.appendOnce(1L, batch(50, 120))
+
+    val clean = SummaryDB.open(spark, tmp("graft_sample_clean"))
+    clean.enableSampleSummaries(k = 8)
+    clean.appendOnce(0L, batch(0, 50))
+    clean.appendOnce(1L, batch(50, 120))
+    assert(table(db) == table(clean),
+      "replayed store's sample table must equal the crash-free store's (bit-for-bit)")
+    assert(db.sampleEvents(9L, k = 8) == clean.sampleEvents(9L, k = 8))
+  }
 }
