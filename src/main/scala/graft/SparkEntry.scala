@@ -477,6 +477,27 @@ object SparkEntry {
         .select($"doc_id", $"txt",
           when($"txt" === "", 0).otherwise(size(split($"txt", "\n"))).as("n_lines"))
     }),
+    // -- WARC round trip: documents → per-record-gzip WARC files (the
+    //    crawl-archive layout) → streaming record parse → HTTP body →
+    //    HTML extraction. The sink/reader pair must be lossless and
+    //    the extraction deterministic, so the oracle is a direct
+    //    replay on the documents table — any corruption in the binary
+    //    record framing, gzip members, or HTTP header parse breaks the
+    //    hash.
+    "q_warc" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warc_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d0 = new java.io.File(out)
+      if (d0.exists()) d0.listFiles().foreach(f =>
+        if (f.getName.startsWith("part-")) f.delete())
+      val pages = docs(s, dir).select(
+        concat(lit("http://corpus.test/"), $"doc_id").as("url"),
+        concat(lit("<html><body><h1>Doc "), $"doc_id", lit("</h1><p>"),
+          $"text", lit("</p></body></html>")).as("html"))
+      sources.WarcIO.writeResponses(pages.repartition(4, $"url"), out)
+      sources.WarcIO.toDocuments(s, out).select($"url", $"text".as("txt"))
+    }),
     // -- Auto-tuned quality cutoff: keep the corpus's upper half by
     //    quality score — the percentile threshold replaces a guessed
     //    absolute cutoff. Exact percentile here so DuckDB's
@@ -1273,6 +1294,12 @@ object SparkEntry {
         |  FROM e)
         |SELECT doc_id, array_to_string(ls, chr(10)) AS txt, len(ls)::INT AS n_lines
         |FROM l""".stripMargin,
+    // WARC round trip: the wrap is <h1>Doc N</h1><p>text</p>, both
+    // block tags, so extraction is exactly two lines.
+    "q_warc" ->
+      """SELECT 'http://corpus.test/' || doc_id AS url,
+        |'Doc ' || doc_id || chr(10) || text AS txt
+        |FROM documents""".stripMargin,
     // Semi-structured promotion: DuckDB's JSON extraction must agree
     // with the Spark-side inferred-schema from_json promotion.
     "q_props_agg" ->

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) crawl-archive source — the step before
+  * [[graft.ops.HtmlExtract]] in a real pretraining pipeline: Common
+  * Crawl and every in-house crawler deliver WARC, not JSONL. The
+  * reference has no sources at all (`/root/reference/core/stream.go:104`
+  * — `Append` is the only ingest); this exists for the pipeline's
+  * users.
+  *
+  * Scale shape: WARC files are NOT block-splittable — production
+  * archives are concatenated per-record gzip members, and a reader
+  * cannot seek to a member boundary inside a block — so the unit of
+  * parallelism is the FILE (the crawl convention: ~1 GB per file,
+  * thousands of files). `binaryFiles` gives one `PortableDataStream`
+  * per file per task; each record is parsed streaming with a hard
+  * `maxRecordBytes` cap, so executor memory is bounded by the largest
+  * admitted record, never the file. Java's `GZIPInputStream` reads
+  * concatenated members transparently, which is exactly the
+  * per-record-gzip layout.
+  *
+  * Corrupt-record discipline matches [[CorpusIO]]: a malformed record
+  * (bad header, missing Content-Length, oversize) is emitted with
+  * `_corrupt = true` and whatever fields parsed, and the parser
+  * resyncs on the next `WARC/` magic — one bad record never loses the
+  * rest of the file.
+  */
+object WarcIO {
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("http_status", IntegerType),
+    StructField("http_content_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("_corrupt", BooleanType)))
+
+  /** One parsed record; `payload` is the HTTP BODY for response
+    * records (headers consumed), the raw block otherwise.
+    */
+  final case class WarcRecord(
+      warcFile: String,
+      warcType: String,
+      recordId: String,
+      targetUri: String,
+      warcDate: String,
+      httpStatus: Option[Int],
+      httpContentType: String,
+      payload: Array[Byte],
+      corrupt: Boolean)
+
+  /** Read every record of every WARC file under `path` (gzip members
+    * handled transparently). One task per file — the WARC scale unit.
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      maxRecordBytes: Int = 64 * 1024 * 1024): DataFrame = {
+    val cap = maxRecordBytes
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        val raw = new BufferedInputStream(pds.open())
+        val in =
+          if (isGzip(raw)) new DataInputStream(new BufferedInputStream(new GZIPInputStream(raw)))
+          else new DataInputStream(raw)
+        recordIterator(file, in, cap)
+      }
+      .map(r => Row(r.warcFile, r.warcType, r.recordId, r.targetUri, r.warcDate,
+        r.httpStatus.map(Integer.valueOf).orNull, r.httpContentType, r.payload, r.corrupt))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** `response` records only, body decoded as UTF-8 text (the HTML
+    * path): (warc_file, target_uri, warc_date, http_status, html).
+    */
+  def readResponses(
+      spark: SparkSession,
+      path: String,
+      maxRecordBytes: Int = 64 * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path, maxRecordBytes)
+      .filter(col("warc_type") === "response" && !col("_corrupt"))
+      .select(col("warc_file"), col("target_uri"), col("warc_date"),
+        col("http_status"),
+        decode(col("payload"), "UTF-8").as("html"))
+  }
+
+  /** The full crawl-ingestion composition: WARC responses → HTML
+    * boilerplate extraction → (doc_id, url, fetch_date, text) ready
+    * for [[graft.ops.Curation]]. `doc_id` is the content hash
+    * ([[CorpusIO]]'s discipline: deterministic, identical fetches
+    * collapse).
+    */
+  def toDocuments(
+      spark: SparkSession,
+      path: String,
+      minWordsPerLine: Int = 1,
+      maxRecordBytes: Int = 64 * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readResponses(spark, path, maxRecordBytes)
+      .filter(col("http_status") === 200)
+      .select(
+        xxhash64(col("target_uri"), col("html")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetch_date"),
+        graft.ops.HtmlExtract.extractText(col("html"), minWordsPerLine).as("text"))
+  }
+
+  /** WARC sink: write each row as one `response` record (status 200,
+    * text/html), one file per partition under `outDir`
+    * (`part-<p>.warc.gz`, per-record gzip members — the crawl-archive
+    * layout [[read]] consumes). The export side of the crawl story:
+    * ship a curated corpus back out in the format crawl tooling
+    * expects. Deterministic bytes for deterministic input partitions
+    * (fixed date, record id = content hash), so a re-export of the
+    * same frame is byte-identical. Existing `part-*.warc.gz` files in
+    * `outDir` are overwritten.
+    */
+  def writeResponses(
+      df: DataFrame,
+      outDir: String,
+      urlCol: String = "url",
+      htmlCol: String = "html"): Unit = {
+    val urlC = urlCol; val htmlC = htmlCol
+    new java.io.File(outDir).mkdirs()
+    df.select(org.apache.spark.sql.functions.col(urlC).cast("string"),
+        org.apache.spark.sql.functions.col(htmlC).cast("string"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.FileOutputStream(s"$outDir/part-$pid.warc.gz")
+        try it.foreach { row =>
+          val url = row.getString(0); val html = row.getString(1)
+          if (url != null && html != null) {
+            val body = html.getBytes(StandardCharsets.UTF_8)
+            val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
+            val block = new Array[Byte](http.length + body.length)
+            System.arraycopy(http, 0, block, 0, http.length)
+            System.arraycopy(body, 0, block, http.length, body.length)
+            val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:hash:${java.lang.Long.toHexString(url.hashCode.toLong)}>\r\n" +
+              s"WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Target-URI: $url\r\n" +
+              s"Content-Length: ${block.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+            val gz = new GZIPOutputStream(f) { def finishMember(): Unit = finish() }
+            gz.write(head); gz.write(block)
+            gz.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+            gz.finishMember(); gz.flush()
+          }
+        } finally f.close()
+      }
+  }
+
+  // ------------------------------------------------------------ parser
+
+  private def isGzip(in: BufferedInputStream): Boolean = {
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    b0 == 0x1f && b1 == 0x8b
+  }
+
+  /** Streaming record iterator: reads headers line-wise, the block by
+    * its declared Content-Length, and resyncs on `WARC/` after any
+    * malformed record. Never holds more than one record.
+    */
+  private def recordIterator(
+      file: String,
+      in: DataInputStream,
+      cap: Int): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var nextRec: WarcRecord = _
+    private var done = false
+    advance()
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): WarcRecord = {
+      val r = nextRec; advance(); r
+    }
+
+    private def advance(): Unit = {
+      nextRec = null
+      while (nextRec == null && !done) {
+        try {
+          val version = skipToVersionLine()
+          if (version == null) { done = true; in.close() }
+          else nextRec = parseOne(version)
+        } catch {
+          case _: EOFException => done = true; in.close()
+        }
+      }
+    }
+
+    /** Read lines until a `WARC/x.y` line (resync) or EOF (null). */
+    private def skipToVersionLine(): String = {
+      var line = readLine(in)
+      while (line != null && !line.startsWith("WARC/")) line = readLine(in)
+      line
+    }
+
+    private def parseOne(version: String): WarcRecord = {
+      val headers = collection.mutable.Map.empty[String, String]
+      var line = readLine(in)
+      while (line != null && line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) headers(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
+        line = readLine(in)
+      }
+      val wtype = headers.getOrElse("warc-type", "")
+      val uri = headers.getOrElse("warc-target-uri", "")
+      val date = headers.getOrElse("warc-date", "")
+      val rid = headers.getOrElse("warc-record-id", "")
+      val lenOpt = headers.get("content-length").flatMap(s => s.toLongOption)
+      lenOpt match {
+        case None =>
+          WarcRecord(file, wtype, rid, uri, date, None, "", Array.emptyByteArray, corrupt = true)
+        case Some(len) if len > cap =>
+          // Oversize: skip the block (bounded memory), flag the record.
+          skipFully(in, len)
+          WarcRecord(file, wtype, rid, uri, date, None, "", Array.emptyByteArray, corrupt = true)
+        case Some(len) =>
+          val block = new Array[Byte](len.toInt)
+          in.readFully(block)
+          if (wtype == "response") parseHttp(file, rid, uri, date, block)
+          else WarcRecord(file, wtype, rid, uri, date, None,
+            headers.getOrElse("content-type", ""), block, corrupt = false)
+      }
+    }
+
+    private def parseHttp(
+        file: String, rid: String, uri: String, date: String,
+        block: Array[Byte]): WarcRecord = {
+      val sep = indexOfCrlfCrlf(block)
+      if (sep < 0)
+        return WarcRecord(file, "response", rid, uri, date, None, "", block, corrupt = true)
+      val head = new String(block, 0, sep, StandardCharsets.US_ASCII)
+      val lines = head.split("\r\n")
+      val status = lines.headOption
+        .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+      val ctype = lines.iterator.drop(1)
+        .map(_.split(":", 2)).collectFirst {
+          case Array(k, v) if k.trim.equalsIgnoreCase("content-type") => v.trim
+        }.getOrElse("")
+      val body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+      WarcRecord(file, "response", rid, uri, date, status, ctype, body,
+        corrupt = status.isEmpty)
+    }
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) { if (in.read() < 0) throw new EOFException; left -= 1 }
+      else left -= s
+    }
+  }
+
+  /** Read one CRLF (or bare-LF) terminated ASCII line; null at EOF
+    * before any byte. Header lines only — bodies go through readFully.
+    */
+  private def readLine(in: DataInputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+}
