@@ -477,6 +477,36 @@ object SparkEntry {
         .select($"doc_id", $"txt",
           when($"txt" === "", 0).otherwise(size(split($"txt", "\n"))).as("n_lines"))
     }),
+    // -- URL canonicalization: every document gets a deterministic
+    //    messy crawl URL (three grammars by doc_id%3: uppercase host +
+    //    default port + tracking params + fragment + trailing slash;
+    //    ccTLD second-level domain with a dropped-to-empty query;
+    //    already-canonical). The oracle constructs the EXPECTED
+    //    canonical form directly from the grammar — an independent
+    //    statement of the contract, not a replay of the normalizer.
+    "q_url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val url = when($"doc_id" % 3 === 0,
+          concat(lit("HTTP://WWW.Site"), $"doc_id" % 17, lit(".Example.COM:80/Path/"),
+            $"doc_id" % 5, lit("/?utm_source=feed&b="), $"doc_id" % 7, lit("&a=1#frag")))
+        .when($"doc_id" % 3 === 1,
+          concat(lit("https://sub.site"), $"doc_id" % 17, lit(".example.co.uk:443/p?gclid=x")))
+        .otherwise(
+          concat(lit("http://site"), $"doc_id" % 17, lit(".example.com/p/"), $"doc_id" % 5))
+      ops.UrlCuration.parse(docs(s, dir).select($"doc_id", url.as("url")))
+        .select($"doc_id", $"norm_url", $"domain")
+    }),
+    // -- Per-domain cap: at most 2 docs per registered domain, chosen
+    //    by the portable Knuth id hash — the oracle replays domain
+    //    construction and the (hash, id) window rank in SQL.
+    "q_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("http://sub"), $"doc_id" % 11, lit(".dom"), $"doc_id" % 7,
+        lit(".example"), $"doc_id" % 3, lit(".org/p"))
+      ops.UrlCuration.capPerDomain(
+          docs(s, dir).select($"doc_id", url.as("url")), k = 2)
+        .select($"doc_id")
+    }),
     // -- WARC round trip: documents → per-record-gzip WARC files (the
     //    crawl-archive layout) → streaming record parse → HTTP body →
     //    HTML extraction. The sink/reader pair must be lossless and
@@ -1294,6 +1324,30 @@ object SparkEntry {
         |  FROM e)
         |SELECT doc_id, array_to_string(ls, chr(10)) AS txt, len(ls)::INT AS n_lines
         |FROM l""".stripMargin,
+    // URL canonicalization: the expected canonical form constructed
+    // directly from the known URL grammar (ports/tracking/fragment/
+    // trailing slash resolved by hand), independent of the normalizer.
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://www.site' || (doc_id % 17) || '.example.com/Path/' ||
+        |      (doc_id % 5) || '?a=1&b=' || (doc_id % 7)
+        |    WHEN 1 THEN 'https://sub.site' || (doc_id % 17) || '.example.co.uk/p'
+        |    ELSE 'http://site' || (doc_id % 17) || '.example.com/p/' || (doc_id % 5)
+        |  END AS norm_url,
+        |  CASE doc_id % 3 WHEN 1 THEN 'example.co.uk' ELSE 'example.com' END AS domain
+        |FROM documents""".stripMargin,
+    // Per-domain cap: registered domain from the grammar + the Knuth
+    // hash rank replayed (the q_weighted_sample formula).
+    "q_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'example' || (doc_id % 3) || '.org' AS domain,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY domain ORDER BY hk, doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id FROM r WHERE rk <= 2""".stripMargin,
     // WARC round trip: the wrap is <h1>Doc N</h1><p>text</p>, both
     // block tags, so extraction is exactly two lines.
     "q_warc" ->

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-level curation — the crawl-metadata stages every web corpus
+  * runs BEFORE touching document text (C4 / RefinedWeb discipline):
+  * parse, canonicalize, URL-dedup (the same page fetched twice), and
+  * per-domain caps (no single site dominating the mixture). The
+  * reference has no notion of sources or URLs; this exists for the
+  * pipeline's users.
+  *
+  * Everything is codegen'd string expressions and one window per
+  * keyed stage — no UDFs, no driver state. Canonicalization is a
+  * deterministic, engine-portable rule set (each rule replayable in
+  * any RE2-capable SQL engine — that is what makes the hard DuckDB
+  * oracle `q_url_normalize` possible), NOT a full WHATWG parser:
+  * crawl URLs are messy and a total parse is the wrong contract; a
+  * canonical-form function must only be deterministic, idempotent,
+  * and collapse the equivalences that matter for dedup.
+  *
+  * Rules applied by [[normalizeUrl]], in order:
+  *   1. trim; strip the `#fragment`;
+  *   2. lowercase scheme and host (path/query stay case-sensitive);
+  *   3. strip explicit default ports (`:80` http, `:443` https);
+  *   4. drop tracking query params (`utm_*`, `fbclid`, `gclid`,
+  *      `msclkid`, `igshid`, `mc_eid`), sort the survivors, drop the
+  *      `?` if none survive;
+  *   5. collapse a trailing-slash-only path (`/` == empty).
+  */
+object UrlCuration {
+
+  /** Query params dropped by canonicalization (anchored match against
+    * `name=`). */
+  val TrackingParams = "utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid"
+
+  /** Second-level labels under which a 2-letter ccTLD hosts
+    * registrations (the pragmatic core of the public-suffix list —
+    * deterministic and engine-portable, documented as an
+    * approximation).
+    */
+  val SecondLevelLabels: Seq[String] = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+
+  private val schemeHostRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)"
+
+  /** Lowercased scheme (empty when the value is not a URL). */
+  def scheme(url: Column): Column = lower(regexp_extract(url, schemeHostRe, 1))
+
+  /** Lowercased host with any `:port` and credentials removed. */
+  def host(url: Column): Column = {
+    val authority = lower(regexp_extract(url, schemeHostRe, 2))
+    val noCreds = regexp_replace(authority, "^[^@]*@", "")
+    regexp_replace(noCreds, ":[0-9]*$", "")
+  }
+
+  /** Path component (may be empty; excludes query and fragment). */
+  def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string without the leading `?` (empty when absent). */
+  def query(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** The registered domain of a host: last two labels, or last three
+    * when the second-to-last is a [[SecondLevelLabels]] entry under a
+    * 2-letter ccTLD (`example.co.uk`). IPs and single-label hosts pass
+    * through whole.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val ls = split(hostCol, "\\.")
+    val n = size(ls)
+    val isIp = hostCol.rlike("^[0-9.]+$")
+    val sld = element_at(ls, -2)
+    val tld = element_at(ls, -1)
+    val three = concat_ws(".", element_at(ls, -3), sld, tld)
+    val two = concat_ws(".", sld, tld)
+    when(isIp || n <= 2, hostCol)
+      .when(length(tld) === 2 && sld.isin(SecondLevelLabels: _*) && n >= 3, three)
+      .otherwise(two)
+  }
+
+  /** Canonical URL form (rules in the object doc). Idempotent;
+    * non-URL values normalize to themselves trimmed of fragment.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val sch = scheme(noFrag)
+    val rawAuth = regexp_extract(noFrag, schemeHostRe, 2)
+    val h0 = lower(regexp_replace(rawAuth, "^[^@]*@", ""))
+    val h = when(sch === "http", regexp_replace(h0, ":80$", ""))
+      .when(sch === "https", regexp_replace(h0, ":443$", ""))
+      .otherwise(h0)
+    val p0 = path(noFrag)
+    val p = when(p0 === "/" || p0 === "", lit("")).otherwise(regexp_replace(p0, "/+$", ""))
+    val q0 = query(noFrag)
+    val kept = sort_array(filter(split(q0, "&"),
+      x => x =!= "" && !x.rlike(s"^($TrackingParams)=")))
+    val q = when(q0 === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(sch === "", noFrag).otherwise(concat(sch, lit("://"), h, p, q))
+  }
+
+  /** Add (norm_url, domain) for `urlCol`. */
+  def parse(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val n = normalizeUrl(col(urlCol))
+    df.withColumn("norm_url", n).withColumn("domain", registeredDomain(host(n)))
+  }
+
+  /** URL dedup: one row per canonical URL, keeping the minimum id —
+    * the same page fetched twice (tracking params, fragment, default
+    * port, trailing slash) collapses. One map-side-combinable shuffle
+    * on the normalized URL.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val withNorm = df.withColumn("__uc_norm", normalizeUrl(col(urlCol)))
+    // Keeper ids re-derived into a detached frame (fresh attribute ids)
+    // — joining a groupBy of the same frame back onto itself resolves
+    // the key equality to a trivially-true self-compare.
+    val keep = withNorm.select(col("__uc_norm").as("__uc_knorm"), col(idCol).as("__uc_kid"))
+      .groupBy(col("__uc_knorm"))
+      .agg(min(col("__uc_kid")).as("__uc_keep"))
+    withNorm
+      .join(keep, col("__uc_norm") === col("__uc_knorm") &&
+        col(idCol) === col("__uc_keep"), "left_semi")
+      .drop("__uc_norm")
+  }
+
+  /** Per-domain cap: keep at most `k` documents per registered domain,
+    * chosen DETERMINISTICALLY by the portable id hash (not arrival
+    * order, which is layout-dependent) — the "no single site dominates
+    * the corpus" rule. One shuffle on domain; ranking is a window, so
+    * a billion-doc domain never materializes a list.
+    */
+  def capPerDomain(
+      df: DataFrame, k: Int,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val withDom = df.withColumn("__uc_dom", registeredDomain(host(normalizeUrl(col(urlCol)))))
+    val w = Window.partitionBy(col("__uc_dom"))
+      .orderBy(Sampling.hashKey(idCol), col(idCol))
+    withDom
+      .withColumn("__uc_rank", row_number().over(w))
+      .filter(col("__uc_rank") <= k)
+      .drop("__uc_dom", "__uc_rank")
+  }
+}
