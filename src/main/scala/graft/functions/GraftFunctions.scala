@@ -39,6 +39,41 @@ object GraftFunctions {
 
     registerNativeCosine(spark)
     registerNativeNfc(spark)
+    registerComposed(spark)
+  }
+
+  /** Composed column expressions (chains of built-in codegen'd
+    * functions) exposed to SQL: `graft_html_text(html[, minWords])`,
+    * `graft_url_normalize(url)`, `graft_url_domain(url)`. These are
+    * NOT UDFs — the registry builder splices the same expression tree
+    * the Column API builds, so SQL callers get whole-stage codegen.
+    */
+  def registerComposed(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def define(name: String)(
+        build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.Column): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(
+          id.funcName, children => ColumnBridge.toExpression(build(children)), "built-in")
+    }
+    define("graft_html_text") { children =>
+      val minWords = children.lift(1) match {
+        case None => 1
+        case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft_html_text: minWords must be an integer literal, got $other")
+      }
+      graft.ops.HtmlExtract.extractText(ColumnBridge.toColumn(children.head), minWords)
+    }
+    define("graft_url_normalize") { children =>
+      graft.ops.UrlCuration.normalizeUrl(ColumnBridge.toColumn(children.head))
+    }
+    define("graft_url_domain") { children =>
+      graft.ops.UrlCuration.registeredDomain(
+        graft.ops.UrlCuration.host(
+          graft.ops.UrlCuration.normalizeUrl(ColumnBridge.toColumn(children.head))))
+    }
   }
 
   /** `graft_nfc(text)`: Unicode NFC normalization as a native codegen

@@ -35,4 +35,29 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().getLong(0)
     assert(cms == 1L)
   }
+
+  test("composed expression functions: html/url from pure SQL, no UDF in the plan") {
+    GraftFunctions.register(spark)
+    val html = spark.sql(
+      "SELECT graft_html_text('<html><script>x()</script><h1>Title Here</h1><p>body text</p></html>') AS t")
+      .head().getString(0)
+    assert(html == "Title Here\nbody text")
+    val htmlMin = spark.sql(
+      "SELECT graft_html_text('<ul><li>Nav</li></ul><p>three word line</p>', 3) AS t")
+      .head().getString(0)
+    assert(htmlMin == "three word line")
+    val norm = spark.sql(
+      "SELECT graft_url_normalize('HTTP://A.Test:80/p/?utm_source=x&z=1#f') AS u")
+      .head().getString(0)
+    assert(norm == "http://a.test/p?z=1")
+    val dom = spark.sql(
+      "SELECT graft_url_domain('https://www.blog.Example.co.uk/x') AS d")
+      .head().getString(0)
+    assert(dom == "example.co.uk")
+    // Expression splice, not a UDF: the physical plan must show no
+    // BatchEvalPython/ScalaUDF nodes for these calls.
+    val plan = spark.sql("SELECT graft_url_normalize('http://a.test/') AS u")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"composed fn compiled to a UDF:\n$plan")
+  }
 }
