@@ -99,6 +99,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed.forall { case (id, t) => expectedText(id) == t })
   }
 
+  test("HTML-extraction stage applies per micro-batch identically to batch (shared rowStages)") {
+    val shell = (id: Long, body: String) =>
+      s"<html><!-- $id --><script>track($id)</script><body><p>$body</p>" +
+        "<div class=\"nav\"><ul><li>Home</li></ul></div></body></html>"
+    val docs = corpus(
+      1L -> shell(1, "the quick brown fox jumps over the lazy dog again today"),
+      2L -> shell(2, "a completely different sentence with many common simple words here"),
+      3L -> shell(3, "third document text that should also survive the row filters fine"))
+    val htmlCfg = cfg.copy(htmlExtractMinWords = Some(3))
+
+    val batch = Curation.rowStages(docs, htmlCfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(batch.nonEmpty && batch.values.forall(t => !t.contains("<") && !t.contains("track")))
+    assert(!batch.values.exists(_.contains("Home")), "1-word nav line must be dropped at minWords=3")
+
+    val sc = new StreamingCuration(spark, tmp("graft_scur_html"), htmlCfg, None)
+    val streamed = Seq(docs.filter($"doc_id" <= 2), docs.filter($"doc_id" > 2))
+      .zipWithIndex
+      .flatMap { case (b, i) =>
+        sc.curateBatch(b, i.toLong).select("doc_id", "text").as[(Long, String)].collect()
+      }.toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, t) => assert(t == batch(id), s"doc $id text diverged") }
+  }
+
   test("exact duplicates are dropped across batches; first arrival survives") {
     val sc = new StreamingCuration(spark, tmp("graft_scur_exact"), cfg)
     val b0 = sc.curateBatch(corpus(1L -> base, 2L -> s"$base entirely different tail here"), 0L)
