@@ -44,6 +44,79 @@ object Bench {
       wl.count(); wsp.count(); wel.count()
     } catch { case _: Throwable => () } // warm-up must never fail the bench
 
+    // The scale check runs FIRST, on a clean heap: measured after the
+    // query phase it inherits ~90 persisted tables' memory pressure and
+    // the 100M-row point read 40x slower than in a clean session.
+    // Scale check (the "second scale point"): the same summarize path
+    // measured as ROWS/SEC at two sizes a decade apart, both large
+    // enough that fixed overhead (job scheduling, codegen lookup, JIT
+    // tiering — ~0.2 s on this box) is noise: a synthetic single
+    // stream at 10M vs 100M elements, and a real-events fleet at 5 vs
+    // 50 stream-shifted copies of the sfDir events. rate_ratio =
+    // rate_hi / rate_lo: ~1 means per-row cost holds across the
+    // decade (linear scaling); well below 1 is superlinearity the
+    // single-sf headline would mask. Time-ratio framing at small
+    // sizes was tried and discarded — a 1x point dominated by fixed
+    // overhead makes any ratio meaningless.
+    val scaleCheck: Option[String] = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
+      // noop write, not count(): count() over an Aggregate lets the
+      // optimizer drop the aggregate VALUE expressions (only groups
+      // are needed), and the measurement stops covering the real work.
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      // Both shapes warm up untimed (different sizes can compile
+      // different adaptive plans); timed figure = min of 2 samples,
+      // interleaved so machine noise can't land on one size only.
+      def pairTimed(runLo: () => Unit, runHi: () => Unit): (Double, Double) = {
+        runLo(); runHi()
+        def one(r: () => Unit): Double = {
+          val t0 = System.nanoTime(); r(); (System.nanoTime() - t0) / 1e9
+        }
+        val a = one(runLo); val b = one(runHi)
+        val c = one(runLo); val d = one(runHi)
+        (math.min(a, c), math.min(b, d))
+      }
+      def bigRun(n: Long): () => Unit = {
+        val events = spark.range(n)
+          .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))
+          .withColumn("streamId", lit(998L))
+          .as[graft.core.Event]
+        () => force(graft.core.Summarizer
+          .summarize(events, graft.windowing.ExponentialWindowing(2.0)).toDF())
+      }
+      val (bigN1, bigN2) = (10000000L, 100000000L)
+      val (bigLo, bigHi) = pairTimed(bigRun(bigN1), bigRun(bigN2))
+      val base = graft.core.Ingest.fromEventsTable(spark, sfDir).persist()
+      val baseRows = base.count()
+      def fleetRun(copies: Int): () => Unit = {
+        val ev = (0 until copies).map(i =>
+            base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
+          .reduce(_ unionByName _)
+        () => force(graft.core.Summarizer
+          .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).toDF())
+      }
+      val (fleetC1, fleetC2) = (5, 50)
+      val (fleetLo, fleetHi) = pairTimed(fleetRun(fleetC1), fleetRun(fleetC2))
+      base.unpersist()
+      val bigRateLo = bigN1 / bigLo; val bigRateHi = bigN2 / bigHi
+      val fleetRateLo = baseRows * fleetC1 / fleetLo
+      val fleetRateHi = baseRows * fleetC2 / fleetHi
+      Some(
+        s"""{"big_rows_per_sec_10m":${bigRateLo.toLong},""" +
+        s""""big_rows_per_sec_100m":${bigRateHi.toLong},""" +
+        s""""big_rate_ratio":${f"${bigRateHi / bigRateLo}%.2f"},""" +
+        s""""fleet_rows_per_sec_5x":${fleetRateLo.toLong},""" +
+        s""""fleet_rows_per_sec_50x":${fleetRateHi.toLong},""" +
+        s""""fleet_rate_ratio":${f"${fleetRateHi / fleetRateLo}%.2f"}}""")
+    } catch {
+      case e: Throwable =>
+        errors("__scale_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+
+
     // Pipeline materialization: events -> summary/landmark tables.
     // The headline ingest figure gets the SAME multi-sample treatment
     // as the per-query timings (r6's single sample read 95.6 s on a
@@ -163,56 +236,6 @@ object Bench {
       val secs = runs.map(_._1).sorted
       val sec = secs(1)
       (n / sec, runs.head._2, if (sec > 0) (secs(2) - secs(0)) / sec else 0.0)
-    }
-
-    // Scale check (the "second scale point"): the same summarize path
-    // at 1x and 10x rows, both synthetic single-stream (pure pipeline
-    // throughput) and real-events fleet (10 shifted copies of the
-    // sfDir events — 10x streams through the identical rank+summarize
-    // shuffle). A ratio near 10 is linear scaling; well above 10 means
-    // a fixed-overhead-masked superlinearity the single-sf bench would
-    // hide. Runs once per metric after one warm-up (these are ~seconds
-    // -scale measurements where the ratio, not the absolute, matters).
-    val scaleCheck: Option[String] = try {
-      import spark.implicits._
-      import org.apache.spark.sql.functions.lit
-      def bigRun(n: Long): Double = {
-        val events = spark.range(n)
-          .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))
-          .withColumn("streamId", lit(998L))
-          .as[graft.core.Event]
-        val t0 = System.nanoTime()
-        graft.core.Summarizer
-          .summarize(events, graft.windowing.ExponentialWindowing(2.0)).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      bigRun(1000000L) // warm-up
-      val big1 = bigRun(1000000L)
-      val big10 = bigRun(10000000L)
-      val base = graft.core.Ingest.fromEventsTable(spark, sfDir).persist()
-      base.count()
-      def fleetRun(copies: Int): Double = {
-        val ev = (0 until copies).map(i =>
-            base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
-          .reduce(_ unionByName _)
-        val t0 = System.nanoTime()
-        graft.core.Summarizer
-          .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      fleetRun(1) // warm-up
-      val fleet1 = fleetRun(1)
-      val fleet10 = fleetRun(10)
-      base.unpersist()
-      Some(
-        s"""{"big_sec_1x":$big1,"big_sec_10x":$big10,""" +
-        s""""big_ratio":${f"${big10 / big1}%.2f"},""" +
-        s""""fleet_sec_1x":$fleet1,"fleet_sec_10x":$fleet10,""" +
-        s""""fleet_ratio":${f"${fleet10 / fleet1}%.2f"}}""")
-    } catch {
-      case e: Throwable =>
-        errors("__scale_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        None
     }
 
     def jq(s: String): String = "\"" + s.flatMap {
