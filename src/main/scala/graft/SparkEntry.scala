@@ -477,6 +477,53 @@ object SparkEntry {
         .select($"doc_id", $"txt",
           when($"txt" === "", 0).otherwise(size(split($"txt", "\n"))).as("n_lines"))
     }),
+    // -- Funnel: view → click → purchase within 6h of the FIRST view,
+    //    greedy-earliest anchored-window semantics — the oracle
+    //    replays the step chain as correlated min-joins in SQL.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      ops.Funnel.funnel(
+          Ingest.eventsTableRaw(s, dir),
+          Seq("view", "click", "purchase"), 6L * 3600 * 1000000)
+        .select($"user_id", $"depth", $"t1")
+    }),
+    // -- Fuzzy (edit-distance) join: every part name gets a
+    //    deterministic one-character deletion (position = partkey mod
+    //    length); the deletion-neighborhood join must recover every
+    //    (probe, name) pair within distance 1 — the oracle recomputes
+    //    the full pair set with DuckDB's native levenshtein over the
+    //    (small) distinct cross product.
+    "q_fuzzy_join" -> ((s, dir) => {
+      import s.implicits._
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val pos = pmod($"p_partkey", length($"p_name")).cast("int")
+      val probes = part.select(
+        concat($"p_name".substr(lit(1), pos),
+          $"p_name".substr(pos + lit(2), lit(1000))).as("probe")).distinct()
+      val names = part.select($"p_name").distinct()
+      val r = ops.FuzzyJoin.editDistanceJoin(probes, names, "probe", "p_name", maxDist = 1)
+      r.pairs.select($"left_key".as("probe"), $"right_key".as("name"), $"dist")
+    }),
+    // -- JSONL round trip: documents → gzip JSONL export → permissive
+    //    corrupt-flagging reader. Field values with quotes/newlines
+    //    don't exist in the synthetic corpus, so the oracle is a
+    //    direct projection — the round trip must be lossless and
+    //    corruption-free or the hash breaks.
+    "q_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      sources.CorpusIO.writeJsonl(
+        docs(s, dir).select($"doc_id", $"text", $"lang", $"source"), out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
+      sources.CorpusIO.readJsonl(s, out, schema, idField = Some("doc_id"))
+        .filter(!$"_corrupt")
+        .select($"doc_id", $"text", $"lang", $"source")
+    }),
     // -- URL canonicalization: every document gets a deterministic
     //    messy crawl URL (three grammars by doc_id%3: uppercase host +
     //    default port + tracking params + fragment + trailing slash;
@@ -1324,6 +1371,35 @@ object SparkEntry {
         |  FROM e)
         |SELECT doc_id, array_to_string(ls, chr(10)) AS txt, len(ls)::INT AS n_lines
         |FROM l""".stripMargin,
+    // Funnel: the anchored-window step chain as correlated min-joins.
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.t) AS t2 FROM s1 JOIN e
+        |       ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       AND e.t > s1.t1 AND e.t <= s1.t1 + 21600000000 GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, min(e.t) AS t3 FROM s2 JOIN e
+        |       ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       AND e.t > s2.t2 AND e.t <= s2.t1 + 21600000000 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1,
+        |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |       WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // Fuzzy join: the same deterministic probes, then the exact pair
+    // set by brute-force levenshtein over the small distinct sets.
+    "q_fuzzy_join" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT
+        |    substr(p_name, 1, (p_partkey % length(p_name))::INT) ||
+        |    substr(p_name, (p_partkey % length(p_name))::INT + 2) AS probe
+        |  FROM part),
+        |names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT p.probe, n.p_name AS name, levenshtein(p.probe, n.p_name)::INT AS dist
+        |FROM probes p, names n
+        |WHERE levenshtein(p.probe, n.p_name) <= 1""".stripMargin,
+    // JSONL round trip: lossless by contract — plain projection.
+    "q_jsonl" ->
+      "SELECT doc_id, text, lang, source FROM documents",
     // URL canonicalization: the expected canonical form constructed
     // directly from the known URL grammar (ports/tracking/fragment/
     // trailing slash resolved by hand), independent of the normalizer.

@@ -211,6 +211,21 @@ object Ingest {
     * pinned to UTC.
     */
   def fromEventsTable(spark: SparkSession, sfDir: String): Dataset[Event] = {
+    val df = eventsTableRaw(spark, sfDir)
+    val raw = df.select(
+      col("user_id").as("streamId"),
+      col("ts_us").as("ts"),
+      col("value"),
+      col("event_id").as("arrival"))
+    prepare(raw)
+  }
+
+  /** The raw testdata `events` frame with every original column plus
+    * `ts_us` (event time in epoch micros, the same value DuckDB reads
+    * naively) — for operators that need non-Event columns
+    * (`event_type`, `props`) with normalized time.
+    */
+  def eventsTableRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     val tsMicros = df.schema("ts").dataType match {
@@ -221,11 +236,6 @@ object Ingest {
         unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_micros(col("ts"))
     }
-    val raw = df.select(
-      col("user_id").as("streamId"),
-      tsMicros.as("ts"),
-      col("value"),
-      col("event_id").as("arrival"))
-    prepare(raw)
+    df.withColumn("ts_us", tsMicros)
   }
 }

@@ -298,8 +298,17 @@ final class SummaryDB private (
 
   private def nextBatchStamp(): Long = {
     val eventsDir = new Path(p("events"))
-    if (!fs.exists(eventsDir)) 0L
-    else fs.listStatus(eventsDir).count(_.isDirectory).toLong
+    if (!fs.exists(eventsDir)) return 0L
+    val dirs = fs.listStatus(eventsDir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    // max(parsed tag suffix)+1 keeps the stamp monotone even after
+    // compactWal GC shrinks the dir count (a compact-N segment's N is
+    // the pre-compaction watermark, strictly above every bstamp it
+    // absorbed); the dir-count form is kept as a floor for any dir
+    // whose name carries no number.
+    val bySuffix = dirs
+      .flatMap(n => n.split("-").lastOption.flatMap(_.toLongOption))
+      .maxOption.map(_ + 1L).getOrElse(0L)
+    math.max(bySuffix, dirs.size.toLong)
   }
 
   private def appendTagged(
@@ -446,12 +455,88 @@ final class SummaryDB private (
     */
   private def committedEventDirs(includeTag: Option[String] = None): Seq[Path] = {
     val eventsDir = new Path(p("events"))
-    if (!fs.exists(eventsDir)) Seq.empty
-    else fs.listStatus(eventsDir).toSeq
+    if (!fs.exists(eventsDir)) return Seq.empty
+    // Tags absorbed into a compact segment are superseded the moment
+    // the segment's manifest-marker lands — skipped here even while
+    // their own dirs/markers still exist (GC is lazy), so no reader
+    // ever double-counts a batch mid-compaction.
+    val replaced = replacedTags()
+    fs.listStatus(eventsDir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
+      .filter(d => !replaced.contains(d.getName))
       .filter(d => includeTag.contains(d.getName) ||
         fs.exists(new Path(p("commits"), d.getName)))
+  }
+
+  /** Union of every compact manifest's replaced-tag list. */
+  private def replacedTags(): Set[String] = {
+    val commits = new Path(p("commits"))
+    if (!fs.exists(commits)) return Set.empty
+    fs.listStatus(commits).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("compact-"))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }
+      .filter(_.nonEmpty).toSet
+  }
+
+  /** Consolidate the committed WAL into one compact segment — the
+    * streaming-cadence hygiene call: a 1-minute-batch day leaves 1440
+    * tiny event dirs whose listing and footer reads tax every
+    * `readEvents`/`rawEvents`; after compaction one segment holds the
+    * same ROWS (per-row `bstamp` is data, so the derived arrival order
+    * is byte-identical) in `spark.sparkContext.defaultParallelism`
+    * files. Summaries and sketch tables are untouched — this is an IO
+    * layout change, not a semantic one.
+    *
+    * Crash-safe in both windows: a segment written but not yet
+    * manifested is an orphan no reader sees (no commit marker); once
+    * the manifest-marker lands, the replaced tags are superseded
+    * atomically and their dirs become garbage, collected lazily here
+    * (and by any later compaction) — a crash between manifest and GC
+    * only delays the deletes.
+    *
+    * Raw data is deliberately KEPT (consolidated, not truncated): the
+    * reference discards raw elements after decay, but this engine's
+    * landmark declarations over past data and crash-replay rebuilds
+    * re-read the WAL, and 100 TB pipelines treat the raw corpus as the
+    * system of record.
+    */
+  def compactWal(): Unit = withWriteLock {
+    gcReplacedDirs()
+    val dirs = committedEventDirs()
+    if (dirs.size < 2) return
+    val stamp = nextBatchStamp()
+    val tag = f"compact-$stamp%09d"
+    spark.read.parquet(dirs.map(_.toString): _*)
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .write.mode(SaveMode.Overwrite).parquet(s"${p("events")}/$tag")
+    // Manifest-marker: the compact segment's commit marker LISTS the
+    // tags it supersedes — one atomic create flips readers over.
+    fs.mkdirs(new Path(p("commits")))
+    val out = fs.create(new Path(p("commits"), tag), true)
+    try out.write(dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    gcReplacedDirs()
+    refreshRewriteRegistration()
+    refreshDistinctRegistration()
+    refreshFreqRegistration()
+  }
+
+  /** Delete superseded event dirs and their markers (never a compact
+    * manifest itself). Safe at any time after the manifest exists.
+    */
+  private def gcReplacedDirs(): Unit = {
+    val replaced = replacedTags()
+    replaced.foreach { t =>
+      try {
+        fs.delete(new Path(p("events"), t), true)
+        if (!t.startsWith("compact-")) fs.delete(new Path(p("commits"), t), false)
+      } catch { case _: Throwable => () } // retried by the next call
+    }
   }
 
   private def readEvents(includeTag: Option[String] = None): Dataset[Event] = {
