@@ -28,7 +28,11 @@ object StreamingFunnel {
   /** Per-user funnel progress: steps completed and the anchor time. */
   final case class Progress(userId: Long, depth: Int, t1: Long)
 
-  private final case class St(depth: Int, t1: Long, prev: Long)
+  /** Per-user fold state (3 longs, bounded). Must be public: Spark's
+    * generated state serializer (Janino) compiles against it and
+    * cannot see a `private` nested class.
+    */
+  final case class St(depth: Int, t1: Long, prev: Long)
 
   /** Continuous funnel over a (possibly batched) event stream.
     * `steps` and `windowMicros` as in [[graft.ops.Funnel.funnel]].
