@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, DataInputStream, EOFException, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{CRC32, Deflater, GZIPInputStream}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -131,32 +131,90 @@ object WarcIO {
       urlCol: String = "url",
       htmlCol: String = "html"): Unit = {
     val urlC = urlCol; val htmlC = htmlCol
-    new java.io.File(outDir).mkdirs()
+    // Cluster-real output: all paths go through the Hadoop FileSystem
+    // for `outDir`'s scheme (HDFS/S3A/local alike), never java.io —
+    // a task writing java.io.File lands on the EXECUTOR's local disk.
+    val hconf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
     df.select(org.apache.spark.sql.functions.col(urlC).cast("string"),
         org.apache.spark.sql.functions.col(htmlC).cast("string"))
       .foreachPartition { (it: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.FileOutputStream(s"$outDir/part-$pid.warc.gz")
+        val part = new org.apache.hadoop.fs.Path(outDir, s"part-$pid.warc.gz")
+        val fs = part.getFileSystem(hconf.value)
+        val out = new java.io.BufferedOutputStream(fs.create(part, true), 1 << 16)
+        // ONE Deflater per partition, reset per member, end()ed in
+        // finally — a GZIPOutputStream per record leaks one native
+        // Deflater per record (finish() does not release it).
+        val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new CRC32()
+        val buf = new Array[Byte](1 << 16)
         try it.foreach { row =>
           val url = row.getString(0); val html = row.getString(1)
           if (url != null && html != null) {
             val body = html.getBytes(StandardCharsets.UTF_8)
             val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
               s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.US_ASCII)
-            val block = new Array[Byte](http.length + body.length)
-            System.arraycopy(http, 0, block, 0, http.length)
-            System.arraycopy(body, 0, block, http.length, body.length)
             val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
               s"WARC-Record-ID: <urn:hash:${java.lang.Long.toHexString(url.hashCode.toLong)}>\r\n" +
               s"WARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Target-URI: $url\r\n" +
-              s"Content-Length: ${block.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
-            val gz = new GZIPOutputStream(f) { def finishMember(): Unit = finish() }
-            gz.write(head); gz.write(block)
-            gz.write("\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
-            gz.finishMember(); gz.flush()
+              s"Content-Length: ${http.length + body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+            val member = new java.io.ByteArrayOutputStream(
+              head.length + http.length + body.length + 4)
+            member.write(head); member.write(http); member.write(body)
+            member.write('\r'); member.write('\n'); member.write('\r'); member.write('\n')
+            writeGzipMember(out, defl, crc, buf, member.toByteArray)
           }
-        } finally f.close()
+        } finally {
+          defl.end()
+          out.close()
+        }
       }
+  }
+
+  /** Hadoop `Configuration` is Writable, not Serializable; this is the
+    * standard closure-capture wrapper (write/readFields round trip).
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Fixed 10-byte gzip member header (RFC 1952): deflate, no flags,
+    * MTIME pinned to 0 so exports are byte-deterministic, OS unknown.
+    */
+  private val GzipMemberHeader = Array[Byte](
+    0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Write `data` as one complete gzip member, reusing the caller's
+    * Deflater (raw/nowrap mode) and CRC32 across members.
+    */
+  private def writeGzipMember(
+      out: OutputStream, defl: Deflater, crc: CRC32,
+      buf: Array[Byte], data: Array[Byte]): Unit = {
+    out.write(GzipMemberHeader)
+    defl.reset(); defl.setInput(data); defl.finish()
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    crc.reset(); crc.update(data)
+    writeIntLE(out, crc.getValue.toInt)
+    writeIntLE(out, data.length) // ISIZE mod 2^32
+  }
+
+  private def writeIntLE(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
   }
 
   // ------------------------------------------------------------ parser
@@ -193,7 +251,19 @@ object WarcIO {
           if (version == null) { done = true; in.close() }
           else nextRec = parseOne(version)
         } catch {
-          case _: EOFException => done = true; in.close()
+          case _: java.io.IOException =>
+            // A clean end never throws (readLine returns null at EOF),
+            // so ANY IOException here — EOFException from a truncated
+            // record body, ZipException/"unexpected end of ZLIB" from
+            // a corrupt or chopped gzip tail — means data was lost and
+            // the stream cannot advance (a retry would throw at the
+            // same position). Close out the file: records already
+            // emitted survive, and one corrupt marker row records that
+            // the tail was lost.
+            done = true
+            try in.close() catch { case _: java.io.IOException => () }
+            nextRec = WarcRecord(file, "", "", "", "", None, "",
+              Array.emptyByteArray, corrupt = true)
         }
       }
     }
@@ -220,6 +290,11 @@ object WarcIO {
       val lenOpt = headers.get("content-length").flatMap(s => s.toLongOption)
       lenOpt match {
         case None =>
+          WarcRecord(file, wtype, rid, uri, date, None, "", Array.emptyByteArray, corrupt = true)
+        case Some(len) if len < 0 =>
+          // A hostile "Content-Length: -1" must not reach the array
+          // allocation below — flag it and resync like the other
+          // malformed-header cases.
           WarcRecord(file, wtype, rid, uri, date, None, "", Array.emptyByteArray, corrupt = true)
         case Some(len) if len > cap =>
           // Oversize: skip the block (bounded memory), flag the record.

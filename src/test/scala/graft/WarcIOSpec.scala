@@ -149,6 +149,48 @@ class WarcIOSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("negative Content-Length is flagged corrupt; parser resyncs on the next record") {
+    val dir = tmpDir()
+    writeFile(dir, "g.warc", Seq(
+      record("response", "http://neg.test/", httpResponse("<p>evil</p>"),
+        contentLength = Some(-1L)),
+      record("response", "http://after.test/", httpResponse("<p>survives</p>"))))
+    val df = WarcIO.read(spark, dir).cache()
+    assert(df.filter($"_corrupt" && $"target_uri" === "http://neg.test/").count() == 1)
+    val good = df.filter(!$"_corrupt" && $"warc_type" === "response").collect()
+    assert(good.exists(_.getAs[String]("target_uri") == "http://after.test/"))
+    df.unpersist()
+  }
+
+  test("truncated gzip tail: earlier records survive, one corrupt marker for the lost tail") {
+    val dir = tmpDir()
+    val full = new ByteArrayOutputStream()
+    Seq(
+      record("response", "http://ok.test/1", httpResponse("<p>whole record</p>")),
+      record("response", "http://ok.test/2", httpResponse("<p>second whole</p>"))
+    ).foreach { p =>
+      val gz = new GZIPOutputStream(full) { def finishOnly(): Unit = finish() }
+      gz.write(p); gz.finishOnly(); gz.flush()
+    }
+    val bytes = full.toByteArray
+    // Chop the second member mid-stream: corrupt gzip, not clean EOF.
+    val f = new FileOutputStream(s"$dir/h.warc.gz")
+    try f.write(bytes, 0, bytes.length - 7) finally f.close()
+    val df = WarcIO.read(spark, dir).cache()
+    assert(df.filter(!$"_corrupt" && $"target_uri" === "http://ok.test/1").count() == 1)
+    assert(df.filter($"_corrupt").count() == 1, "lost tail leaves a corrupt marker row")
+    df.unpersist()
+  }
+
+  test("writeResponses goes through the Hadoop FileSystem (file:// URI path)") {
+    val dir = tmpDir()
+    val pages = Seq(("http://fs.test/x", "<p>through hadoop fs</p>")).toDF("url", "html")
+    WarcIO.writeResponses(pages, s"file://$dir")
+    val back = WarcIO.readResponses(spark, dir)
+      .select($"target_uri", $"html").as[(String, String)].collect().toSeq
+    assert(back == Seq(("http://fs.test/x", "<p>through hadoop fs</p>")))
+  }
+
   test("non-ASCII body bytes survive the binary payload path") {
     val dir = tmpDir()
     val body = "<p>café über words</p>"
