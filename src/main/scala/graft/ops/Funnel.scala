@@ -90,6 +90,9 @@ object Funnel {
     // plan as the BroadcastNestedLoopJoin shape PlanAuditSpec forbids).
     val exact = f.groupBy($"depth".as("__fn_d")).agg(count(lit(1)).as("__fn_n"))
     val depths = spark.range(1, steps.size + 1L).select($"id".cast("int").as("depth"))
+    // Deliberately partition-less: the frame at this point is exactly
+    // K rows (one per funnel step), so the single-partition WindowExec
+    // Spark warns about is a K-row sort, not a scale hazard.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"depth".desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -80,15 +80,21 @@ object FuzzyJoin {
     val lv = variants(left, leftCol, "left_key")
     val rv = variants(right, rightCol, "right_key")
 
-    // Bucket sizes on the smaller-alphabet side guard the blowup; a
-    // bucket is dropped only when the LEFT side alone exceeds the cap
-    // (the right side joins against surviving keys).
-    val bucketSizes = lv.groupBy($"__fz_key").agg(count(lit(1)).as("__fz_n"))
-    val dropped = bucketSizes.where($"__fz_n" > maxBucket)
+    // A degenerate bucket on EITHER side makes the candidate join
+    // quadratic (e.g. the empty-string variant of len <= k keys can be
+    // huge on the right even when rare on the left), so the cap is
+    // enforced per side and a bucket over it on either side is dropped
+    // from both. The dropped set is tiny by construction (only buckets
+    // past the cap), so both anti-joins broadcast.
+    def oversize(v: DataFrame): DataFrame =
+      v.groupBy($"__fz_key").agg(count(lit(1)).as("__fz_n"))
+        .where($"__fz_n" > maxBucket).select($"__fz_key")
+    val dropped = oversize(lv).union(oversize(rv)).distinct()
     val droppedCount = dropped.count()
-    val keptL = lv.join(dropped.select($"__fz_key"), Seq("__fz_key"), "left_anti")
+    val keptL = lv.join(broadcast(dropped), Seq("__fz_key"), "left_anti")
+    val keptR = rv.join(broadcast(dropped), Seq("__fz_key"), "left_anti")
 
-    val pairs = keptL.join(rv, "__fz_key")
+    val pairs = keptL.join(keptR, "__fz_key")
       .select($"left_key", $"right_key").distinct()
       .withColumn("dist", levenshtein($"left_key", $"right_key"))
       .where($"dist" <= k)

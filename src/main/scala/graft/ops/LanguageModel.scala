@@ -86,16 +86,20 @@ object LanguageModel {
       docs: DataFrame,
       vocab: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1: $maxVocab")
     val spark = docs.sparkSession
     import spark.implicits._
     // Bounded collect: [[vocabulary]] caps its output, but `vocab` is
     // caller-provided — limit BEFORE the collect so an uncapped frame
-    // fails loudly after O(DefaultMaxVocab) rows, never after 10^9.
+    // fails loudly after O(maxVocab) rows, never after 10^9. The cap
+    // is the CALLER's maxVocab, so a vocabulary built with an explicit
+    // larger cap scores with that same cap rather than tripping here.
     val rows = vocab.select(col("token"), col("cnt").cast("long"))
-      .limit(DefaultMaxVocab + 1).as[(String, Long)].collect()
-    require(rows.length <= DefaultMaxVocab,
-      s"vocab exceeds $DefaultMaxVocab rows; cap it (LanguageModel.vocabulary(maxVocab = ...))")
+      .limit(maxVocab + 1).as[(String, Long)].collect()
+    require(rows.length <= maxVocab,
+      s"vocab exceeds $maxVocab rows; cap it (LanguageModel.vocabulary(maxVocab = ...))")
     val total = rows.iterator.map(_._2).sum
     val v = rows.length.toLong
     val bc = spark.sparkContext.broadcast(rows.toMap)
@@ -134,7 +138,7 @@ object LanguageModel {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxVocab: Int = DefaultMaxVocab): DataFrame =
-    scoreDocs(docs, vocabulary(docs, minCount, textCol, maxVocab), idCol, textCol)
+    scoreDocs(docs, vocabulary(docs, minCount, textCol, maxVocab), idCol, textCol, maxVocab)
 
   /** Documents whose perplexity falls within [lo, hi] — the CCNet-style
     * band filter (too low = boilerplate/repetition, too high =

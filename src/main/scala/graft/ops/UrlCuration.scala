@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *   4. drop tracking query params (`utm_*`, `fbclid`, `gclid`,
   *      `msclkid`, `igshid`, `mc_eid`), sort the survivors, drop the
   *      `?` if none survive;
-  *   5. collapse a trailing-slash-only path (`/` == empty).
+  *   5. strip ALL trailing slashes from the path (`/a//` == `/a`,
+  *      `/` == empty). Deliberately broader than RFC 3986 equivalence
+  *      (`/a/` and `/a` are distinct URLs): this is a DEDUP canonical
+  *      form, and crawlers meet both spellings of the same page.
   */
 object UrlCuration {
 
@@ -80,6 +83,74 @@ object UrlCuration {
       .otherwise(two)
   }
 
+  // ------------------------------------------------- public suffix list
+
+  /** Parsed public-suffix rules (publicsuffix.org semantics): plain
+    * rules, `*.` wildcards, `!` exceptions — comments and blanks
+    * skipped. The real list is ~10k rules, so it broadcasts as a set.
+    */
+  private[graft] final case class PslRules(
+      exact: Set[String], wildcard: Set[String], exception: Set[String])
+
+  private[graft] object PslRules {
+    def parse(lines: Seq[String]): PslRules = {
+      val clean = lines.iterator.map(_.trim.toLowerCase)
+        .filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      PslRules(
+        exact = clean.filterNot(l => l.startsWith("*.") || l.startsWith("!")).toSet,
+        wildcard = clean.filter(_.startsWith("*.")).map(_.drop(2)).toSet,
+        exception = clean.filter(_.startsWith("!")).map(_.drop(1)).toSet)
+    }
+  }
+
+  /** Registered domain per the full PSL algorithm: longest matching
+    * rule wins, `*.suffix` matches one extra label, `!rule` names the
+    * registrable domain directly; the registered domain is the public
+    * suffix plus one label. Hosts matching no rule fall back to the
+    * built-in heuristic of [[registeredDomain]].
+    */
+  private[graft] def pslRegisteredDomain(host: String, r: PslRules): String = {
+    if (host == null) return null
+    val h = host.toLowerCase
+    if (h.matches("^[0-9.]+$")) return h
+    val labels = h.split('.')
+    if (labels.isEmpty) return h
+    var ps = -1 // label count of the longest matching public suffix
+    var len = 1
+    while (len <= labels.length) {
+      val suffix = labels.takeRight(len).mkString(".")
+      if (r.exception.contains(suffix)) return suffix
+      if (r.exact.contains(suffix)) ps = len
+      if (len >= 2 && r.wildcard.contains(labels.takeRight(len - 1).mkString(".")))
+        ps = len
+      len += 1
+    }
+    if (ps < 0) { // no rule: built-in heuristic, same shape as the Column form
+      if (labels.length <= 2) h
+      else {
+        val tld = labels.last
+        val sld = labels(labels.length - 2)
+        if (tld.length == 2 && SecondLevelLabels.contains(sld)) labels.takeRight(3).mkString(".")
+        else labels.takeRight(2).mkString(".")
+      }
+    }
+    else if (ps >= labels.length) h // the host IS a public suffix
+    else labels.takeRight(ps + 1).mkString(".")
+  }
+
+  /** [[registeredDomain]] with a user-supplied public-suffix list, so
+    * multi-tenant hosts (`alice.github.io`, `bob.blogspot.com`) group
+    * per tenant instead of per provider. The rules broadcast as a set
+    * and resolve in a scalar lookup — a join against a ~10k-row rule
+    * table would shuffle the corpus for what is a dimension lookup.
+    */
+  def registeredDomain(hostCol: Column, psl: Seq[String]): Column = {
+    require(psl.nonEmpty, "empty public-suffix list; use registeredDomain(host) instead")
+    val rules = PslRules.parse(psl)
+    val f = udf((h: String) => pslRegisteredDomain(h, rules))
+    f(hostCol)
+  }
+
   /** Canonical URL form (rules in the object doc). Idempotent;
     * non-URL values normalize to themselves trimmed of fragment.
     */
@@ -101,10 +172,13 @@ object UrlCuration {
     when(sch === "", noFrag).otherwise(concat(sch, lit("://"), h, p, q))
   }
 
-  /** Add (norm_url, domain) for `urlCol`. */
-  def parse(df: DataFrame, urlCol: String = "url"): DataFrame = {
+  /** Add (norm_url, domain) for `urlCol`. A non-empty `psl` switches
+    * the domain to the full public-suffix algorithm.
+    */
+  def parse(df: DataFrame, urlCol: String = "url", psl: Seq[String] = Nil): DataFrame = {
     val n = normalizeUrl(col(urlCol))
-    df.withColumn("norm_url", n).withColumn("domain", registeredDomain(host(n)))
+    val dom = if (psl.isEmpty) registeredDomain(host(n)) else registeredDomain(host(n), psl)
+    df.withColumn("norm_url", n).withColumn("domain", dom)
   }
 
   /** URL dedup: one row per canonical URL, keeping the minimum id —
@@ -134,9 +208,12 @@ object UrlCuration {
     */
   def capPerDomain(
       df: DataFrame, k: Int,
-      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+      urlCol: String = "url", idCol: String = "doc_id",
+      psl: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val withDom = df.withColumn("__uc_dom", registeredDomain(host(normalizeUrl(col(urlCol)))))
+    val h = host(normalizeUrl(col(urlCol)))
+    val dom = if (psl.isEmpty) registeredDomain(h) else registeredDomain(h, psl)
+    val withDom = df.withColumn("__uc_dom", dom)
     val w = Window.partitionBy(col("__uc_dom"))
       .orderBy(Sampling.hashKey(idCol), col(idCol))
     withDom

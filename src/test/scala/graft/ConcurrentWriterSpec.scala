@@ -75,6 +75,35 @@ class ConcurrentWriterSpec extends SparkSpec {
     assert(db1.summaryWindows.filter($"streamId" === 3L).count() > 0)
   }
 
+  test("crashed writer mid-swap: stale lock + uncommitted version, full recovery") {
+    val dir = freshDir()
+    val db1 = SummaryDB.open(spark, dir)
+    db1.append(events(6))
+    val committed = db1.summaryWindows.count()
+    // Simulate a writer that died between writing a new version and its
+    // _SUCCESS marker: an uncommitted version dir AND its stale lock.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$dir/summary_windows__v${System.currentTimeMillis() + 1}")
+    fs.mkdirs(junk)
+    val part = fs.create(new org.apache.hadoop.fs.Path(junk, "part-00000.parquet"), false)
+    part.write("not parquet".getBytes("UTF-8")); part.close() // no _SUCCESS
+    val lock = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_writer.lock"), false)
+    lock.write("crashed pid=0 at=0".getBytes("UTF-8")); lock.close()
+    // Readers resolve only complete versions: the torn one is invisible.
+    assert(SummaryDB.open(spark, dir).summaryWindows.count() == committed)
+    // Writes fail loudly until the documented recovery step...
+    intercept[IllegalStateException] { db1.append(events(4, sid = 2L)) }
+    assert(SummaryDB.breakLock(spark, dir))
+    // ...after which the next write succeeds and supersedes the torn
+    // version (its stamp is monotonic past the junk dir's).
+    db1.append(events(4, sid = 2L))
+    val db2 = SummaryDB.open(spark, dir)
+    assert(db2.summaryWindows.select("streamId").distinct().count() == 2)
+    assert(db2.summaryWindows.count() > committed)
+  }
+
   test("mutating entry points all take the lock") {
     val dir = freshDir()
     val db1 = SummaryDB.open(spark, dir)

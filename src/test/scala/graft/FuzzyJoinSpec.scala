@@ -86,6 +86,21 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(r.droppedBuckets >= 1L)
   }
 
+  test("right-side degenerate bucket is capped too (not just the left)") {
+    // Left is a single short key; the blowup lives entirely on the
+    // RIGHT: 300 keys sharing the variant "stem". A left-only cap
+    // would join 1 x 300 through that bucket; the per-side cap drops
+    // it from both sides and reports it.
+    val left = Seq("stemX").toDF("a")
+    val right = (0 until 300).map(i => s"stem${(0x100 + i).toChar}").toDF("b")
+    val r = FuzzyJoin.editDistanceJoin(left, right, "a", "b", maxDist = 1, maxBucket = 64)
+    assert(r.droppedBuckets >= 1L)
+    // Pairs may only survive via a non-degenerate shared variant; the
+    // shared-"stem" route is closed, and "stemX" shares no other
+    // variant with any right key, so the result is empty.
+    assert(r.pairs.count() == 0)
+  }
+
   test("null keys are ignored, not erroring or matching") {
     val probes = Seq(Some("abc"), None).toDF("a")
     val cat = Seq("abc").toDF("b")

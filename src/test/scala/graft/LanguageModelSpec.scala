@@ -48,6 +48,25 @@ class LanguageModelSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("an explicit maxVocab above the default threads through to scoring") {
+    // Regression: scoreDocs used to re-cap at DefaultMaxVocab, so any
+    // caller asking for a LARGER vocabulary always threw. The cap must
+    // follow the caller's maxVocab end-to-end.
+    val docs = toDocs(Seq((1L, "a b c"), (2L, "a b")))
+    val wide = LanguageModel.perplexityScores(
+      docs, minCount = 1, maxVocab = LanguageModel.DefaultMaxVocab + 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val default = LanguageModel.perplexityScores(docs, minCount = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(wide == default, "tiny corpus is cap-invariant once the cap threads through")
+    // And scoreDocs with a caller vocab sized between the default and
+    // the explicit cap is accepted when that cap is passed.
+    val v = LanguageModel.vocabulary(docs, minCount = 1,
+      maxVocab = LanguageModel.DefaultMaxVocab + 10)
+    LanguageModel.scoreDocs(docs, v,
+      maxVocab = LanguageModel.DefaultMaxVocab + 10).collect()
+  }
+
   test("scoreDocs: hand-computed Laplace unigram on a tiny corpus") {
     val docs = toDocs(Seq((1L, "a a b"), (2L, "a b c")))
     // vocab (minCount=1): a->3, b->2, c->1; total=6, V=3, denom=10.

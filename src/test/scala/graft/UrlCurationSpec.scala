@@ -106,4 +106,40 @@ class UrlCurationSpec extends SparkSpec {
       .select("norm_url", "domain").as[(String, String)].head()
     assert(out == ("http://www.x.example.org/a", "example.org"))
   }
+
+  test("PSL rules: plain, wildcard, exception, longest-match, fallback") {
+    val r = UrlCuration.PslRules.parse(Seq(
+      "// comment", "", "com", "uk", "co.uk", "github.io",
+      "*.ck", "!www.ck"))
+    def d(h: String) = UrlCuration.pslRegisteredDomain(h, r)
+    assert(d("alice.github.io") == "alice.github.io", "multi-tenant host groups per tenant")
+    assert(d("deep.alice.github.io") == "alice.github.io")
+    assert(d("example.co.uk") == "example.co.uk", "longest rule (co.uk) beats uk")
+    assert(d("a.example.co.uk") == "example.co.uk")
+    assert(d("example.com") == "example.com")
+    assert(d("anything.wild.ck") == "anything.wild.ck", "*.ck makes wild.ck a public suffix")
+    assert(d("www.ck") == "www.ck", "exception rule names the registrable domain")
+    assert(d("sub.www.ck") == "www.ck")
+    assert(d("github.io") == "github.io", "a bare public suffix passes through whole")
+    assert(d("x.example.de") == "example.de", "no rule for de -> built-in heuristic")
+    assert(d("x.example.co.jp") == "example.co.jp", "fallback keeps the ccTLD SLD rule")
+    assert(d("127.0.0.1") == "127.0.0.1")
+    assert(d(null) == null)
+  }
+
+  test("capPerDomain with a PSL caps multi-tenant hosts per tenant") {
+    val psl = Seq("com", "io", "github.io")
+    // 6 docs across 3 github.io tenants; without the PSL they all share
+    // registered domain github.io and k=2 keeps only 2.
+    val df = (0L until 6L).map(i =>
+      (i, s"http://tenant${i % 3}.github.io/page$i")).toDF("doc_id", "url")
+    val without = UrlCuration.capPerDomain(df, k = 2)
+    assert(without.count() == 2)
+    val withPsl = UrlCuration.capPerDomain(df, k = 2, psl = psl)
+    assert(withPsl.count() == 6, "three tenants, 2 docs each, all under the cap")
+    // parse() exposes the same switch.
+    val doms = UrlCuration.parse(df, psl = psl)
+      .select("domain").distinct().as[String].collect().sorted.toSeq
+    assert(doms == Seq("tenant0.github.io", "tenant1.github.io", "tenant2.github.io"))
+  }
 }
