@@ -245,16 +245,31 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"${jq(k)}:${f"$v%.4f"}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    // The harness that captures this line keeps only its LAST ~2000
+    // characters, which used to leave nothing but the spread map
+    // visible — per-query SPREADS were then read as per-query TIMES
+    // (a 0.03 "time" for a 10 s k-means query). Two defenses: the
+    // full JSON also goes to bench_full.json next to the run, and the
+    // tail end of the line carries a queries_slowest map with the
+    // real timings that matter for regression reading.
+    val slowest = timings.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"${jq(k)}:${f"$v%.3f"}" }.mkString("{", ",", "}")
     val total = ingestSec + timings.values.sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,""" +
+      s""""queries_slowest":$slowest,""" +
       s""""errors":$es,"ingest_sec":$ingestSec,"ingest_spread":${f"$ingestSpread%.4f"},""" +
       s""""ingest_rows_per_sec":$rowsPerSec,""" +
       s""""raw_rows":$rawRows,"summary_windows":$windowRows,"compression_ratio":$compression,""" +
       s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +
       s""""big_stream_spread":${f"$bigSpread%.4f"},""" +
       scaleCheck.map(sc => s""""scale_check":$sc,""").getOrElse("") +
-      s""""sf":${jq(sfDir)}}""")
+      s""""sf":${jq(sfDir)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // reporting must never fail the bench
+    println(line)
     spark.stop()
   }
 }

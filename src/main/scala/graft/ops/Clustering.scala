@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * Determinism by construction, not by seed luck: initial centers are
   * the embeddings of the k ids that sort first under the portable
   * [[Sampling.hashKey]] order (a reproducible pseudo-random draw), and
-  * Lloyd iterations run a FIXED number of rounds — identical clusters
-  * on every run, partitioning, and cluster size, which is what makes
-  * IVF recall testable as a hard contract.
+  * Lloyd iterations run at most `iters` rounds with a convergence
+  * early-exit — the round stops when no center moved more than
+  * `convergeEps` (L-inf over the collected centers, a pure function of
+  * the data, so the stopping round is itself deterministic). Identical
+  * clusters on every run, partitioning, and cluster size, which is
+  * what makes IVF recall testable as a hard contract.
   *
   * Scale shape per iteration: centers broadcast (k * dim doubles),
   * assignment is one map over the corpus, recomputation is one
@@ -29,7 +32,8 @@ object Clustering {
       k: Int,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+      vecCol: String = "embedding",
+      convergeEps: Double = 1e-7): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1 && iters >= 0, s"k >= 1, iters >= 0: $k, $iters")
     val spark = embs.sparkSession
     import spark.implicits._
@@ -45,62 +49,49 @@ object Clustering {
       .collect()
       .map(Similarity.unit)
 
-    def assign(cs: Array[Array[Double]]): DataFrame = {
-      val bc = spark.sparkContext.broadcast(cs)
-      val nearest = udf { (v: Seq[Float]) =>
-        val cs = bc.value
-        var best = 0
-        var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val center = cs(c)
-          var dot = 0.0; var nv = 0.0
-          val n = math.min(center.length, v.length)
-          var i = 0
-          while (i < n) { dot += center(i) * v(i); nv += v(i).toDouble * v(i); i += 1 }
-          val s = if (nv == 0) 0.0 else dot / math.sqrt(nv) // centers are unit
-          if (s > bestScore) { bestScore = s; best = c }
-          c += 1
-        }
-        best
-      }
-      corpus.withColumn("cluster", nearest($"v"))
-    }
+    // Native codegen'd assignment kernel (see [[graft.functions
+    // .NearestCentroid]]): same scoring as the original UDF bit for
+    // bit, minus the per-row Seq[Float] conversion the UDF paid on the
+    // corpus-sized hot pass.
+    def assign(cs: Array[Array[Double]]): DataFrame =
+      corpus.withColumn("cluster", graft.functions.ColumnBridge.toColumn(
+        graft.functions.NearestCentroid(
+          graft.functions.ColumnBridge.toExpression($"v"), cs)))
 
     var it = 0
     while (it < iters) {
       val assigned = assign(centers)
-      // Per-dimension means via posexplode — one shuffle keyed by
-      // (cluster, dim), partial aggregation on the map side. Summed in
-      // FIXED-POINT (per-element scale to 2^24 then a long sum): like
-      // the previous decimal(30,12) sums, integer addition is exact and
-      // associative, so the mean is independent of partitioning and
-      // shuffle-combine order (double sums are not, and a low-bit
-      // difference can flip a near-tied assignment, breaking the
-      // determinism contract) — but long aggregation stays in codegen
-      // while precision-30 decimal falls back to BigDecimal, which
-      // dominated the iteration cost. The 2^-24 per-element rounding is
-      // itself deterministic; headroom: |x| <= ~1 scaled by 2^24 over
-      // ~2^39 elements per (cluster, dim) before overflow.
-      val Scale = (1L << 24).toDouble
-      // Headroom guard rides the same shuffle (no extra action):
-      // |sum| <= max|x| * Scale * count per (cluster, dim); anything
-      // past 2^62 risks silent long wraparound, so fail loudly — the
-      // documented |x| <~ 1 input bound stops being a comment and
-      // becomes a runtime contract.
+      // Per-dimension means via a typed array Aggregator — ONE
+      // groupByKey(cluster) whose partials are k fixed-point sum/count
+      // arrays per partition, so the agg input is N vector rows (one
+      // array-add each), not the N*dim exploded rows the previous
+      // posexplode shape pushed through the hash aggregate; at corpus
+      // scale that is a dim-fold CPU cut on the hot pass. Sums are
+      // FIXED-POINT (per-element scale to 2^24, truncate to long, long
+      // addition): integer addition is exact and associative, so the
+      // mean is independent of partitioning and shuffle-combine order
+      // (double sums are not, and a low-bit difference can flip a
+      // near-tied assignment, breaking the determinism contract). The
+      // 2^-24 per-element rounding is itself deterministic; per-dim
+      // counts keep ragged inputs exact. Headroom guard rides the same
+      // pass: |sum| <= max|x| * Scale * count; anything past 2^62
+      // risks silent long wraparound, so fail loudly — the documented
+      // |x| <~ 1 input bound is a runtime contract, not a comment.
       val rows = assigned
-        .select($"cluster", posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cluster", $"dim")
-        .agg(
-          (sum(($"x" * Scale).cast("long")).cast("double") /
-            (count(lit(1)).cast("double") * Scale)).as("m"),
-          (max(abs($"x")) * Scale * count(lit(1)).cast("double")).as("hr"))
-        .groupBy($"cluster")
-        .agg(sort_array(collect_list(struct($"dim", $"m"))).as("dm"),
-          max($"hr").as("hr"))
-        .select($"cluster", $"dm.m".as("center"), $"hr")
-        .as[(Int, Seq[Double], Double)]
+        .select($"cluster", $"v")
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .agg(CentroidAgg.toColumn)
         .collect()
+        .map { case (c, acc) =>
+          val means = Array.tabulate(acc.sums.length) { i =>
+            if (acc.counts(i) == 0L) 0.0
+            else acc.sums(i).toDouble / (acc.counts(i).toDouble * CentroidAgg.Scale)
+          }
+          val hr = acc.maxAbs * CentroidAgg.Scale *
+            (if (acc.counts.isEmpty) 0.0 else acc.counts.max.toDouble)
+          (c, means.toSeq, hr)
+        }
       val worst = rows.iterator.map(_._3).maxOption.getOrElse(0.0)
       if (worst >= math.pow(2.0, 62))
         throw new IllegalStateException(
@@ -108,16 +99,72 @@ object Clustering {
             "embedding magnitudes or per-cluster element counts are outside the " +
             "|x| <~ 1, n <~ 2^38 design envelope — normalize inputs or raise k")
       val means = rows.iterator.map { case (c, m, _) => c -> m }.toMap
-      centers = centers.zipWithIndex.map { case (old, c) =>
+      val next = centers.zipWithIndex.map { case (old, c) =>
         means.get(c).map(m => Similarity.unit(m.map(_.toFloat))).getOrElse(old)
       }
-      it += 1
+      // Convergence early-exit on the centers already in hand (no extra
+      // action): max L-inf movement below eps means the next assignment
+      // pass would reproduce this one, so remaining rounds are pure
+      // cost. At 100 TB each saved round is a full corpus pass.
+      val moved = centers.iterator.zip(next.iterator).map { case (a, b) =>
+        var m = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { m = math.max(m, math.abs(a(i) - b(i))); i += 1 }
+        m
+      }.maxOption.getOrElse(0.0)
+      centers = next
+      it = if (moved <= convergeEps) iters else it + 1
     }
     val result = assign(centers).select($"vec_id", $"cluster")
     // Safe to release: everything downstream is deterministic, so a
     // post-eviction recompute reproduces identical assignments.
     corpus.unpersist(blocking = false)
     (result, centers)
+  }
+
+  /** Fixed-point centroid accumulator: per-dimension scaled-long sums
+    * and counts (ragged-exact) plus max |x| for the overflow guard.
+    */
+  final case class CentroidAcc(sums: Array[Long], counts: Array[Long], maxAbs: Double)
+
+  /** One-pass per-cluster centroid aggregator — the typed-Aggregator
+    * form of the fixed-point mean (see the kmeans iteration comment
+    * for the exactness argument: scaled-long truncation + long sums,
+    * bit-identical to the previous posexplode shape on any layout).
+    */
+  object CentroidAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Int, Seq[Float]), CentroidAcc, CentroidAcc] {
+    val Scale: Double = (1L << 24).toDouble
+    def zero: CentroidAcc = CentroidAcc(Array.emptyLongArray, Array.emptyLongArray, 0.0)
+    private def grown(a: Array[Long], n: Int): Array[Long] =
+      if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
+    def reduce(b: CentroidAcc, in: (Int, Seq[Float])): CentroidAcc = {
+      val v = in._2
+      val sums = grown(b.sums, v.length)
+      val counts = grown(b.counts, v.length)
+      var mx = b.maxAbs
+      var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble
+        sums(i) += (x * Scale).toLong
+        counts(i) += 1L
+        val ax = math.abs(x); if (ax > mx) mx = ax
+        i += 1
+      }
+      CentroidAcc(sums, counts, mx)
+    }
+    def merge(a: CentroidAcc, b: CentroidAcc): CentroidAcc = {
+      val n = math.max(a.sums.length, b.sums.length)
+      val sums = grown(a.sums, n); val counts = grown(a.counts, n)
+      var i = 0
+      while (i < b.sums.length) { sums(i) += b.sums(i); counts(i) += b.counts(i); i += 1 }
+      CentroidAcc(sums, counts, math.max(a.maxAbs, b.maxAbs))
+    }
+    def finish(r: CentroidAcc): CentroidAcc = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
+      org.apache.spark.sql.Encoders.product[CentroidAcc]
+    def outputEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
+      org.apache.spark.sql.Encoders.product[CentroidAcc]
   }
 
   /** IVF top-k: assign the corpus to k-means cells once, then each

@@ -162,17 +162,12 @@ object ProductQuantization {
       books: Codebooks,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = embs.sparkSession
-    val bc = spark.sparkContext.broadcast(books)
-    val m = books.length
-    val enc = udf { (v: Seq[Float]) =>
-      val u = Similarity.unit(v)
-      val out = new Array[Int](m)
-      var s = 0
-      while (s < m) { out(s) = nearestCode(bc.value(s), subSlice(u, m, s)); s += 1 }
-      out
-    }
-    embs.select(col(idCol).cast("long").as("vec_id"), enc(col(vecCol)).as("pq_codes"))
+    // Native codegen'd kernel (see [[graft.functions.PqEncode]]): same
+    // codes bit for bit as the original UDF, minus the per-row boxed
+    // conversion + normalized copy — this is the corpus-sized pass.
+    embs.select(col(idCol).cast("long").as("vec_id"),
+      graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
+        graft.functions.ColumnBridge.toExpression(col(vecCol)), books)).as("pq_codes"))
   }
 
   /** Mean squared reconstruction error of the codebooks over the corpus
