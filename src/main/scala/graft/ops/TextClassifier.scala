@@ -87,9 +87,14 @@ object TextClassifier {
     val n = docs.count().toDouble
     require(n > 0, "empty training set")
 
+    // Features are a pure function of the text — extract ONCE and
+    // persist the hashed sparse vectors, so each of the `iters` epochs
+    // pays only arithmetic, not a re-tokenization of the corpus (the
+    // string pass dominated the epoch at every scale).
     val corpus = docs
       .select(col(textCol).cast("string").as("t"), col(labelCol).cast("string").as("y"))
       .as[(String, String)]
+      .map { case (t, y) => (features(t, nBuckets), y) }
       .persist()
 
     val w = Array.fill(c)(new Array[Float](nBuckets))
@@ -101,8 +106,7 @@ object TextClassifier {
       // (bucket, class) -> fixed-point gradient partials. Rows per doc
       // = nnz * C; map-side combine collapses them to <= B * C.
       val grad = corpus
-        .flatMap { case (t, y) =>
-          val fs = features(t, nBuckets)
+        .flatMap { case (fs, y) =>
           if (fs.isEmpty) Iterator.empty
           else {
             val p = softmax(scoresOf(bw.value, fs))
@@ -112,15 +116,19 @@ object TextClassifier {
               r = p(ci) - (if (ci == yi) 1.0 else 0.0)
               if r != 0.0
               (b, x) <- fs.iterator
-            } yield ((b, ci), math.round(r * x * Scale))
+            } yield (b, ci, math.round(r * x * Scale))
           }
         }
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .reduceGroups((a, b) => a + b)
+        // Untyped sum: codegen'd hash aggregate with map-side partials
+        // (the typed reduceGroups path it replaces object-hashed every
+        // row through boxed tuples).
+        .toDF("b", "ci", "g")
+        .groupBy($"b", $"ci")
+        .agg(org.apache.spark.sql.functions.sum($"g").as("g"))
+        .as[(Int, Int, Long)]
         .collect()
       bw.destroy()
-      grad.foreach { case ((b, ci), g) =>
+      grad.foreach { case (b, ci, g) =>
         w(ci)(b) = (w(ci)(b) - lr * (g / Scale) / n).toFloat
       }
       it += 1
