@@ -222,11 +222,18 @@ object MediaDedup {
       idCol: String = "doc_id", typeCol: String = "media_type",
       payloadCol: String = "payload"): DataFrame = {
     val sigs = contentSignatures(media, idCol, typeCol, payloadCol)
-    val groups = sigs.groupBy(col("media_type"), col("sig"))
-      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
-      .where(col("n") >= 2)
-    sigs.join(groups, Seq("media_type", "sig"))
-      .where(col("doc_id") =!= col("a"))
+    // ONE window over the signature key instead of groupBy + self-join:
+    // the join shape re-evaluated the decode UDF on its second branch
+    // (a full second decode pass over the corpus — by far the dominant
+    // cost of this operator); the window shuffles the same 8-byte keys
+    // once and decodes once. The per-group sort a WindowExec adds is
+    // noise next to a decode.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_type"), col("sig"))
+    sigs
+      .withColumn("a", min(col("doc_id")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 2 && col("doc_id") =!= col("a"))
       .select(col("media_type"), col("a"), col("doc_id").as("b"))
   }
 
@@ -245,17 +252,19 @@ object MediaDedup {
   /** Exact decoded-content duplicate pairs (a, b), a = the group's
     * smallest id, one row per other member — so a k-copy class emits
     * k−1 rows, linear, and a pathological million-copy class needs no
-    * per-key array. Two shuffles on the 8-byte signature.
+    * per-key array. One shuffle on the 8-byte signature.
     */
   def exactPixelDuplicatePairs(
       media: DataFrame,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
     val sigs = pixelSignatures(media, idCol, payloadCol)
-    val groups = sigs.groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
-      .where(col("n") >= 2)
-    sigs.join(groups, "sig")
-      .where(col("doc_id") =!= col("a"))
+    // Same one-shuffle window shape as [[exactContentDuplicatePairs]]
+    // (and for the same reason: never decode the corpus twice).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    sigs
+      .withColumn("a", min(col("doc_id")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") >= 2 && col("doc_id") =!= col("a"))
       .select(col("a"), col("doc_id").as("b"))
   }
 
