@@ -886,6 +886,24 @@ object SparkEntry {
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 4L).as("recall_ok"))
     }),
+    // -- Persisted IVF index: build-once/query-many round trip through
+    //    the cell-partitioned on-disk layout (partition pruning as the
+    //    inverted file); same recall contract as q_ivf_recall, but the
+    //    neighbors come back through the stored index.
+    "q_ann_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val e = embs(s, dir)
+      ops.AnnIndex.build(e, out, nClusters = 16, iters = 5)
+      val q = e.filter($"vec_id" < 50)
+      val idx = ops.AnnIndex.topK(s, out, q, k = 10, nProbe = 8)
+        .select($"query_id", $"neighbor_id")
+      val exact = ops.Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+      idx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)) >= 4L).as("recall_ok"))
+    }),
     // PCA spectrum contract: for each of the top-16 axes, the empirical
     // population variance of the corpus's projections must equal the
     // model's eigenvalue (within fixed-point tolerance) and the
@@ -2325,6 +2343,8 @@ object SparkEntry {
         |FROM embeddings a, bench b
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9""".stripMargin,
     "q_ivf_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_ann_index" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — build once, query many times.
+  *
+  * [[Clustering.ivfTopK]] re-trains the coarse quantizer on every
+  * call, which is the right shape for one-shot jobs and the wrong one
+  * for the serving pattern real pipelines run (nightly build, repeated
+  * query batches). This operator persists the index as plain tables:
+  *
+  * {{{
+  *   dir/centers/            (cell, center array<double>)   k rows
+  *   dir/vectors/cell=<c>/   (vec_id, v array<float>)       corpus
+  * }}}
+  *
+  * The Spark-native part is the layout: `vectors` is written
+  * `partitionBy("cell")`, so a query batch that probes `nProbe` cells
+  * reads ONLY those directories — Hive-style partition pruning IS the
+  * inverted file, no custom index structure needed. With the probe
+  * frame broadcast, the cell equi-join prunes statically (the probed
+  * cell set reaches the scan as a partition filter); candidate work is
+  * O(Q · nProbe · cellSize), identical to the in-memory IVF, but the
+  * build cost amortizes across query batches.
+  *
+  * Determinism matches `ivfTopK` row for row when built with the same
+  * parameters: same kmeans (hash-order init, fixed-point sums), same
+  * probe order (score desc, cell asc), same round-before-rank scoring
+  * contract.
+  */
+object AnnIndex {
+
+  /** Train + assign + write the index under `dir`. Returns the cell
+    * count. `nClusters <= 0` = auto ~sqrt(N) (pass `nTotal` to skip
+    * the sizing count()).
+    */
+  def build(
+      embs: DataFrame,
+      dir: String,
+      nClusters: Int = 0,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nTotal: Long = 0L): Int = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val kCells =
+      if (nClusters > 0) nClusters
+      else {
+        val n = if (nTotal > 0L) nTotal else embs.count()
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 20).toInt
+      }
+    val (assigned, centers) = Clustering.kmeans(embs, kCells, iters, idCol, vecCol)
+    embs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, "vec_id")
+      .withColumnRenamed("cluster", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/centers")
+    kCells
+  }
+
+  /** Top-k neighbors for each query against the persisted index:
+    * (query_id, neighbor_id, rank, score). Self-matches excluded, the
+    * same rank/tie contract as [[Clustering.ivfTopK]].
+    */
+  def topK(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
+    // Centers are k * dim doubles — the same bounded collect the build
+    // performed; broadcast as floats once, as ivfTopK does.
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select($"cell", $"center").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+      .map(_._2.map(_.toFloat).toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+    val probes = udf { (v: Seq[Float]) =>
+      bc.value.indices
+        .map(c => (c, Similarity.cosine(bc.value(c), v)))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(nProbe)
+        .map(_._1)
+    }
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probes(col("qv"))))
+      .localCheckpoint() // probe once: feeds the cell collect AND the join
+    // The union of probed cells is bounded by the CELL COUNT (ints, at
+    // most k of them), so collecting it is free — and pushing it as a
+    // static `isin` on the partition column guarantees the scan reads
+    // only probed cell directories (visible as PartitionFilters in the
+    // plan), instead of depending on dynamic-pruning heuristics.
+    val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell")
+    val cands = vectors.join(broadcast(q), "cell")
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
+      .select($"query_id", $"neighbor_id", $"score")
+    Similarity.rankTopK(cands, k)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"score")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.{AnnIndex, Clustering, Similarity}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: row parity with the in-memory ivfTopK built
+  * from the same parameters, a recall floor vs exact search, and the
+  * partition-pruning contract (the scan must read only probed cells).
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int = 16, seed: Int = 5) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+
+  test("row parity with ivfTopK under identical build parameters") {
+    val e = vecs(400)
+    val q = e.filter($"vec_id" < 20)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 16, iters = 3)
+    val fromIndex = AnnIndex.topK(spark, dir, q, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inMemory = Clustering.ivfTopK(e, q, k = 5, nClusters = 16, nProbe = 4, iters = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory)
+  }
+
+  test("recall floor vs exact top-k") {
+    val e = vecs(500, seed = 9)
+    val q = e.filter($"vec_id" < 25)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 16, iters = 3)
+    val idx = AnnIndex.topK(spark, dir, q, k = 10, nProbe = 8)
+      .select($"query_id", $"neighbor_id")
+    val exact = Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+    val recall = idx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    val mins = recall.agg(min($"hits")).as[Long].head()
+    assert(mins >= 5L, s"every query keeps at least half the exact top-10, got min $mins")
+  }
+
+  test("the vectors scan carries a partition filter on cell (pruning contract)") {
+    val e = vecs(300, seed = 3)
+    val q = e.filter($"vec_id" === 0L)
+    val dir = tmpDir()
+    val cells = AnnIndex.build(e, dir, nClusters = 16, iters = 2)
+    assert(cells == 16)
+    val out = AnnIndex.topK(spark, dir, q, k = 3, nProbe = 2)
+    out.collect() // force AQE to finalize
+    // AQE buries finalized stages inside QueryStageExec nodes whose
+    // `plan` is not a child — recurse through them explicitly.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val vectorScans = scans(out.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("vectors")))
+    assert(vectorScans.nonEmpty, "expected a file scan over the vectors table")
+    assert(vectorScans.forall(_.partitionFilters.nonEmpty),
+      "vectors scan must prune by the probed cell set")
+    // And the pruning is real: one query probing 2 of 16 cells reads
+    // at most 2 partition directories.
+    val read = vectorScans.map(_.relation.location.listFiles(
+      vectorScans.head.partitionFilters, Nil).length).sum
+    assert(read <= 2, s"probed 2 cells but read $read partitions")
+  }
+
+  test("build auto-sizes cells at ~sqrt(N) and persists readable centers") {
+    val e = vecs(400, seed = 1)
+    val dir = tmpDir()
+    val cells = AnnIndex.build(e, dir)
+    assert(cells == 20, "ceil(sqrt(400)) = 20")
+    val centers = spark.read.parquet(s"$dir/centers")
+    assert(centers.count() == 20)
+    assert(centers.select(size($"center")).distinct().as[Int].head() == 16)
+  }
+}
