@@ -65,6 +65,33 @@ object AnnIndex {
     kCells
   }
 
+  /** Append new vectors to an existing index WITHOUT re-training: they
+    * are assigned to the current centers (the native codegen'd
+    * [[graft.functions.NearestCentroid]] kernel — one shuffle-free
+    * pass) and appended to their cell directories. The standard
+    * serving trade-off rides with it: centers drift as the corpus
+    * grows, so recall on appended data degrades gracefully until the
+    * next [[build]]; queries see appended vectors immediately.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      embs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select($"cell", $"center").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+      .map(_._2.toArray)
+    embs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .withColumn("cell", graft.functions.ColumnBridge.toColumn(
+        graft.functions.NearestCentroid(
+          graft.functions.ColumnBridge.toExpression(col("v")), centers)))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Top-k neighbors for each query against the persisted index:
     * (query_id, neighbor_id, rank, score). Self-matches excluded, the
     * same rank/tie contract as [[Clustering.ivfTopK]].

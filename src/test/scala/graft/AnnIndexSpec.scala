@@ -79,6 +79,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(read <= 2, s"probed 2 cells but read $read partitions")
   }
 
+  test("append: new vectors are searchable immediately, assigned like the build would") {
+    val e = vecs(300, seed = 21)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 16, iters = 3)
+    // Append near-twins of vectors 0..4 under shifted ids.
+    val twins = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        expr("transform(embedding, x -> x + cast(0.001 as float))").as("embedding"))
+    AnnIndex.append(spark, dir, twins)
+    val q = e.filter($"vec_id" < 5)
+    val got = AnnIndex.topK(spark, dir, q, k = 1, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { i =>
+      assert(got(i) == i + 1000L, s"query $i must retrieve its appended near-twin")
+    }
+    // Assignment parity: an appended copy of an ORIGINAL vector lands
+    // in the same cell the build assigned the original to.
+    val cells = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val reappend = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 2000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, dir, reappend)
+    val cells2 = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    (0L until 5L).foreach { i =>
+      assert(cells2(i + 2000L) == cells(i), s"identical vector $i must share its cell")
+    }
+  }
+
   test("build auto-sizes cells at ~sqrt(N) and persists readable centers") {
     val e = vecs(400, seed = 1)
     val dir = tmpDir()
