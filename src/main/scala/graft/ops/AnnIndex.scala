@@ -107,22 +107,18 @@ object AnnIndex {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     // Centers are k * dim doubles — the same bounded collect the build
-    // performed; broadcast as floats once, as ivfTopK does.
+    // performed; the probes run through the native codegen'd kernel
+    // ([[graft.functions.TopCentroids]]), identical selection to
+    // ivfTopK's.
     val centers = spark.read.parquet(s"$dir/centers")
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.map(_.toFloat).toArray)
-    val bc = spark.sparkContext.broadcast(centers)
-    val probes = udf { (v: Seq[Float]) =>
-      bc.value.indices
-        .map(c => (c, Similarity.cosine(bc.value(c), v)))
-        .sortBy { case (c, s) => (-s, c) }
-        .take(nProbe)
-        .map(_._1)
-    }
     val q = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probes(col("qv"))))
+      .withColumn("cell", explode(graft.functions.ColumnBridge.toColumn(
+        graft.functions.TopCentroids(
+          graft.functions.ColumnBridge.toExpression(col("qv")), centers, nProbe))))
       .localCheckpoint() // probe once: feeds the cell collect AND the join
     // The union of probed cells is bounded by the CELL COUNT (ints, at
     // most k of them), so collecting it is free — and pushing it as a

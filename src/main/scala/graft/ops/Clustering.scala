@@ -202,19 +202,17 @@ object Clustering {
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
-    // Each query probes its nProbe nearest cells (centers are tiny —
-    // pre-converted to float ONCE, not per row inside the UDF).
-    val bc = spark.sparkContext.broadcast(centers.map(_.map(_.toFloat)))
-    val probes = udf { (v: Seq[Float]) =>
-      bc.value.indices
-        .map(c => (c, Similarity.cosine(bc.value(c), v)))
-        .sortBy { case (c, s) => (-s, c) }
-        .take(nProbe)
-        .map(_._1)
-    }
+    // Each query probes its nProbe nearest cells — the native codegen'd
+    // probe kernel (see [[graft.functions.TopCentroids]]): same scores
+    // and (score desc, cell asc) selection as the Scala probe it
+    // replaces, minus the per-row boxed conversion + k-tuple sort (a
+    // query batch can be millions of rows).
+    val fCenters = centers.map(_.map(_.toFloat))
     val q = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cluster", explode(probes(col("qv"))))
+      .withColumn("cluster", explode(graft.functions.ColumnBridge.toColumn(
+        graft.functions.TopCentroids(
+          graft.functions.ColumnBridge.toExpression(col("qv")), fCenters, nProbe))))
 
     // Score is rounded BEFORE ranking (ties at 4 decimals break by id),
     // exactly as the original window re-rank did; the bounded-heap
