@@ -267,25 +267,24 @@ object ProductQuantization {
           .take(nProbe).map(_._1).toArray
         (qid, lut, u, probes)
       }
-    val luts = spark.sparkContext.broadcast(
-      qRows.map { case (qid, lut, _, _) => qid -> lut }.toMap)
+    val lutMap = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
+    qRows.foreach { case (qid, lut, _, _) => lutMap.put(qid, lut) }
 
     // (cluster, query_id) probe pairs — the scan restriction.
     val probePairs = spark
       .createDataset(qRows.flatMap { case (qid, _, _, ps) => ps.map(c => (c, qid)) })
       .toDF("cluster", "query_id")
 
-    val adc = udf { (qid: Long, cs: Seq[Int]) =>
-      val lut = luts.value(qid)
-      var s = 0.0; var sub = 0
-      val n = math.min(lut.length, cs.length)
-      while (sub < n) { s += lut(sub)(cs(sub)); sub += 1 }
-      s
-    }
+    // Native codegen'd ADC kernel (see [[graft.functions.AdcScore]]):
+    // the Q * nProbe * cellSize inner scan stays in whole-stage
+    // codegen — same float-LUT adds as the UDF it replaces.
     val cands = probePairs.join(encoded, "cluster")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        adc($"query_id", $"pq_codes").as("score"))
+        graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
+          graft.functions.ColumnBridge.toExpression($"query_id"),
+          graft.functions.ColumnBridge.toExpression($"pq_codes"),
+          lutMap)).as("score"))
     val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
 
     val qVecs = spark.createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
