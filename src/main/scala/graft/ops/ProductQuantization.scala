@@ -120,13 +120,18 @@ object ProductQuantization {
     val Scale = (1L << 24).toDouble
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(books)
-      val assignUdf = udf { (sub: Int, sv: Seq[Double]) => nearestCode(bc.value(sub), sv.toArray) }
+      // Native codegen'd subcode assignment (see [[graft.functions
+      // .NearestSubCode]]) — the N*m-row pass of every iteration, same
+      // nearest-code result bit for bit as the UDF it replaced.
+      val assignCol = graft.functions.ColumnBridge.toColumn(
+        graft.functions.NearestSubCode(
+          graft.functions.ColumnBridge.toExpression($"sub"),
+          graft.functions.ColumnBridge.toExpression($"sv"), books))
       // Per-(sub, code, dim) fixed-point means — exact integer sums keep
       // the mean independent of shuffle-combine order, same contract and
       // headroom guard as Clustering.kmeans.
       val rows = subs
-        .withColumn("code", assignUdf($"sub", $"sv"))
+        .withColumn("code", assignCol)
         .select($"sub", $"code", posexplode($"sv").as(Seq("dim", "x")))
         .groupBy($"sub", $"code", $"dim")
         .agg(
@@ -146,7 +151,6 @@ object ProductQuantization {
       val next = books.map(_.clone())
       rows.foreach { case (s, c, mean, _) => next(s)(c) = mean.toArray }
       books = next // codes with no members keep their previous codeword
-      bc.destroy()
       it += 1
     }
     subs.unpersist(blocking = false)
