@@ -108,6 +108,21 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("edges: empty query batch, tiny corpus, nProbe past the cell count") {
+    val e = vecs(40, seed = 33)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 4, iters = 2)
+    // Empty queries: empty result, no failure.
+    assert(AnnIndex.topK(spark, dir, e.filter($"vec_id" < 0), k = 3).count() == 0)
+    // nProbe larger than the cell count degrades to a full scan: every
+    // query's exact nearest neighbor must then be found.
+    val q = e.filter($"vec_id" < 5)
+    val full = AnnIndex.topK(spark, dir, q, k = 1, nProbe = 100)
+      .select($"query_id", $"neighbor_id")
+    val exact = Similarity.topK(e, q, k = 1).select($"query_id", $"neighbor_id")
+    assert(full.except(exact).count() == 0 && exact.except(full).count() == 0)
+  }
+
   test("build auto-sizes cells at ~sqrt(N) and persists readable centers") {
     val e = vecs(400, seed = 1)
     val dir = tmpDir()

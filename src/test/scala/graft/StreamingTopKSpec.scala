@@ -81,6 +81,17 @@ class StreamingTopKSpec extends SparkSpec {
     assert(heavyRow._3 <= 200L)
   }
 
+  test("capacity == k edge: the fold still admits and evicts correctly") {
+    // cap=k=2 over 3 distinct keys forces the eviction path on the
+    // third key; the reference fold defines the expected survivors.
+    val keys = Seq("a", "a", "b", "c", "a", "c", "c")
+    val expected = mgReference(keys, capacity = 2, k = 2)
+      .zipWithIndex.map { case ((key, c), i) => (i + 1, key, c) }
+    val got = runStreaming(Seq(keys.map(k => KeyedEvent(9L, k))), k = 2,
+      capacity = 2, "tk_capk")
+    assert(got(9L) == expected, s"${got(9L)} vs $expected")
+  }
+
   test("emits only when the group's top-k changes; state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[KeyedEvent]
