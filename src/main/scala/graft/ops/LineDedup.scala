@@ -83,17 +83,16 @@ object LineDedup {
     */
   def duplicatedLinesFrom(l: DataFrame, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
-    // One hash shuffle with map-side partial counts; min(struct) rides
-    // the same aggregation, so the keeper needs no second pass. The
-    // filtered duplicate side is tiny next to the line table — AQE
-    // plans the join back accordingly, on the same 8-byte key.
-    val dups = l
-      .where(col("norm") =!= "")
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("line_idx"))).as("keeper"))
+    // ONE window over the line hash instead of groupBy + join back:
+    // the join shape re-evaluated the line frame (the corpus-wide
+    // explode — the expensive part) on its second branch and shuffled
+    // it twice; the window shuffles the same 8-byte keys once and
+    // explodes once. count/min(struct) ride the same partition.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    l.where(col("norm") =!= "")
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keeper", min(struct(col("doc_id"), col("line_idx"))).over(w))
       .where(col("cnt") >= minCount)
-    l.join(dups, "h")
       .select(col("doc_id"), col("line_idx"), col("cnt"),
         (col("keeper.doc_id") === col("doc_id") &&
           col("keeper.line_idx") === col("line_idx")).as("kept"))
