@@ -93,14 +93,17 @@ object SubstringDedup {
       docs: DataFrame, minTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val wins = windowFingerprints(docs, minTokens, textCol, idCol)
-    val dupKeys = wins.groupBy(col("key"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select(col("key"))
+    // Occurrence count and keep-one rank ride the SAME key partition:
+    // the former groupBy + join-back shape re-evaluated the window
+    // fingerprinting (the biggest table in the library) on its second
+    // branch and shuffled it twice; both window functions share one
+    // exchange and one fingerprint pass.
     val byKey = Window.partitionBy(col("key"))
       .orderBy(col("doc_id"), col("start"))
-    wins.join(dupKeys, "key")
+    wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("key"))))
       .withColumn("rk", row_number().over(byKey))
+      .filter(col("occ") >= 2)
       .select(col("doc_id"), col("start"), col("rk"))
   }
 
