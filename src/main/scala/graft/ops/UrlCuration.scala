@@ -187,17 +187,15 @@ object UrlCuration {
     * on the normalized URL.
     */
   def dedupByUrl(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
-    val withNorm = df.withColumn("__uc_norm", normalizeUrl(col(urlCol)))
-    // Keeper ids re-derived into a detached frame (fresh attribute ids)
-    // — joining a groupBy of the same frame back onto itself resolves
-    // the key equality to a trivially-true self-compare.
-    val keep = withNorm.select(col("__uc_norm").as("__uc_knorm"), col(idCol).as("__uc_kid"))
-      .groupBy(col("__uc_knorm"))
-      .agg(min(col("__uc_kid")).as("__uc_keep"))
-    withNorm
-      .join(keep, col("__uc_norm") === col("__uc_knorm") &&
-        col(idCol) === col("__uc_keep"), "left_semi")
-      .drop("__uc_norm")
+    // ONE window over the canonical URL instead of groupBy + semi-join
+    // back: the join shape evaluated normalizeUrl (ten-odd regexp
+    // passes per row) over the corpus TWICE and shuffled it twice; the
+    // keep-min rank shares one exchange with one normalization pass.
+    val w = Window.partitionBy(col("__uc_norm")).orderBy(col(idCol))
+    df.withColumn("__uc_norm", normalizeUrl(col(urlCol)))
+      .withColumn("__uc_rk", row_number().over(w))
+      .filter(col("__uc_rk") === 1)
+      .drop("__uc_norm", "__uc_rk")
   }
 
   /** Per-domain cap: keep at most `k` documents per registered domain,
