@@ -47,10 +47,19 @@ object Dedup {
         count(lit(1)).as("n_dups"),
         min(col(idCol)).as("keep_id"))
 
-  /** Docs with normalized-duplicate rows removed (keep min id). */
+  /** Docs with normalized-duplicate rows removed (keep min id). One
+    * keep-min-rank window over the content hash — the former
+    * groupBy + join-back needed a second corpus shuffle on the id to
+    * re-attach survivors (the keeper set is corpus-sized on a
+    * mostly-unique corpus, so it never broadcasts).
+    */
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val keep = exactDedup(docs, textCol, idCol).select(col("keep_id").as(idCol))
-    docs.join(keep, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normalizeText(col(textCol))))
+      .orderBy(col(idCol))
+    docs.withColumn("__dd_rk", row_number().over(w))
+      .filter(col("__dd_rk") === 1)
+      .drop("__dd_rk")
   }
 
   // ---------------------------------------------------------------- MinHash
