@@ -102,10 +102,10 @@ object SparkEntry {
       FreqSummary.throughMerge(Ingest.fromEventsTable(s, dir), Spec).localCheckpoint()
     })
 
-  /** The ranked duplicated-window frame shared by the two substring
+  /** The flagged duplicated-window frame shared by the two substring
     * queries (`q_substring_spans` reads all rows, `q_substring_clean`
-    * the `rk > 1` slice) — one fingerprint+count+rank pipeline instead
-    * of two.
+    * the `!kept` slice) — one fingerprint+count+keeper pipeline
+    * instead of two.
     */
   private val substrCache =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
@@ -667,7 +667,7 @@ object SparkEntry {
       import s.implicits._
       ops.SubstringDedup.removeCovered(
         docs(s, dir),
-        substrShared(s, dir).filter($"rk" > 1).select($"doc_id", $"start"),
+        substrShared(s, dir).filter(!$"kept").select($"doc_id", $"start"),
         minTokens = 8)
     }),
     // -- Line-level dedup (C4/RefinedWeb boilerplate removal): the

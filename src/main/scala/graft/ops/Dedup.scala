@@ -48,18 +48,22 @@ object Dedup {
         min(col(idCol)).as("keep_id"))
 
   /** Docs with normalized-duplicate rows removed (keep min id). One
-    * keep-min-rank window over the content hash — the former
-    * groupBy + join-back needed a second corpus shuffle on the id to
-    * re-attach survivors (the keeper set is corpus-sized on a
-    * mostly-unique corpus, so it never broadcasts).
+    * `min_by(struct(*), id)` hash aggregation on the content hash:
+    * map-side partial aggregation collapses every occurrence of a hot
+    * key to ONE row per map task before the exchange, so a
+    * mega-duplicated page (the exact thing exact dedup exists to find)
+    * never serializes onto a single reduce task — unlike the previous
+    * keep-min-rank window, whose `Window.partitionBy(hash)` sent all
+    * 10^6 copies to one un-splittable WindowExec sort, and unlike
+    * groupBy + join-back, which needed a second corpus shuffle. The
+    * content key is also evaluated exactly once per row.
     */
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(normalizeText(col(textCol))))
-      .orderBy(col(idCol))
-    docs.withColumn("__dd_rk", row_number().over(w))
-      .filter(col("__dd_rk") === 1)
-      .drop("__dd_rk")
+    val cols = docs.columns
+    docs
+      .groupBy(md5(normalizeText(col(textCol))).as("__dd_key"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("__dd_row"))
+      .select("__dd_row.*")
   }
 
   // ---------------------------------------------------------------- MinHash

@@ -73,7 +73,8 @@ object LineDedup {
   def duplicatedLines(
       docs: DataFrame, minCount: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    duplicatedLinesFrom(lines(docs, textCol, idCol), minCount)
+    duplicatedLinesFrom(
+      lines(docs, textCol, idCol).localCheckpoint(), minCount)
 
   /** As [[duplicatedLines]], from an already-built [[lines]] frame —
     * callers running BOTH the flag and removal passes should build the
@@ -83,16 +84,24 @@ object LineDedup {
     */
   def duplicatedLinesFrom(l: DataFrame, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
-    // ONE window over the line hash instead of groupBy + join back:
-    // the join shape re-evaluated the line frame (the corpus-wide
-    // explode — the expensive part) on its second branch and shuffled
-    // it twice; the window shuffles the same 8-byte keys once and
-    // explodes once. count/min(struct) ride the same partition.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    l.where(col("norm") =!= "")
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("keeper", min(struct(col("doc_id"), col("line_idx"))).over(w))
+    // Skew-immune shape: count/min(struct) per line hash via a
+    // map-side-combinable hash aggregation (a boilerplate line in 10^9
+    // documents collapses to one row per map task before the
+    // exchange), then join the duplicated keys back onto the
+    // occurrences. The join probe IS hot on that key, but it is a
+    // shuffle join AQE skew-splitting can divide across tasks —
+    // unlike the `Window.partitionBy(h)` this replaces, which
+    // serialized every occurrence of the hottest line onto ONE
+    // un-splittable WindowExec sort. The second evaluation of `l` is a
+    // cache read under the `*From` discipline (callers persist or
+    // localCheckpoint the exploded frame — see [[lines]]).
+    val occ = l.where(col("norm") =!= "")
+      .select(col("h"), col("doc_id"), col("line_idx"))
+    val agg = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("line_idx"))).as("keeper"))
       .where(col("cnt") >= minCount)
+    occ.join(agg, Seq("h"))
       .select(col("doc_id"), col("line_idx"), col("cnt"),
         (col("keeper.doc_id") === col("doc_id") &&
           col("keeper.line_idx") === col("line_idx")).as("kept"))
@@ -110,7 +119,7 @@ object LineDedup {
       textCol: String = "text", idCol: String = "doc_id",
       sep: String = "\n"): DataFrame =
     removeDuplicatedLinesFrom(
-      lines(docs, textCol, idCol, sep),
+      lines(docs, textCol, idCol, sep).localCheckpoint(),
       docs.select(col(idCol).cast("long").as("doc_id")), minCount, sep)
 
   /** Paragraph-granularity keep-one removal — [[removeDuplicatedLines]]

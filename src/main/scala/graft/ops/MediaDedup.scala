@@ -196,22 +196,28 @@ object MediaDedup {
   /** (doc_id, media_type, sig): decoded-content signature for ANY
     * modality — images by raster, audio by PCM samples, video by
     * frame rasters. Undecodable payloads drop (they cannot have
-    * content-identical twins). */
+    * content-identical twins).
+    *
+    * Decode-once shape: the drop is `explode` of a 0/1-element UDF
+    * result, NOT a `where(sig.isNotNull)` over a projected UDF — the
+    * optimizer substitutes a projected alias into a pushed-down filter,
+    * which runs the decode TWICE per row (once in the filter, once in
+    * the project); a Generate evaluates its generator exactly once.
+    */
   def contentSignatures(
       media: DataFrame,
       idCol: String = "doc_id", typeCol: String = "media_type",
       payloadCol: String = "payload"): DataFrame = {
-    val sigOf = udf((t: String, p: Array[Byte]) => t match {
+    val sigOf = udf((t: String, p: Array[Byte]) => (t match {
       case "image" => decodePixelHash(p)
       case "audio" => audioContentHash(p)
       case "video" => videoContentHash(p)
       case _ => None
-    })
+    }).toSeq)
     media
       .select(col(idCol).cast("long").as("doc_id"),
         col(typeCol).as("media_type"),
-        sigOf(col(typeCol), col(payloadCol)).as("sig"))
-      .where(col("sig").isNotNull)
+        explode(sigOf(col(typeCol), col(payloadCol))).as("sig"))
   }
 
   /** [[exactPixelDuplicatePairs]] across ALL modalities: (a, b) pairs
@@ -221,19 +227,24 @@ object MediaDedup {
       media: DataFrame,
       idCol: String = "doc_id", typeCol: String = "media_type",
       payloadCol: String = "payload"): DataFrame = {
+    // Decode ONCE into an eagerly localCheckpoint'ed signature frame
+    // (eager: a lazy checkpoint lets the join's two independent stages
+    // race and each decode the corpus before the other's blocks land)
+    // (24-byte rows — cheap to hold even at corpus scale next to the
+    // payloads), then a map-side-combinable min/count aggregation on
+    // the signature joined back onto the occurrences. A viral image
+    // duplicated 10^6 times collapses to one agg row per map task
+    // before the exchange, and the hot join probe is AQE
+    // skew-splittable — unlike the `Window.partitionBy(sig)` this
+    // replaces, which serialized every occurrence onto ONE
+    // un-splittable WindowExec sort.
     val sigs = contentSignatures(media, idCol, typeCol, payloadCol)
-    // ONE window over the signature key instead of groupBy + self-join:
-    // the join shape re-evaluated the decode UDF on its second branch
-    // (a full second decode pass over the corpus — by far the dominant
-    // cost of this operator); the window shuffles the same 8-byte keys
-    // once and decodes once. The per-group sort a WindowExec adds is
-    // noise next to a decode.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("media_type"), col("sig"))
-    sigs
-      .withColumn("a", min(col("doc_id")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .where(col("n") >= 2 && col("doc_id") =!= col("a"))
+      .localCheckpoint()
+    val agg = sigs.groupBy(col("media_type"), col("sig"))
+      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    sigs.join(agg, Seq("media_type", "sig"))
+      .where(col("doc_id") =!= col("a"))
       .select(col("media_type"), col("a"), col("doc_id").as("b"))
   }
 
@@ -243,10 +254,12 @@ object MediaDedup {
   def pixelSignatures(
       media: DataFrame,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val sigOf = udf((p: Array[Byte]) => decodePixelHash(p))
+    // explode-of-Option drop, not project + isNotNull filter — see
+    // [[contentSignatures]]: the filter shape decodes twice per row.
+    val sigOf = udf((p: Array[Byte]) => decodePixelHash(p).toSeq)
     media
-      .select(col(idCol).cast("long").as("doc_id"), sigOf(col(payloadCol)).as("sig"))
-      .where(col("sig").isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(sigOf(col(payloadCol))).as("sig"))
   }
 
   /** Exact decoded-content duplicate pairs (a, b), a = the group's
@@ -257,14 +270,15 @@ object MediaDedup {
   def exactPixelDuplicatePairs(
       media: DataFrame,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    // Same decode-once checkpoint + skew-immune agg + join-back shape
+    // as [[exactContentDuplicatePairs]].
     val sigs = pixelSignatures(media, idCol, payloadCol)
-    // Same one-shuffle window shape as [[exactContentDuplicatePairs]]
-    // (and for the same reason: never decode the corpus twice).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
-    sigs
-      .withColumn("a", min(col("doc_id")).over(w))
-      .withColumn("n", count(lit(1)).over(w))
-      .where(col("n") >= 2 && col("doc_id") =!= col("a"))
+      .localCheckpoint()
+    val agg = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    sigs.join(agg, Seq("sig"))
+      .where(col("doc_id") =!= col("a"))
       .select(col("a"), col("doc_id").as("b"))
   }
 
@@ -273,10 +287,12 @@ object MediaDedup {
   def nearDuplicatePairs(
       media: DataFrame, maxDist: Int = 3, maxBucket: Int = 256,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val fpOf = udf((p: Array[Byte]) => decodeDHash(p))
+    // explode-of-Option drop — the project + isNotNull filter shape
+    // would decode twice per row (see [[contentSignatures]]).
+    val fpOf = udf((p: Array[Byte]) => decodeDHash(p).toSeq)
     val fps = media
-      .select(col(idCol).cast("long").as("doc_id"), fpOf(col(payloadCol)).as("fp"))
-      .where(col("fp").isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(fpOf(col(payloadCol))).as("fp"))
     Dedup.hammingNearDuplicates(fps, maxDist, maxBucket)
   }
 }

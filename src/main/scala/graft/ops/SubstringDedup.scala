@@ -83,28 +83,38 @@ object SubstringDedup {
     rankedDuplicatedWindows(docs, minTokens, textCol, idCol)
       .select(col("doc_id"), col("start"))
 
-  /** [[duplicatedWindows]] plus the occurrence's corpus-wide keep-one
-    * rank (`rk` = 1 is the canonical smallest (doc_id, start) of its
-    * window key): the one intermediate both the span report (all rows)
-    * and the keep-one removal (`rk > 1`) consume — callers that run
-    * both materialize this once.
+  /** [[duplicatedWindows]] plus the occurrence's keep-one flag (`kept`
+    * marks the canonical smallest (doc_id, start) of its window key):
+    * the one intermediate both the span report (all rows) and the
+    * keep-one removal (`!kept`) consume — callers that run both
+    * materialize this once.
+    *
+    * Skew-immune shape: occurrence count and keeper come from a
+    * map-side-combinable hash aggregation on `key` (a window repeated
+    * 10^9 times corpus-wide collapses to one row per map task before
+    * the exchange), joined back onto the occurrences — a shuffle join
+    * AQE skew-splitting can divide, unlike the
+    * `Window.partitionBy(key)` this replaces, which serialized every
+    * occurrence of the hottest key onto ONE un-splittable WindowExec
+    * sort. The fingerprint frame (the biggest table in the library) is
+    * eagerly localCheckpoint'ed so the join's two branches share one
+    * fingerprint pass — eager because a lazy checkpoint lets the two
+    * independent shuffle-map stages race and each compute the frame
+    * before the other's blocks land.
     */
   def rankedDuplicatedWindows(
       docs: DataFrame, minTokens: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val wins = windowFingerprints(docs, minTokens, textCol, idCol)
-    // Occurrence count and keep-one rank ride the SAME key partition:
-    // the former groupBy + join-back shape re-evaluated the window
-    // fingerprinting (the biggest table in the library) on its second
-    // branch and shuffled it twice; both window functions share one
-    // exchange and one fingerprint pass.
-    val byKey = Window.partitionBy(col("key"))
-      .orderBy(col("doc_id"), col("start"))
-    wins
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .withColumn("rk", row_number().over(byKey))
-      .filter(col("occ") >= 2)
-      .select(col("doc_id"), col("start"), col("rk"))
+      .localCheckpoint()
+    val agg = wins.groupBy(col("key"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("start"))).as("keeper"))
+      .where(col("occ") >= 2)
+    wins.join(agg, Seq("key"))
+      .select(col("doc_id"), col("start"),
+        (col("keeper.doc_id") === col("doc_id") &&
+          col("keeper.start") === col("start")).as("kept"))
   }
 
   /** Maximal duplicated spans per document: merge overlapping or
@@ -150,16 +160,17 @@ object SubstringDedup {
     * (documents with nothing to remove pass through verbatim modulo
     * whitespace normalization).
     *
-    * Cost = duplicatedWindows + one `key` window (canonical pick) + one
-    * `doc_id` shuffle for the coverage merge + a broadcast-friendly
-    * spans join back to the corpus.
+    * Cost = the [[rankedDuplicatedWindows]] agg + join-back (canonical
+    * pick rides the aggregation) + one `doc_id` shuffle for the
+    * coverage merge + a broadcast-friendly spans join back to the
+    * corpus.
     */
   def removeDuplicatedSpans(
       docs: DataFrame, minTokens: Int = 50,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     removeCovered(docs,
       rankedDuplicatedWindows(docs, minTokens, textCol, idCol)
-        .filter(col("rk") > 1).select(col("doc_id"), col("start")),
+        .filter(!col("kept")).select(col("doc_id"), col("start")),
       minTokens, textCol, idCol)
 
   /** Rebuild each document with the tokens covered by the `(doc_id,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL-level curation — the crawl-metadata stages every web corpus
@@ -187,22 +186,32 @@ object UrlCuration {
     * on the normalized URL.
     */
   def dedupByUrl(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
-    // ONE window over the canonical URL instead of groupBy + semi-join
-    // back: the join shape evaluated normalizeUrl (ten-odd regexp
-    // passes per row) over the corpus TWICE and shuffled it twice; the
-    // keep-min rank shares one exchange with one normalization pass.
-    val w = Window.partitionBy(col("__uc_norm")).orderBy(col(idCol))
-    df.withColumn("__uc_norm", normalizeUrl(col(urlCol)))
-      .withColumn("__uc_rk", row_number().over(w))
-      .filter(col("__uc_rk") === 1)
-      .drop("__uc_norm", "__uc_rk")
+    // ONE min_by hash aggregation on the canonical URL: normalizeUrl
+    // (ten-odd regexp passes per row) runs exactly once per row on the
+    // map side, partial aggregation collapses a hot URL to one row per
+    // map task before the exchange (a page fetched 10^6 times never
+    // lands on a single task — the keep-min-rank window this replaces
+    // put every occurrence into one un-splittable WindowExec sort),
+    // and no join-back shuffle is needed.
+    val cols = df.columns
+    df.groupBy(normalizeUrl(col(urlCol)).as("__uc_key"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("__uc_row"))
+      .select("__uc_row.*")
   }
 
   /** Per-domain cap: keep at most `k` documents per registered domain,
     * chosen DETERMINISTICALLY by the portable id hash (not arrival
     * order, which is layout-dependent) — the "no single site dominates
-    * the corpus" rule. One shuffle on domain; ranking is a window, so
-    * a billion-doc domain never materializes a list.
+    * the corpus" rule.
+    *
+    * Skew shape: the keeper ids come from [[TopK.topKPerGroup]], whose
+    * per-partition bounded heaps prune each input partition to at most
+    * `k` candidates per domain BEFORE the domain shuffle — so a
+    * billion-doc mega-domain contributes O(partitions * k) rows to the
+    * final ranking instead of ranking a billion rows in one window
+    * task. Survivors re-attach by a left-semi join on the unique id
+    * (uniform — no hot key can exist on a unique column); the URL is
+    * parsed only in the narrow pruning branch.
     */
   def capPerDomain(
       df: DataFrame, k: Int,
@@ -211,12 +220,15 @@ object UrlCuration {
     require(k >= 1, s"k must be >= 1: $k")
     val h = host(normalizeUrl(col(urlCol)))
     val dom = if (psl.isEmpty) registeredDomain(h) else registeredDomain(h, psl)
-    val withDom = df.withColumn("__uc_dom", dom)
-    val w = Window.partitionBy(col("__uc_dom"))
-      .orderBy(Sampling.hashKey(idCol), col(idCol))
-    withDom
-      .withColumn("__uc_rank", row_number().over(w))
-      .filter(col("__uc_rank") <= k)
-      .drop("__uc_dom", "__uc_rank")
+    // hashKey is < 2^32, so its negation is exact in a double and
+    // "top-k by -hash desc, id asc" == "bottom-k by (hash, id) asc".
+    val keyed = df.select(
+      col(idCol).cast("long").as("__uc_id"),
+      dom.as("__uc_dom"),
+      -Sampling.hashKey(idCol).cast("double"))
+      .toDF("__uc_id", "__uc_dom", "__uc_negh")
+    val keepIds = TopK.topKPerGroup(keyed, "__uc_dom", "__uc_id", "__uc_negh", k)
+      .select(col("id").as("__uc_keep"))
+    df.join(keepIds, col(idCol).cast("long") === col("__uc_keep"), "leftsemi")
   }
 }

@@ -100,6 +100,24 @@ class UrlCurationSpec extends SparkSpec {
     assert(c.size == 12, "three distinct registered domains, 4 each")
   }
 
+  test("capPerDomain: mega-domain membership matches the direct bottom-k, heap-pruned") {
+    // one domain holding every row — the skew case the per-partition
+    // heap prune exists for: only O(partitions * k) rows may reach the
+    // final ranking window. Membership must equal the global bottom-k
+    // by (hashKey, id) exactly.
+    val n = 50000
+    val df = spark.range(n).select($"id".as("doc_id"),
+      concat(lit("http://mega.example.com/p/"), $"id").as("url"))
+    val kept = UrlCuration.capPerDomain(df, k = 7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = df
+      .select($"doc_id", graft.ops.Sampling.hashKey("doc_id").as("h"))
+      .orderBy($"h", $"doc_id").limit(7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == expected)
+    assert(kept.size == 7)
+  }
+
   test("parse adds norm_url and domain columns") {
     val out = UrlCuration.parse(
         Seq((1L, "HTTP://WWW.X.Example.ORG/a?utm_source=1")).toDF("doc_id", "url"))
