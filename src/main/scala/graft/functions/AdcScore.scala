@@ -19,15 +19,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * the LUT through a java.util.HashMap reference, all inside
   * whole-stage codegen.
   *
-  * `luts` maps query id → [sub][code] float tables. An id missing
+  * `luts` maps query id → [sub][code] float tables, carried as a
+  * [[RefTable]] (inline below the byte cap, broadcast above — a large
+  * query batch's LUTs otherwise ride every task binary). An id missing
   * from the map is a construction bug upstream (probe pairs and LUTs
   * are built from the same rows) and fails loudly.
   */
 case class AdcScore(
     left: Expression,
     right: Expression,
-    luts: java.util.HashMap[java.lang.Long, Array[Array[Float]]])
+    lutsRef: RefTable[java.util.HashMap[java.lang.Long, Array[Array[Float]]]])
     extends BinaryExpression {
+
+  @transient private lazy val luts: java.util.HashMap[java.lang.Long, Array[Array[Float]]] =
+    lutsRef.value
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -52,7 +57,10 @@ case class AdcScore(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("luts", luts, "java.util.HashMap")
+    val refName = ctx.addReferenceObj(
+      "lutsRef", lutsRef, classOf[RefTable[_]].getName)
+    val mapRef = ctx.addMutableState("java.util.HashMap", "lutsTable",
+      v => s"$v = (java.util.HashMap) $refName.value();")
     nullSafeCodeGen(ctx, ev, (q, c) => {
       val lut = ctx.freshName("lut")
       val s = ctx.freshName("s")
@@ -75,4 +83,11 @@ case class AdcScore(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcScore =
     copy(left = newLeft, right = newRight)
+}
+
+object AdcScore {
+  /** Inline-table convenience for small LUT maps. */
+  def apply(left: Expression, right: Expression,
+      luts: java.util.HashMap[java.lang.Long, Array[Array[Float]]]): AdcScore =
+    AdcScore(left, right, InlineRef(luts))
 }

@@ -18,18 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * keeping the stage in whole-stage codegen (measured ~3x on the
   * 200k x 64 assignment pass).
   *
-  * `centers` ride inside the expression (k * dim doubles — bounded by
-  * the same driver-collect that produced them) and reach generated
-  * code via `ctx.addReferenceObj`, exactly like a broadcast would.
+  * `centers` travel as a [[RefTable]]: inline in the expression below
+  * the 4 MiB cap (k * dim doubles — bounded by the same driver-collect
+  * that produced them), torrent-broadcast above it so a 10^5-cell
+  * table never rides every stage's task binary; generated code
+  * materializes the array once per operator in `init`.
   * Scoring matches [[graft.ops.Clustering]]'s original UDF bit for
   * bit: per-center dot and vector norm over the common prefix, unit
   * centers assumed, zero-norm vectors score 0, strict `>` so the
   * first best index wins.
   */
-case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
+case class NearestCentroid(child: Expression, centersRef: RefTable[Array[Array[Double]]])
     extends UnaryExpression {
 
-  require(centers.nonEmpty, "NearestCentroid needs at least one center")
+  @transient private lazy val centers: Array[Array[Double]] = centersRef.value
+
+  require(centersRef.value.nonEmpty, "NearestCentroid needs at least one center")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -63,7 +67,12 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    val refName = ctx.addReferenceObj(
+      "centersRef", centersRef, classOf[RefTable[_]].getName)
+    // materialized ONCE per operator instance in init — the row loop
+    // touches a plain double[][], never Broadcast.value
+    val cRef = ctx.addMutableState("double[][]", "centersTable",
+      v => s"$v = (double[][]) $refName.value();")
     nullSafeCodeGen(ctx, ev, v => {
       val len = ctx.freshName("len")
       val best = ctx.freshName("best")
@@ -97,4 +106,10 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Inline-table convenience for small center sets. */
+  def apply(child: Expression, centers: Array[Array[Double]]): NearestCentroid =
+    NearestCentroid(child, InlineRef(centers))
 }

@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 case class NearestSubCode(
     left: Expression,
     right: Expression,
-    books: Array[Array[Array[Double]]])
+    booksRef: RefTable[Array[Array[Array[Double]]]])
     extends BinaryExpression {
 
-  require(books.nonEmpty, "NearestSubCode needs at least one sub-codebook")
+  @transient private lazy val books: Array[Array[Array[Double]]] = booksRef.value
+
+  require(booksRef.value.nonEmpty, "NearestSubCode needs at least one sub-codebook")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -55,7 +57,10 @@ case class NearestSubCode(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val refName = ctx.addReferenceObj(
+      "booksRef", booksRef, classOf[RefTable[_]].getName)
+    val bRef = ctx.addMutableState("double[][][]", "booksTable",
+      v => s"$v = (double[][][]) $refName.value();")
     nullSafeCodeGen(ctx, ev, (s, v) => {
       val cb = ctx.freshName("cb")
       val len = ctx.freshName("len")
@@ -89,4 +94,11 @@ case class NearestSubCode(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestSubCode =
     copy(left = newLeft, right = newRight)
+}
+
+object NearestSubCode {
+  /** Inline-table convenience for small codebooks. */
+  def apply(left: Expression, right: Expression,
+      books: Array[Array[Array[Double]]]): NearestSubCode =
+    NearestSubCode(left, right, InlineRef(books))
 }

@@ -16,18 +16,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * per row. This expression reads UnsafeArrayData directly and
   * normalizes on the fly (`x / norm` inside the distance loop — the
   * same double ops [[graft.ops.Similarity.unit]] performs, so codes
-  * are bit-identical). Codebooks ride in the expression via
-  * `addReferenceObj`, like [[NearestCentroid]]'s centers.
+  * are bit-identical). Codebooks travel as a [[RefTable]]
+  * (inline below the byte cap, broadcast above), like
+  * [[NearestCentroid]]'s centers.
   *
   * Matches [[graft.ops.ProductQuantization]]'s original kernel
   * exactly: subspace s owns dims [s*ceil(d/m), min(..+w, d)), squared
   * L2 over the common prefix, strict `<` so the first best code wins,
   * zero-norm vectors quantize as all-zero vectors.
   */
-case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+case class PqEncode(child: Expression, booksRef: RefTable[Array[Array[Array[Double]]]])
     extends UnaryExpression {
 
-  require(books.nonEmpty, "PqEncode needs at least one sub-codebook")
+  @transient private lazy val books: Array[Array[Array[Double]]] = booksRef.value
+
+  require(booksRef.value.nonEmpty, "PqEncode needs at least one sub-codebook")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -77,7 +80,10 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val refName = ctx.addReferenceObj(
+      "booksRef", booksRef, classOf[RefTable[_]].getName)
+    val bRef = ctx.addMutableState("double[][][]", "booksTable",
+      v => s"$v = (double[][][]) $refName.value();")
     nullSafeCodeGen(ctx, ev, v => {
       val d = ctx.freshName("d")
       val m = ctx.freshName("m")
@@ -134,4 +140,10 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+object PqEncode {
+  /** Inline-table convenience for small codebooks. */
+  def apply(child: Expression, books: Array[Array[Array[Double]]]): PqEncode =
+    PqEncode(child, InlineRef(books))
 }

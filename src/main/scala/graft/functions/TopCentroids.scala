@@ -17,10 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * millions of rows; the per-row boxed Seq[Float] conversion plus a
   * k-tuple sort per row is what this removes.
   */
-case class TopCentroids(child: Expression, centers: Array[Array[Float]], n: Int)
+case class TopCentroids(
+    child: Expression, centersRef: RefTable[Array[Array[Float]]], n: Int)
     extends UnaryExpression {
 
-  require(centers.nonEmpty && n >= 1, s"need centers and n >= 1: ${centers.length}, $n")
+  @transient private lazy val centers: Array[Array[Float]] = centersRef.value
+
+  require(centersRef.value.nonEmpty && n >= 1,
+    s"need centers and n >= 1: ${centersRef.value.length}, $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -67,7 +71,10 @@ case class TopCentroids(child: Expression, centers: Array[Array[Float]], n: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centers", centers, "float[][]")
+    val refName = ctx.addReferenceObj(
+      "centersRef", centersRef, classOf[RefTable[_]].getName)
+    val cRef = ctx.addMutableState("float[][]", "centersTable",
+      v => s"$v = (float[][]) $refName.value();")
     nullSafeCodeGen(ctx, ev, v => {
       val len = ctx.freshName("len")
       val cap = ctx.freshName("cap")
@@ -119,4 +126,10 @@ case class TopCentroids(child: Expression, centers: Array[Array[Float]], n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): TopCentroids =
     copy(child = newChild)
+}
+
+object TopCentroids {
+  /** Inline-table convenience for small center sets. */
+  def apply(child: Expression, centers: Array[Array[Float]], n: Int): TopCentroids =
+    TopCentroids(child, InlineRef(centers), n)
 }

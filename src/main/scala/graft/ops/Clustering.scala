@@ -56,7 +56,11 @@ object Clustering {
     def assign(cs: Array[Array[Double]]): DataFrame =
       corpus.withColumn("cluster", graft.functions.ColumnBridge.toColumn(
         graft.functions.NearestCentroid(
-          graft.functions.ColumnBridge.toExpression($"v"), cs)))
+          graft.functions.ColumnBridge.toExpression($"v"),
+          // broadcast above the inline cap: a 10^5-cell center table
+          // must not ride every stage's serialized plan
+          graft.functions.RefTable.auto(spark, cs,
+            graft.functions.RefTable.bytes2(cs, 8)))))
 
     var it = 0
     while (it < iters) {
@@ -88,8 +92,14 @@ object Clustering {
             if (acc.counts(i) == 0L) 0.0
             else acc.sums(i).toDouble / (acc.counts(i).toDouble * CentroidAgg.Scale)
           }
-          val hr = acc.maxAbs * CentroidAgg.Scale *
-            (if (acc.counts.isEmpty) 0.0 else acc.counts.max.toDouble)
+          // exact per-dim bound: the worst |sum(i)| is max|x_i|*Scale*count_i
+          var hr = 0.0
+          var d = 0
+          while (d < acc.maxAbs.length) {
+            val b = acc.maxAbs(d) * CentroidAgg.Scale * acc.counts(d).toDouble
+            if (b > hr) hr = b
+            d += 1
+          }
           (c, means.toSeq, hr)
         }
       val worst = rows.iterator.map(_._3).maxOption.getOrElse(0.0)
@@ -123,9 +133,14 @@ object Clustering {
   }
 
   /** Fixed-point centroid accumulator: per-dimension scaled-long sums
-    * and counts (ragged-exact) plus max |x| for the overflow guard.
+    * and counts (ragged-exact) plus PER-DIMENSION max |x| for the
+    * overflow guard — per-dim so the guard bound is the actual
+    * worst-case |sum| of each dimension (max|x_i| * Scale * count_i),
+    * not a cross-dim product that can reject inputs whose true sums
+    * are fine (one large-magnitude dim combined with another dim's
+    * large count).
     */
-  final case class CentroidAcc(sums: Array[Long], counts: Array[Long], maxAbs: Double)
+  final case class CentroidAcc(sums: Array[Long], counts: Array[Long], maxAbs: Array[Double])
 
   /** One-pass per-cluster centroid aggregator — the typed-Aggregator
     * form of the fixed-point mean (see the kmeans iteration comment
@@ -135,20 +150,22 @@ object Clustering {
   object CentroidAgg
       extends org.apache.spark.sql.expressions.Aggregator[(Int, Seq[Float]), CentroidAcc, CentroidAcc] {
     val Scale: Double = (1L << 24).toDouble
-    def zero: CentroidAcc = CentroidAcc(Array.emptyLongArray, Array.emptyLongArray, 0.0)
+    def zero: CentroidAcc = CentroidAcc(Array.emptyLongArray, Array.emptyLongArray, Array.emptyDoubleArray)
     private def grown(a: Array[Long], n: Int): Array[Long] =
+      if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
+    private def grownD(a: Array[Double], n: Int): Array[Double] =
       if (a.length >= n) a else java.util.Arrays.copyOf(a, n)
     def reduce(b: CentroidAcc, in: (Int, Seq[Float])): CentroidAcc = {
       val v = in._2
       val sums = grown(b.sums, v.length)
       val counts = grown(b.counts, v.length)
-      var mx = b.maxAbs
+      val mx = grownD(b.maxAbs, v.length)
       var i = 0
       while (i < v.length) {
         val x = v(i).toDouble
         sums(i) += (x * Scale).toLong
         counts(i) += 1L
-        val ax = math.abs(x); if (ax > mx) mx = ax
+        val ax = math.abs(x); if (ax > mx(i)) mx(i) = ax
         i += 1
       }
       CentroidAcc(sums, counts, mx)
@@ -156,9 +173,12 @@ object Clustering {
     def merge(a: CentroidAcc, b: CentroidAcc): CentroidAcc = {
       val n = math.max(a.sums.length, b.sums.length)
       val sums = grown(a.sums, n); val counts = grown(a.counts, n)
+      val mx = grownD(a.maxAbs, n)
       var i = 0
       while (i < b.sums.length) { sums(i) += b.sums(i); counts(i) += b.counts(i); i += 1 }
-      CentroidAcc(sums, counts, math.max(a.maxAbs, b.maxAbs))
+      i = 0
+      while (i < b.maxAbs.length) { if (b.maxAbs(i) > mx(i)) mx(i) = b.maxAbs(i); i += 1 }
+      CentroidAcc(sums, counts, mx)
     }
     def finish(r: CentroidAcc): CentroidAcc = r
     def bufferEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
@@ -212,7 +232,9 @@ object Clustering {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("cluster", explode(graft.functions.ColumnBridge.toColumn(
         graft.functions.TopCentroids(
-          graft.functions.ColumnBridge.toExpression(col("qv")), fCenters, nProbe))))
+          graft.functions.ColumnBridge.toExpression(col("qv")),
+          graft.functions.RefTable.auto(embs.sparkSession, fCenters,
+            graft.functions.RefTable.bytes2(fCenters, 4)), nProbe))))
 
     // Score is rounded BEFORE ranking (ties at 4 decimals break by id),
     // exactly as the original window re-rank did; the bounded-heap

@@ -126,7 +126,9 @@ object ProductQuantization {
       val assignCol = graft.functions.ColumnBridge.toColumn(
         graft.functions.NearestSubCode(
           graft.functions.ColumnBridge.toExpression($"sub"),
-          graft.functions.ColumnBridge.toExpression($"sv"), books))
+          graft.functions.ColumnBridge.toExpression($"sv"),
+          graft.functions.RefTable.auto(subs.sparkSession, books,
+            graft.functions.RefTable.bytes3(books, 8))))
       // Per-(sub, code, dim) fixed-point means — exact integer sums keep
       // the mean independent of shuffle-combine order, same contract and
       // headroom guard as Clustering.kmeans.
@@ -171,7 +173,9 @@ object ProductQuantization {
     // conversion + normalized copy — this is the corpus-sized pass.
     embs.select(col(idCol).cast("long").as("vec_id"),
       graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
-        graft.functions.ColumnBridge.toExpression(col(vecCol)), books)).as("pq_codes"))
+        graft.functions.ColumnBridge.toExpression(col(vecCol)),
+        graft.functions.RefTable.auto(embs.sparkSession, books,
+          graft.functions.RefTable.bytes3(books, 8)))).as("pq_codes"))
   }
 
   /** Mean squared reconstruction error of the codebooks over the corpus
@@ -273,6 +277,8 @@ object ProductQuantization {
       }
     val lutMap = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
     qRows.foreach { case (qid, lut, _, _) => lutMap.put(qid, lut) }
+    val lutBytes = qRows.iterator
+      .map { case (_, lut, _, _) => graft.functions.RefTable.bytes2(lut, 4) + 48L }.sum
 
     // (cluster, query_id) probe pairs — the scan restriction.
     val probePairs = spark
@@ -288,7 +294,7 @@ object ProductQuantization {
         graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
           graft.functions.ColumnBridge.toExpression($"query_id"),
           graft.functions.ColumnBridge.toExpression($"pq_codes"),
-          lutMap)).as("score"))
+          graft.functions.RefTable.auto(spark, lutMap, lutBytes))).as("score"))
     val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
 
     val qVecs = spark.createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
