@@ -49,7 +49,7 @@ object AnnIndex {
       if (nClusters > 0) nClusters
       else {
         val n = if (nTotal > 0L) nTotal else embs.count()
-        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 20).toInt
+        math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 16).toInt
       }
     val (assigned, centers) = Clustering.kmeans(embs, kCells, iters, idCol, vecCol)
     embs
@@ -78,7 +78,21 @@ object AnnIndex {
       dir: String,
       embs: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit =
+    assignCells(spark, dir, embs, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+
+  /** (vec_id, v, cell) of `embs` against the index's frozen centers —
+    * the assignment kernel [[append]] and the streaming ingest share
+    * (the latter stages the result and renames into place instead of
+    * appending blind — its exactly-once story).
+    */
+  private[graft] def assignCells(
+      spark: SparkSession,
+      dir: String,
+      embs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     val centers = spark.read.parquet(s"$dir/centers")
       .select($"cell", $"center").as[(Int, Seq[Double])]
@@ -88,8 +102,64 @@ object AnnIndex {
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", graft.functions.ColumnBridge.toColumn(
         graft.functions.NearestCentroid(
-          graft.functions.ColumnBridge.toExpression(col("v")), centers)))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+          graft.functions.ColumnBridge.toExpression(col("v")),
+          graft.functions.RefTable.auto(spark, centers,
+            graft.functions.RefTable.bytes2(centers, 8)))))
+  }
+
+  /** Small-file compaction for the cell directories: every [[append]] /
+    * streaming micro-batch adds one-or-more parquet files per touched
+    * cell, and after thousands of batches a probe reads thousands of
+    * tiny files. Rewrites each cell directory holding at least
+    * `minFiles` data files into ~`targetBytes` files (coalesce — a
+    * narrow, shuffle-free, IO-bound rewrite) and swaps it in atomically
+    * (cell dir -> `_compact_old`, tmp -> cell dir), so concurrent
+    * probes see the old complete cell or the new complete cell, never
+    * a mix. Temp/old live under `<dir>/_compact_*`, OUTSIDE `vectors/`
+    * — a non-`cell=` sibling inside the partitioned tree would break
+    * readers' partition discovery. Returns the total data-file count
+    * after compaction.
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Long = {
+    require(targetBytes > 0 && minFiles >= 2, s"bad compact params: $targetBytes, $minFiles")
+    val vectors = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = vectors.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+      }
+    var total = 0L
+    fs.listStatus(vectors)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cd =>
+        val files = dataFiles(cd.getPath)
+        if (files.length < minFiles) total += files.length
+        else {
+          val name = cd.getPath.getName
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/$name")
+          val old = new org.apache.hadoop.fs.Path(s"$dir/_compact_old/$name")
+          fs.delete(tmp, true); fs.delete(old, true)
+          val n = math.max(1L,
+            math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+          spark.read.parquet(cd.getPath.toString).coalesce(n)
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(cd.getPath, old))
+            throw new java.io.IOException(s"compact: could not move ${cd.getPath} aside")
+          if (!fs.rename(tmp, cd.getPath)) {
+            fs.rename(old, cd.getPath) // roll back
+            throw new java.io.IOException(s"compact: could not install $tmp")
+          }
+          fs.delete(old, true)
+          total += dataFiles(cd.getPath).length
+        }
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_old"), true)
+    total
   }
 
   /** Top-k neighbors for each query against the persisted index:
@@ -118,7 +188,9 @@ object AnnIndex {
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(graft.functions.ColumnBridge.toColumn(
         graft.functions.TopCentroids(
-          graft.functions.ColumnBridge.toExpression(col("qv")), centers, nProbe))))
+          graft.functions.ColumnBridge.toExpression(col("qv")),
+          graft.functions.RefTable.auto(spark, centers,
+            graft.functions.RefTable.bytes2(centers, 4)), nProbe))))
       .localCheckpoint() // probe once: feeds the cell collect AND the join
     // The union of probed cells is bounded by the CELL COUNT (ints, at
     // most k of them), so collecting it is free — and pushing it as a
@@ -129,7 +201,16 @@ object AnnIndex {
     val vectors = spark.read.parquet(s"$dir/vectors")
       .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
       .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell")
-    val cands = vectors.join(broadcast(q), "cell")
+    // The broadcast hint bypasses Spark's size threshold, so guard it:
+    // the exploded probe frame is Q * nProbe rows EACH carrying the
+    // full query vector — a large query batch would OOM executors as a
+    // build side. Past ~64 MiB estimated, fall back to a shuffle join
+    // on cell (AQE skew-splits hot cells); the static `isin` partition
+    // pruning above is independent of the join strategy.
+    val dim = if (centers.isEmpty) 0 else centers(0).length
+    val probeBytes = q.count() * (4L * dim + 48L)
+    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val cands = vectors.join(qSide, "cell")
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
       .select($"query_id", $"neighbor_id", $"score")

@@ -132,4 +132,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(centers.count() == 20)
     assert(centers.select(size($"center")).distinct().as[Int].head() == 16)
   }
+
+  test("compact: micro-batch small files collapse, probe rows identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_cmp").toString
+    val rnd = new scala.util.Random(51)
+    def batch(ids: Range) = ids.map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.build(batch(0 until 120), dir, nClusters = 4, iters = 2)
+    (0 until 6).foreach(b => AnnIndex.append(spark, dir, batch(1000 + b * 10 until 1010 + b * 10)))
+    val queries = batch(0 until 10)
+    val before = AnnIndex.topK(spark, dir, queries, k = 3, nProbe = 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def fileCount = {
+      val vecDir = new java.io.File(s"$dir/vectors")
+      vecDir.listFiles().filter(_.getName.startsWith("cell=")).map(cd =>
+        cd.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+    }
+    val nBefore = fileCount
+    assert(nBefore > 4, s"appends must have fragmented the cells (saw $nBefore files)")
+    val after = AnnIndex.compact(spark, dir)
+    assert(after.toInt == fileCount)
+    assert(fileCount <= 4, s"compaction must collapse to ~one file per cell (saw $fileCount)")
+    val got = AnnIndex.topK(spark, dir, queries, k = 3, nProbe = 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == before, "probe results must be byte-identical across compaction")
+    // appends stay searchable after compaction
+    AnnIndex.append(spark, dir, batch(2000 until 2005))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 185)
+  }
 }

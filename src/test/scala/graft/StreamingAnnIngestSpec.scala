@@ -56,4 +56,24 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/vectors").count() == 60,
       "second delivery of batch 7 must not duplicate")
   }
+
+  test("crash between install and marker: redelivery replaces, never duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sann3").toString
+    val base = vecs(0 until 50, seed = 47).toDF("vec_id", "embedding")
+    AnnIndex.build(base, dir, nClusters = 8, iters = 2)
+    val batch = vecs(200 until 212, seed = 48).toDF("vec_id", "embedding")
+    assert(StreamingAnnIngest.appendBatch(dir, batch, 9L))
+    // simulate the crash window: files installed, marker never written
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_stream_commits/9")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false), "test setup: marker must exist to delete")
+    // redelivery: deterministic b9-* names sweep + replace the leftovers
+    assert(StreamingAnnIngest.appendBatch(dir, batch, 9L))
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() == 62, "redelivery after the crash window must not duplicate")
+    assert(stored.select("vec_id").distinct().count() == 62)
+    // no staging leftovers
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging")).isEmpty)
+  }
 }
