@@ -137,21 +137,38 @@ object WarcIO {
     val hconf = new SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
-    dirPath.getFileSystem(hconf.value).mkdirs(dirPath)
+    val dirFs = dirPath.getFileSystem(hconf.value)
+    dirFs.mkdirs(dirPath)
+    // sweep temp leftovers of previously failed/killed jobs
+    val stale = dirFs.globStatus(
+      new org.apache.hadoop.fs.Path(dirPath, "_tmp-part-*.warc.gz"))
+    if (stale != null) stale.foreach(st => dirFs.delete(st.getPath, false))
     df.select(org.apache.spark.sql.functions.col(urlC).cast("string"),
         org.apache.spark.sql.functions.col(htmlC).cast("string"))
       .foreachPartition { (it: Iterator[Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // Task-commit protocol: write to a per-ATTEMPT temp path and
+        // rename into place only on success — a speculative or retried
+        // attempt writing the final path directly would interleave two
+        // gzip streams into one corrupt file, and a failed task would
+        // leave a partial file that reads as complete. Rename is
+        // atomic on HDFS/local; if a concurrent attempt won the rename
+        // race the loser just discards its temp file — partition bytes
+        // are deterministic, so both attempts' outputs are identical.
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = ctx.partitionId()
+        val tmp = new org.apache.hadoop.fs.Path(outDir,
+          s"_tmp-part-$pid-attempt-${ctx.taskAttemptId()}.warc.gz")
         val part = new org.apache.hadoop.fs.Path(outDir, s"part-$pid.warc.gz")
         val fs = part.getFileSystem(hconf.value)
-        val out = new java.io.BufferedOutputStream(fs.create(part, true), 1 << 16)
+        var ok = false
+        val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
         // ONE Deflater per partition, reset per member, end()ed in
         // finally — a GZIPOutputStream per record leaks one native
         // Deflater per record (finish() does not release it).
         val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
         val crc = new CRC32()
         val buf = new Array[Byte](1 << 16)
-        try it.foreach { row =>
+        try { it.foreach { row =>
           val url = row.getString(0); val html = row.getString(1)
           if (url != null && html != null) {
             val body = html.getBytes(StandardCharsets.UTF_8)
@@ -167,9 +184,20 @@ object WarcIO {
             member.write('\r'); member.write('\n'); member.write('\r'); member.write('\n')
             writeGzipMember(out, defl, crc, buf, member.toByteArray)
           }
+        }
+          ok = true
         } finally {
           defl.end()
           out.close()
+          if (ok) {
+            fs.delete(part, false)
+            if (!fs.rename(tmp, part)) {
+              // lost the race to a concurrent identical attempt, or the
+              // delete/rename interleaved with one — either way a
+              // COMPLETE identical file is (or will be) in place
+              fs.delete(tmp, false)
+            }
+          } else fs.delete(tmp, false)
         }
       }
   }
