@@ -71,24 +71,30 @@ object DataCard {
       .drop("q4_sum")
 
     // Type-1 (inverse-CDF) quantiles: the ceil(p*n)-th smallest n_toks
-    // per slice — exact, interpolation-free, engine-portable. A window
-    // rank (sort-based, spillable) instead of collect_list: a slice
-    // with billions of docs must never materialize as one array.
-    val rankW = org.apache.spark.sql.expressions.Window
+    // per slice = the smallest VALUE whose cumulative count reaches
+    // ceil(p*n). Counting per distinct value first (map-side-combined
+    // hash agg — a billion-doc slice collapses before the exchange)
+    // bounds the per-slice window input by the number of DISTINCT
+    // token counts (<= max doc length), not the doc count — the
+    // previous per-DOC rank window put a mega slice's every row into
+    // one sort task.
+    val counts = perDoc
+      .groupBy($"source", $"lang", $"n_toks")
+      .agg(count(lit(1)).as("c"))
+    val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy($"source", $"lang").orderBy($"n_toks")
-    val ranked = perDoc
-      .select($"source", $"lang", $"n_toks")
-      .withColumn("rn", row_number().over(rankW))
-    val quantiles = ranked
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val quantiles = counts
+      .withColumn("cum", sum($"c").over(cumW))
       .join(agg1.select($"source", $"lang", $"n_docs"), Seq("source", "lang"))
-      .filter($"rn" === ceil($"n_docs" * 0.5) || $"rn" === ceil($"n_docs" * 0.9))
       .groupBy($"source", $"lang")
       .agg(
-        min(when($"rn" === ceil($"n_docs" * 0.5), $"n_toks")).as("p50_tokens"),
-        min(when($"rn" === ceil($"n_docs" * 0.9), $"n_toks")).as("p90_tokens"))
-    // n=1 edge: ceil(0.5)=ceil(0.9)=1 — one row supplies both columns.
+        min(when($"cum" >= ceil($"n_docs" * 0.5), $"n_toks")).as("p50_tokens"),
+        min(when($"cum" >= ceil($"n_docs" * 0.9), $"n_toks")).as("p90_tokens"))
+    // cum always reaches ceil(p*n) <= n at the largest value, so both
+    // columns are total (the n=1 edge included).
     val slices = agg1.join(quantiles, Seq("source", "lang"))
-      .withColumn("p90_tokens", coalesce($"p90_tokens", $"p50_tokens"))
 
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     slices

@@ -20,16 +20,19 @@ object Frequency {
     df.groupBy(col(groupCol).as("group_id"))
       .agg(approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"))
 
-  /** Exact most-frequent key per group (ties broken by key asc). */
+  /** Exact most-frequent key per group (ties broken by key asc). One
+    * min_by aggregation over the per-(group, key) counts instead of a
+    * rank window: map-side combine keeps a group with billions of
+    * distinct keys off any single sort task.
+    */
   def topKeyExact(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val counts = df
       .groupBy(col(groupCol).as("group_id"), col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("group_id")).orderBy(col("cnt").desc, col("key"))
     counts
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("group_id"), col("key").as("top_key"), col("cnt").as("top_cnt"))
+      .groupBy(col("group_id"))
+      .agg(min_by(struct(col("key"), col("cnt")), struct(-col("cnt"), col("key"))).as("t"))
+      .select(col("group_id"), col("t.key").as("top_key"), col("t.cnt").as("top_cnt"))
   }
 
   /** CMS-estimated counts of each group's heavy-hitter candidates.
