@@ -99,14 +99,33 @@ object Bench {
       }
       val (fleetC1, fleetC2) = (5, 50)
       val (fleetLo, fleetHi) = pairTimed(fleetRun(fleetC1), fleetRun(fleetC2))
-      base.unpersist()
       val bigRateLo = bigN1 / bigLo; val bigRateHi = bigN2 / bigHi
       val fleetRateLo = baseRows * fleetC1 / fleetLo
       val fleetRateHi = baseRows * fleetC2 / fleetHi
+      // Deep-scale anchors (opt-in: minutes of extra runtime): one more
+      // decade on each axis — a 10^9-row big stream and a 500x fleet.
+      // Single timed sample each (warmed by the points above).
+      val deep =
+        if (!sys.env.get("SPARK_GRAFT_DEEP_SCALE").contains("1")) ""
+        else {
+          def one(r: () => Unit): Double = {
+            val t0 = System.nanoTime(); r(); (System.nanoTime() - t0) / 1e9
+          }
+          val bigN3 = 1000000000L
+          val bigXl = one(bigRun(bigN3))
+          val fleetC3 = 500
+          val fleetXl = one(fleetRun(fleetC3))
+          s""""big_rows_per_sec_1g":${(bigN3 / bigXl).toLong},""" +
+          s""""big_rate_ratio_1g":${f"${(bigN3 / bigXl) / bigRateLo}%.2f"},""" +
+          s""""fleet_rows_per_sec_500x":${(baseRows * fleetC3 / fleetXl).toLong},""" +
+          s""""fleet_rate_ratio_500x":${f"${(baseRows * fleetC3 / fleetXl) / fleetRateLo}%.2f"},"""
+        }
+      base.unpersist()
       Some(
         s"""{"big_rows_per_sec_10m":${bigRateLo.toLong},""" +
         s""""big_rows_per_sec_100m":${bigRateHi.toLong},""" +
         s""""big_rate_ratio":${f"${bigRateHi / bigRateLo}%.2f"},""" +
+        deep +
         s""""fleet_rows_per_sec_5x":${fleetRateLo.toLong},""" +
         s""""fleet_rows_per_sec_50x":${fleetRateHi.toLong},""" +
         s""""fleet_rate_ratio":${f"${fleetRateHi / fleetRateLo}%.2f"}}""")
@@ -116,6 +135,58 @@ object Bench {
         None
     }
 
+    // Skew check (r10): the dedup family on the corpus it actually
+    // exists for — 90% of rows sharing ONE hot key (a mega-duplicated
+    // page / URL, a boilerplate line in every document). The r9 shapes
+    // ranked the hot key inside a single WindowExec task; the r10
+    // shapes are map-side-combined aggregations (keep-one) or
+    // AQE-splittable join-backs (per-occurrence). `exact_window_sec`
+    // times the replaced window shape inline for contrast, so the win
+    // — and any future skew regression — stays measurable in one
+    // artifact.
+    val skewCheck: Option[String] = try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def one(r: () => Unit): Double = {
+        r() // warm-up, untimed
+        val a = { val t = System.nanoTime(); r(); (System.nanoTime() - t) / 1e9 }
+        val b = { val t = System.nanoTime(); r(); (System.nanoTime() - t) / 1e9 }
+        math.min(a, b)
+      }
+      val n = 1000000L
+      val hotDocs = spark.range(n).select(
+        $"id".as("doc_id"),
+        when($"id" % 10 < 9, lit("the corpus-dominating duplicated page body"))
+          .otherwise(concat(lit("unique page "), $"id")).as("text"))
+      val exactSec = one(() => force(graft.ops.Dedup.dropExactDuplicates(hotDocs)))
+      val exactWindowSec = one { () =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(graft.ops.Dedup.normalizeText($"text"))).orderBy($"doc_id")
+        force(hotDocs.withColumn("__rk", row_number().over(w))
+          .filter($"__rk" === 1).drop("__rk"))
+      }
+      val lineDocs = spark.range(300000L).select(
+        $"id".as("doc_id"),
+        concat(lit("body "), $"id", lit("\nshared cookie banner\ntail "), $"id").as("text"))
+      val lineSec = one(() => force(graft.ops.LineDedup.duplicatedLines(lineDocs)))
+      val hotUrls = spark.range(n).select(
+        $"id".as("doc_id"),
+        when($"id" % 10 < 9, lit("https://hot.example.com/page?utm_source=x"))
+          .otherwise(concat(lit("https://ok.example.org/p/"), $"id")).as("url"))
+      val urlSec = one(() => force(graft.ops.UrlCuration.dedupByUrl(hotUrls)))
+      Some(
+        s"""{"rows":$n,"hot_share":0.9,""" +
+        s""""exact_sec":${f"$exactSec%.3f"},""" +
+        s""""exact_window_sec":${f"$exactWindowSec%.3f"},""" +
+        s""""line_sec":${f"$lineSec%.3f"},""" +
+        s""""url_sec":${f"$urlSec%.3f"}}""")
+    } catch {
+      case e: Throwable =>
+        errors("__skew_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
 
     // Pipeline materialization: events -> summary/landmark tables.
     // The headline ingest figure gets the SAME multi-sample treatment
@@ -264,6 +335,7 @@ object Bench {
       s""""big_stream_rows_per_sec":$bigRowsPerSec,"big_stream_windows":$bigWindows,""" +
       s""""big_stream_spread":${f"$bigSpread%.4f"},""" +
       scaleCheck.map(sc => s""""scale_check":$sc,""").getOrElse("") +
+      skewCheck.map(sc => s""""skew_check":$sc,""").getOrElse("") +
       s""""sf":${jq(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
