@@ -51,11 +51,20 @@ object AnnIndex {
         val n = if (nTotal > 0L) nTotal else embs.count()
         math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).min(1 << 16).toInt
       }
-    val (assigned, centers) = Clustering.kmeans(embs, kCells, iters, idCol, vecCol)
-    embs
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(assigned, "vec_id")
-      .withColumnRenamed("cluster", "cell")
+    val (_, centers) = Clustering.kmeans(embs, kCells, iters, idCol, vecCol)
+    // kmeans's returned assignment IS nearest-centroid under the
+    // returned centers, so assign directly with the same kernel
+    // instead of joining the corpus back to the assignment frame on
+    // vec_id: bit-identical cells, and the one shuffle the build pays
+    // is the repartition below rather than a vec_id join. Clustering
+    // on (cell, small salt) bounds the layout: a raw partitionBy write
+    // emits one file per (task x touched cell) — at corpus scale tens
+    // of thousands of tasks each touching thousands of cells is a
+    // small-file explosion — while the salted clustering caps it at
+    // <= 8 files per cell and still writes a hot (skewed) cell with
+    // 8-way parallelism.
+    assignWithCenters(spark, embs, idCol, vecCol, centers)
+      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -98,6 +107,19 @@ object AnnIndex {
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.toArray)
+    assignWithCenters(spark, embs, idCol, vecCol, centers)
+  }
+
+  /** (vec_id, v, cell) of `embs` under an in-hand center table — the
+    * shared shuffle-free assignment pass of [[build]], [[append]] and
+    * the streaming ingest.
+    */
+  private def assignWithCenters(
+      spark: SparkSession,
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]]): DataFrame =
     embs
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
       .withColumn("cell", graft.functions.ColumnBridge.toColumn(
@@ -105,7 +127,6 @@ object AnnIndex {
           graft.functions.ColumnBridge.toExpression(col("v")),
           graft.functions.RefTable.auto(spark, centers,
             graft.functions.RefTable.bytes2(centers, 8)))))
-  }
 
   /** Small-file compaction for the cell directories: every [[append]] /
     * streaming micro-batch adds one-or-more parquet files per touched

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.BucketedLayout
+
+/** Persisted exact-dedup index — cross-run incremental deduplication.
+  *
+  * [[Dedup.dropExactDuplicates]] dedups ONE corpus in one job; real
+  * curation pipelines ingest forever ("is this page new, or did any
+  * previous crawl already keep it?"). Re-reading the full historical
+  * corpus per batch is a 100-TB scan for a 1-TB question, so this
+  * operator persists only the content-hash frontier and answers each
+  * batch against it (the serving twin of [[AnnIndex]]: build once,
+  * probe many, append survivors):
+  *
+  * {{{
+  *   table @ dir/hashes   (text_hash, n_dups, keep_id)
+  *                        bucketed + sorted by text_hash
+  * }}}
+  *
+  * The Spark-native part is the LAYOUT, not an index structure: the
+  * hash table is written through [[BucketedLayout.writeBucketed]], so
+  * its scan reports `HashPartitioning(text_hash)` and the per-batch
+  * anti-join never exchanges the index side — only the (small) batch
+  * shuffles, into the index's bucketing. The follow-on keep-one
+  * aggregation groups by the SAME already-computed hash column, which
+  * reuses that partitioning: one batch-sized shuffle total per ingest,
+  * zero index-sized ones, and no rank window anywhere (the r10 hot-key
+  * discipline — a mega-duplicated page collapses map-side).
+  *
+  * Hash = md5 of [[Dedup.normalizeText]], the exact-dedup family's
+  * shared fingerprint, so the index interoperates with the one-shot
+  * operators and the DuckDB oracle alike.
+  */
+object DedupIndex {
+
+  private def hashOf(textCol: String): Column =
+    md5(Dedup.normalizeText(col(textCol)))
+
+  /** Build the index from a seed corpus: one row per distinct
+    * normalized text with its duplicate count and surviving (minimum)
+    * id, bucketed by hash at `dir/hashes` and registered in the
+    * session catalog as `table` (on a cluster: the shared metastore).
+    */
+  def build(
+      docs: DataFrame,
+      dir: String,
+      table: String,
+      nBuckets: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit =
+    BucketedLayout.writeBucketed(
+      Dedup.exactDedup(docs, textCol, idCol),
+      table, s"$dir/hashes", "text_hash", nBuckets)
+
+  /** Rows of `batch` whose content is NOT in the index, one survivor
+    * (minimum id) per distinct new hash, with the batch-local
+    * duplicate count attached as `n_dups`. Output columns: the batch's
+    * own, plus `text_hash` and `n_dups`.
+    *
+    * Plan shape (asserted in the spec): batch exchanges ONCE into the
+    * index's bucketing for the anti-join; the keep-one aggregation
+    * reuses that partitioning (no second exchange); the bucketed index
+    * scan never exchanges at all.
+    */
+  def filterNew(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cols = batch.columns
+    val seen = BucketedLayout.readBucketed(spark, table).select("text_hash")
+    batch
+      .withColumn("text_hash", hashOf(textCol))
+      .join(seen, Seq("text_hash"), "left_anti")
+      .groupBy("text_hash")
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("__di_row"))
+      .select((Seq(col("__di_row.*")) ++ Seq(col("text_hash"), col("n_dups"))): _*)
+  }
+
+  /** Ingest a batch: filter it against the index, append the new
+    * hashes (with their batch-local counts and keep ids), and return
+    * the surviving rows. Re-delivering the same batch is a no-op that
+    * returns empty — the anti-join sees the hashes the first delivery
+    * appended. The survivors are eagerly checkpointed so the append
+    * and the returned frame share one evaluation (and so the returned
+    * frame does not observe its own append through the catalog table).
+    */
+  def ingest(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fresh = filterNew(spark, table, batch, textCol, idCol).localCheckpoint()
+    fresh
+      .select(col("text_hash"), col("n_dups"), col(idCol).cast("long").as("keep_id"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .insertInto(table)
+    fresh.drop("text_hash", "n_dups")
+  }
+
+  /** Small-file compaction: every [[ingest]] / streaming batch appends
+    * up-to-`nBuckets` files, so a long-lived index accumulates
+    * `batches x buckets` tiny files and probe scans pay a task + a
+    * footer read per file. Rewrites the table as ONE fresh bucketed
+    * generation — re-aggregated by hash, which also retires any
+    * duplicate rows a zombie double-append left behind (keep = min id,
+    * count = max, matching what a rebuild from scratch would keep) —
+    * and swaps the directory in atomically (live -> `.__old`, tmp ->
+    * live, the [[AnnIndex.compact]] / [[graft.core.SummaryDB]] writer
+    * pattern), so a concurrent probe reads the old complete generation
+    * or the new one, never a mix. The catalog entry (schema, bucket
+    * spec, path) is untouched; only files move. Returns the data-file
+    * count after compaction.
+    */
+  def compact(spark: SparkSession, table: String, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpTable = table + "__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes.__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes.__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    val nBuckets = spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.bucketSpec.map(_.numBuckets)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
+    }.flatten.getOrElse(64)
+    // One fresh generation: same layout contract as build's, written
+    // through the same entry point so the bucket file tags match what
+    // the catalog advertises.
+    BucketedLayout.writeBucketed(
+      spark.table(table)
+        .groupBy("text_hash")
+        .agg(max("n_dups").as("n_dups"), min("keep_id").as("keep_id")),
+      tmpTable, tmp.toString, "text_hash", nBuckets)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metadata only; files already moved
+    spark.catalog.refreshTable(table)
+    fs.listStatus(path).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  }
+}
