@@ -271,6 +271,38 @@ object SparkEntry {
     // -- Dedup family over documents.
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exactDedup(docs(s, dir))),
+    // Cross-run incremental dedup: build the persisted hash index on
+    // the head 60% of the corpus, probe the tail 40% against it — the
+    // survivors are tail docs whose content no head doc (and no
+    // earlier tail doc) already carries, one min-id keeper per hash
+    // with the batch-local duplicate count.
+    "q_dedup_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tbl = "graft_q_dedup_index_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.DedupIndex.build(d.filter($"doc_id" % 10 < 6), out, tbl, nBuckets = 8)
+      ops.DedupIndex.filterNew(s, tbl, d.filter($"doc_id" % 10 >= 6))
+        .select($"doc_id", $"text_hash", $"n_dups")
+    }),
+    // Cross-run FUZZY dedup: persisted MinHash-LSH index on the head
+    // 60%, tail 40% probed against it — verified cross pairs with
+    // exact integer (intersection, union) evidence at J >= 0.9 (above
+    // the banding knee, so LSH candidates cover the true pair set and
+    // the oracle can recompute it exactly).
+    "q_neardup_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val pfx = "graft_q_neardup_index_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.NearDupIndex.build(d.filter($"doc_id" % 10 < 6), out, pfx, nBuckets = 8)
+      ops.NearDupIndex.probePairs(s, pfx, d.filter($"doc_id" % 10 >= 6), threshold = 0.9)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
     // Near-dup pairs with integer (intersection, union) evidence. The
     // oracle recomputes the full exact Jaccard >= 0.9 pair set —
     // threshold chosen ABOVE the 16x8 banding knee (~0.71), where
@@ -1338,6 +1370,15 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
         |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_index" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash
+        |  FROM documents),
+        |head AS (SELECT DISTINCT text_hash FROM n WHERE doc_id % 10 < 6),
+        |tail AS (SELECT * FROM n WHERE doc_id % 10 >= 6)
+        |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_dups
+        |FROM tail WHERE text_hash NOT IN (SELECT text_hash FROM head)
+        |GROUP BY text_hash""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |length(text) AS n_chars,
@@ -2203,6 +2244,20 @@ object SparkEntry {
     // corpus is deterministic and the verify filter removes false
     // positives.
     "q_neardup_text" -> neardupOracleSql(0.9),
+    // Cross-corpus (head x tail) exact-Jaccard pair set at the same
+    // threshold/shingling as the one-shot oracle.
+    "q_neardup_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+        |  FROM t a, t b WHERE a.doc_id % 10 < 6 AND b.doc_id % 10 >= 6)
+        |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.9""".stripMargin,
     "q_neardup_exact" -> neardupOracleSql(0.5),
     // SimHash containment: keys = the exact J >= 0.5 set; the SimHash
     // consistency/subset checks are Spark-computed booleans that must

@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.BucketedLayout
+
+/** Persisted MinHash-LSH near-duplicate index — cross-run FUZZY
+  * deduplication, completing the serving-index family: [[DedupIndex]]
+  * answers "is this exact content already kept?", [[AnnIndex]] answers
+  * it in embedding space, and this answers it in n-gram space ("did
+  * any previous crawl keep a page ~90% like this one?") without
+  * rescanning history.
+  *
+  * Two bucketed tables under `dir/` (catalog names `<prefix>_buckets`
+  * and `<prefix>_shingles`):
+  *
+  * {{{
+  *   buckets  (bb, doc_id)    bucketed by bb   — the banded LSH
+  *            postings: bb = xxhash64(band, band-signature-hash), the
+  *            same 16x8 banding as [[Dedup.lshCandidatePairs]]
+  *   shingles (doc_id, shh)   bucketed by doc_id — sorted 64-bit
+  *            shingle fingerprints for exact-Jaccard verification
+  * }}}
+  *
+  * A probe batch computes its own signatures in flight and joins the
+  * postings on `bb` — the index side scans bucketed, so neither the
+  * candidate join nor the verification join ever exchanges index-sized
+  * data; only the batch shuffles. Candidate volume is bounded the same
+  * way the one-shot operator bounds it: postings lists longer than
+  * `maxBucket` are dropped at build/compact time (a boilerplate bucket
+  * would otherwise fan every probe row out by its length), so per-probe
+  * work is O(bands * maxBucket) verifications worst-case.
+  *
+  * Recall contract (same as `q_neardup_text`): for thresholds above
+  * the 16x8 banding knee (~0.71) the LSH candidates are a superset of
+  * the true pair set with overwhelming probability, and every
+  * candidate is verified with exact fingerprint-set Jaccard — so
+  * output rows are exactly the cross-corpus pairs with J >= threshold.
+  */
+object NearDupIndex {
+
+  def bucketsTable(prefix: String): String = s"${prefix}_buckets"
+  def shinglesTable(prefix: String): String = s"${prefix}_shingles"
+
+  /** (doc_id, bb) postings of `docs` under the shared banding. */
+  private def postings(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    Dedup.bandBuckets(Dedup.minhashSignatures(docs, textCol, idCol, k))
+      .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bb"))
+
+  /** Build the index from a seed corpus. Oversized postings lists
+    * (> `maxBucket` docs in one (band, bucket)) are dropped — the
+    * [[Dedup.lshCandidatePairs]] cap, applied at write time so probes
+    * never pay for boilerplate buckets. The expensive signature pass
+    * is checkpointed so the cap's count+join-back reads it once (and
+    * never through a hot-key window — the r10 skew discipline).
+    */
+  def build(
+      docs: DataFrame,
+      dir: String,
+      tablePrefix: String,
+      nBuckets: Int = 64,
+      maxBucket: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): Unit = {
+    val post = postings(docs, textCol, idCol, k).localCheckpoint()
+    val kept = post.join(
+      post.groupBy("bb").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("bb"),
+      "bb")
+    BucketedLayout.writeBucketed(
+      kept.select("bb", "doc_id"), bucketsTable(tablePrefix), s"$dir/buckets", "bb", nBuckets)
+    BucketedLayout.writeBucketed(
+      Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh"),
+      shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nBuckets)
+  }
+
+  /** Append a batch's postings and shingles to the index (no cap
+    * recheck — a bucket that grows past `maxBucket` through appends is
+    * retired at the next [[compact]]). New docs are probe-visible
+    * immediately.
+    */
+  def append(
+      spark: SparkSession,
+      tablePrefix: String,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): Unit = {
+    postings(docs, textCol, idCol, k)
+      .select("bb", "doc_id")
+      .write.mode(SaveMode.Append).format("parquet").insertInto(bucketsTable(tablePrefix))
+    Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh")
+      .write.mode(SaveMode.Append).format("parquet").insertInto(shinglesTable(tablePrefix))
+  }
+
+  /** Verified near-duplicate pairs between the index and a probe
+    * batch: (doc_a = indexed id, doc_b = probe id, n_inter, n_union)
+    * with exact fingerprint-Jaccard >= threshold — integer evidence,
+    * the [[Dedup.nearDuplicatePairCounts]] contract, cross-corpus.
+    */
+  def probePairs(
+      spark: SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cands = postings(batch, textCol, idCol, k)
+      .select(col("doc_id").as("doc_b"), col("bb"))
+      .join(spark.table(bucketsTable(tablePrefix)), "bb")
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(spark.table(shinglesTable(tablePrefix))
+        .select(col("doc_id").as("doc_a"), col("shh").as("ha")), "doc_a")
+      .join(Dedup.shingles(batch, textCol, idCol, k)
+        .select(col("doc_id").as("doc_b"), col("shh").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, ha, hb) =>
+          val (inter, union) = Dedup.interUnionLong(ha, hb)
+          if (inter.toDouble >= union * threshold) Some(PairCount(a, b, inter, union))
+          else None
+        }
+      }
+      .toDF("doc_a", "doc_b", "n_inter", "n_union")
+  }
+
+  /** Rows of `batch` with NO near-duplicate in the index — the
+    * keep/drop form of [[probePairs]], one row per surviving batch row
+    * (batch-internal near-dups are NOT collapsed here; chain with the
+    * one-shot [[Dedup]] operators for that).
+    */
+  def filterNovel(
+      spark: SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame =
+    batch.join(
+      probePairs(spark, tablePrefix, batch, threshold, textCol, idCol, k)
+        .select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Ingest a batch: append everything NOVEL (no near-dup in the index
+    * AND not near-duplicating an earlier row of this same batch — the
+    * batch-internal pass reuses the one-shot keep-min operator), return
+    * the survivors. Unlike [[DedupIndex.ingest]], redelivery is NOT a
+    * no-op by construction (a survivor's own postings make its
+    * re-probe a self-match at J = 1.0 >= threshold, so redelivered
+    * rows filter out — same observable, different mechanism).
+    */
+  def ingest(
+      spark: SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      threshold: Double = 0.9,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val novel = filterNovel(spark, tablePrefix, batch, threshold, textCol, idCol, k)
+    val pairs = Dedup.nearDuplicatePairCounts(novel, threshold, textCol, idCol, k)
+      .filter(col("n_inter") >= col("n_union") * threshold)
+    val losers = pairs.select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
+    val kept = novel.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    append(spark, tablePrefix, kept, textCol, idCol, k)
+    kept
+  }
+
+  /** Rewrite both tables as one fresh bucketed generation — collapses
+    * append-accumulated small files, re-applies the `maxBucket` cap to
+    * postings lists that grew past it, and retires duplicate rows from
+    * redelivered appends. Atomic per table (live -> `.__old`, tmp ->
+    * live, the [[DedupIndex.compact]] pattern). Returns the total
+    * data-file count after compaction.
+    */
+  def compact(
+      spark: SparkSession,
+      tablePrefix: String,
+      dir: String,
+      maxBucket: Int = 64): Long = {
+    val post = spark.table(bucketsTable(tablePrefix)).distinct().localCheckpoint()
+    val kept = post.join(
+      post.groupBy("bb").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("bb"),
+      "bb").select("bb", "doc_id")
+    swapIn(spark, bucketsTable(tablePrefix), s"$dir/buckets", "bb", kept) +
+      swapIn(spark, shinglesTable(tablePrefix), s"$dir/shingles", "doc_id",
+        spark.table(shinglesTable(tablePrefix))
+          .groupBy("doc_id").agg(min(col("shh")).as("shh")))
+  }
+
+  /** Write `df` as a fresh bucketed generation of `table` and swap its
+    * directory in atomically, preserving the catalog entry.
+    */
+  private def swapIn(
+      spark: SparkSession, table: String, dirStr: String,
+      bucketCol: String, df: DataFrame): Long = {
+    val path = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpTable = table + "__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(dirStr + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dirStr + ".__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    val nBuckets = spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
+    }.flatten.getOrElse(64)
+    BucketedLayout.writeBucketed(df, tmpTable, tmp.toString, bucketCol, nBuckets)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compact: could not install $tmp")
+    }
+    fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metadata only; files already moved
+    spark.catalog.refreshTable(table)
+    fs.listStatus(path).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  }
+}
