@@ -29,7 +29,10 @@ object ScaleProbe {
       println(f"$label%-28s ${s}%8.3f s")
     }
 
-    for (n <- Seq(10000000L, 30000000L, 100000000L)) {
+    val ns =
+      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(10000000L, 30000000L, 100000000L)
+    for (n <- ns) {
       println(s"== n = $n ==")
       val events = spark.range(n)
         .select($"id".as("seq"), $"id".as("ts"), ($"id" % 97).cast("double").as("value"))

@@ -442,7 +442,19 @@ object DecayModel {
       cache.clear()
       cachedSlots.set(0L)
     }
-    cache.computeIfAbsent((spec, bufferSize, n), { _ =>
+    // Lock-free hit path FIRST: ConcurrentHashMap.computeIfAbsent on a
+    // PRESENT key still takes the bin lock unless the key is the bin's
+    // first node (JDK-8161372 fixed only that case) — and this method
+    // runs once per ROW in the summarize UDF, on every executor thread
+    // at once. With a few hundred cached stream lengths, a hot key
+    // landing second in its bin serialized all 32 threads on one
+    // monitor: the 10^9-row bench point ran 10x slower AFTER a fleet
+    // run had populated the cache (found by stack-sampling in
+    // tools/DeepBisect). get() never locks.
+    val key = (spec, bufferSize, n)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    cache.computeIfAbsent(key, { _ =>
       // (insertion races may overshoot the budget slightly; the next
       // call's clear-all corrects it — bound, not invariant)
       val fastExp = integralBase(spec).filter(_ => bufferSize <= 0)
