@@ -60,7 +60,7 @@ object Bench {
     // overhead makes any ratio meaningless.
     val scaleCheck: Option[String] = try {
       import spark.implicits._
-      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.{explode, lit, sequence}
       // noop write, not count(): count() over an Aggregate lets the
       // optimizer drop the aggregate VALUE expressions (only groups
       // are needed), and the measurement stops covering the real work.
@@ -90,10 +90,24 @@ object Bench {
       val (bigLo, bigHi) = pairTimed(bigRun(bigN1), bigRun(bigN2))
       val base = graft.core.Ingest.fromEventsTable(spark, sfDir).persist()
       val baseRows = base.count()
+      // Replicate with a generator (crossJoin against a copy-index
+      // range), NOT an N-way unionByName: every task of a union stage
+      // deserializes the ENTIRE union lineage's closures, so a 500-way
+      // union spent its wall-clock in LambdaDeserializer/
+      // ClassLoader.loadClass under classloader-lock contention that
+      // GREW with thread count (3x slower at 32 threads than 4 —
+      // stack-sampled via tools/DeepBisect, BENCH_NOTES §7). The
+      // crossJoin shape ships one closure set per task at any copy
+      // count AND keeps size stats honest (estimate = |base| x copies
+      // — an explode-based replica was estimated at |base| and made
+      // the planner try to broadcast the 50M-row side of summarize's
+      // internal join). Row set is identical to the union's.
       def fleetRun(copies: Int): () => Unit = {
-        val ev = (0 until copies).map(i =>
-            base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
-          .reduce(_ unionByName _)
+        val ev = base
+          .crossJoin(spark.range(copies).select($"id".as("__copy")))
+          .withColumn("streamId", $"streamId" + $"__copy" * lit(10000000L))
+          .drop("__copy")
+          .as[graft.core.Event]
         () => force(graft.core.Summarizer
           .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).toDF())
       }

@@ -63,7 +63,8 @@ object DeepBisect {
     }
 
     val base =
-      if (!stages("fleet") && !stages("fleet5") && !stages("persistonly") && !stages("unpersist")) null
+      if (!stages("fleet") && !stages("fleet5") && !stages("fleet500") &&
+        !stages("fleet500x") && !stages("persistonly") && !stages("unpersist")) null
       else {
         val b = graft.core.Ingest.fromEventsTable(spark, sfDir).persist()
         b.count()
@@ -80,6 +81,32 @@ object DeepBisect {
       pairTimed(fleetRun(5), fleetRun(50))
     }
 
+    // Two fleet-replication shapes: "fleet500" = the N-way unionByName
+    // (every task deserializes the whole union lineage's closures —
+    // the BENCH_NOTES §7 anti-pattern, kept for contrast);
+    // "fleet500x" = generator replication via explode (one closure set
+    // per task at any copy count — the shape the bench now uses).
+    if (stages("fleet500") || stages("fleet500x")) {
+      def fleetUnion(copies: Int): () => Unit = {
+        val ev = (0 until copies).map(i =>
+            base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
+          .reduce(_ unionByName _)
+        () => force(graft.core.Summarizer
+          .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).toDF())
+      }
+      def fleetExplode(copies: Int): () => Unit = {
+        val ev = base
+          .crossJoin(spark.range(copies).select($"id".as("__copy")))
+          .withColumn("streamId", $"streamId" + $"__copy" * lit(10000000L))
+          .drop("__copy")
+          .as[graft.core.Event]
+        () => force(graft.core.Summarizer
+          .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).toDF())
+      }
+      val r = if (stages("fleet500")) fleetUnion(500) else fleetExplode(500)
+      t("fleet500 cold")(r())
+      sampled { t("fleet500 warm")(r()) }
+    }
     if (stages("fleet5")) t("fleet 5 only") {
       val ev = (0 until 5).map(i =>
           base.withColumn("streamId", $"streamId" + lit(10000000L * i)).as[graft.core.Event])
@@ -88,6 +115,31 @@ object DeepBisect {
         .summarize(ev, graft.windowing.ExponentialWindowing(2.0)).toDF())
     }
     if (stages("unpersist") && base != null) base.unpersist(blocking = true)
+    def sampled(body: => Unit): Unit = {
+      val counts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      val sampler = new Thread(() => {
+        try {
+          while (!Thread.interrupted()) {
+            Thread.sleep(3000)
+            import scala.jdk.CollectionConverters._
+            Thread.getAllStackTraces.asScala.foreach { case (th, frames) =>
+              if (th.getName.startsWith("Executor task launch")) {
+                frames.take(8).foreach(f => counts(f.toString) += 1)
+              }
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      body
+      sampler.interrupt()
+      Thread.sleep(300)
+      counts.toSeq.sortBy(-_._2).take(25).foreach { case (f, c) =>
+        println(f"[sampler] $c%5d  $f")
+      }
+    }
+
     if (stages("deep1g")) {
       val sampler = new Thread(() => {
         val counts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
