@@ -41,12 +41,11 @@ object Compactor {
     // (see Summarizer's scale notes; same pattern).
     val counts = sw.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, cs: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
 
     sw.toDF()
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -109,11 +108,10 @@ object Compactor {
     import spark.implicits._
     val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, cs: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
     sketches
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -142,11 +140,10 @@ object Compactor {
     import spark.implicits._
     val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, cs: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
     sketches
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -175,11 +172,10 @@ object Compactor {
     import spark.implicits._
     val counts = samples.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, cs: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
     samples
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),
@@ -205,11 +201,10 @@ object Compactor {
     import spark.implicits._
     val counts = sketches.groupBy($"streamId").agg((max($"ce") + 1L).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, cs: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), cs))
     sketches
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"cs"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"cs"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),

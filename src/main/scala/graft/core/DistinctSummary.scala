@@ -44,11 +44,10 @@ object DistinctSummary {
     import spark.implicits._
     val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, seq: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
     events
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"seq"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),

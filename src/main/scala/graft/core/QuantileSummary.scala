@@ -62,11 +62,10 @@ object QuantileSummary {
     val spark = events.sparkSession
     import spark.implicits._
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, seq: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
     events
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"seq"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),

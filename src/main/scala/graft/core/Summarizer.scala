@@ -61,12 +61,14 @@ object Summarizer {
     // per executor, so each distinct (spec, n) decomposes once per JVM.
     val counts = events.groupBy($"streamId").agg(count(lit(1)).as("n"))
     val bs = bufferSize
-    val widOf = udf((sid: Long, n: Long, seq: Long) =>
-      DecayModel.windowIdOf(DecayModel.windowStarts(specOf(sid), n, bs), seq))
-
+    // r10: native codegen kernel (graft.functions.WindowId) — the old
+    // Scala UDF boxed three Longs and allocated a memo-key tuple per
+    // ROW; the expression calls a primitive static kernel resolving
+    // starts through a per-thread last-hit memo. Bit-identical ids.
     events
       .join(counts, "streamId")
-      .withColumn("windowId", widOf($"streamId", $"n", $"seq"))
+      .withColumn("windowId",
+        graft.functions.WindowId.column(specOf, bs, $"streamId", $"n", $"seq"))
       .groupBy($"streamId", $"windowId")
       .agg(
         min($"ts").as("ts"),

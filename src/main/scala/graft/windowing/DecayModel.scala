@@ -481,6 +481,37 @@ object DecayModel {
     }
   }
 
+  // Per-thread last-hit memo over windowStarts: the summarize kernel
+  // resolves the starts array once per ROW, and rows of one stream
+  // arrive contiguously after the count join — so the common case
+  // must be two long compares and a spec equality, never a map probe
+  // (even the lock-free get() pays tuple alloc + hash per row).
+  private final class LastStarts {
+    var spec: WindowingSpec = _
+    var bs: Long = Long.MinValue
+    var n: Long = Long.MinValue
+    var starts: Array[Long] = _
+  }
+  private val lastStarts =
+    ThreadLocal.withInitial[LastStarts](() => new LastStarts)
+
+  /** Primitive-argument entry point for the codegen'd
+    * [[graft.functions.WindowId]] kernel: resolve the stream's spec,
+    * fetch its starts through the per-thread memo, binary-search the
+    * rank. Bit-identical to `windowIdOf(windowStarts(...), s)`.
+    */
+  def windowIdJ(specOf: Long => WindowingSpec, bs: Long, sid: Long, n: Long, s: Long): Int = {
+    val spec = specOf(sid)
+    val lh = lastStarts.get()
+    if (lh.n != n || lh.bs != bs || !((spec eq lh.spec) || spec == lh.spec)) {
+      lh.starts = windowStarts(spec, n, bs)
+      lh.spec = spec
+      lh.n = n
+      lh.bs = bs
+    }
+    windowIdOf(lh.starts, s)
+  }
+
   /** Window index (0-based, oldest window = 0) of element rank `s`. */
   def windowIdOf(starts: Array[Long], s: Long): Int = {
     var lo = 0
