@@ -936,6 +936,26 @@ object SparkEntry {
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 4L).as("recall_ok"))
     }),
+    // Persisted IVF-PQ: the 100-TB serving path for the vectors
+    // themselves (m one-byte codes instead of ~3 KB of floats per
+    // vector). ADC candidate scan over the probed cells' pqcodes
+    // partitions, exact-cosine refine — recall floor through the full
+    // build -> encode -> persist -> probe round trip.
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annpq_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val e = embs(s, dir)
+      ops.AnnIndex.build(e, out, nClusters = 16, iters = 5)
+      ops.AnnIndex.buildPq(s, out, m = 16, codes = 32, iters = 5)
+      val q = e.filter($"vec_id" < 50)
+      val idx = ops.AnnIndex.topKPq(s, out, q, k = 10, nProbe = 8)
+        .select($"query_id", $"neighbor_id")
+      val exact = ops.Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+      idx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)) >= 4L).as("recall_ok"))
+    }),
     // PCA spectrum contract: for each of the top-16 axes, the empirical
     // population variance of the corpus's projections must equal the
     // model's eigenvalue (within fixed-point tolerance) and the
@@ -2400,6 +2420,8 @@ object SparkEntry {
     "q_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_ann_index" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    "q_ann_pq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",

@@ -238,4 +238,137 @@ object AnnIndex {
     Similarity.rankTopK(cands, k)
       .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"), $"score")
   }
+
+  /** Train PQ codebooks over the indexed corpus and persist the
+    * compressed sidecar — the 100-TB serving path for the vectors
+    * themselves: raw 768-dim floats are ~3 KB/vector, `m` one-byte
+    * codes are `m` bytes, so the ADC scan reads a corpus ~200x smaller
+    * than [[topK]]'s while partition pruning still restricts it to the
+    * probed cells.
+    *
+    * {{{
+    *   dir/codebooks/          (sub, code, word array<double>)  m*codes rows
+    *   dir/pqcodes/cell=<c>/   (vec_id, pq_codes array<int>)    corpus
+    * }}}
+    *
+    * Codes are trained and encoded from the index's own `vectors`
+    * table (same trainer as [[ProductQuantization.ivfPqTopK]] — raw
+    * vectors, not residuals, so one LUT per query serves every probed
+    * cell) and laid out cell-identically to it, salted to <= 8 files
+    * per cell like [[build]].
+    */
+  def buildPq(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 16,
+      codes: Int = 32,
+      iters: Int = 5): Unit = {
+    import spark.implicits._
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val books = ProductQuantization.trainCodebooks(vectors, m, codes, iters, "vec_id", "v")
+    books.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "word")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    vectors
+      .select($"vec_id", $"cell",
+        graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
+          graft.functions.ColumnBridge.toExpression($"v"),
+          graft.functions.RefTable.auto(spark, books,
+            graft.functions.RefTable.bytes3(books, 8)))).as("pq_codes"))
+      .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/pqcodes")
+  }
+
+  /** IVF-PQ top-k through the persisted index: probe `nProbe` cells,
+    * ADC-score ONLY the probed cells' pqcodes partitions (the
+    * [[graft.functions.AdcScore]] codegen kernel over a per-query LUT),
+    * keep the best `refine` (default 4k) per query, then re-rank just
+    * those against the raw vectors with exact cosine. Same output
+    * contract as [[ProductQuantization.ivfPqTopK]] — and row-identical
+    * to it when the index was built with the same parameters
+    * (deterministic kmeans + codebook training on the same rows).
+    */
+  def topKPq(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 8,
+      refine: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
+    val r = if (refine > 0) refine else 4 * k
+    val centers = spark.read.parquet(s"$dir/centers")
+      .select($"cell", $"center").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+      .map(_._2.map(_.toFloat).toArray)
+    val books: ProductQuantization.Codebooks = spark.read.parquet(s"$dir/codebooks")
+      .select($"sub", $"code", $"word").as[(Int, Int, Seq[Double])]
+      .collect().groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+    val m = books.length
+
+    // Per-query LUT + probe list, driver-built from the collected query
+    // batch (the bounded side — the ivfPqTopK shape).
+    val qRows: Array[(Long, Array[Array[Float]], Array[Double], Array[Int])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { row =>
+        val qid = row.getLong(0)
+        val u = Similarity.unit(row.getSeq[Float](1))
+        val lut = Array.tabulate(m) { s =>
+          val qsub = ProductQuantization.subSlice(u, m, s)
+          books(s).map { w =>
+            val n = math.min(w.length, qsub.length)
+            var d = 0.0; var i = 0
+            while (i < n) { d += w(i) * qsub(i); i += 1 }
+            d.toFloat
+          }
+        }
+        val probes = centers.indices
+          .map(c => (c, Similarity.cosine(centers(c), u.map(_.toFloat))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(nProbe).map(_._1).toArray
+        (qid, lut, u, probes)
+      }
+    val lutMap = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
+    qRows.foreach { case (qid, lut, _, _) => lutMap.put(qid, lut) }
+    val lutBytes = qRows.iterator
+      .map { case (_, lut, _, _) => graft.functions.RefTable.bytes2(lut, 4) + 48L }.sum
+
+    val probePairs = spark
+      .createDataset(qRows.flatMap { case (qid, _, _, ps) => ps.map(c => (c, qid)) })
+      .toDF("cell", "query_id")
+    val probedCells = qRows.flatMap(_._4).distinct.sorted
+    val codesDf = spark.read.parquet(s"$dir/pqcodes")
+      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+    val cands = codesDf.join(probePairs, "cell")
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
+          graft.functions.ColumnBridge.toExpression($"query_id"),
+          graft.functions.ColumnBridge.toExpression($"pq_codes"),
+          graft.functions.RefTable.auto(spark, lutMap, lutBytes))).as("score"))
+    val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
+
+    // Exact refine: survivors are Q * refine rows; the raw-vector side
+    // reads only the probed cell partitions.
+    val qVecs = spark
+      .createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
+      .toDF("query_id", "qv")
+    val nVecs = spark.read.parquet(s"$dir/vectors")
+      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select($"vec_id".as("neighbor_id"), $"v".as("nv"))
+    val exact = survivors
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
+      .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
+    Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"score", 4).as("score"))
+  }
 }

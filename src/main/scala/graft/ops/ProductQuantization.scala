@@ -44,7 +44,7 @@ object ProductQuantization {
     */
   type Codebooks = Array[Array[Array[Double]]]
 
-  private def subSlice(v: Array[Double], m: Int, sub: Int): Array[Double] = {
+  private[ops] def subSlice(v: Array[Double], m: Int, sub: Int): Array[Double] = {
     // Subspace s owns dims [s*ceil(d/m), min((s+1)*ceil(d/m), d)) — the
     // LAST subspace may be short when m does not divide d.
     val w = (v.length + m - 1) / m

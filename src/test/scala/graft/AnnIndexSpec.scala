@@ -79,6 +79,60 @@ class AnnIndexSpec extends SparkSpec {
     assert(read <= 2, s"probed 2 cells but read $read partitions")
   }
 
+  test("PQ sidecar: row parity with ivfPqTopK under identical parameters") {
+    val e = vecs(400, seed = 11)
+    val q = e.filter($"vec_id" < 20)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 16, iters = 3)
+    AnnIndex.buildPq(spark, dir, m = 8, codes = 16, iters = 3)
+    val fromIndex = AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val inMemory = graft.ops.ProductQuantization
+      .ivfPqTopK(e, q, k = 5, nClusters = 16, nProbe = 4, m = 8, codes = 16, iters = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory)
+  }
+
+  test("PQ sidecar: recall floor vs exact, and the codes scan prunes by cell") {
+    val e = vecs(500, seed = 13)
+    val q = e.filter($"vec_id" < 25)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 16, iters = 3)
+    AnnIndex.buildPq(spark, dir, m = 8, codes = 32, iters = 3)
+    val idx = AnnIndex.topKPq(spark, dir, q, k = 10, nProbe = 8)
+    val exact = Similarity.topK(e, q, k = 10).select($"query_id", $"neighbor_id")
+    val recall = idx.select($"query_id", $"neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    val mins = recall.agg(min($"hits")).as[Long].head()
+    assert(mins >= 4L, s"PQ+refine keeps at least 4 of the exact top-10, got min $mins")
+    // scores on emitted rows are EXACT cosine (verifiable), not ADC
+    val one = idx.as[(Long, Long, Long, Double)].collect().head
+    val vm = e.as[(Long, Seq[Float])].collect().toMap
+    val want = math.rint(Similarity.cosine(vm(one._1), vm(one._2)) * 1e4) / 1e4
+    assert(math.abs(one._4 - want) < 1e-9)
+    // pruning: a single query probing 2 cells reads at most 2 pqcode dirs
+    val out = AnnIndex.topKPq(spark, dir, e.filter($"vec_id" === 0L), k = 3, nProbe = 2)
+    out.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val codeScans = scans(out.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("pqcodes")))
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty),
+      "pqcodes scan must prune by the probed cell set")
+    val read = codeScans.map(_.relation.location.listFiles(
+      codeScans.head.partitionFilters, Nil).length).sum
+    assert(read <= 2, s"probed 2 cells but read $read pqcode partitions")
+  }
+
   test("append: new vectors are searchable immediately, assigned like the build would") {
     val e = vecs(300, seed = 21)
     val dir = tmpDir()
