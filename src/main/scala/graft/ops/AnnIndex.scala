@@ -87,9 +87,43 @@ object AnnIndex {
       dir: String,
       embs: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit =
-    assignCells(spark, dir, embs, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      vecCol: String = "embedding"): Unit = {
+    import spark.implicits._
+    val books = readCodebooks(spark, dir)
+    val assigned0 = assignCells(spark, dir, embs, idCol, vecCol)
+    // With a PQ sidecar present the batch feeds TWO appends — pin one
+    // evaluation so both tables see identical rows.
+    val assigned = if (books.isDefined) assigned0.localCheckpoint() else assigned0
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    // Frozen-codebook encode, the PQ twin of the frozen-center cell
+    // assignment: appended vectors are immediately visible to
+    // [[topKPq]] too, with quantization drift (like center drift)
+    // accruing until the next [[buildPq]]. (The streaming ingest's
+    // staged-rename path bypasses this — streamed vectors enter the
+    // sidecar at the next buildPq.)
+    books.foreach { bk =>
+      assigned
+        .select($"vec_id", $"cell",
+          graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
+            graft.functions.ColumnBridge.toExpression($"v"),
+            graft.functions.RefTable.auto(spark, bk,
+              graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/pqcodes")
+    }
+  }
+
+  /** The persisted codebooks, if [[buildPq]] has run on this index. */
+  private def readCodebooks(
+      spark: SparkSession, dir: String): Option[ProductQuantization.Codebooks] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .select($"sub", $"code", $"word").as[(Int, Int, Seq[Double])]
+      .collect().groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray)))
+  }
 
   /** (vec_id, v, cell) of `embs` against the index's frozen centers —
     * the assignment kernel [[append]] and the streaming ingest share
@@ -148,36 +182,43 @@ object AnnIndex {
       minFiles: Int = 2): Long = {
     require(targetBytes > 0 && minFiles >= 2, s"bad compact params: $targetBytes, $minFiles")
     val vectors = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val pqcodes = new org.apache.hadoop.fs.Path(s"$dir/pqcodes")
     val fs = vectors.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter { st =>
         st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
       }
-    var total = 0L
-    fs.listStatus(vectors)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
-        val files = dataFiles(cd.getPath)
-        if (files.length < minFiles) total += files.length
-        else {
-          val name = cd.getPath.getName
-          val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/$name")
-          val old = new org.apache.hadoop.fs.Path(s"$dir/_compact_old/$name")
-          fs.delete(tmp, true); fs.delete(old, true)
-          val n = math.max(1L,
-            math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
-          spark.read.parquet(cd.getPath.toString).coalesce(n)
-            .write.mode("overwrite").parquet(tmp.toString)
-          if (!fs.rename(cd.getPath, old))
-            throw new java.io.IOException(s"compact: could not move ${cd.getPath} aside")
-          if (!fs.rename(tmp, cd.getPath)) {
-            fs.rename(old, cd.getPath) // roll back
-            throw new java.io.IOException(s"compact: could not install $tmp")
+    def compactTree(root: org.apache.hadoop.fs.Path): Long = {
+      var total = 0L
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          val files = dataFiles(cd.getPath)
+          if (files.length < minFiles) total += files.length
+          else {
+            val name = s"${root.getName}/${cd.getPath.getName}"
+            val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/$name")
+            val old = new org.apache.hadoop.fs.Path(s"$dir/_compact_old/$name")
+            fs.delete(tmp, true); fs.delete(old, true)
+            fs.mkdirs(tmp.getParent); fs.mkdirs(old.getParent)
+            val n = math.max(1L,
+              math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+            spark.read.parquet(cd.getPath.toString).coalesce(n)
+              .write.mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(cd.getPath, old))
+              throw new java.io.IOException(s"compact: could not move ${cd.getPath} aside")
+            if (!fs.rename(tmp, cd.getPath)) {
+              fs.rename(old, cd.getPath) // roll back
+              throw new java.io.IOException(s"compact: could not install $tmp")
+            }
+            fs.delete(old, true)
+            total += dataFiles(cd.getPath).length
           }
-          fs.delete(old, true)
-          total += dataFiles(cd.getPath).length
         }
-      }
+      total
+    }
+    var total = compactTree(vectors)
+    if (fs.exists(pqcodes)) total += compactTree(pqcodes) // the PQ sidecar appends too
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_old"), true)
     total
@@ -306,10 +347,9 @@ object AnnIndex {
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.map(_.toFloat).toArray)
-    val books: ProductQuantization.Codebooks = spark.read.parquet(s"$dir/codebooks")
-      .select($"sub", $"code", $"word").as[(Int, Int, Seq[Double])]
-      .collect().groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3.toArray))
+    val books: ProductQuantization.Codebooks = readCodebooks(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"no PQ sidecar at $dir/codebooks — run buildPq first"))
     val m = books.length
 
     // Per-query LUT + probe list, driver-built from the collected query

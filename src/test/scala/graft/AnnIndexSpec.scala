@@ -133,6 +133,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(read <= 2, s"probed 2 cells but read $read pqcode partitions")
   }
 
+  test("PQ sidecar: append encodes with frozen codebooks; compact collapses pqcodes too") {
+    val e = vecs(300, seed = 17)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 8, codes = 16, iters = 2)
+    // append a vector identical to vec 7 under a fresh id — it must be
+    // visible to the PQ path immediately (rank-1 hit at cosine 1.0)
+    val twin = e.filter($"vec_id" === 7L)
+      .select(lit(9001L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, dir, twin)
+    val hit = AnnIndex.topKPq(spark, dir, twin, k = 1, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(hit.length == 1 && hit.head._2 == 7L && hit.head._4 == 1.0,
+      s"appended twin must find vec 7 through the PQ path: ${hit.toSeq}")
+    // grow small files in BOTH trees, then compact collapses both
+    (0 until 3).foreach { i =>
+      AnnIndex.append(spark, dir,
+        e.filter($"vec_id" === i.toLong)
+          .select(($"vec_id" + 9100L).as("vec_id"), $"embedding"))
+    }
+    def files(sub: String): Int = {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("cell=")).map { cd =>
+        fs.listStatus(cd.getPath).count { st =>
+          st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+        }
+      }.sum
+    }
+    val q = e.filter($"vec_id" < 10)
+    val before = AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val (vb, pb) = (files("vectors"), files("pqcodes"))
+    AnnIndex.compact(spark, dir, minFiles = 2)
+    assert(files("vectors") < vb && files("pqcodes") < pb,
+      s"compact must collapse both trees: vectors $vb->${files("vectors")}, pqcodes $pb->${files("pqcodes")}")
+    assert(AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet == before)
+  }
+
   test("append: new vectors are searchable immediately, assigned like the build would") {
     val e = vecs(300, seed = 21)
     val dir = tmpDir()
