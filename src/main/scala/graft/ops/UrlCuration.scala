@@ -222,8 +222,15 @@ object UrlCuration {
     val dom = if (psl.isEmpty) registeredDomain(h) else registeredDomain(h, psl)
     // hashKey is < 2^32, so its negation is exact in a double and
     // "top-k by -hash desc, id asc" == "bottom-k by (hash, id) asc".
+    // The id must cast to a numeric: a null cast (non-numeric string
+    // id, or a null id) would otherwise silently drop the row at the
+    // final semi-join — fail loudly instead.
+    val idLong = col(idCol).cast("long")
+    val checkedId = when(idLong.isNull, raise_error(concat(
+      lit(s"capPerDomain requires a numeric, non-null $idCol; got: "),
+      coalesce(col(idCol).cast("string"), lit("NULL"))))).otherwise(idLong)
     val keyed = df.select(
-      col(idCol).cast("long").as("__uc_id"),
+      checkedId.as("__uc_id"),
       dom.as("__uc_dom"),
       -Sampling.hashKey(idCol).cast("double"))
       .toDF("__uc_id", "__uc_dom", "__uc_negh")

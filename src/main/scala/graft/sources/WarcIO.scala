@@ -139,9 +139,15 @@ object WarcIO {
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val dirFs = dirPath.getFileSystem(hconf.value)
     dirFs.mkdirs(dirPath)
-    // sweep temp leftovers of previously failed/killed jobs
+    // Job setup (driver, before any task runs): sweep temp leftovers of
+    // previously failed/killed jobs AND the previous export's part
+    // files. Overwrite therefore happens HERE, exactly once — tasks
+    // rename-first and never delete a part file, so a task-level retry
+    // or speculative attempt can never destroy a part this job already
+    // committed (a delete inside the task commit left a window where a
+    // killed attempt lost the partition silently).
     val stale = dirFs.globStatus(
-      new org.apache.hadoop.fs.Path(dirPath, "_tmp-part-*.warc.gz"))
+      new org.apache.hadoop.fs.Path(dirPath, "{_tmp-part-*,part-*}.warc.gz"))
     if (stale != null) stale.foreach(st => dirFs.delete(st.getPath, false))
     df.select(org.apache.spark.sql.functions.col(urlC).cast("string"),
         org.apache.spark.sql.functions.col(htmlC).cast("string"))
@@ -190,12 +196,20 @@ object WarcIO {
           defl.end()
           out.close()
           if (ok) {
-            fs.delete(part, false)
+            // Rename FIRST, never delete a committed part: a
+            // delete-then-rename window would let a killed attempt
+            // leave NO final file while the job reports success. Rename
+            // refuses when the destination exists (local/HDFS), so a
+            // failure with the part present means a concurrent
+            // identical attempt already committed — partition bytes are
+            // deterministic, discard ours. A failure with NO part in
+            // place is a real filesystem error: surface it (the retry
+            // or speculation machinery re-runs the task) instead of
+            // silently losing the partition.
             if (!fs.rename(tmp, part)) {
-              // lost the race to a concurrent identical attempt, or the
-              // delete/rename interleaved with one — either way a
-              // COMPLETE identical file is (or will be) in place
-              fs.delete(tmp, false)
+              if (fs.exists(part)) fs.delete(tmp, false)
+              else throw new java.io.IOException(
+                s"WARC commit: could not install $tmp as $part and no committed part exists")
             }
           } else fs.delete(tmp, false)
         }

@@ -118,6 +118,28 @@ class UrlCurationSpec extends SparkSpec {
     assert(kept.size == 7)
   }
 
+  test("capPerDomain: non-numeric or null id fails fast instead of dropping rows") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // Malformed string id: the ANSI cast raises (CAST_INVALID_INPUT) —
+    // loud, not a silent null that would drop the row at the semi-join.
+    val bad = Seq(
+      ("doc-a", "http://x.example.com/1"),
+      ("doc-b", "http://x.example.com/2")).toDF("doc_id", "url")
+    val e1 = intercept[Exception] { UrlCuration.capPerDomain(bad, k = 1).count() }
+    assert(messages(e1).exists(m =>
+      m.contains("CAST_INVALID_INPUT") || m.contains("capPerDomain requires a numeric")),
+      s"expected a loud cast failure, got: ${messages(e1)}")
+    // Null id: the cast passes (null), so the explicit guard must raise.
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), "http://x.example.com/1"),
+      (null.asInstanceOf[java.lang.Long], "http://x.example.com/2"))
+      .toDF("doc_id", "url")
+    val e2 = intercept[Exception] { UrlCuration.capPerDomain(withNull, k = 1).count() }
+    assert(messages(e2).exists(_.contains("capPerDomain requires a numeric")),
+      s"expected the fail-fast message, got: ${messages(e2)}")
+  }
+
   test("parse adds norm_url and domain columns") {
     val out = UrlCuration.parse(
         Seq((1L, "HTTP://WWW.X.Example.ORG/a?utm_source=1")).toDF("doc_id", "url"))

@@ -149,6 +149,22 @@ class WarcIOSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("writeResponses overwrite: stale parts of a WIDER previous export are swept") {
+    val dir = tmpDir()
+    val wide = (0 until 8).map(i => (s"http://w.test/$i", s"<p>w$i</p>"))
+      .toDF("url", "html")
+    WarcIO.writeResponses(wide.repartition(4, $"url"), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) == 4)
+    // Narrower re-export: the job-setup sweep must remove part-2/part-3
+    // of the previous export, or readers would see a mixed corpus.
+    val narrow = Seq(("http://n.test/1", "<p>n</p>")).toDF("url", "html")
+    WarcIO.writeResponses(narrow.repartition(1), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) == 1)
+    val back = WarcIO.readResponses(spark, dir)
+      .select($"target_uri").as[String].collect().toSeq
+    assert(back == Seq("http://n.test/1"))
+  }
+
   test("negative Content-Length is flagged corrupt; parser resyncs on the next record") {
     val dir = tmpDir()
     writeFile(dir, "g.warc", Seq(
