@@ -98,9 +98,9 @@ object AnnIndex {
     // Frozen-codebook encode, the PQ twin of the frozen-center cell
     // assignment: appended vectors are immediately visible to
     // [[topKPq]] too, with quantization drift (like center drift)
-    // accruing until the next [[buildPq]]. (The streaming ingest's
-    // staged-rename path bypasses this — streamed vectors enter the
-    // sidecar at the next buildPq.)
+    // accruing until the next [[buildPq]]. The streaming ingest's
+    // staged-rename path performs the same encode inside its guarded
+    // per-batch commit, so both probe APIs see both ingest paths.
     books.foreach { bk =>
       assigned
         .select($"vec_id", $"cell",
@@ -113,7 +113,7 @@ object AnnIndex {
   }
 
   /** The persisted codebooks, if [[buildPq]] has run on this index. */
-  private def readCodebooks(
+  private[graft] def readCodebooks(
       spark: SparkSession, dir: String): Option[ProductQuantization.Codebooks] = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
@@ -330,6 +330,13 @@ object AnnIndex {
     * contract as [[ProductQuantization.ivfPqTopK]] — and row-identical
     * to it when the index was built with the same parameters
     * (deterministic kmeans + codebook training on the same rows).
+    *
+    * Nothing about the query batch funnels through the driver: probe
+    * cells come from the native [[graft.functions.TopCentroids]] kernel
+    * and the per-query ADC LUT from [[graft.functions.PqLut]], both
+    * projections over the query frame — only the probed CELL ID set
+    * (bounded by the cell count) is collected, to reach the scan as a
+    * static partition filter.
     */
   def topKPq(
       spark: SparkSession,
@@ -350,56 +357,45 @@ object AnnIndex {
     val books: ProductQuantization.Codebooks = readCodebooks(spark, dir)
       .getOrElse(throw new IllegalStateException(
         s"no PQ sidecar at $dir/codebooks — run buildPq first"))
-    val m = books.length
+    val codes = books(0).length
 
-    // Per-query LUT + probe list, driver-built from the collected query
-    // batch (the bounded side — the ivfPqTopK shape).
-    val qRows: Array[(Long, Array[Array[Float]], Array[Double], Array[Int])] = queries
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map { row =>
-        val qid = row.getLong(0)
-        val u = Similarity.unit(row.getSeq[Float](1))
-        val lut = Array.tabulate(m) { s =>
-          val qsub = ProductQuantization.subSlice(u, m, s)
-          books(s).map { w =>
-            val n = math.min(w.length, qsub.length)
-            var d = 0.0; var i = 0
-            while (i < n) { d += w(i) * qsub(i); i += 1 }
-            d.toFloat
-          }
-        }
-        val probes = centers.indices
-          .map(c => (c, Similarity.cosine(centers(c), u.map(_.toFloat))))
-          .sortBy { case (c, s) => (-s, c) }
-          .take(nProbe).map(_._1).toArray
-        (qid, lut, u, probes)
-      }
-    val lutMap = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
-    qRows.foreach { case (qid, lut, _, _) => lutMap.put(qid, lut) }
-    val lutBytes = qRows.iterator
-      .map { case (_, lut, _, _) => graft.functions.RefTable.bytes2(lut, 4) + 48L }.sum
-
-    val probePairs = spark
-      .createDataset(qRows.flatMap { case (qid, _, _, ps) => ps.map(c => (c, qid)) })
-      .toDF("cell", "query_id")
-    val probedCells = qRows.flatMap(_._4).distinct.sorted
+    // Query frame with executor-side LUT + probe cells; checkpointed so
+    // the one pass feeds the bounded cell collect AND the join.
+    val booksRef = graft.functions.RefTable.auto(spark, books,
+      graft.functions.RefTable.bytes3(books, 8))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", graft.functions.ColumnBridge.toColumn(graft.functions.PqLut(
+        graft.functions.ColumnBridge.toExpression(col("qv")), booksRef)))
+      .withColumn("cell", explode(graft.functions.ColumnBridge.toColumn(
+        graft.functions.TopCentroids(
+          graft.functions.ColumnBridge.toExpression(col("qv")),
+          graft.functions.RefTable.auto(spark, centers,
+            graft.functions.RefTable.bytes2(centers, 4)), nProbe))))
+      .drop("qv")
+      .localCheckpoint()
+    val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
     val codesDf = spark.read.parquet(s"$dir/pqcodes")
       .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
-    val cands = codesDf.join(probePairs, "cell")
+    // Broadcast guard, as in [[topK]]: the probe frame is Q * nProbe
+    // rows each carrying an m * codes float LUT.
+    val m = books.length
+    val probeBytes = q.count() * (4L * m * codes + 64L)
+    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val cands = codesDf.join(qSide, "cell")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
-          graft.functions.ColumnBridge.toExpression($"query_id"),
-          graft.functions.ColumnBridge.toExpression($"pq_codes"),
-          graft.functions.RefTable.auto(spark, lutMap, lutBytes))).as("score"))
+          graft.functions.ColumnBridge.toExpression($"lut"),
+          graft.functions.ColumnBridge.toExpression($"pq_codes"), codes)).as("score"))
     val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
 
     // Exact refine: survivors are Q * refine rows; the raw-vector side
-    // reads only the probed cell partitions.
-    val qVecs = spark
-      .createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
-      .toDF("query_id", "qv")
+    // reads only the probed cell partitions. Raw query vectors — cosine
+    // is scale-invariant, and the emitted score is exactly the
+    // raw-vs-raw cosine a verifier recomputes.
+    val qVecs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val nVecs = spark.read.parquet(s"$dir/vectors")
       .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
       .select($"vec_id".as("neighbor_id"), $"v".as("nv"))

@@ -1,28 +1,37 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Continuous vector ingestion into a persisted [[graft.ops.AnnIndex]]:
   * each micro-batch assigns against the frozen centers and appends to
   * the cell directories, so queries against the index see new vectors
   * within a trigger interval — the standard "nightly rebuild, live
-  * append" serving loop.
+  * append" serving loop. When the index carries a PQ sidecar
+  * (`buildPq` has run), the batch is ALSO encoded with the frozen
+  * codebooks and installed into `pqcodes/` inside the same guarded
+  * commit — streamed vectors are immediately visible to `topKPq`, not
+  * only `topK` (two probe APIs over one index must not have different
+  * visibility).
   *
   * Retry discipline: `foreachBatch` re-runs a batch after a failure,
   * and a blind parquet append would duplicate its rows. Each batch is
-  * therefore (1) STAGED under a per-attempt temp directory, (2) moved
-  * into the cell directories under DETERMINISTIC per-batch file names
-  * (`b<batchId>-<i>.parquet`, replacing any same-named leftover of a
-  * partial earlier attempt), and (3) sealed with a marker
-  * (`_stream_commits/<batchId>`); a re-delivered batchId with a
-  * marker present is skipped. Deterministic names make step (2)
-  * idempotent — a crash at ANY point leaves a retry that replaces
-  * rather than duplicates, closing the append-then-mark crash window
-  * a plain `parquet append` + marker recipe has. Even a zombie driver
-  * racing a live one (both past the marker check) converges: both
-  * write the same file names with the same batch content, the last
-  * replace wins, and the marker is created with create-if-absent.
+  * therefore (1) STAGED under a per-attempt temp directory with the
+  * batch repartitioned by cell — so each touched cell stages exactly
+  * ONE data file; (2) installed by renaming that single file to the
+  * DETERMINISTIC per-(batch, cell) name `b<batchId>.parquet`
+  * (replacing any same-named leftover of a partial earlier attempt);
+  * and (3) sealed with a marker (`_stream_commits/<batchId>`); a
+  * re-delivered batchId with a marker present is skipped. One file
+  * per (batch, cell) makes the install ATOMIC PER CELL: a crash at
+  * any point leaves a retry that replaces rather than duplicates, and
+  * even a zombie driver racing a live one (both past the marker
+  * check) cannot leave a cell holding a MIXTURE of two attempts'
+  * files — there is only one installable name, and both attempts
+  * install identical rows under it (frozen centers + codebooks make
+  * the staged content deterministic). The marker is created with
+  * create-if-absent, so losing that race is also a no-op.
   */
 object StreamingAnnIngest {
 
@@ -55,48 +64,50 @@ object StreamingAnnIngest {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
+      import spark.implicits._
+      val books = graft.ops.AnnIndex.readCodebooks(spark, indexDir)
+      val assigned0 = graft.ops.AnnIndex.assignCells(spark, indexDir, batch, idCol, vecCol)
+      // With a PQ sidecar the batch feeds TWO staged writes — pin one
+      // evaluation so vectors/ and pqcodes/ see identical rows.
+      val assigned = if (books.isDefined) assigned0.localCheckpoint() else assigned0
       // (1) stage under a per-attempt dir (UUID: a concurrent zombie
-      // attempt must not write into the same staging tree)
+      // attempt must not write into the same staging tree). The
+      // repartition by cell puts each cell's rows in exactly one task,
+      // so every cell directory stages exactly one data file — the
+      // unit the install step renames atomically.
       val staging = new org.apache.hadoop.fs.Path(indexDir,
         s"_stream_staging/$batchId-${java.util.UUID.randomUUID()}")
-      graft.ops.AnnIndex.assignCells(spark, indexDir, batch, idCol, vecCol)
-        .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      // (2) move staged files under deterministic b<batchId>-<i> names
-      // — replacing, never duplicating, what a partial earlier attempt
-      // left behind
-      val vectors = new org.apache.hadoop.fs.Path(indexDir, "vectors")
-      fs.listStatus(staging)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .foreach { cd =>
-          val cellDir = new org.apache.hadoop.fs.Path(vectors, cd.getPath.getName)
-          fs.mkdirs(cellDir)
-          // sweep this batch's leftovers first: a partial earlier
-          // attempt may have installed MORE files here than this
-          // attempt stages (task parallelism can differ across
-          // retries); the touched-cell set itself is deterministic
-          // (same replayed rows, frozen centers), so sweeping the
-          // staged cells covers every earlier leftover
-          val stale = fs.globStatus(
-            new org.apache.hadoop.fs.Path(cellDir, s"b$batchId-*.parquet"))
-          if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
-          fs.listStatus(cd.getPath)
-            .filter { st =>
-              st.isFile && !st.getPath.getName.startsWith("_") &&
-                !st.getPath.getName.startsWith(".")
-            }
-            .sortBy(_.getPath.getName)
-            .zipWithIndex
-            .foreach { case (st, i) =>
-              val target = new org.apache.hadoop.fs.Path(cellDir, s"b$batchId-$i.parquet")
-              fs.delete(target, false)
-              if (!fs.rename(st.getPath, target))
-                throw new java.io.IOException(
-                  s"streaming ANN ingest: could not install ${st.getPath} as $target")
-            }
-        }
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "vectors").toString)
+      books.foreach { bk =>
+        // Frozen-codebook encode — the streaming twin of the batch
+        // [[graft.ops.AnnIndex.append]] path: streamed vectors enter
+        // the sidecar NOW, with quantization drift (like center drift)
+        // accruing until the next buildPq.
+        assigned
+          .select($"vec_id", $"cell",
+            graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
+              graft.functions.ColumnBridge.toExpression($"v"),
+              graft.functions.RefTable.auto(spark, bk,
+                graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "pqcodes").toString)
+      }
+      // (2) install each staged cell file under its deterministic name
+      // — replacing, never duplicating or mixing with, what a partial
+      // earlier attempt left behind. A crash between the two installs
+      // leaves no marker, so the stream replays the batch and the
+      // redelivery re-installs BOTH trees.
+      installTree(fs, new org.apache.hadoop.fs.Path(staging, "vectors"),
+        new org.apache.hadoop.fs.Path(indexDir, "vectors"), batchId)
+      if (books.isDefined)
+        installTree(fs, new org.apache.hadoop.fs.Path(staging, "pqcodes"),
+          new org.apache.hadoop.fs.Path(indexDir, "pqcodes"), batchId)
       fs.delete(staging, true)
       // (3) seal: create-if-absent — losing the race to a concurrent
-      // identical attempt is fine, the files are name-deduplicated
+      // identical attempt is fine, the file names are deterministic
       fs.mkdirs(commits)
       try {
         val out = fs.create(marker, false)
@@ -104,5 +115,42 @@ object StreamingAnnIngest {
       } catch { case _: java.io.IOException => () }
       true
     }
+  }
+
+  /** Move every staged part file (exactly one per `cell=` directory by
+    * construction) to `<target>/cell=N/b<batchId>.parquet`. Sweeps any
+    * `b<batchId>-*` multi-file leftovers an older-format partial
+    * attempt may have installed, so upgrades converge too.
+    */
+  private def installTree(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stagingRoot: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path,
+      batchId: Long): Unit = {
+    fs.listStatus(stagingRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cd =>
+        val cellDir = new org.apache.hadoop.fs.Path(target, cd.getPath.getName)
+        fs.mkdirs(cellDir)
+        val stale = fs.globStatus(
+          new org.apache.hadoop.fs.Path(cellDir, s"b$batchId-*.parquet"))
+        if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+        val files = fs.listStatus(cd.getPath)
+          .filter { st =>
+            st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith(".")
+          }
+        require(files.length == 1,
+          s"streaming ANN ingest: expected exactly one staged file in ${cd.getPath}, " +
+            s"got ${files.length} — the per-cell repartition invariant broke")
+        val installed = new org.apache.hadoop.fs.Path(cellDir, s"b$batchId.parquet")
+        fs.delete(installed, false)
+        if (!fs.rename(files.head.getPath, installed) && !fs.exists(installed))
+          // a concurrent identical attempt may have won the install race
+          // (its file holds the same rows); only a failure with NOTHING
+          // in place is a real error
+          throw new java.io.IOException(
+            s"streaming ANN ingest: could not install ${files.head.getPath} as $installed")
+      }
   }
 }

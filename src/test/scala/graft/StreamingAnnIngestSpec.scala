@@ -44,6 +44,46 @@ class StreamingAnnIngestSpec extends SparkSpec {
     }
   }
 
+  test("streamed vectors enter the PQ sidecar: topKPq sees them immediately") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sannpq").toString
+    val base = vecs(0 until 200, seed = 51).toDF("vec_id", "embedding")
+    AnnIndex.build(base, dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    // stream a near-twin of vector 3 under a fresh id
+    val twin = vecs(0 until 200, seed = 51).collect { case (3L, v) =>
+      (9003L, v.map(x => x + 0.001f))
+    }.toDF("vec_id", "embedding")
+    assert(StreamingAnnIngest.appendBatch(dir, twin, 0L))
+    // the sidecar grew with the batch — vectors/ and pqcodes/ agree
+    assert(spark.read.parquet(s"$dir/vectors").count() == 201)
+    assert(spark.read.parquet(s"$dir/pqcodes").count() == 201)
+    // and the PQ probe path finds the streamed vector (not only topK)
+    val q = vecs(0 until 200, seed = 51).filter(_._1 == 3L).toDF("vec_id", "embedding")
+    val viaPq = AnnIndex.topKPq(spark, dir, q, k = 1, nProbe = 3)
+      .select($"neighbor_id").as[Long].head()
+    assert(viaPq == 9003L, "topKPq must see the streamed twin immediately")
+    // redelivery of the same batch stays a no-op for BOTH trees
+    assert(!StreamingAnnIngest.appendBatch(dir, twin, 0L))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 201)
+    assert(spark.read.parquet(s"$dir/pqcodes").count() == 201)
+  }
+
+  test("crash window with a PQ sidecar: redelivery replaces both trees") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sannpq2").toString
+    val base = vecs(0 until 80, seed = 53).toDF("vec_id", "embedding")
+    AnnIndex.build(base, dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    val batch = vecs(300 until 310, seed = 54).toDF("vec_id", "embedding")
+    assert(StreamingAnnIngest.appendBatch(dir, batch, 5L))
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_stream_commits/5")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false), "test setup: marker must exist to delete")
+    assert(StreamingAnnIngest.appendBatch(dir, batch, 5L))
+    assert(spark.read.parquet(s"$dir/vectors").count() == 90)
+    assert(spark.read.parquet(s"$dir/pqcodes").count() == 90)
+    assert(spark.read.parquet(s"$dir/pqcodes").select("vec_id").distinct().count() == 90)
+  }
+
   test("a re-delivered batchId is skipped, not appended twice") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sann2").toString
     val base = vecs(0 until 50, seed = 43).toDF("vec_id", "embedding")
