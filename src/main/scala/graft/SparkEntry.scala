@@ -287,6 +287,25 @@ object SparkEntry {
       ops.DedupIndex.filterNew(s, tbl, d.filter($"doc_id" % 10 >= 6))
         .select($"doc_id", $"text_hash", $"n_dups")
     }),
+    // Takedown contract on the persisted dedup index: build on the head
+    // 60%, tombstone every keeper whose doc_id is divisible by 7, probe
+    // the tail 40% — deleted content counts as UNSEEN (a re-crawl of
+    // removed content must behave as new), surviving content still
+    // filters. The oracle recomputes "seen" as head hashes whose
+    // min-id keeper survives the takedown.
+    "q_index_delete" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_idxdel_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val tbl = "graft_q_index_delete_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.DedupIndex.build(d.filter($"doc_id" % 10 < 6), out, tbl, nBuckets = 8)
+      ops.DedupIndex.delete(s, tbl,
+        d.filter($"doc_id" % 10 < 6 && $"doc_id" % 7 === 0).select($"doc_id"))
+      ops.DedupIndex.filterNew(s, tbl, d.filter($"doc_id" % 10 >= 6))
+        .select($"doc_id", $"text_hash", $"n_dups")
+    }),
     // Cross-run FUZZY dedup: persisted MinHash-LSH index on the head
     // 60%, tail 40% probed against it — verified cross pairs with
     // exact integer (intersection, union) evidence at J >= 0.9 (above
@@ -1398,6 +1417,17 @@ object SparkEntry {
         |tail AS (SELECT * FROM n WHERE doc_id % 10 >= 6)
         |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_dups
         |FROM tail WHERE text_hash NOT IN (SELECT text_hash FROM head)
+        |GROUP BY text_hash""".stripMargin,
+    "q_index_delete" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash
+        |  FROM documents),
+        |head AS (SELECT text_hash, min(doc_id) AS keep_id
+        |  FROM n WHERE doc_id % 10 < 6 GROUP BY 1),
+        |live AS (SELECT text_hash FROM head WHERE keep_id % 7 <> 0),
+        |tail AS (SELECT * FROM n WHERE doc_id % 10 >= 6)
+        |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_dups
+        |FROM tail WHERE text_hash NOT IN (SELECT text_hash FROM live)
         |GROUP BY text_hash""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,

@@ -41,6 +41,21 @@ object RefTable {
     if (approxBytes <= InlineByteCap) InlineRef(table)
     else BroadcastRef(spark.sparkContext.broadcast(table))
 
+  /** Destroy the broadcast behind a [[BroadcastRef]] whose lifetime has
+    * ended; [[InlineRef]]s are no-ops. Only call when every frame built
+    * over the ref has been EAGERLY evaluated (a loop iteration's
+    * collect, a checkpointed result) — destroying under a still-lazy
+    * plan breaks its later evaluation. Long-lived loops (k-means
+    * iterations) call this so a session running many builds does not
+    * accumulate dead broadcasts on the driver and executors; one-shot
+    * query-path refs are reclaimed by Spark's ContextCleaner when the
+    * plan is garbage-collected.
+    */
+  def release(r: RefTable[_]): Unit = r match {
+    case BroadcastRef(bc) => bc.destroy()
+    case _ => ()
+  }
+
   def bytes2(a: Array[_ <: Array[_]], elemBytes: Int): Long =
     a.iterator.map(r => 24L + elemBytes.toLong * r.length).sum + 24L
 

@@ -31,6 +31,20 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Single-writer lock (see [[graft.sources.WriterLock]]) on
+    * `<dir>/_writer.lock`: compact racing an append would silently
+    * drop files installed into a cell between compact's read and its
+    * directory swap; build/buildPq racing anything tears the
+    * centers/vectors (or codebooks/pqcodes) consistency. Probes never
+    * lock — each mutation is reader-atomic on its own.
+    */
+  private[graft] def withWriterLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.WriterLock.withLock(
+      fs, graft.sources.WriterLock.lockPath(dir), s"AnnIndex $dir")(body)
+  }
+
   /** Train + assign + write the index under `dir`. Returns the cell
     * count. `nClusters <= 0` = auto ~sqrt(N) (pass `nTotal` to skip
     * the sizing count()).
@@ -44,6 +58,7 @@ object AnnIndex {
       vecCol: String = "embedding",
       nTotal: Long = 0L): Int = {
     val spark = embs.sparkSession
+    withWriterLock(spark, dir) {
     import spark.implicits._
     val kCells =
       if (nClusters > 0) nClusters
@@ -71,7 +86,12 @@ object AnnIndex {
       .toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centers")
+    // A rebuild starts with every given vector live: tombstones of the
+    // previous generation must not hide rows of this one.
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tomb, true)
     kCells
+    }
   }
 
   /** Append new vectors to an existing index WITHOUT re-training: they
@@ -87,7 +107,7 @@ object AnnIndex {
       dir: String,
       embs: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit = withWriterLock(spark, dir) {
     import spark.implicits._
     val books = readCodebooks(spark, dir)
     val assigned0 = assignCells(spark, dir, embs, idCol, vecCol)
@@ -124,6 +144,41 @@ object AnnIndex {
       .collect().groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toArray)))
   }
+
+  /** Tombstone indexed vectors by id — the takedown path. A tombstoned
+    * vector is never returned by [[topK]] or [[topKPq]]; its rows in
+    * `vectors/` (and `pqcodes/`, if present) are physically removed at
+    * the next [[compact]], which also clears the tombstone set. Returns
+    * the count of distinct ids tombstoned.
+    */
+  def delete(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String = "vec_id"): Long = withWriterLock(spark, dir) {
+    val doomed = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .localCheckpoint()
+    val n = doomed.count()
+    if (n > 0)
+      doomed.write.mode("append").parquet(s"$dir/tombstones")
+    n
+  }
+
+  /** The live tombstoned vec_ids, if any — takedown-sized, so callers
+    * broadcast the anti-join and candidate scans keep their shape.
+    */
+  private def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+  }
+
+  /** Exclude tombstoned vectors from a candidate frame keyed by `on`. */
+  private def minusTombstones(
+      spark: SparkSession, dir: String, df: DataFrame, on: String): DataFrame =
+    readTombstones(spark, dir).fold(df)(t =>
+      df.join(broadcast(t.withColumnRenamed("vec_id", on)), Seq(on), "left_anti"))
 
   /** (vec_id, v, cell) of `embs` against the index's frozen centers —
     * the assignment kernel [[append]] and the streaming ingest share
@@ -179,11 +234,15 @@ object AnnIndex {
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20,
-      minFiles: Int = 2): Long = {
+      minFiles: Int = 2): Long = withWriterLock(spark, dir) {
     require(targetBytes > 0 && minFiles >= 2, s"bad compact params: $targetBytes, $minFiles")
     val vectors = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val pqcodes = new org.apache.hadoop.fs.Path(s"$dir/pqcodes")
     val fs = vectors.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // With live tombstones every cell is rewritten (the minFiles
+    // shortcut is disabled): a tombstoned row may sit in ANY cell, and
+    // physical retirement is the point of this compact.
+    val tomb = readTombstones(spark, dir).map(_.localCheckpoint())
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter { st =>
         st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
@@ -194,7 +253,7 @@ object AnnIndex {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
         .foreach { cd =>
           val files = dataFiles(cd.getPath)
-          if (files.length < minFiles) total += files.length
+          if (tomb.isEmpty && files.length < minFiles) total += files.length
           else {
             val name = s"${root.getName}/${cd.getPath.getName}"
             val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/$name")
@@ -203,7 +262,10 @@ object AnnIndex {
             fs.mkdirs(tmp.getParent); fs.mkdirs(old.getParent)
             val n = math.max(1L,
               math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
-            spark.read.parquet(cd.getPath.toString).coalesce(n)
+            val cell0 = spark.read.parquet(cd.getPath.toString)
+            val cell = tomb.fold(cell0)(t =>
+              cell0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+            cell.coalesce(n)
               .write.mode("overwrite").parquet(tmp.toString)
             if (!fs.rename(cd.getPath, old))
               throw new java.io.IOException(s"compact: could not move ${cd.getPath} aside")
@@ -221,6 +283,9 @@ object AnnIndex {
     if (fs.exists(pqcodes)) total += compactTree(pqcodes) // the PQ sidecar appends too
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_old"), true)
+    // Tombstones now physically retired from both trees — clear them.
+    if (tomb.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     total
   }
 
@@ -260,9 +325,11 @@ object AnnIndex {
     // only probed cell directories (visible as PartitionFilters in the
     // plan), instead of depending on dynamic-pruning heuristics.
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
-    val vectors = spark.read.parquet(s"$dir/vectors")
-      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
-      .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell")
+    val vectors = minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/vectors")
+        .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+        .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"),
+      on = "neighbor_id")
     // The broadcast hint bypasses Spark's size threshold, so guard it:
     // the exploded probe frame is Q * nProbe rows EACH carrying the
     // full query vector — a large query batch would OOM executors as a
@@ -303,7 +370,7 @@ object AnnIndex {
       dir: String,
       m: Int = 16,
       codes: Int = 32,
-      iters: Int = 5): Unit = {
+      iters: Int = 5): Unit = withWriterLock(spark, dir) {
     import spark.implicits._
     val vectors = spark.read.parquet(s"$dir/vectors")
     val books = ProductQuantization.trainCodebooks(vectors, m, codes, iters, "vec_id", "v")
@@ -375,8 +442,10 @@ object AnnIndex {
       .drop("qv")
       .localCheckpoint()
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
-    val codesDf = spark.read.parquet(s"$dir/pqcodes")
-      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+    val codesDf = minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/pqcodes")
+        .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*)),
+      on = "vec_id")
     // Broadcast guard, as in [[topK]]: the probe frame is Q * nProbe
     // rows each carrying an m * codes float LUT.
     val m = books.length

@@ -53,18 +53,26 @@ object Clustering {
     // .NearestCentroid]]): same scoring as the original UDF bit for
     // bit, minus the per-row Seq[Float] conversion the UDF paid on the
     // corpus-sized hot pass.
-    def assign(cs: Array[Array[Double]]): DataFrame =
-      corpus.withColumn("cluster", graft.functions.ColumnBridge.toColumn(
+    def assignRef(cs: Array[Array[Double]]): (DataFrame, graft.functions.RefTable[Array[Array[Double]]]) = {
+      // broadcast above the inline cap: a 10^5-cell center table
+      // must not ride every stage's serialized plan
+      val ref = graft.functions.RefTable.auto(spark, cs,
+        graft.functions.RefTable.bytes2(cs, 8))
+      (corpus.withColumn("cluster", graft.functions.ColumnBridge.toColumn(
         graft.functions.NearestCentroid(
-          graft.functions.ColumnBridge.toExpression($"v"),
-          // broadcast above the inline cap: a 10^5-cell center table
-          // must not ride every stage's serialized plan
-          graft.functions.RefTable.auto(spark, cs,
-            graft.functions.RefTable.bytes2(cs, 8)))))
+          graft.functions.ColumnBridge.toExpression($"v"), ref))), ref)
+    }
+    def assign(cs: Array[Array[Double]]): DataFrame = assignRef(cs)._1
 
     var it = 0
     while (it < iters) {
-      val assigned = assign(centers)
+      // The iteration's center table dies with the iteration: its
+      // only consumer is the collect below, so the broadcast (if the
+      // table crossed the inline cap) is destroyed in the finally —
+      // a long session running many builds must not accumulate one
+      // dead k * dim broadcast per Lloyd round.
+      val (assigned, centersRef) = assignRef(centers)
+      try {
       // Per-dimension means via a typed array Aggregator — ONE
       // groupByKey(cluster) whose partials are k fixed-point sum/count
       // arrays per partition, so the agg input is N vector rows (one
@@ -124,7 +132,11 @@ object Clustering {
       }.maxOption.getOrElse(0.0)
       centers = next
       it = if (moved <= convergeEps) iters else it + 1
+      } finally graft.functions.RefTable.release(centersRef)
     }
+    // The FINAL assignment's ref is NOT released: the returned frame is
+    // lazy and evaluates through it at the caller's convenience; the
+    // ContextCleaner reclaims it with the plan.
     val result = assign(centers).select($"vec_id", $"cluster")
     // Safe to release: everything downstream is deterministic, so a
     // post-eviction recompute reproduces identical assignments.

@@ -39,6 +39,108 @@ object DedupIndex {
   private def hashOf(textCol: String): Column =
     md5(Dedup.normalizeText(col(textCol)))
 
+  /** Single-writer lock (see [[graft.sources.WriterLock]]): every
+    * mutator holds `<dir>/_writer.lock` for the call — a compact racing
+    * an ingest would otherwise silently drop the rows appended between
+    * compact's snapshot and its directory swap (un-seeing their hashes
+    * forever). The index root is recovered from the catalog entry, so
+    * mutators that only know the table name lock the same file the
+    * dir-carrying ones do.
+    */
+  private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, table: String)(body: => T): T = {
+    val root =
+      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
+      else new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.WriterLock.withLock(
+      fs, graft.sources.WriterLock.lockPath(root.toString), s"DedupIndex $table")(body)
+  }
+
+  /** Catalog name of the tombstone table (exists only after the first
+    * [[delete]]).
+    */
+  def tombstonesTable(table: String): String = s"${table}_tombstones"
+
+  /** The index root — the parent of the bucketed table's directory,
+    * recovered from the catalog for mutators that only know the name.
+    */
+  private def indexRoot(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent
+
+  /** The live tombstone set, if any: (text_hash, keep_id) rows retired
+    * from probe visibility but not yet physically removed. Tombstones
+    * are stored EXTERNAL under `<dir>/tombstones` — they are index
+    * state, not session state: a fresh session that re-registers the
+    * index must still see the takedowns, so a missing catalog entry
+    * falls back to the path.
+    */
+  private def tombstones(spark: SparkSession, table: String): Option[DataFrame] = {
+    if (spark.catalog.tableExists(tombstonesTable(table)))
+      Some(spark.table(tombstonesTable(table)).select("text_hash", "keep_id").distinct())
+    else {
+      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, table), "tombstones")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString).select("text_hash", "keep_id").distinct())
+    }
+  }
+
+  /** Drop the tombstone catalog entry AND its files (the table is
+    * external, so DROP TABLE alone would leave the files to resurrect
+    * in the next session).
+    */
+  private def clearTombstones(spark: SparkSession, table: String,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(table)}")
+    val p = new org.apache.hadoop.fs.Path(root, "tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Exclude tombstoned rows from an index frame. Tombstone sets are
+    * takedown-sized (small by nature), so the anti-join broadcasts and
+    * the index side keeps its bucketed partitioning — no new exchange.
+    */
+  private def minusTombstones(
+      spark: SparkSession, table: String, index: DataFrame): DataFrame =
+    tombstones(spark, table).fold(index)(t =>
+      index.join(broadcast(t), Seq("text_hash", "keep_id"), "left_anti"))
+
+  /** Tombstone every index row whose `keep_id` is in `ids` — the
+    * takedown path (copyright, PII, robots retroactivity). Effects:
+    * the content hash stops being "seen", so [[filterNew]]/[[ingest]]
+    * treat a future re-ingest of that content as NEW (the contract a
+    * curation pipeline needs after a removal-then-reappearance), and
+    * the row is physically retired at the next [[compact]]. Returns
+    * the number of rows tombstoned. Ids not present as keepers are
+    * ignored (deleting a non-keeper duplicate is meaningless — the
+    * index never stored it).
+    */
+  def delete(
+      spark: SparkSession,
+      table: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Long = withWriterLock(spark, null, table) {
+    val keep = ids.select(col(idCol).cast("long").as("keep_id")).distinct()
+    val doomed = spark.table(table)
+      .join(broadcast(keep), "keep_id")
+      .select(col("text_hash"), col("keep_id"))
+      .distinct()
+      .localCheckpoint()
+    val n = doomed.count()
+    if (n > 0) {
+      // External table at <dir>/tombstones. A fresh session appends to
+      // the EXISTING files (the path read in [[tombstones]] already
+      // honors them); only the catalog entry is (re)created here.
+      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, table), "tombstones")
+      doomed.write.mode(SaveMode.Append).format("parquet")
+        .option("path", p.toString)
+        .saveAsTable(tombstonesTable(table))
+    }
+    n
+  }
+
   /** Build the index from a seed corpus: one row per distinct
     * normalized text with its duplicate count and surviving (minimum)
     * id, bucketed by hash at `dir/hashes` and registered in the
@@ -51,9 +153,13 @@ object DedupIndex {
       nBuckets: Int = 64,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit =
-    BucketedLayout.writeBucketed(
-      Dedup.exactDedup(docs, textCol, idCol),
-      table, s"$dir/hashes", "text_hash", nBuckets)
+    withWriterLock(docs.sparkSession, dir, table) {
+      // a rebuild is a fresh generation — prior takedowns don't carry over
+      clearTombstones(docs.sparkSession, table, new org.apache.hadoop.fs.Path(dir))
+      BucketedLayout.writeBucketed(
+        Dedup.exactDedup(docs, textCol, idCol),
+        table, s"$dir/hashes", "text_hash", nBuckets)
+    }
 
   /** Rows of `batch` whose content is NOT in the index, one survivor
     * (minimum id) per distinct new hash, with the batch-local
@@ -72,7 +178,9 @@ object DedupIndex {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val cols = batch.columns
-    val seen = BucketedLayout.readBucketed(spark, table).select("text_hash")
+    val seen = minusTombstones(spark, table,
+      BucketedLayout.readBucketed(spark, table).select("text_hash", "keep_id"))
+      .select("text_hash")
     batch
       .withColumn("text_hash", hashOf(textCol))
       .join(seen, Seq("text_hash"), "left_anti")
@@ -96,7 +204,7 @@ object DedupIndex {
       table: String,
       batch: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame = withWriterLock(spark, null, table) {
     val fresh = filterNew(spark, table, batch, textCol, idCol).localCheckpoint()
     fresh
       .select(col("text_hash"), col("n_dups"), col(idCol).cast("long").as("keep_id"))
@@ -119,7 +227,8 @@ object DedupIndex {
     * spec, path) is untouched; only files move. Returns the data-file
     * count after compaction.
     */
-  def compact(spark: SparkSession, table: String, dir: String): Long = {
+  def compact(spark: SparkSession, table: String, dir: String): Long =
+    withWriterLock(spark, dir, table) {
     val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpTable = table + "__compact_tmp"
@@ -135,9 +244,12 @@ object DedupIndex {
     }.flatten.getOrElse(64)
     // One fresh generation: same layout contract as build's, written
     // through the same entry point so the bucket file tags match what
-    // the catalog advertises.
+    // the catalog advertises. Tombstoned rows are dropped BEFORE the
+    // re-aggregation — physical retirement, and the anti-join must
+    // precede the keep-id min or a deleted keeper would resurrect
+    // through a later re-ingest row of the same hash.
     BucketedLayout.writeBucketed(
-      spark.table(table)
+      minusTombstones(spark, table, spark.table(table))
         .groupBy("text_hash")
         .agg(max("n_dups").as("n_dups"), min("keep_id").as("keep_id")),
       tmpTable, tmp.toString, "text_hash", nBuckets)
@@ -149,8 +261,11 @@ object DedupIndex {
     }
     fs.delete(old, true)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metadata only; files already moved
+    // Tombstones are now physically retired — clear them so a LATER
+    // re-ingest of a deleted keeper id is not retroactively hidden.
+    clearTombstones(spark, table, new org.apache.hadoop.fs.Path(dir))
     spark.catalog.refreshTable(table)
     fs.listStatus(path).count(st =>
       st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-  }
+    }
 }

@@ -42,6 +42,88 @@ object NearDupIndex {
 
   def bucketsTable(prefix: String): String = s"${prefix}_buckets"
   def shinglesTable(prefix: String): String = s"${prefix}_shingles"
+  def tombstonesTable(prefix: String): String = s"${prefix}_tombstones"
+  def droppedTable(prefix: String): String = s"${prefix}_dropped"
+
+  /** Single-writer lock (see [[graft.sources.WriterLock]]) on
+    * `<dir>/_writer.lock`: compact racing an ingest/append would
+    * silently drop the postings appended between its snapshot and the
+    * directory swap; the two tables' appends must also land as one
+    * logical mutation. Mutators that only know the prefix recover the
+    * index root from the buckets table's catalog entry.
+    */
+  private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, prefix: String)(body: => T): T = {
+    val root =
+      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
+      else new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.WriterLock.withLock(
+      fs, graft.sources.WriterLock.lockPath(root.toString), s"NearDupIndex $prefix")(body)
+  }
+
+  /** The index root — the parent of the buckets table's directory. */
+  private def indexRoot(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent
+
+  /** The live tombstone set, if any: indexed doc_ids retired from
+    * probe visibility but not yet physically removed. Stored EXTERNAL
+    * under `<dir>/tombstones` — index state, not session state: a
+    * fresh session that re-registers the index must still see the
+    * takedowns, so a missing catalog entry falls back to the path.
+    */
+  private def tombstones(spark: SparkSession, prefix: String): Option[DataFrame] = {
+    if (spark.catalog.tableExists(tombstonesTable(prefix)))
+      Some(spark.table(tombstonesTable(prefix)).select("doc_id").distinct())
+    else {
+      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, prefix), "tombstones")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    }
+  }
+
+  /** Drop the tombstone catalog entry AND its files (external table —
+    * DROP TABLE alone leaves the files to resurrect next session).
+    */
+  private def clearTombstones(spark: SparkSession, prefix: String,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tombstonesTable(prefix)}")
+    val p = new org.apache.hadoop.fs.Path(root, "tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Tombstone indexed documents by id — the takedown path. A
+    * tombstoned doc is never returned by [[probePairs]] (so
+    * [[filterNovel]]/[[ingest]] treat a re-crawl of its content as
+    * novel), and its postings/shingles are physically removed at the
+    * next [[compact]]. Returns the count of distinct ids tombstoned.
+    */
+  def delete(
+      spark: SparkSession,
+      tablePrefix: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Long = withWriterLock(spark, null, tablePrefix) {
+    val doomed = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .localCheckpoint()
+    val n = doomed.count()
+    if (n > 0) {
+      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, tablePrefix), "tombstones")
+      doomed.write.mode(SaveMode.Append).format("parquet")
+        .option("path", p.toString)
+        .saveAsTable(tombstonesTable(tablePrefix))
+    }
+    n
+  }
+
+  /** Exclude tombstoned indexed docs (small takedown sets — broadcast,
+    * no new exchange on the index side).
+    */
+  private def minusTombstones(
+      spark: SparkSession, prefix: String, df: DataFrame, on: String): DataFrame =
+    tombstones(spark, prefix).fold(df)(t =>
+      df.join(broadcast(t.withColumnRenamed("doc_id", on)), Seq(on), "left_anti"))
 
   /** (doc_id, bb) postings of `docs` under the shared banding. */
   private def postings(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
@@ -63,17 +145,24 @@ object NearDupIndex {
       maxBucket: Int = 64,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 3): Unit = {
+      k: Int = 3): Unit = withWriterLock(docs.sparkSession, dir, tablePrefix) {
+    // a rebuild is a fresh generation — prior takedowns don't carry over
+    clearTombstones(docs.sparkSession, tablePrefix, new org.apache.hadoop.fs.Path(dir))
     val post = postings(docs, textCol, idCol, k).localCheckpoint()
+    val sizes = post.groupBy("bb").agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val kept = post.join(
-      post.groupBy("bb").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket).select("bb"),
-      "bb")
+      sizes.filter(col("n_docs") <= maxBucket).select("bb"), "bb")
     BucketedLayout.writeBucketed(
       kept.select("bb", "doc_id"), bucketsTable(tablePrefix), s"$dir/buckets", "bb", nBuckets)
     BucketedLayout.writeBucketed(
       Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh"),
       shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nBuckets)
+    // Observability sidecar: the DROPPED bucket keys. A probe landing
+    // only in dropped buckets gets no candidates — without this table
+    // that miss is indistinguishable from "truly novel".
+    BucketedLayout.writeBucketed(
+      sizes.filter(col("n_docs") > maxBucket),
+      droppedTable(tablePrefix), s"$dir/dropped", "bb", nBuckets)
   }
 
   /** Append a batch's postings and shingles to the index (no cap
@@ -87,7 +176,7 @@ object NearDupIndex {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 3): Unit = {
+      k: Int = 3): Unit = withWriterLock(spark, null, tablePrefix) {
     postings(docs, textCol, idCol, k)
       .select("bb", "doc_id")
       .write.mode(SaveMode.Append).format("parquet").insertInto(bucketsTable(tablePrefix))
@@ -109,11 +198,15 @@ object NearDupIndex {
       idCol: String = "doc_id",
       k: Int = 3): DataFrame = {
     import spark.implicits._
-    val cands = postings(batch, textCol, idCol, k)
-      .select(col("doc_id").as("doc_b"), col("bb"))
-      .join(spark.table(bucketsTable(tablePrefix)), "bb")
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
+    // Tombstoned docs drop out at candidate time — before the shingle
+    // joins, so a takedown also stops paying verification cost.
+    val cands = minusTombstones(spark, tablePrefix,
+      postings(batch, textCol, idCol, k)
+        .select(col("doc_id").as("doc_b"), col("bb"))
+        .join(spark.table(bucketsTable(tablePrefix)), "bb")
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct(),
+      on = "doc_a")
     cands
       .join(spark.table(shinglesTable(tablePrefix))
         .select(col("doc_id").as("doc_a"), col("shh").as("ha")), "doc_a")
@@ -130,6 +223,26 @@ object NearDupIndex {
       }
       .toDF("doc_a", "doc_b", "n_inter", "n_union")
   }
+
+  /** Probe-side observability for the `maxBucket` cap:
+    * (doc_id, n_dropped) for every batch row at least one of whose LSH
+    * bands lands in a DROPPED posting bucket. Such a row's
+    * [[probePairs]]/[[filterNovel]] answer may under-report (dropped
+    * buckets contribute no candidates) — downstream can route flagged
+    * rows to an exact fallback or count them as a coverage metric.
+    * Rows with full coverage do not appear. Pair results are untouched.
+    */
+  def droppedBucketProbes(
+      spark: SparkSession,
+      tablePrefix: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame =
+    postings(batch, textCol, idCol, k)
+      .join(spark.table(droppedTable(tablePrefix)).select("bb"), "bb")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dropped"))
 
   /** Rows of `batch` with NO near-duplicate in the index — the
     * keep/drop form of [[probePairs]], one row per surviving batch row
@@ -164,7 +277,7 @@ object NearDupIndex {
       threshold: Double = 0.9,
       textCol: String = "text",
       idCol: String = "doc_id",
-      k: Int = 3): DataFrame = {
+      k: Int = 3): DataFrame = withWriterLock(spark, null, tablePrefix) {
     val novel = filterNovel(spark, tablePrefix, batch, threshold, textCol, idCol, k)
     val pairs = Dedup.nearDuplicatePairCounts(novel, threshold, textCol, idCol, k)
       .filter(col("n_inter") >= col("n_union") * threshold)
@@ -185,16 +298,44 @@ object NearDupIndex {
       spark: SparkSession,
       tablePrefix: String,
       dir: String,
-      maxBucket: Int = 64): Long = {
-    val post = spark.table(bucketsTable(tablePrefix)).distinct().localCheckpoint()
+      maxBucket: Int = 64): Long = withWriterLock(spark, dir, tablePrefix) {
+    // Tombstoned docs are dropped from BOTH tables before the rewrite
+    // — physical retirement of takedowns rides the same pass as the
+    // small-file collapse.
+    val post = minusTombstones(spark, tablePrefix,
+      spark.table(bucketsTable(tablePrefix)).distinct(), on = "doc_id")
+      .localCheckpoint()
+    val sizes = post.groupBy("bb").agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val kept = post.join(
-      post.groupBy("bb").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket).select("bb"),
+      sizes.filter(col("n_docs") <= maxBucket).select("bb"),
       "bb").select("bb", "doc_id")
-    swapIn(spark, bucketsTable(tablePrefix), s"$dir/buckets", "bb", kept) +
+    // Refresh the dropped-key sidecar: buckets that grew past the cap
+    // through appends retire HERE and join the observable set. The
+    // previous generation's dropped keys are CARRIED (their postings
+    // are already gone, so this pass cannot re-derive them) — a
+    // dropped bucket stays observable until the next full [[build]].
+    // Pre-sidecar indexes (no dropped table yet) get one created.
+    val freshDropped = sizes.filter(col("n_docs") > maxBucket)
+    val droppedCount =
+      if (spark.catalog.tableExists(droppedTable(tablePrefix)))
+        swapIn(spark, droppedTable(tablePrefix), s"$dir/dropped", "bb",
+          spark.table(droppedTable(tablePrefix)).unionByName(freshDropped)
+            .groupBy("bb").agg(max(col("n_docs")).as("n_docs"))
+            .localCheckpoint())
+      else {
+        BucketedLayout.writeBucketed(
+          freshDropped, droppedTable(tablePrefix), s"$dir/dropped", "bb", 8)
+        0L
+      }
+    val total = droppedCount +
+      swapIn(spark, bucketsTable(tablePrefix), s"$dir/buckets", "bb", kept) +
       swapIn(spark, shinglesTable(tablePrefix), s"$dir/shingles", "doc_id",
-        spark.table(shinglesTable(tablePrefix))
+        minusTombstones(spark, tablePrefix,
+          spark.table(shinglesTable(tablePrefix)), on = "doc_id")
           .groupBy("doc_id").agg(min(col("shh")).as("shh")))
+    // Retired physically — clear, so the ids can be reused as new docs.
+    clearTombstones(spark, tablePrefix, new org.apache.hadoop.fs.Path(dir))
+    total
   }
 
   /** Write `df` as a fresh bucketed generation of `table` and swap its

@@ -44,7 +44,7 @@ object ProductQuantization {
     */
   type Codebooks = Array[Array[Array[Double]]]
 
-  private[ops] def subSlice(v: Array[Double], m: Int, sub: Int): Array[Double] = {
+  private[graft] def subSlice(v: Array[Double], m: Int, sub: Int): Array[Double] = {
     // Subspace s owns dims [s*ceil(d/m), min((s+1)*ceil(d/m), d)) — the
     // LAST subspace may be short when m does not divide d.
     val w = (v.length + m - 1) / m
@@ -252,53 +252,39 @@ object ProductQuantization {
     val encoded = encode(embs, books, idCol, vecCol)
       .join(assigned.withColumnRenamed("vec_id", "vec_id"), "vec_id")
 
-    // Per-query LUT + probe list, broadcast as one map.
-    val bcCenters = spark.sparkContext.broadcast(centers.map(_.map(_.toFloat)))
-    val qRows: Array[(Long, Array[Array[Float]], Array[Double], Array[Int])] = queries
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map { row =>
-        val qid = row.getLong(0)
-        val u = Similarity.unit(row.getSeq[Float](1))
-        val lut = Array.tabulate(books.length) { s =>
-          val qsub = subSlice(u, m, s)
-          books(s).map { w =>
-            val n = math.min(w.length, qsub.length)
-            var d = 0.0; var i = 0
-            while (i < n) { d += w(i) * qsub(i); i += 1 }
-            d.toFloat
-          }
-        }
-        val probes = bcCenters.value.indices
-          .map(c => (c, Similarity.cosine(bcCenters.value(c), u.map(_.toFloat))))
-          .sortBy { case (c, s) => (-s, c) }
-          .take(nProbe).map(_._1).toArray
-        (qid, lut, u, probes)
-      }
-    val lutMap = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
-    qRows.foreach { case (qid, lut, _, _) => lutMap.put(qid, lut) }
-    val lutBytes = qRows.iterator
-      .map { case (_, lut, _, _) => graft.functions.RefTable.bytes2(lut, 4) + 48L }.sum
-
-    // (cluster, query_id) probe pairs — the scan restriction.
-    val probePairs = spark
-      .createDataset(qRows.flatMap { case (qid, _, _, ps) => ps.map(c => (c, qid)) })
-      .toDF("cluster", "query_id")
+    // Per-query LUT ([[graft.functions.PqLut]]) and probe list
+    // ([[graft.functions.TopCentroids]]) as executor-side projections
+    // over the query frame — the query batch never funnels through the
+    // driver; only the trained centers/codebooks (k * dim and
+    // m * codes * subDim constants) ship to executors.
+    val fCenters = centers.map(_.map(_.toFloat))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", graft.functions.ColumnBridge.toColumn(graft.functions.PqLut(
+        graft.functions.ColumnBridge.toExpression($"qv"),
+        graft.functions.RefTable.auto(spark, books,
+          graft.functions.RefTable.bytes3(books, 8)))))
+      .withColumn("cluster", explode(graft.functions.ColumnBridge.toColumn(
+        graft.functions.TopCentroids(
+          graft.functions.ColumnBridge.toExpression($"qv"),
+          graft.functions.RefTable.auto(spark, fCenters,
+            graft.functions.RefTable.bytes2(fCenters, 4)), nProbe))))
+      .drop("qv")
 
     // Native codegen'd ADC kernel (see [[graft.functions.AdcScore]]):
     // the Q * nProbe * cellSize inner scan stays in whole-stage
-    // codegen — same float-LUT adds as the UDF it replaces.
-    val cands = probePairs.join(encoded, "cluster")
+    // codegen — two array reads + an add per subspace. Queries are the
+    // small side by contract (same as Similarity.topK) — broadcast.
+    val cands = broadcast(q).join(encoded, "cluster")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
-          graft.functions.ColumnBridge.toExpression($"query_id"),
-          graft.functions.ColumnBridge.toExpression($"pq_codes"),
-          graft.functions.RefTable.auto(spark, lutMap, lutBytes))).as("score"))
+          graft.functions.ColumnBridge.toExpression($"lut"),
+          graft.functions.ColumnBridge.toExpression($"pq_codes"), codes)).as("score"))
     val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
 
-    val qVecs = spark.createDataset(qRows.map { case (qid, _, u, _) => (qid, u.map(_.toFloat).toSeq) })
-      .toDF("query_id", "qv")
+    val qVecs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
     val exact = survivors
       .join(broadcast(qVecs), "query_id")

@@ -63,7 +63,14 @@ object StreamingAnnIngest {
     val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
-    else {
+    else graft.ops.AnnIndex.withWriterLock(spark, indexDir) {
+      // The lock serializes this install against a concurrent compact
+      // (which would silently drop files installed into a cell between
+      // its read and its directory swap) and against other batch
+      // mutators. A zombie attempt of THIS batch racing a live one now
+      // fails loudly on the lock instead of converging silently — the
+      // stream's retry redelivers and the deterministic names still
+      // replace, never duplicate.
       import spark.implicits._
       val books = graft.ops.AnnIndex.readCodebooks(spark, indexDir)
       val assigned0 = graft.ops.AnnIndex.assignCells(spark, indexDir, batch, idCol, vecCol)

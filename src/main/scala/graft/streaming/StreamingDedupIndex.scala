@@ -66,23 +66,29 @@ object StreamingDedupIndex {
     val hashesDone = new Path(root, s"_hashes_done/$batchId")
     if (fs.exists(hashesDone)) return false
 
-    // Evaluated once, BEFORE any append mutates what filterNew reads.
-    val fresh = graft.ops.DedupIndex
-      .filterNew(spark, table, batch, textCol, idCol)
-      .localCheckpoint()
-    if (!fs.exists(survivorsDone)) {
-      fresh.drop("text_hash", "n_dups")
-        .write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      markerCreate(fs, survivorsDone)
+    // The whole filter+append sequence runs under the index's writer
+    // lock: a compact snapshotting the table between our filterNew and
+    // our append would otherwise drop the appended hashes from its new
+    // generation — silently un-seeing this batch forever.
+    graft.ops.DedupIndex.withWriterLock(spark, null, table) {
+      // Evaluated once, BEFORE any append mutates what filterNew reads.
+      val fresh = graft.ops.DedupIndex
+        .filterNew(spark, table, batch, textCol, idCol)
+        .localCheckpoint()
+      if (!fs.exists(survivorsDone)) {
+        fresh.drop("text_hash", "n_dups")
+          .write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        markerCreate(fs, survivorsDone)
+      }
+      fresh
+        .select(
+          org.apache.spark.sql.functions.col("text_hash"),
+          org.apache.spark.sql.functions.col("n_dups"),
+          org.apache.spark.sql.functions.col(idCol).cast("long").as("keep_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .insertInto(table)
+      markerCreate(fs, hashesDone)
     }
-    fresh
-      .select(
-        org.apache.spark.sql.functions.col("text_hash"),
-        org.apache.spark.sql.functions.col("n_dups"),
-        org.apache.spark.sql.functions.col(idCol).cast("long").as("keep_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-      .insertInto(table)
-    markerCreate(fs, hashesDone)
     true
   }
 

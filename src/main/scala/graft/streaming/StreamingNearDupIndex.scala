@@ -56,23 +56,29 @@ object StreamingNearDupIndex {
     val indexDone = new Path(root, s"_index_done/$batchId")
     if (fs.exists(indexDone)) return false
 
-    // Survivors = novel vs the index AND keep-min within the batch —
-    // the NearDupIndex.ingest selection, evaluated once BEFORE any
-    // append mutates what the probe reads.
-    val novel = graft.ops.NearDupIndex
-      .filterNovel(spark, tablePrefix, batch, threshold, textCol, idCol)
-    val losers = graft.ops.Dedup
-      .nearDuplicatePairCounts(novel, threshold, textCol, idCol)
-      .filter(col("n_inter") >= col("n_union") * threshold)
-      .select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
-    val kept = novel.join(losers, Seq(idCol), "left_anti").localCheckpoint()
+    // The whole probe+append sequence runs under the index's writer
+    // lock (reentrant — the append below takes it again): a compact
+    // between our probe and our append would drop the appended
+    // postings from its new generation.
+    graft.ops.NearDupIndex.withWriterLock(spark, null, tablePrefix) {
+      // Survivors = novel vs the index AND keep-min within the batch —
+      // the NearDupIndex.ingest selection, evaluated once BEFORE any
+      // append mutates what the probe reads.
+      val novel = graft.ops.NearDupIndex
+        .filterNovel(spark, tablePrefix, batch, threshold, textCol, idCol)
+      val losers = graft.ops.Dedup
+        .nearDuplicatePairCounts(novel, threshold, textCol, idCol)
+        .filter(col("n_inter") >= col("n_union") * threshold)
+        .select(greatest(col("doc_a"), col("doc_b")).as(idCol)).distinct()
+      val kept = novel.join(losers, Seq(idCol), "left_anti").localCheckpoint()
 
-    if (!fs.exists(survivorsDone)) {
-      kept.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
-      markerCreate(fs, survivorsDone)
+      if (!fs.exists(survivorsDone)) {
+        kept.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        markerCreate(fs, survivorsDone)
+      }
+      graft.ops.NearDupIndex.append(spark, tablePrefix, kept, textCol, idCol)
+      markerCreate(fs, indexDone)
     }
-    graft.ops.NearDupIndex.append(spark, tablePrefix, kept, textCol, idCol)
-    markerCreate(fs, indexDone)
     true
   }
 

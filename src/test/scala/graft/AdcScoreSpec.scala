@@ -2,46 +2,43 @@ package graft
 
 import graft.functions.{AdcScore, ColumnBridge}
 
-/** The native ADC kernel must match the driver-side LUT fold exactly,
-  * in both codegen and interpreted eval, and fail loudly on a query
-  * id with no LUT.
+/** The native ADC kernel must match a driver-side LUT fold exactly,
+  * in both codegen and interpreted eval, and stay safe on ragged
+  * inputs (codes wider than the LUT or vice versa fold over the
+  * common prefix).
   */
 class AdcScoreSpec extends SparkSpec {
   import spark.implicits._
 
-  private def luts(): java.util.HashMap[java.lang.Long, Array[Array[Float]]] = {
-    val rnd = new scala.util.Random(31)
-    val m = new java.util.HashMap[java.lang.Long, Array[Array[Float]]]()
-    (0L until 4L).foreach { qid =>
-      m.put(qid, Array.fill(3)(Array.fill(8)(rnd.nextFloat() - 0.5f)))
-    }
-    m
-  }
+  private val CodesPerSub = 8
 
-  private def scoreCol(m: java.util.HashMap[java.lang.Long, Array[Array[Float]]]) =
+  private def scoreCol() =
     ColumnBridge.toColumn(AdcScore(
-      ColumnBridge.toExpression($"qid"), ColumnBridge.toExpression($"codes"), m))
+      ColumnBridge.toExpression($"lut"), ColumnBridge.toExpression($"codes"),
+      CodesPerSub))
 
   test("matches the driver-side fold; interpreted agrees with codegen") {
-    val m = luts()
-    val rnd = new scala.util.Random(37)
+    val rnd = new scala.util.Random(31)
+    // one flattened m=3 x codes=8 LUT per row, varying across rows like
+    // the probe join fans a query's LUT across candidates
     val rows = (0 until 120).map { i =>
-      (i.toLong, (i % 4).toLong, Seq.fill(3)(rnd.nextInt(8)))
+      val lut = Seq.fill(3 * CodesPerSub)(rnd.nextFloat() - 0.5f)
+      (i.toLong, lut, Seq.fill(3)(rnd.nextInt(CodesPerSub)))
     }
-    def brute(qid: Long, cs: Seq[Int]): Double = {
-      val lut = m.get(qid)
-      cs.indices.take(lut.length).map(s => lut(s)(cs(s)).toDouble).sum
+    def brute(lut: Seq[Float], cs: Seq[Int]): Double = {
+      val m = math.min(lut.length / CodesPerSub, cs.length)
+      (0 until m).map(s => lut(s * CodesPerSub + cs(s)).toDouble).sum
     }
-    val df = rows.toDF("id", "qid", "codes")
-    val codegen = df.withColumn("s", scoreCol(m))
+    val df = rows.toDF("id", "lut", "codes")
+    val codegen = df.withColumn("s", scoreCol())
       .select($"id", $"s").as[(Long, Double)].collect().toMap
-    rows.foreach { case (id, qid, cs) =>
-      assert(codegen(id) == brute(qid, cs), s"id=$id")
+    rows.foreach { case (id, lut, cs) =>
+      assert(codegen(id) == brute(lut, cs), s"id=$id")
     }
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
-      val interp = df.withColumn("s", scoreCol(m))
+      val interp = df.withColumn("s", scoreCol())
         .select($"id", $"s").as[(Long, Double)].collect().toMap
       assert(interp == codegen)
     } finally {
@@ -50,15 +47,15 @@ class AdcScoreSpec extends SparkSpec {
     }
   }
 
-  test("unknown query id fails loudly, not silently as zero") {
-    val m = luts()
-    val df = Seq((1L, 99L, Seq(0, 0, 0))).toDF("id", "qid", "codes")
-    val e = intercept[Exception] {
-      df.withColumn("s", scoreCol(m)).collect()
-    }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(e).exists(_.getMessage != null) &&
-      chain(e).exists(t => Option(t.getMessage).exists(_.contains("no LUT"))))
+  test("ragged inputs fold over the common prefix, never out of bounds") {
+    val lut = Seq.tabulate(2 * CodesPerSub)(_.toFloat) // m=2 subs worth
+    val wide = Seq((1L, lut, Seq(1, 2, 3, 4)))         // 4 code entries
+      .toDF("id", "lut", "codes")
+    val narrow = Seq((2L, lut, Seq(1)))                // 1 code entry
+      .toDF("id", "lut", "codes")
+    assert(wide.withColumn("s", scoreCol()).select($"s").as[Double].head()
+      == lut(1).toDouble + lut(CodesPerSub + 2).toDouble)
+    assert(narrow.withColumn("s", scoreCol()).select($"s").as[Double].head()
+      == lut(1).toDouble)
   }
 }

@@ -21,6 +21,42 @@ class AnnIndexSpec extends SparkSpec {
   private def tmpDir() =
     java.nio.file.Files.createTempDirectory("graft_annidx").toString
 
+  test("delete: tombstoned vector never returned by topK or topKPq; compact retires it") {
+    val e = vecs(300, seed = 21)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    // query 0's nearest neighbor through the full index
+    val q = e.filter($"vec_id" === 0L)
+    val nn = AnnIndex.topK(spark, dir, q, k = 1, nProbe = 8)
+      .select($"neighbor_id").as[Long].head()
+    assert(AnnIndex.delete(spark, dir, Seq(nn).toDF("vec_id")) == 1L)
+    // neither probe API returns the tombstoned vector anymore
+    val viaExact = AnnIndex.topK(spark, dir, q, k = 5, nProbe = 8)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val viaPq = AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 8)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!viaExact.contains(nn) && !viaPq.contains(nn),
+      s"deleted $nn still probed back: topK=$viaExact topKPq=$viaPq")
+    assert(viaExact.size == 5, "ranking still fills k from live vectors")
+    // compact physically retires the row from BOTH trees and clears the set
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/vectors").filter($"vec_id" === nn).isEmpty)
+    assert(spark.read.parquet(s"$dir/pqcodes").filter($"vec_id" === nn).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    // answers unchanged after physical retirement
+    assert(AnnIndex.topK(spark, dir, q, k = 5, nProbe = 8)
+      .select($"neighbor_id").as[Long].collect().toSet == viaExact)
+    // a re-appended vector under a fresh id is immediately live again
+    val twin = e.filter($"vec_id" === nn)
+      .select(($"vec_id" + 7000L).as("vec_id"), $"embedding")
+    AnnIndex.append(spark, dir, twin)
+    assert(AnnIndex.topK(spark, dir, q, k = 1, nProbe = 8)
+      .select($"neighbor_id").as[Long].head() == nn + 7000L)
+  }
+
   test("row parity with ivfTopK under identical build parameters") {
     val e = vecs(400)
     val q = e.filter($"vec_id" < 20)

@@ -139,6 +139,31 @@ class DedupIndexSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet == Set(11L))
   }
 
+  test("delete: content unseen after takedown, re-ingest is new, compact retires physically") {
+    val (dir, tbl) = fresh()
+    DedupIndex.build(mk(1L -> "kept page", 2L -> "doomed page"), dir, tbl, nBuckets = 4)
+    // 99 was never a keeper — deleting it is a no-op, not an error
+    assert(DedupIndex.delete(spark, tbl, Seq(2L, 99L).toDF("doc_id")) == 1L)
+    // the deleted content is no longer "seen"; kept content still is
+    assert(DedupIndex.filterNew(spark, tbl, mk(10L -> "DOOMED page", 11L -> "kept page"))
+      .select($"doc_id").as[Long].collect().toSet == Set(10L))
+    // re-ingest of the deleted content behaves as NEW: one survivor appends...
+    assert(DedupIndex.ingest(spark, tbl, mk(20L -> "doomed page"))
+      .select($"doc_id").as[Long].collect().toSet == Set(20L))
+    // ...and is immediately seen again under its new keeper
+    assert(DedupIndex.filterNew(spark, tbl, mk(30L -> "doomed  PAGE")).isEmpty)
+    // compact: the tombstoned row is physically gone, the re-ingested
+    // keeper survives (the anti-join runs BEFORE the keep-id min, so
+    // the deleted keeper cannot resurrect through the merge)
+    DedupIndex.compact(spark, tbl, dir)
+    assert(spark.table(tbl).select($"keep_id").as[Long].collect().toSet == Set(1L, 20L))
+    assert(!spark.catalog.tableExists(DedupIndex.tombstonesTable(tbl)),
+      "compact must clear the retired tombstones")
+    // post-compact behavior unchanged
+    assert(DedupIndex.filterNew(spark, tbl, mk(40L -> "doomed page", 41L -> "brand new"))
+      .select($"doc_id").as[Long].collect().toSet == Set(41L))
+  }
+
   test("hot duplicate class: 200k copies ingest without a window, closed-form result") {
     val (dir, tbl) = fresh()
     DedupIndex.build(mk(1L -> "seed"), dir, tbl, nBuckets = 4)

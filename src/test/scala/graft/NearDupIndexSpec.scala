@@ -50,6 +50,37 @@ class NearDupIndexSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet == Set(12L))
   }
 
+  test("delete: tombstoned doc never probed back; compact retires postings and shingles") {
+    val (dir, pfx) = fresh()
+    // long enough that "other + one token" stays above J = 0.9
+    val other = (1 to 60).map(i => s"sail$i").mkString(" ")
+    NearDupIndex.build(mk(1L -> base, 2L -> other), dir, pfx, nBuckets = 4)
+    assert(NearDupIndex.delete(spark, pfx, Seq(1L).toDF("doc_id")) == 1L)
+    // no probe path returns doc 1: pairs exclude it, novelty treats its
+    // content as novel again
+    val probe = mk(10L -> (base + " extra"), 11L -> (other + " more"))
+    assert(NearDupIndex.probePairs(spark, pfx, probe, threshold = 0.9)
+      .select($"doc_a").as[Long].collect().toSet == Set(2L))
+    assert(NearDupIndex.filterNovel(spark, pfx, probe, threshold = 0.9)
+      .select($"doc_id").as[Long].collect().toSet == Set(10L))
+    // re-ingest of the deleted content (fresh id) behaves as new
+    assert(NearDupIndex.ingest(spark, pfx, mk(50L -> base))
+      .select($"doc_id").as[Long].collect().toSet == Set(50L))
+    assert(NearDupIndex.probePairs(spark, pfx, mk(60L -> base))
+      .select($"doc_a").as[Long].collect().toSet == Set(50L))
+    // compact physically retires doc 1 from both tables and clears the set
+    NearDupIndex.compact(spark, pfx, dir)
+    assert(spark.table(NearDupIndex.bucketsTable(pfx))
+      .filter($"doc_id" === 1L).isEmpty)
+    assert(spark.table(NearDupIndex.shinglesTable(pfx))
+      .filter($"doc_id" === 1L).isEmpty)
+    assert(!spark.catalog.tableExists(NearDupIndex.tombstonesTable(pfx)))
+    // post-compact: probe 10 pairs with the re-ingested doc 50 (same
+    // content the deleted doc 1 had), never with 1 itself
+    assert(NearDupIndex.probePairs(spark, pfx, probe, threshold = 0.9)
+      .select($"doc_a").as[Long].collect().toSet == Set(2L, 50L))
+  }
+
   test("append makes new docs probe-visible; ingest survives redelivery via self-match") {
     val (dir, pfx) = fresh()
     NearDupIndex.build(mk(1L -> base), dir, pfx, nBuckets = 4)
@@ -80,6 +111,19 @@ class NearDupIndexSpec extends SparkSpec {
     val got = NearDupIndex.probePairs(spark, pfx, probe)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 201L)), s"boilerplate bucket must not produce candidates: $got")
+    // the dropped buckets are OBSERVABLE: the sidecar is non-empty, the
+    // boilerplate probe is flagged (its answer may under-report), the
+    // fully-covered probe is not
+    assert(spark.table(NearDupIndex.droppedTable(pfx)).count() > 0)
+    val flagged = NearDupIndex.droppedBucketProbes(spark, pfx, probe)
+      .select($"doc_id", $"n_dropped").as[(Long, Long)].collect().toMap
+    assert(flagged.contains(200L) && flagged(200L) >= 1L,
+      s"dropped-bucket probe must be flagged: $flagged")
+    assert(!flagged.contains(201L), s"covered probe must not be flagged: $flagged")
+    // compact refreshes the sidecar and keeps the flagging
+    NearDupIndex.compact(spark, pfx, dir)
+    assert(NearDupIndex.droppedBucketProbes(spark, pfx, probe)
+      .filter($"doc_id" === 200L).count() == 1)
   }
 
   test("compact: append-grown files collapse, answers identical, buckets still bucketed") {

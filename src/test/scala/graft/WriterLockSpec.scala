@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{AnnIndex, DedupIndex}
+import graft.sources.WriterLock
+import org.apache.hadoop.fs.Path
+
+/** Single-writer discipline on the serving indexes: a second
+  * concurrent writer fails loudly (never races), the lock is
+  * reentrant within a thread, a dead writer's stale lock is broken
+  * explicitly, and normal sequential mutators leave no lock behind.
+  */
+class WriterLockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("second writer fails loudly while the first holds the lock; sequential is fine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock").toString
+    val lock = WriterLock.lockPath(dir)
+    @volatile var insideError: Option[Throwable] = None
+    WriterLock.withLock(fs, lock, "index A") {
+      // a SECOND writer (different thread = different driver in spirit)
+      val t = new Thread(() =>
+        try WriterLock.withLock(fs, lock, "index A")(())
+        catch { case e: Throwable => insideError = Some(e) })
+      t.start(); t.join()
+      assert(insideError.exists(_.isInstanceOf[IllegalStateException]),
+        s"expected the concurrent writer to fail loudly, got $insideError")
+      assert(insideError.exists(_.getMessage.contains("locked by another writer")))
+    }
+    // released: a later writer proceeds, and no lock file remains
+    WriterLock.withLock(fs, lock, "index A")(())
+    assert(!fs.exists(lock))
+  }
+
+  test("reentrant within a thread; released only at the outermost exit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock2").toString
+    val lock = WriterLock.lockPath(dir)
+    WriterLock.withLock(fs, lock, "x") {
+      WriterLock.withLock(fs, lock, "x") {
+        assert(fs.exists(lock))
+      }
+      assert(fs.exists(lock), "inner exit must not release the outer hold")
+    }
+    assert(!fs.exists(lock))
+  }
+
+  test("stale lock from a dead writer blocks mutators until broken") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock3").toString
+    val e = vecs(60)
+    AnnIndex.build(e, dir, nClusters = 4, iters = 1)
+    // simulate a dead writer: lock file exists, nobody holds it
+    fs.create(WriterLock.lockPath(dir), false).close()
+    val err = intercept[IllegalStateException] {
+      AnnIndex.delete(spark, dir, Seq(1L).toDF("vec_id"))
+    }
+    assert(err.getMessage.contains("locked by another writer"))
+    assert(WriterLock.break(fs, WriterLock.lockPath(dir)))
+    assert(AnnIndex.delete(spark, dir, Seq(1L).toDF("vec_id")) == 1L)
+  }
+
+  test("DedupIndex mutators lock the index root derived from the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock4").toString
+    val tbl = "graft_wlock_dedup"
+    DedupIndex.build(Seq((1L, "seed page")).toDF("doc_id", "text"), dir, tbl, nBuckets = 2)
+    // hold the root lock; ingest (which only knows the TABLE) must block on it
+    WriterLock.withLock(fs, WriterLock.lockPath(dir), "outer") {
+      @volatile var got: Option[Throwable] = None
+      val t = new Thread(() =>
+        try DedupIndex.ingest(spark, tbl, Seq((2L, "new page")).toDF("doc_id", "text"))
+        catch { case e: Throwable => got = Some(e) })
+      t.start(); t.join()
+      assert(got.exists(_.getMessage.contains("locked by another writer")),
+        s"ingest must contend on the same root lock, got $got")
+    }
+    // lock released -> ingest proceeds
+    assert(DedupIndex.ingest(spark, tbl, Seq((2L, "new page")).toDF("doc_id", "text"))
+      .count() == 1L)
+  }
+
+  private def vecs(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+}
