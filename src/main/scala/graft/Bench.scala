@@ -169,17 +169,26 @@ object Bench {
         val b = { val t = System.nanoTime(); r(); (System.nanoTime() - t) / 1e9 }
         math.min(a, b)
       }
-      val n = 1000000L
+      // 10M rows, 90% on ONE hot key: at 1M the old window shape was
+      // within noise of the map-side shape (r10 verdict) — at 10M the
+      // single WindowExec task visibly stalls, so a skew regression
+      // shows in NUMBERS, not only in the plan asserts (DedupSkewSpec).
+      val n = 10000000L
       val hotDocs = spark.range(n).select(
         $"id".as("doc_id"),
         when($"id" % 10 < 9, lit("the corpus-dominating duplicated page body"))
           .otherwise(concat(lit("unique page "), $"id")).as("text"))
       val exactSec = one(() => force(graft.ops.Dedup.dropExactDuplicates(hotDocs)))
-      val exactWindowSec = one { () =>
+      // the window CONTROL gets one timed sample (no warm-up repeats):
+      // its cost is the 9M-row single-task sort, not JIT, and three
+      // multi-minute control runs would dominate the whole bench
+      val exactWindowSec = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(graft.ops.Dedup.normalizeText($"text"))).orderBy($"doc_id")
+        val t0 = System.nanoTime()
         force(hotDocs.withColumn("__rk", row_number().over(w))
           .filter($"__rk" === 1).drop("__rk"))
+        (System.nanoTime() - t0) / 1e9
       }
       val lineDocs = spark.range(300000L).select(
         $"id".as("doc_id"),
@@ -199,6 +208,60 @@ object Bench {
     } catch {
       case e: Throwable =>
         errors("__skew_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+    }
+
+    // Index check: the serving-index queries (q_ann_pq, q_dedup_index,
+    // q_neardup_index) time a BUILD+PROBE round trip, which buries the
+    // number a serving deployment actually cares about — probe latency
+    // against an already-built index. This block builds each index once
+    // (timed) and then times the probe alone (min of 2 warm samples,
+    // the steady-state figure).
+    val indexCheck: Option[String] = try {
+      import spark.implicits._
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def timed(r: () => Unit): Double = {
+        val t0 = System.nanoTime(); r(); (System.nanoTime() - t0) / 1e9
+      }
+      def probeTimed(r: () => Unit): Double = {
+        r() // warm-up
+        math.min(timed(r), timed(r))
+      }
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+      // ANN: full-corpus IVF+PQ build, 50-query topKPq probe
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val annDir = s"$tmp/graft_bench_ann_$tag"
+      val annBuild = timed { () =>
+        graft.ops.AnnIndex.build(e, annDir, nClusters = 16, iters = 5)
+        graft.ops.AnnIndex.buildPq(spark, annDir, m = 16, codes = 32, iters = 5)
+      }
+      val q = e.filter($"vec_id" < 50)
+      val annProbe = probeTimed(() =>
+        force(graft.ops.AnnIndex.topKPq(spark, annDir, q, k = 10, nProbe = 8)))
+      // Exact-dedup index: head 60% build, tail 40% probe
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dedupDir = s"$tmp/graft_bench_didx_$tag"
+      val dedupTbl = s"graft_bench_didx_$tag"
+      val dedupBuild = timed(() =>
+        graft.ops.DedupIndex.build(d.filter($"doc_id" % 10 < 6), dedupDir, dedupTbl, nBuckets = 8))
+      val dedupProbe = probeTimed(() =>
+        force(graft.ops.DedupIndex.filterNew(spark, dedupTbl, d.filter($"doc_id" % 10 >= 6))))
+      // Near-dup LSH index: same split, verified-pair probe
+      val ndDir = s"$tmp/graft_bench_ndidx_$tag"
+      val ndPfx = s"graft_bench_ndidx_$tag"
+      val ndBuild = timed(() =>
+        graft.ops.NearDupIndex.build(d.filter($"doc_id" % 10 < 6), ndDir, ndPfx, nBuckets = 8))
+      val ndProbe = probeTimed(() =>
+        force(graft.ops.NearDupIndex.probePairs(spark, ndPfx, d.filter($"doc_id" % 10 >= 6))))
+      Some(
+        s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +
+        s""""dedup_build_sec":${f"$dedupBuild%.3f"},"dedup_probe_sec":${f"$dedupProbe%.3f"},""" +
+        s""""neardup_build_sec":${f"$ndBuild%.3f"},"neardup_probe_sec":${f"$ndProbe%.3f"}}""")
+    } catch {
+      case e: Throwable =>
+        errors("__index_check") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
     }
 
@@ -350,6 +413,7 @@ object Bench {
       s""""big_stream_spread":${f"$bigSpread%.4f"},""" +
       scaleCheck.map(sc => s""""scale_check":$sc,""").getOrElse("") +
       skewCheck.map(sc => s""""skew_check":$sc,""").getOrElse("") +
+      indexCheck.map(ic => s""""index_check":$ic,""").getOrElse("") +
       s""""sf":${jq(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
