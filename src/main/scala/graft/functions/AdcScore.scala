@@ -45,7 +45,20 @@ case class AdcScore(left: Expression, right: Expression, codesPerSub: Int)
     var s = 0.0
     var sub = 0
     val n = math.min(lut.numElements() / codesPerSub, cs.numElements())
-    while (sub < n) { s += lut.getFloat(sub * codesPerSub + cs.getInt(sub)); sub += 1 }
+    while (sub < n) {
+      val code = cs.getInt(sub)
+      // Out-of-range codes fail LOUDLY: a silent read would fold
+      // another subspace's entry (or bytes past the array end —
+      // UnsafeArrayData does not bounds-check) into the score. The
+      // usual cause is probing a sidecar written by a build with a
+      // different `codes` count.
+      if (code < 0 || code >= codesPerSub)
+        throw new IllegalStateException(
+          s"AdcScore: code $code out of range [0, $codesPerSub) at subspace $sub " +
+            "— pqcodes and codebooks disagree (stale sidecar?)")
+      s += lut.getFloat(sub * codesPerSub + code)
+      sub += 1
+    }
     s
   }
 
@@ -54,11 +67,17 @@ case class AdcScore(left: Expression, right: Expression, codesPerSub: Int)
       val s = ctx.freshName("s")
       val sub = ctx.freshName("sub")
       val n = ctx.freshName("n")
+      val code = ctx.freshName("code")
       s"""
          |double $s = 0.0;
          |int $n = java.lang.Math.min($l.numElements() / $codesPerSub, $c.numElements());
          |for (int $sub = 0; $sub < $n; $sub++) {
-         |  $s += $l.getFloat($sub * $codesPerSub + $c.getInt($sub));
+         |  int $code = $c.getInt($sub);
+         |  if ($code < 0 || $code >= $codesPerSub)
+         |    throw new java.lang.IllegalStateException(
+         |      "AdcScore: code " + $code + " out of range [0, " + $codesPerSub +
+         |      ") at subspace " + $sub + " - pqcodes and codebooks disagree (stale sidecar?)");
+         |  $s += $l.getFloat($sub * $codesPerSub + $code);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -87,9 +87,23 @@ object AnnIndex {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/centers")
     // A rebuild starts with every given vector live: tombstones of the
-    // previous generation must not hide rows of this one.
-    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tomb, true)
+    // previous generation must not hide rows of this one. The PQ
+    // sidecar is ALSO generation state — its codes are laid out by the
+    // OLD centers' cell ids and encode the OLD corpus, so leaving it
+    // in place would make topKPq silently scan garbage after a
+    // rebuild (and append would keep encoding into it). Delete both;
+    // the caller re-runs [[buildPq]] on the new generation (the
+    // nightly build+buildPq cadence).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codebooks"), true)
+    // Stream markers are generation state too: a fresh stream against
+    // the new generation restarts batchIds at 0, and a stale marker
+    // would silently skip its first batches.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging"), true)
     kCells
     }
   }
@@ -247,6 +261,29 @@ object AnnIndex {
       fs.listStatus(p).filter { st =>
         st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
       }
+    // Refuse to compact over an UNCOMMITTED streamed batch (a
+    // `b<id>.parquet` whose commit marker is absent — a crashed
+    // attempt pending redelivery): compacting would merge its rows
+    // into the coalesced files AND destroy the deterministic name the
+    // retry replaces, so the redelivery would install a second copy.
+    // The writer lock already excludes an IN-FLIGHT install; this
+    // guards the crashed-and-not-yet-retried window. Loud + retryable:
+    // let the stream recover the batch, then compact.
+    val batchFile = "b(\\d+)(?:-\\d+)?\\.parquet".r
+    def uncommitted(root: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .flatMap(cd => dataFiles(cd.getPath))
+        .flatMap(st => batchFile.findFirstMatchIn(st.getPath.getName).map(_.group(1)))
+        .distinct.toSeq
+        .filterNot(id => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/_stream_commits/$id")))
+    val pending = (uncommitted(vectors) ++ uncommitted(pqcodes)).distinct
+    if (pending.nonEmpty)
+      throw new IllegalStateException(
+        s"compact: uncommitted streamed batch(es) ${pending.mkString(", ")} present " +
+          "— a crashed ingest attempt is pending redelivery; let the stream recover, then compact")
     def compactTree(root: org.apache.hadoop.fs.Path): Long = {
       var total = 0L
       fs.listStatus(root)
@@ -427,11 +464,17 @@ object AnnIndex {
     val codes = books(0).length
 
     // Query frame with executor-side LUT + probe cells; checkpointed so
-    // the one pass feeds the bounded cell collect AND the join.
+    // the one pass feeds the bounded cell collect AND the join. A null
+    // query embedding raises — the kernels' null propagation would
+    // otherwise silently DROP the row at the explode, and that query
+    // id would just never appear in the output.
     val booksRef = graft.functions.RefTable.auto(spark, books,
       graft.functions.RefTable.bytes3(books, 8))
+    val qvChecked = when(col(vecCol).isNull,
+      raise_error(concat(lit("topKPq: null query embedding for id "),
+        col(idCol).cast("string")))).otherwise(col(vecCol))
     val q = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).cast("long").as("query_id"), qvChecked.as("qv"))
       .withColumn("lut", graft.functions.ColumnBridge.toColumn(graft.functions.PqLut(
         graft.functions.ColumnBridge.toExpression(col("qv")), booksRef)))
       .withColumn("cell", explode(graft.functions.ColumnBridge.toColumn(

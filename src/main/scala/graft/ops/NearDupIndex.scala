@@ -323,8 +323,14 @@ object NearDupIndex {
             .groupBy("bb").agg(max(col("n_docs")).as("n_docs"))
             .localCheckpoint())
       else {
+        // pre-sidecar index: create the table with the INDEX's bucket
+        // count, not a hardcoded one — both creation paths must agree
+        val nb = spark.table(bucketsTable(tablePrefix)).queryExecution.analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
+        }.flatten.getOrElse(64)
         BucketedLayout.writeBucketed(
-          freshDropped, droppedTable(tablePrefix), s"$dir/dropped", "bb", 8)
+          freshDropped, droppedTable(tablePrefix), s"$dir/dropped", "bb", nb)
         0L
       }
     val total = droppedCount +

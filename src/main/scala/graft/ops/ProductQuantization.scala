@@ -258,8 +258,13 @@ object ProductQuantization {
     // driver; only the trained centers/codebooks (k * dim and
     // m * codes * subDim constants) ship to executors.
     val fCenters = centers.map(_.map(_.toFloat))
+    // null query embeddings raise instead of silently dropping at the
+    // probe explode (same contract as AnnIndex.topKPq)
+    val qvChecked = when(col(vecCol).isNull,
+      raise_error(concat(lit("ivfPqTopK: null query embedding for id "),
+        col(idCol).cast("string")))).otherwise(col(vecCol))
     val q = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col(idCol).cast("long").as("query_id"), qvChecked.as("qv"))
       .withColumn("lut", graft.functions.ColumnBridge.toColumn(graft.functions.PqLut(
         graft.functions.ColumnBridge.toExpression($"qv"),
         graft.functions.RefTable.auto(spark, books,
@@ -270,12 +275,18 @@ object ProductQuantization {
           graft.functions.RefTable.auto(spark, fCenters,
             graft.functions.RefTable.bytes2(fCenters, 4)), nProbe))))
       .drop("qv")
+      .localCheckpoint() // probe+LUT once: feeds the size guard AND the join
 
     // Native codegen'd ADC kernel (see [[graft.functions.AdcScore]]):
     // the Q * nProbe * cellSize inner scan stays in whole-stage
     // codegen — two array reads + an add per subspace. Queries are the
-    // small side by contract (same as Similarity.topK) — broadcast.
-    val cands = broadcast(q).join(encoded, "cluster")
+    // small side by contract (same as Similarity.topK), but the
+    // exploded frame carries an m * codes float LUT per row, so the
+    // broadcast hint is GUARDED like [[graft.ops.AnnIndex.topKPq]]'s:
+    // past ~64 MiB estimated, fall back to a shuffle join on cluster.
+    val probeBytes = q.count() * (4L * m * codes + 64L)
+    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val cands = qSide.join(encoded, "cluster")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(

@@ -84,8 +84,12 @@ object StreamingAnnIngest {
       // unit the install step renames atomically.
       val staging = new org.apache.hadoop.fs.Path(indexDir,
         s"_stream_staging/$batchId-${java.util.UUID.randomUUID()}")
+      // maxRecordsPerFile is pinned OFF for the staged writes: a
+      // session-level cap would split a hot cell's staged output into
+      // several files and break the one-file-per-cell invariant the
+      // atomic install depends on.
       assigned.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
+        .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("cell")
         .parquet(new org.apache.hadoop.fs.Path(staging, "vectors").toString)
       books.foreach { bk =>
         // Frozen-codebook encode — the streaming twin of the batch
@@ -99,7 +103,7 @@ object StreamingAnnIngest {
               graft.functions.RefTable.auto(spark, bk,
                 graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
+          .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("cell")
           .parquet(new org.apache.hadoop.fs.Path(staging, "pqcodes").toString)
       }
       // (2) install each staged cell file under its deterministic name

@@ -47,6 +47,15 @@ class AdcScoreSpec extends SparkSpec {
     }
   }
 
+  test("out-of-range code fails loudly (stale sidecar), never reads another subspace") {
+    val lut = Seq.tabulate(2 * CodesPerSub)(_.toFloat)
+    val df = Seq((1L, lut, Seq(1, CodesPerSub))).toDF("id", "lut", "codes")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { df.withColumn("s", scoreCol()).collect() }
+    assert(messages(e).exists(_.contains("out of range")), s"got: ${messages(e)}")
+  }
+
   test("ragged inputs fold over the common prefix, never out of bounds") {
     val lut = Seq.tabulate(2 * CodesPerSub)(_.toFloat) // m=2 subs worth
     val wide = Seq((1L, lut, Seq(1, 2, 3, 4)))         // 4 code entries

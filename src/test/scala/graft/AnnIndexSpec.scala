@@ -57,6 +57,67 @@ class AnnIndexSpec extends SparkSpec {
       .select($"neighbor_id").as[Long].head() == nn + 7000L)
   }
 
+  test("rebuild invalidates the PQ sidecar and stream markers (generation state)") {
+    val e = vecs(200, seed = 31)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    graft.streaming.StreamingAnnIngest.appendBatch(dir,
+      vecs(50, seed = 32).filter($"vec_id" < 3)
+        .select(($"vec_id" + 900L).as("vec_id"), $"embedding"), 0L)
+    // rebuild: the old codes are laid out by the OLD centers' cell ids
+    // — leaving them would make topKPq scan garbage silently
+    AnnIndex.build(e, dir, nClusters = 8, iters = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pqcodes")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits")),
+      "stale markers would skip a fresh stream's first batches")
+    val q = e.filter($"vec_id" === 0L)
+    val err = intercept[IllegalStateException] {
+      AnnIndex.topKPq(spark, dir, q, k = 1, nProbe = 2).collect()
+    }
+    assert(err.getMessage.contains("no PQ sidecar"), s"got: ${err.getMessage}")
+    // re-running buildPq on the new generation restores the PQ path
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    assert(AnnIndex.topKPq(spark, dir, q, k = 1, nProbe = 8).count() == 1)
+  }
+
+  test("compact refuses over an uncommitted streamed batch; proceeds once recovered") {
+    val dir = tmpDir()
+    AnnIndex.build(vecs(100, seed = 33), dir, nClusters = 8, iters = 2)
+    val batch = vecs(10, seed = 34).select(($"vec_id" + 500L).as("vec_id"), $"embedding")
+    assert(graft.streaming.StreamingAnnIngest.appendBatch(dir, batch, 3L))
+    // simulate the crash window: files installed, marker lost
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits/3"), false)
+    val err = intercept[IllegalStateException] { AnnIndex.compact(spark, dir) }
+    assert(err.getMessage.contains("uncommitted streamed batch"), s"got: ${err.getMessage}")
+    // the stream recovers the batch (redelivery replaces), then compact works
+    assert(graft.streaming.StreamingAnnIngest.appendBatch(dir, batch, 3L))
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/vectors").count() == 110)
+    assert(spark.read.parquet(s"$dir/vectors").select("vec_id").distinct().count() == 110)
+  }
+
+  test("null query embedding raises instead of silently dropping the query") {
+    val dir = tmpDir()
+    AnnIndex.build(vecs(80, seed = 35), dir, nClusters = 8, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 2, codes = 4, iters = 1)
+    val withNull = Seq(
+      (1L, Some(Seq.fill(16)(0.1f))),
+      (2L, None)).toDF("vec_id", "embedding")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val err = intercept[Exception] {
+      AnnIndex.topKPq(spark, dir, withNull, k = 1, nProbe = 2).collect()
+    }
+    assert(messages(err).exists(_.contains("null query embedding")),
+      s"got: ${messages(err)}")
+  }
+
   test("row parity with ivfTopK under identical build parameters") {
     val e = vecs(400)
     val q = e.filter($"vec_id" < 20)

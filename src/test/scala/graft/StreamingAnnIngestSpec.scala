@@ -84,6 +84,20 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pqcodes").select("vec_id").distinct().count() == 90)
   }
 
+  test("one-file-per-cell invariant survives a session maxRecordsPerFile cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sannmrpf").toString
+    AnnIndex.build(vecs(0 until 50, seed = 61).toDF("vec_id", "embedding"),
+      dir, nClusters = 4, iters = 2)
+    // a cluster-level file-size cap would split a hot cell's staged
+    // output into several files; the staged writes pin it off
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+    try {
+      val batch = vecs(400 until 430, seed = 62).toDF("vec_id", "embedding")
+      assert(StreamingAnnIngest.appendBatch(dir, batch, 1L))
+      assert(spark.read.parquet(s"$dir/vectors").count() == 80)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("a re-delivered batchId is skipped, not appended twice") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sann2").toString
     val base = vecs(0 until 50, seed = 43).toDF("vec_id", "embedding")
