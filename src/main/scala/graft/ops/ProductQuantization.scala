@@ -333,67 +333,42 @@ object ProductQuantization {
 
     // Query LUTs: LUT[sub][code] = <q_sub, codeword>. ADC score of a row
     // = sum over subs of LUT[sub][row.code(sub)] ~= <q, reconstruct(row)>
-    // ~= cosine for unit inputs. Queries are the small side by contract
-    // (same as Similarity.topK) — collected and broadcast.
-    val qs: Array[(Long, Array[Array[Float]], Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map { row =>
-        val qid = row.getLong(0)
-        val u = Similarity.unit(row.getSeq[Float](1))
-        val lut = Array.tabulate(books.length) { s =>
-          val qsub = subSlice(u, m, s)
-          books(s).map { w =>
-            val n = math.min(w.length, qsub.length)
-            var d = 0.0; var i = 0
-            while (i < n) { d += w(i) * qsub(i); i += 1 }
-            d.toFloat
-          }
-        }
-        (qid, lut, u)
-      }
-    val bq = spark.sparkContext.broadcast(qs)
+    // ~= cosine for unit inputs. The LUT build is the executor-side
+    // [[graft.functions.PqLut]] projection — nothing about the query
+    // batch funnels through the driver (the ivfPqTopK/topKPq shape);
+    // null embeddings raise instead of dropping silently.
+    val qvChecked = when(col(vecCol).isNull,
+      raise_error(concat(lit("pqTopK: null query embedding for id "),
+        col(idCol).cast("string")))).otherwise(col(vecCol))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), qvChecked.as("qv"))
+      .withColumn("lut", graft.functions.ColumnBridge.toColumn(graft.functions.PqLut(
+        graft.functions.ColumnBridge.toExpression($"qv"),
+        graft.functions.RefTable.auto(spark, books,
+          graft.functions.RefTable.bytes3(books, 8)))))
+      .drop("qv")
+      .localCheckpoint() // LUTs once: feeds the size guard AND the join
+    // Full-scan ADC — no coarse quantizer, so every (row, query) pair
+    // is scored; that N * Q work is this operator's contract (use
+    // ivfPqTopK to restrict the scan). Queries are the small side by
+    // contract: broadcast below the guard, else an explicit cartesian
+    // (the fallback is still N * Q — inherent, not a plan accident).
+    val probeBytes = q.count() * (4L * m * codes + 64L)
+    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val adcCands = encoded.crossJoin(qSide)
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
+          graft.functions.ColumnBridge.toExpression($"lut"),
+          graft.functions.ColumnBridge.toExpression($"pq_codes"), codes)).as("score"))
 
-    val adcCands = encoded
-      .as[(Long, Seq[Int])]
-      .mapPartitions { it =>
-        val queries = bq.value
-        val heaps = Array.fill(queries.length)(
-          collection.mutable.PriorityQueue.empty[(Double, Long)](
-            Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))))
-        it.foreach { case (vid, cs) =>
-          var qi = 0
-          while (qi < queries.length) {
-            val (qid, lut, _) = queries(qi)
-            if (qid != vid) {
-              var s = 0.0
-              var sub = 0
-              val n = math.min(lut.length, cs.length)
-              while (sub < n) { s += lut(sub)(cs(sub)); sub += 1 }
-              val h = heaps(qi)
-              if (h.size < r) h.enqueue((s, vid))
-              else if (s > h.head._1 || (s == h.head._1 && vid < h.head._2)) {
-                h.dequeue(); h.enqueue((s, vid))
-              }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator.map { case (s, vid) => Cand(bq.value(qi)._1, vid, s) }
-        }
-      }
-      .toDF()
-      .select($"queryId".as("query_id"), $"vecId".as("neighbor_id"), $"score".as("adc"))
-
-    // Refine: exact cosine on the R survivors per query only. The ADC
-    // heap already bounded candidates to O(partitions * Q * R); the
-    // rankTopK prune collapses that to R per query before vectors join.
-    val survivors = Similarity.rankTopK(
-        adcCands.select($"query_id", $"neighbor_id", $"adc".as("score")), r)
+    // Refine: exact cosine on the R survivors per query only. rankTopK's
+    // per-partition bounded heaps prune the N * Q candidate stream to
+    // O(partitions * Q * R) rows before its one shuffle.
+    val survivors = Similarity.rankTopK(adcCands, r)
       .select($"query_id", $"neighbor_id")
-    val qVecs = spark.createDataset(qs.map { case (qid, _, u) => (qid, u.map(_.toFloat).toSeq) })
-      .toDF("query_id", "qv")
+    val qVecs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
     val exact = survivors
       .join(broadcast(qVecs), "query_id")
