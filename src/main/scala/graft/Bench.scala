@@ -255,8 +255,41 @@ object Bench {
         graft.ops.NearDupIndex.build(d.filter($"doc_id" % 10 < 6), ndDir, ndPfx, nBuckets = 8))
       val ndProbe = probeTimed(() =>
         force(graft.ops.NearDupIndex.probePairs(spark, ndPfx, d.filter($"doc_id" % 10 >= 6))))
+      // Deep ANN serving anchor (opt-in): a 500k x 64-dim synthetic
+      // index — 25x the sf0.1 corpus — probed by the same 50-query
+      // batch size. The claim under test: probe cost is bounded by the
+      // QUERY batch and the probed cells, not the corpus, so
+      // deep_ann_probe_sec should sit near ann_probe_sec while
+      // deep_ann_build_sec grows with the corpus. Training parameters
+      // are the light tier (k=128/1 Lloyd round, m=8/16 codes/1 round):
+      // a one-off 1M/k=256/m=16 run measured build at 1698 s — PQ
+      // TRAINING is the corpus-pass-per-round cost (BENCH_NOTES §13) —
+      // and probe at 2.69 s, the same flatness at 4x the anchor cost.
+      val deepAnn =
+        if (!sys.env.get("SPARK_GRAFT_DEEP_SCALE").contains("1")) ""
+        else {
+          import org.apache.spark.sql.functions.{array, hash, lit, pmod}
+          val n = 500000L
+          val dim = 64
+          val comps = (0 until dim).map(dd =>
+            ((pmod(hash($"id", lit(dd)), lit(2000)) - lit(1000)).cast("double") / 1000.0)
+              .cast("float"))
+          val deepVecs = spark.range(n)
+            .select($"id".as("vec_id"), array(comps: _*).as("embedding"))
+          val deepDir = s"$tmp/graft_bench_ann_deep_$tag"
+          val deepBuild = timed { () =>
+            graft.ops.AnnIndex.build(deepVecs, deepDir, nClusters = 128, iters = 1, nTotal = n)
+            graft.ops.AnnIndex.buildPq(spark, deepDir, m = 8, codes = 16, iters = 1)
+          }
+          val dq = deepVecs.filter($"vec_id" < 50)
+          val deepProbe = probeTimed(() =>
+            force(graft.ops.AnnIndex.topKPq(spark, deepDir, dq, k = 10, nProbe = 8)))
+          s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
+          s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},"""
+        }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +
+        deepAnn +
         s""""dedup_build_sec":${f"$dedupBuild%.3f"},"dedup_probe_sec":${f"$dedupProbe%.3f"},""" +
         s""""neardup_build_sec":${f"$ndBuild%.3f"},"neardup_probe_sec":${f"$ndProbe%.3f"}}""")
     } catch {
