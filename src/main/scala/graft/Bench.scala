@@ -274,8 +274,15 @@ object Bench {
           val comps = (0 until dim).map(dd =>
             ((pmod(hash($"id", lit(dd)), lit(2000)) - lit(1000)).cast("double") / 1000.0)
               .cast("float"))
+          // MATERIALIZED before the build, like any real corpus (which
+          // is parquet): fusing the 64-expression generator into the
+          // per-row kernels' stage drops the whole stage out of
+          // codegen and runs ~70x slower (BENCH_NOTES §13's cliff —
+          // 430 s for an assignment pass that takes seconds from
+          // materialized input).
           val deepVecs = spark.range(n)
             .select($"id".as("vec_id"), array(comps: _*).as("embedding"))
+            .localCheckpoint()
           val deepDir = s"$tmp/graft_bench_ann_deep_$tag"
           val deepBuild = timed { () =>
             graft.ops.AnnIndex.build(deepVecs, deepDir, nClusters = 128, iters = 1, nTotal = n)
