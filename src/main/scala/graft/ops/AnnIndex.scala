@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * [[Clustering.ivfTopK]] re-trains the coarse quantizer on every
   * call, which is the right shape for one-shot jobs and the wrong one
   * for the serving pattern real pipelines run (nightly build, repeated
-  * query batches). This operator persists the index as plain tables:
+  * query batches). This operator persists the index as plain tables,
+  * grouped into two consistency trees so every rebuild swaps in with
+  * ONE atomic rename (probes read the old complete generation or the
+  * new complete one, never new vectors under old centers):
   *
   * {{{
-  *   dir/centers/            (cell, center array<double>)   k rows
-  *   dir/vectors/cell=<c>/   (vec_id, v array<float>)       corpus
+  *   dir/ivf/centers/            (cell, center array<double>)   k rows
+  *   dir/ivf/vectors/cell=<c>/   (vec_id, v array<float>)       corpus
+  *   dir/pq/codebooks/           (sub, code, word)        [buildPq]
+  *   dir/pq/pqcodes/cell=<c>/    (vec_id, pq_codes)       [buildPq]
   * }}}
   *
   * The Spark-native part is the layout: `vectors` is written
@@ -30,6 +35,18 @@ import org.apache.spark.sql.functions._
   * contract.
   */
 object AnnIndex {
+
+  /** The two consistency trees: everything [[topK]] reads lives under
+    * `ivf/`, everything [[topKPq]] additionally reads under `pq/` —
+    * so a rebuild's reader-visible effect is one delete + one rename,
+    * each atomic, each intermediate state VALID (old generation →
+    * old generation without a PQ sidecar, loud for topKPq → new
+    * generation).
+    */
+  private[graft] def vectorsPath(dir: String): String = s"$dir/ivf/vectors"
+  private[graft] def centersPath(dir: String): String = s"$dir/ivf/centers"
+  private[graft] def pqcodesPath(dir: String): String = s"$dir/pq/pqcodes"
+  private[graft] def codebooksPath(dir: String): String = s"$dir/pq/codebooks"
 
   /** Single-writer lock (see [[graft.sources.WriterLock]]) on
     * `<dir>/_writer.lock`: compact racing an append would silently
@@ -78,32 +95,49 @@ object AnnIndex {
     // small-file explosion — while the salted clustering caps it at
     // <= 8 files per cell and still writes a hot (skewed) cell with
     // 8-way parallelism.
+    //
+    // The new generation is STAGED under `_build_tmp` — probes keep
+    // serving the old complete index for the whole (long) write — and
+    // swapped in below by one rename.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_build_tmp")
+    fs.delete(staging, true)
     assignWithCenters(spark, embs, idCol, vecCol, centers)
       .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_build_tmp/ivf/vectors")
     centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/centers")
-    // A rebuild starts with every given vector live: tombstones of the
-    // previous generation must not hide rows of this one. The PQ
-    // sidecar is ALSO generation state — its codes are laid out by the
-    // OLD centers' cell ids and encode the OLD corpus, so leaving it
-    // in place would make topKPq silently scan garbage after a
-    // rebuild (and append would keep encoding into it). Delete both;
-    // the caller re-runs [[buildPq]] on the new generation (the
-    // nightly build+buildPq cadence).
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/centers")
+    graft.sources.SwapHooks.preSwap(dir)
+    // Swap, loud-before-silent:
+    // 1. Retire the PQ sidecar FIRST (one atomic delete). Its codes
+    //    are laid out by the OLD centers' cell ids and encode the OLD
+    //    corpus — from here until the next [[buildPq]], topKPq fails
+    //    loudly ("no PQ sidecar") instead of silently scanning garbage.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/pq"), true)
+    // 2. ONE rename flips the serving tree — vectors and centers move
+    //    together, so a probe reads the old complete generation or the
+    //    new complete one, never new vectors under old centers. The
+    //    only intermediate state is a missing `ivf/` for the instant
+    //    between swapDir's two renames: a loud, retryable read error.
+    graft.sources.BucketedLayout.swapDir(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_build_tmp/ivf"),
+      new org.apache.hadoop.fs.Path(s"$dir/ivf"),
+      new org.apache.hadoop.fs.Path(s"$dir/_build_old"))
+    // 3. Generation state, cleared conservative-late: a rebuild starts
+    //    with every given vector live, so the previous generation's
+    //    tombstones must not hide rows of this one — between steps 2
+    //    and 3 a probe can transiently HIDE a new row whose id matches
+    //    an old tombstone, never resurrect a takedown. Stream markers
+    //    are generation state too: a fresh stream restarts batchIds at
+    //    0, and a stale marker would silently skip its first batches.
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/pqcodes"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codebooks"), true)
-    // Stream markers are generation state too: a fresh stream against
-    // the new generation restarts batchIds at 0, and a stale marker
-    // would silently skip its first batches.
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging"), true)
+    fs.delete(staging, true)
     kCells
     }
   }
@@ -128,7 +162,7 @@ object AnnIndex {
     // With a PQ sidecar present the batch feeds TWO appends — pin one
     // evaluation so both tables see identical rows.
     val assigned = if (books.isDefined) assigned0.localCheckpoint() else assigned0
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    assigned.write.mode("append").partitionBy("cell").parquet(vectorsPath(dir))
     // Frozen-codebook encode, the PQ twin of the frozen-center cell
     // assignment: appended vectors are immediately visible to
     // [[topKPq]] too, with quantization drift (like center drift)
@@ -142,7 +176,7 @@ object AnnIndex {
             graft.functions.ColumnBridge.toExpression($"v"),
             graft.functions.RefTable.auto(spark, bk,
               graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/pqcodes")
+        .write.mode("append").partitionBy("cell").parquet(pqcodesPath(dir))
     }
   }
 
@@ -150,7 +184,7 @@ object AnnIndex {
   private[graft] def readCodebooks(
       spark: SparkSession, dir: String): Option[ProductQuantization.Codebooks] = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$dir/codebooks")
+    val p = new org.apache.hadoop.fs.Path(codebooksPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(spark.read.parquet(p.toString)
@@ -163,14 +197,22 @@ object AnnIndex {
     * vector is never returned by [[topK]] or [[topKPq]]; its rows in
     * `vectors/` (and `pqcodes/`, if present) are physically removed at
     * the next [[compact]], which also clears the tombstone set. Returns
-    * the count of distinct ids tombstoned.
+    * the count of distinct ids tombstoned — ids NOT present in the
+    * index are ignored ([[DedupIndex.delete]]'s semantics: the count is
+    * meaningful, and tombstoning an absent id would silently hide a
+    * future [[append]] that reuses it until the next compact).
     */
   def delete(
       spark: SparkSession,
       dir: String,
       ids: DataFrame,
       idCol: String = "vec_id"): Long = withWriterLock(spark, dir) {
-    val doomed = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val requested = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    // one broadcast-semi scan of the index's id column — no shuffle of
+    // index-sized data; the takedown set is small by nature
+    val doomed = spark.read.parquet(vectorsPath(dir)).select("vec_id")
+      .join(broadcast(requested), Seq("vec_id"), "left_semi")
+      .distinct()
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0)
@@ -206,7 +248,7 @@ object AnnIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val centers = spark.read.parquet(s"$dir/centers")
+    val centers = spark.read.parquet(centersPath(dir))
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.toArray)
@@ -234,15 +276,18 @@ object AnnIndex {
   /** Small-file compaction for the cell directories: every [[append]] /
     * streaming micro-batch adds one-or-more parquet files per touched
     * cell, and after thousands of batches a probe reads thousands of
-    * tiny files. Rewrites each cell directory holding at least
-    * `minFiles` data files into ~`targetBytes` files (coalesce — a
-    * narrow, shuffle-free, IO-bound rewrite) and swaps it in atomically
-    * (cell dir -> `_compact_old`, tmp -> cell dir), so concurrent
-    * probes see the old complete cell or the new complete cell, never
-    * a mix. Temp/old live under `<dir>/_compact_*`, OUTSIDE `vectors/`
-    * — a non-`cell=` sibling inside the partitioned tree would break
-    * readers' partition discovery. Returns the total data-file count
-    * after compaction.
+    * tiny files. Each tree (`vectors`, and `pqcodes` when present) is
+    * rewritten by ONE Spark job — read the whole tree, anti-join live
+    * tombstones, write a fresh generation `partitionBy(cell)` with a
+    * size-derived salt (≤ 8 files per cell, the [[build]] layout) —
+    * and swapped in atomically at the TREE root, so compact cost is
+    * independent of the cell count (the auto-sized index has ~√N cells;
+    * a per-cell loop would run √N sequential driver jobs) and
+    * concurrent probes see the old complete tree or the new complete
+    * one. Skipped entirely when no tombstones are live and no cell
+    * holds `minFiles`+ data files. Stream-commit markers live OUTSIDE
+    * the trees and survive, so a redelivered committed batch stays a
+    * no-op after compaction. Returns the total data-file count after.
     */
   def compact(
       spark: SparkSession,
@@ -250,17 +295,20 @@ object AnnIndex {
       targetBytes: Long = 128L << 20,
       minFiles: Int = 2): Long = withWriterLock(spark, dir) {
     require(targetBytes > 0 && minFiles >= 2, s"bad compact params: $targetBytes, $minFiles")
-    val vectors = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    val pqcodes = new org.apache.hadoop.fs.Path(s"$dir/pqcodes")
+    val vectors = new org.apache.hadoop.fs.Path(vectorsPath(dir))
+    val pqcodes = new org.apache.hadoop.fs.Path(pqcodesPath(dir))
     val fs = vectors.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // With live tombstones every cell is rewritten (the minFiles
-    // shortcut is disabled): a tombstoned row may sit in ANY cell, and
-    // physical retirement is the point of this compact.
+    // With live tombstones both trees are always rewritten (the
+    // minFiles shortcut is disabled): a tombstoned row may sit in ANY
+    // cell, and physical retirement is the point of this compact.
     val tomb = readTombstones(spark, dir).map(_.localCheckpoint())
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter { st =>
         st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
       }
+    def cellDirs(root: org.apache.hadoop.fs.Path) =
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
     // Refuse to compact over an UNCOMMITTED streamed batch (a
     // `b<id>.parquet` whose commit marker is absent — a crashed
     // attempt pending redelivery): compacting would merge its rows
@@ -272,8 +320,7 @@ object AnnIndex {
     val batchFile = "b(\\d+)(?:-\\d+)?\\.parquet".r
     def uncommitted(root: org.apache.hadoop.fs.Path): Seq[String] =
       if (!fs.exists(root)) Nil
-      else fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      else cellDirs(root)
         .flatMap(cd => dataFiles(cd.getPath))
         .flatMap(st => batchFile.findFirstMatchIn(st.getPath.getName).map(_.group(1)))
         .distinct.toSeq
@@ -284,46 +331,41 @@ object AnnIndex {
       throw new IllegalStateException(
         s"compact: uncommitted streamed batch(es) ${pending.mkString(", ")} present " +
           "— a crashed ingest attempt is pending redelivery; let the stream recover, then compact")
-    def compactTree(root: org.apache.hadoop.fs.Path): Long = {
-      var total = 0L
-      fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .foreach { cd =>
-          val files = dataFiles(cd.getPath)
-          if (tomb.isEmpty && files.length < minFiles) total += files.length
-          else {
-            val name = s"${root.getName}/${cd.getPath.getName}"
-            val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/$name")
-            val old = new org.apache.hadoop.fs.Path(s"$dir/_compact_old/$name")
-            fs.delete(tmp, true); fs.delete(old, true)
-            fs.mkdirs(tmp.getParent); fs.mkdirs(old.getParent)
-            val n = math.max(1L,
-              math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
-            val cell0 = spark.read.parquet(cd.getPath.toString)
-            val cell = tomb.fold(cell0)(t =>
-              cell0.join(broadcast(t), Seq("vec_id"), "left_anti"))
-            cell.coalesce(n)
-              .write.mode("overwrite").parquet(tmp.toString)
-            if (!fs.rename(cd.getPath, old))
-              throw new java.io.IOException(s"compact: could not move ${cd.getPath} aside")
-            if (!fs.rename(tmp, cd.getPath)) {
-              fs.rename(old, cd.getPath) // roll back
-              throw new java.io.IOException(s"compact: could not install $tmp")
-            }
-            fs.delete(old, true)
-            total += dataFiles(cd.getPath).length
-          }
-        }
+    val trees = Seq(vectors) ++ (if (fs.exists(pqcodes)) Seq(pqcodes) else Nil)
+    def countTree(root: org.apache.hadoop.fs.Path): Long =
+      cellDirs(root).map(cd => dataFiles(cd.getPath).length.toLong).sum
+    def fragmented(root: org.apache.hadoop.fs.Path): Boolean =
+      cellDirs(root).exists(cd => dataFiles(cd.getPath).length >= minFiles)
+    if (tomb.isEmpty && !trees.exists(fragmented)) trees.map(countTree).sum
+    else {
+      // One job per tree, however many cells: read, retire tombstones,
+      // rewrite. The salt keeps per-cell files at ~targetBytes (capped
+      // at build's 8-way write parallelism for hot cells); repartition
+      // on (cell, salt) bounds the layout exactly like [[build]]'s.
+      def rewriteTree(root: org.apache.hadoop.fs.Path): Long = {
+        val cds = cellDirs(root)
+        val bytes = cds.flatMap(cd => dataFiles(cd.getPath)).map(_.getLen).sum
+        val avgCell = bytes.toDouble / math.max(1, cds.length)
+        val nSalt = math.min(8L, math.max(1L, math.ceil(avgCell / targetBytes).toLong)).toInt
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/${root.getName}")
+        fs.delete(tmp, true)
+        val all = spark.read.parquet(root.toString)
+        val live = tomb.fold(all)(t => all.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        live.repartition(col("cell"), pmod(hash(col("vec_id")), lit(nSalt)))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+        graft.sources.SwapHooks.preSwap(root.toString)
+        graft.sources.BucketedLayout.swapDir(fs, tmp, root,
+          new org.apache.hadoop.fs.Path(s"$dir/_compact_old/${root.getName}"))
+        countTree(root)
+      }
+      val total = trees.map(rewriteTree).sum
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_old"), true)
+      // Tombstones now physically retired from both trees — clear them.
+      if (tomb.isDefined)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
       total
     }
-    var total = compactTree(vectors)
-    if (fs.exists(pqcodes)) total += compactTree(pqcodes) // the PQ sidecar appends too
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_old"), true)
-    // Tombstones now physically retired from both trees — clear them.
-    if (tomb.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
-    total
   }
 
   /** Top-k neighbors for each query against the persisted index:
@@ -344,7 +386,7 @@ object AnnIndex {
     // performed; the probes run through the native codegen'd kernel
     // ([[graft.functions.TopCentroids]]), identical selection to
     // ivfTopK's.
-    val centers = spark.read.parquet(s"$dir/centers")
+    val centers = spark.read.parquet(centersPath(dir))
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.map(_.toFloat).toArray)
@@ -363,19 +405,18 @@ object AnnIndex {
     // plan), instead of depending on dynamic-pruning heuristics.
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
     val vectors = minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/vectors")
+      spark.read.parquet(vectorsPath(dir))
         .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
         .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"),
       on = "neighbor_id")
     // The broadcast hint bypasses Spark's size threshold, so guard it:
     // the exploded probe frame is Q * nProbe rows EACH carrying the
     // full query vector — a large query batch would OOM executors as a
-    // build side. Past ~64 MiB estimated, fall back to a shuffle join
-    // on cell (AQE skew-splits hot cells); the static `isin` partition
-    // pruning above is independent of the join strategy.
+    // build side. Past the guard, fall back to a shuffle join on cell
+    // (AQE skew-splits hot cells); the static `isin` partition pruning
+    // above is independent of the join strategy.
     val dim = if (centers.isEmpty) 0 else centers(0).length
-    val probeBytes = q.count() * (4L * dim + 48L)
-    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val qSide = Similarity.guardedVecBroadcast(q, q.count(), dim)
     val cands = vectors.join(qSide, "cell")
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
@@ -401,6 +442,11 @@ object AnnIndex {
     * vectors, not residuals, so one LUT per query serves every probed
     * cell) and laid out cell-identically to it, salted to <= 8 files
     * per cell like [[build]].
+    *
+    * The whole sidecar (codebooks AND codes — they are only meaningful
+    * together) is staged under `_buildpq_tmp` and swapped in with ONE
+    * rename: a [[topKPq]] during the (long) train+encode serves the
+    * previous sidecar, and never sees new codes under old codebooks.
     */
   def buildPq(
       spark: SparkSession,
@@ -409,13 +455,17 @@ object AnnIndex {
       codes: Int = 32,
       iters: Int = 5): Unit = withWriterLock(spark, dir) {
     import spark.implicits._
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_buildpq_tmp")
+    fs.delete(staging, true)
+    val vectors = spark.read.parquet(vectorsPath(dir))
     val books = ProductQuantization.trainCodebooks(vectors, m, codes, iters, "vec_id", "v")
     books.zipWithIndex.flatMap { case (cb, s) =>
       cb.zipWithIndex.map { case (w, c) => (s, c, w.toSeq) }
     }.toSeq
       .toDF("sub", "code", "word")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_buildpq_tmp/pq/codebooks")
     vectors
       .select($"vec_id", $"cell",
         graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
@@ -423,7 +473,13 @@ object AnnIndex {
           graft.functions.RefTable.auto(spark, books,
             graft.functions.RefTable.bytes3(books, 8)))).as("pq_codes"))
       .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/pqcodes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_buildpq_tmp/pq/pqcodes")
+    graft.sources.SwapHooks.preSwap(dir)
+    graft.sources.BucketedLayout.swapDir(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_buildpq_tmp/pq"),
+      new org.apache.hadoop.fs.Path(s"$dir/pq"),
+      new org.apache.hadoop.fs.Path(s"$dir/_buildpq_old"))
+    fs.delete(staging, true)
   }
 
   /** IVF-PQ top-k through the persisted index: probe `nProbe` cells,
@@ -454,13 +510,13 @@ object AnnIndex {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     val r = if (refine > 0) refine else 4 * k
-    val centers = spark.read.parquet(s"$dir/centers")
+    val centers = spark.read.parquet(centersPath(dir))
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.map(_.toFloat).toArray)
     val books: ProductQuantization.Codebooks = readCodebooks(spark, dir)
       .getOrElse(throw new IllegalStateException(
-        s"no PQ sidecar at $dir/codebooks — run buildPq first"))
+        s"no PQ sidecar at ${codebooksPath(dir)} — run buildPq first"))
     val codes = books(0).length
 
     // Query frame with executor-side LUT + probe cells; checkpointed so
@@ -486,14 +542,16 @@ object AnnIndex {
       .localCheckpoint()
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
     val codesDf = minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/pqcodes")
+      spark.read.parquet(pqcodesPath(dir))
         .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*)),
       on = "vec_id")
     // Broadcast guard, as in [[topK]]: the probe frame is Q * nProbe
     // rows each carrying an m * codes float LUT.
     val m = books.length
-    val probeBytes = q.count() * (4L * m * codes + 64L)
-    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val probeRows = q.count()
+    val probeBytes = probeRows * (4L * m * codes + 64L)
+    val qSide =
+      if (probeBytes <= Similarity.BroadcastGuardBytes) broadcast(q) else q
     val cands = codesDf.join(qSide, "cell")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -505,14 +563,19 @@ object AnnIndex {
     // Exact refine: survivors are Q * refine rows; the raw-vector side
     // reads only the probed cell partitions. Raw query vectors — cosine
     // is scale-invariant, and the emitted score is exactly the
-    // raw-vs-raw cosine a verifier recomputes.
-    val qVecs = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val nVecs = spark.read.parquet(s"$dir/vectors")
+    // raw-vs-raw cosine a verifier recomputes. The broadcast is guarded
+    // like the probe side's (probeRows over-counts Q by up to nProbe —
+    // the conservative direction: it falls back to a shuffle join
+    // early, never broadcasts a too-big batch).
+    val dim = if (centers.isEmpty) 0 else centers(0).length
+    val qVecs = Similarity.guardedVecBroadcast(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")),
+      probeRows, dim)
+    val nVecs = spark.read.parquet(vectorsPath(dir))
       .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
       .select($"vec_id".as("neighbor_id"), $"v".as("nv"))
     val exact = survivors
-      .join(broadcast(qVecs), "query_id")
+      .join(qVecs, "query_id")
       .join(nVecs, "neighbor_id")
       .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
     Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)

@@ -49,13 +49,23 @@ object DedupIndex {
     */
   private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, table: String)(body: => T): T = {
     val root =
-      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
-      else new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent
+      if (dirStr != null) {
+        val p = new org.apache.hadoop.fs.Path(dirStr)
+        rootCache.put(table, p)
+        p
+      } else indexRoot(spark, table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.WriterLock.withLock(
       fs, graft.sources.WriterLock.lockPath(root.toString), s"DedupIndex $table")(body)
   }
+
+  /** Catalog-root lookups run on the PROBE path too (the per-call
+    * tombstone check), and `getTableMetadata` is a driver round-trip —
+    * cache the root per table name. It never moves for a registered
+    * index (mutators that know the dir refresh the entry anyway).
+    */
+  private val rootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.Path]()
 
   /** Catalog name of the tombstone table (exists only after the first
     * [[delete]]).
@@ -66,8 +76,9 @@ object DedupIndex {
     * recovered from the catalog for mutators that only know the name.
     */
   private def indexRoot(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent
+    rootCache.computeIfAbsent(table, _ =>
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent)
 
   /** The live tombstone set, if any: (text_hash, keep_id) rows retired
     * from probe visibility but not yet physically removed. Tombstones
@@ -154,11 +165,19 @@ object DedupIndex {
       textCol: String = "text",
       idCol: String = "doc_id"): Unit =
     withWriterLock(docs.sparkSession, dir, table) {
-      // a rebuild is a fresh generation — prior takedowns don't carry over
-      clearTombstones(docs.sparkSession, table, new org.apache.hadoop.fs.Path(dir))
-      BucketedLayout.writeBucketed(
-        Dedup.exactDedup(docs, textCol, idCol),
+      val spark = docs.sparkSession
+      // Fresh generation, staged beside the live table and swapped in
+      // with one rename (BucketedLayout.writeBucketedSwap): a probe
+      // during the (long) rebuild write reads the OLD complete index.
+      BucketedLayout.writeBucketedSwap(
+        spark, Dedup.exactDedup(docs, textCol, idCol),
         table, s"$dir/hashes", "text_hash", nBuckets)
+      // A rebuild is a fresh generation — prior takedowns don't carry
+      // over. Cleared AFTER the swap (conservative: between swap and
+      // clear a probe can transiently treat re-ingested deleted content
+      // as new; it never resurrects a takedown against the old
+      // generation, which clearing FIRST would).
+      clearTombstones(spark, table, new org.apache.hadoop.fs.Path(dir))
     }
 
   /** Rows of `batch` whose content is NOT in the index, one survivor
@@ -229,13 +248,6 @@ object DedupIndex {
     */
   def compact(spark: SparkSession, table: String, dir: String): Long =
     withWriterLock(spark, dir, table) {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/hashes")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpTable = table + "__compact_tmp"
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes.__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes.__compact_old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     val nBuckets = spark.table(table).queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
         r.tableMeta.bucketSpec.map(_.numBuckets)
@@ -243,29 +255,20 @@ object DedupIndex {
         r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
     }.flatten.getOrElse(64)
     // One fresh generation: same layout contract as build's, written
-    // through the same entry point so the bucket file tags match what
-    // the catalog advertises. Tombstoned rows are dropped BEFORE the
-    // re-aggregation — physical retirement, and the anti-join must
-    // precede the keep-id min or a deleted keeper would resurrect
-    // through a later re-ingest row of the same hash.
-    BucketedLayout.writeBucketed(
+    // through the same staged entry point (probes read the live table
+    // untouched until the one-rename swap). Tombstoned rows are dropped
+    // BEFORE the re-aggregation — physical retirement, and the
+    // anti-join must precede the keep-id min or a deleted keeper would
+    // resurrect through a later re-ingest row of the same hash.
+    val total = BucketedLayout.writeBucketedSwap(
+      spark,
       minusTombstones(spark, table, spark.table(table))
         .groupBy("text_hash")
         .agg(max("n_dups").as("n_dups"), min("keep_id").as("keep_id")),
-      tmpTable, tmp.toString, "text_hash", nBuckets)
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compact: could not move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compact: could not install $tmp")
-    }
-    fs.delete(old, true)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metadata only; files already moved
+      table, s"$dir/hashes", "text_hash", nBuckets)
     // Tombstones are now physically retired — clear them so a LATER
     // re-ingest of a deleted keeper id is not retroactively hidden.
     clearTombstones(spark, table, new org.apache.hadoop.fs.Path(dir))
-    spark.catalog.refreshTable(table)
-    fs.listStatus(path).count(st =>
-      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    total
     }
 }

@@ -54,18 +54,28 @@ object NearDupIndex {
     */
   private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, prefix: String)(body: => T): T = {
     val root =
-      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
-      else new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent
+      if (dirStr != null) {
+        val p = new org.apache.hadoop.fs.Path(dirStr)
+        rootCache.put(prefix, p)
+        p
+      } else indexRoot(spark, prefix)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.WriterLock.withLock(
       fs, graft.sources.WriterLock.lockPath(root.toString), s"NearDupIndex $prefix")(body)
   }
 
+  /** Root lookups run on the probe path (tombstone check) — cached per
+    * prefix, as in [[DedupIndex]]: the root never moves for a
+    * registered index.
+    */
+  private val rootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.Path]()
+
   /** The index root — the parent of the buckets table's directory. */
   private def indexRoot(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent
+    rootCache.computeIfAbsent(prefix, _ =>
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent)
 
   /** The live tombstone set, if any: indexed doc_ids retired from
     * probe visibility but not yet physically removed. Stored EXTERNAL
@@ -105,7 +115,13 @@ object NearDupIndex {
       tablePrefix: String,
       ids: DataFrame,
       idCol: String = "doc_id"): Long = withWriterLock(spark, null, tablePrefix) {
-    val doomed = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val requested = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // count only ids actually indexed ([[DedupIndex.delete]] semantics;
+    // broadcast-semi against the doc_id-bucketed shingles table — no
+    // index-sized shuffle)
+    val doomed = spark.table(shinglesTable(tablePrefix)).select("doc_id")
+      .join(broadcast(requested), Seq("doc_id"), "left_semi")
+      .distinct()
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0) {
@@ -146,23 +162,32 @@ object NearDupIndex {
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 3): Unit = withWriterLock(docs.sparkSession, dir, tablePrefix) {
-    // a rebuild is a fresh generation — prior takedowns don't carry over
-    clearTombstones(docs.sparkSession, tablePrefix, new org.apache.hadoop.fs.Path(dir))
+    val spark = docs.sparkSession
     val post = postings(docs, textCol, idCol, k).localCheckpoint()
     val sizes = post.groupBy("bb").agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val kept = post.join(
       sizes.filter(col("n_docs") <= maxBucket).select("bb"), "bb")
-    BucketedLayout.writeBucketed(
-      kept.select("bb", "doc_id"), bucketsTable(tablePrefix), s"$dir/buckets", "bb", nBuckets)
-    BucketedLayout.writeBucketed(
-      Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh"),
-      shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nBuckets)
-    // Observability sidecar: the DROPPED bucket keys. A probe landing
-    // only in dropped buckets gets no candidates — without this table
-    // that miss is indistinguishable from "truly novel".
-    BucketedLayout.writeBucketed(
-      sizes.filter(col("n_docs") > maxBucket),
-      droppedTable(tablePrefix), s"$dir/dropped", "bb", nBuckets)
+    // All three tables STAGE first (the expensive writes — probes keep
+    // serving the old complete generation throughout), then swap
+    // back-to-back: cross-table skew is bounded by three renames, not
+    // by write time. The dropped sidecar exists so a probe landing
+    // only in capped buckets is observable, not silently novel.
+    val staged = Seq(
+      BucketedLayout.stageBucketed(spark,
+        kept.select("bb", "doc_id"), bucketsTable(tablePrefix), s"$dir/buckets", "bb", nBuckets),
+      BucketedLayout.stageBucketed(spark,
+        Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh"),
+        shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nBuckets),
+      BucketedLayout.stageBucketed(spark,
+        sizes.filter(col("n_docs") > maxBucket),
+        droppedTable(tablePrefix), s"$dir/dropped", "bb", nBuckets))
+    graft.sources.SwapHooks.preSwap(dir)
+    staged.foreach(BucketedLayout.swapInStaged(spark, _))
+    // Prior takedowns don't carry into the fresh generation; cleared
+    // AFTER the swaps — between swap and clear a probe can transiently
+    // miss a pair against a re-indexed deleted doc (conservative), but
+    // never resurrect a takedown against the OLD generation.
+    clearTombstones(spark, tablePrefix, new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Append a batch's postings and shingles to the index (no cap
@@ -314,64 +339,40 @@ object NearDupIndex {
     // previous generation's dropped keys are CARRIED (their postings
     // are already gone, so this pass cannot re-derive them) — a
     // dropped bucket stays observable until the next full [[build]].
-    // Pre-sidecar indexes (no dropped table yet) get one created.
+    // Pre-sidecar indexes (no dropped table yet) get one created, with
+    // the INDEX's bucket count so both creation paths agree.
+    val nb = tableBuckets(spark, bucketsTable(tablePrefix))
     val freshDropped = sizes.filter(col("n_docs") > maxBucket)
-    val droppedCount =
+    val droppedDf =
       if (spark.catalog.tableExists(droppedTable(tablePrefix)))
-        swapIn(spark, droppedTable(tablePrefix), s"$dir/dropped", "bb",
-          spark.table(droppedTable(tablePrefix)).unionByName(freshDropped)
-            .groupBy("bb").agg(max(col("n_docs")).as("n_docs"))
-            .localCheckpoint())
-      else {
-        // pre-sidecar index: create the table with the INDEX's bucket
-        // count, not a hardcoded one — both creation paths must agree
-        val nb = spark.table(bucketsTable(tablePrefix)).queryExecution.analyzed.collectFirst {
-          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
-        }.flatten.getOrElse(64)
-        BucketedLayout.writeBucketed(
-          freshDropped, droppedTable(tablePrefix), s"$dir/dropped", "bb", nb)
-        0L
-      }
-    val total = droppedCount +
-      swapIn(spark, bucketsTable(tablePrefix), s"$dir/buckets", "bb", kept) +
-      swapIn(spark, shinglesTable(tablePrefix), s"$dir/shingles", "doc_id",
+        spark.table(droppedTable(tablePrefix)).unionByName(freshDropped)
+          .groupBy("bb").agg(max(col("n_docs")).as("n_docs"))
+      else freshDropped
+    // Stage every table, then swap back-to-back (the [[build]]
+    // discipline): probes read the old complete generation for the
+    // whole rewrite; cross-table skew is bounded by renames.
+    val staged = Seq(
+      BucketedLayout.stageBucketed(spark, kept,
+        bucketsTable(tablePrefix), s"$dir/buckets", "bb", nb),
+      BucketedLayout.stageBucketed(spark,
         minusTombstones(spark, tablePrefix,
           spark.table(shinglesTable(tablePrefix)), on = "doc_id")
-          .groupBy("doc_id").agg(min(col("shh")).as("shh")))
+          .groupBy("doc_id").agg(min(col("shh")).as("shh")),
+        shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nb),
+      BucketedLayout.stageBucketed(spark, droppedDf,
+        droppedTable(tablePrefix), s"$dir/dropped", "bb", nb))
+    graft.sources.SwapHooks.preSwap(dir)
+    val total = staged.map(BucketedLayout.swapInStaged(spark, _)).sum
     // Retired physically — clear, so the ids can be reused as new docs.
     clearTombstones(spark, tablePrefix, new org.apache.hadoop.fs.Path(dir))
     total
   }
 
-  /** Write `df` as a fresh bucketed generation of `table` and swap its
-    * directory in atomically, preserving the catalog entry.
-    */
-  private def swapIn(
-      spark: SparkSession, table: String, dirStr: String,
-      bucketCol: String, df: DataFrame): Long = {
-    val path = new org.apache.hadoop.fs.Path(dirStr)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpTable = table + "__compact_tmp"
-    val tmp = new org.apache.hadoop.fs.Path(dirStr + ".__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dirStr + ".__compact_old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
-    val nBuckets = spark.table(table).queryExecution.analyzed.collectFirst {
+  private def tableBuckets(spark: SparkSession, table: String): Int =
+    spark.table(table).queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        r.tableMeta.bucketSpec.map(_.numBuckets)
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
     }.flatten.getOrElse(64)
-    BucketedLayout.writeBucketed(df, tmpTable, tmp.toString, bucketCol, nBuckets)
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compact: could not move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compact: could not install $tmp")
-    }
-    fs.delete(old, true)
-    spark.sql(s"DROP TABLE IF EXISTS $tmpTable") // metadata only; files already moved
-    spark.catalog.refreshTable(table)
-    fs.listStatus(path).count(st =>
-      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-  }
 }

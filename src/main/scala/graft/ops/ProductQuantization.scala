@@ -284,8 +284,10 @@ object ProductQuantization {
     // exploded frame carries an m * codes float LUT per row, so the
     // broadcast hint is GUARDED like [[graft.ops.AnnIndex.topKPq]]'s:
     // past ~64 MiB estimated, fall back to a shuffle join on cluster.
-    val probeBytes = q.count() * (4L * m * codes + 64L)
-    val qSide = if (probeBytes <= (64L << 20)) broadcast(q) else q
+    val probeRows = q.count()
+    val probeBytes = probeRows * (4L * m * codes + 64L)
+    val qSide =
+      if (probeBytes <= Similarity.BroadcastGuardBytes) broadcast(q) else q
     val cands = qSide.join(encoded, "cluster")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
@@ -294,11 +296,16 @@ object ProductQuantization {
           graft.functions.ColumnBridge.toExpression($"pq_codes"), codes)).as("score"))
     val survivors = Similarity.rankTopK(cands, r).select($"query_id", $"neighbor_id")
 
-    val qVecs = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    // Refine broadcast guarded like the probe side's (probeRows
+    // over-counts Q by up to nProbe — conservative: shuffle early,
+    // never broadcast big). dim = the codebooks' summed sub-dims.
+    val dim = books.map(_.head.length).sum
+    val qVecs = Similarity.guardedVecBroadcast(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")),
+      probeRows, dim)
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
     val exact = survivors
-      .join(broadcast(qVecs), "query_id")
+      .join(qVecs, "query_id")
       .join(nVecs, "neighbor_id")
       .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
     Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)
@@ -357,12 +364,13 @@ object ProductQuantization {
     // here) and the plan-audit's all-pairs guard stays strict for
     // every query whose cartesian would be an ACCIDENT. Past the
     // 64 MiB broadcast guard the deliberate cartesian is explicit.
-    val probeBytes = q.count() * (4L * m * codes + 64L)
+    val probeRows = q.count()
+    val probeBytes = probeRows * (4L * m * codes + 64L)
     // The constant key must be NON-FOLDABLE (pmod of a column, not a
     // literal) or Catalyst folds the equi-condition away and falls
     // back to the nested-loop join this shape exists to avoid.
     val allPairs =
-      if (probeBytes <= (64L << 20))
+      if (probeBytes <= Similarity.BroadcastGuardBytes)
         encoded.withColumn("__all", pmod($"vec_id", lit(1L)))
           .join(broadcast(q.withColumn("__all", pmod($"query_id", lit(1L)))), "__all")
           .drop("__all")
@@ -379,11 +387,14 @@ object ProductQuantization {
     // O(partitions * Q * R) rows before its one shuffle.
     val survivors = Similarity.rankTopK(adcCands, r)
       .select($"query_id", $"neighbor_id")
-    val qVecs = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    // Refine broadcast under the same guard (probeRows here IS Q —
+    // pqTopK's probe frame is not exploded).
+    val qVecs = Similarity.guardedVecBroadcast(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv")),
+      probeRows, books.map(_.head.length).sum)
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("nv"))
     val exact = survivors
-      .join(broadcast(qVecs), "query_id")
+      .join(qVecs, "query_id")
       .join(nVecs, "neighbor_id")
       .withColumn("score", Similarity.cosineCol(spark, $"qv", $"nv"))
     Similarity.rankTopK(exact.select($"query_id", $"neighbor_id", $"score"), k)

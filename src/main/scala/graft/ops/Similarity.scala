@@ -171,6 +171,23 @@ object Similarity {
       .select($"queryId".as("query_id"), $"vecId".as("neighbor_id"), $"rank", $"score")
   }
 
+  /** Broadcast-build cap shared by the ANN family's probe and refine
+    * joins. A `broadcast()` hint bypasses Spark's size threshold, so
+    * every hint on a query-batch frame ("small by convention") is
+    * guarded against this estimate instead — past it the join planner
+    * gets no hint and falls back to a shuffle join: identical rows,
+    * bounded executor memory. A mutable VAR only so parity specs can
+    * force the shuffle side of each guard; production never writes it.
+    */
+  private[graft] var BroadcastGuardBytes: Long = 64L << 20
+
+  /** `qFrame`, broadcast-hinted only when `rows` vectors of `dim`
+    * floats (plus ~48 B/row of array+row overhead) fit
+    * [[BroadcastGuardBytes]].
+    */
+  private[graft] def guardedVecBroadcast(qFrame: DataFrame, rows: Long, dim: Int): DataFrame =
+    if (rows * (4L * dim + 48L) <= BroadcastGuardBytes) broadcast(qFrame) else qFrame
+
   // ------------------------------------------------------------------ ANN
 
   /** Defaults: 16 tables x 8 bits. `bits` trades bucket selectivity
@@ -241,10 +258,15 @@ object Similarity {
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id")
       .distinct()
-    val qVecs = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("vec_query_id"))
+    // Guarded like the persisted-index refine joins: queries are the
+    // small side by convention, but the hint must not outlive the
+    // convention — past the guard the join shuffles instead.
+    val qVecs = guardedVecBroadcast(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("vec_query_id")),
+      queries.count(), dim)
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("vec_neighbor_id"))
     val cands = candIds
-      .join(broadcast(qVecs), "query_id")
+      .join(qVecs, "query_id")
       .join(nVecs, "neighbor_id")
       .withColumn("score", cosineCol(spark, $"vec_query_id", $"vec_neighbor_id"))
 

@@ -1,6 +1,17 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Test seam for the zero-downtime rebuild contract: invoked between a
+  * rebuild/compact's staging write and its atomic swap, with the index
+  * table (or root dir) as argument. Production no-op; specs hook a
+  * probe here to evidence that a reader mid-rebuild sees the OLD
+  * complete generation.
+  */
+private[graft] object SwapHooks {
+  @volatile var preSwap: String => Unit = _ => ()
+}
 
 /** Physical table layout for shuffle-free joins and scan health at
   * 100 TB: bucketed tables and small-file compaction.
@@ -58,6 +69,124 @@ object BucketedLayout {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Atomically install `staged` as `live`: live moves to `aside`,
+    * staged renames in, aside drops. A reader sees the old complete
+    * tree or the new complete tree; the only intermediate state is a
+    * MISSING live path for the instant between the two renames — a
+    * loud, retryable read error, never a torn mix.
+    */
+  private[graft] def swapDir(fs: FileSystem, staged: Path, live: Path, aside: Path): Unit = {
+    fs.delete(aside, true)
+    fs.mkdirs(live.getParent)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, aside))
+      throw new java.io.IOException(s"swap: could not move $live aside")
+    if (!fs.rename(staged, live)) {
+      if (hadLive) fs.rename(aside, live) // roll back
+      throw new java.io.IOException(s"swap: could not install $staged as $live")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** A fresh bucketed generation staged beside its live directory,
+    * awaiting [[swapInStaged]]. Staging is the expensive phase; the
+    * swap is one rename — multi-table indexes stage EVERY table first
+    * and then swap them back-to-back, so cross-table inconsistency is
+    * bounded by renames, not by write time.
+    */
+  final case class StagedGeneration(
+      table: String,
+      path: String,
+      bucketCol: String,
+      sortCols: Seq[String],
+      nBuckets: Int,
+      tmpTable: String,
+      tmp: Path,
+      schema: org.apache.spark.sql.types.StructType)
+
+  /** Write `df` through [[writeBucketed]] into `<path>.__swap_tmp`
+    * under a temp catalog name. The live table (files AND catalog
+    * entry) is untouched — probes keep reading the old generation for
+    * the whole write.
+    */
+  def stageBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): StagedGeneration = {
+    val tmpTable = table + "__swap_tmp"
+    val tmp = new Path(path + ".__swap_tmp")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    writeBucketed(df, tmpTable, tmp.toString, bucketCol, nBuckets, sortCols)
+    val schema = spark.table(tmpTable).schema
+    StagedGeneration(table, path, bucketCol,
+      if (sortCols.nonEmpty) sortCols else Seq(bucketCol),
+      nBuckets, tmpTable, tmp, schema)
+  }
+
+  /** Swap a staged generation in: one directory rename, then fix the
+    * catalog. When the live entry already matches (same schema, bucket
+    * spec, location — the nightly same-spec rebuild), only a refresh
+    * runs and readers never lose the table; when the spec changed, the
+    * entry is recreated (metadata-only drop+create — a loud-not-torn
+    * instant for a concurrent `spark.table`). Returns the new
+    * generation's data-file count.
+    */
+  def swapInStaged(spark: SparkSession, st: StagedGeneration): Long = {
+    val live = new Path(st.path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS ${st.tmpTable}") // metadata only; files stay staged
+    swapDir(fs, st.tmp, live, new Path(st.path + ".__swap_old"))
+    registerIfChanged(spark, st, fs, live)
+    fs.listStatus(live).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+  }
+
+  /** Stage + swap in one call — the single-table rebuild/compact path.
+    * Returns the new generation's data-file count.
+    */
+  def writeBucketedSwap(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Long = {
+    val staged = stageBucketed(spark, df, table, path, bucketCol, nBuckets, sortCols)
+    SwapHooks.preSwap(table)
+    swapInStaged(spark, staged)
+  }
+
+  private def registerIfChanged(
+      spark: SparkSession, st: StagedGeneration, fs: FileSystem, live: Path): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.BucketSpec
+    val wanted = BucketSpec(st.nBuckets, Seq(st.bucketCol), st.sortCols)
+    val unchanged = spark.catalog.tableExists(st.table) && {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(st.table))
+      meta.bucketSpec.contains(wanted) &&
+        meta.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          st.schema.fields.map(f => (f.name, f.dataType)).toSeq &&
+        new Path(meta.location).toUri.getPath == fs.makeQualified(live).toUri.getPath
+    }
+    if (unchanged) spark.catalog.refreshTable(st.table)
+    else {
+      spark.sql(s"DROP TABLE IF EXISTS ${st.table}")
+      val cols = st.schema.fields.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val sorts = st.sortCols.map(c => s"`$c`").mkString(", ")
+      spark.sql(
+        s"CREATE TABLE ${st.table} ($cols) USING PARQUET " +
+          s"CLUSTERED BY (`${st.bucketCol}`) SORTED BY ($sorts) " +
+          s"INTO ${st.nBuckets} BUCKETS LOCATION '${fs.makeQualified(live)}'")
+    }
+  }
+
   /** Rewrite a parquet directory into files of ~`targetBytes` each,
     * atomically: write to `<dir>.__compact_tmp`, then swap via rename.
     * Returns the file count after compaction. Row content is
@@ -83,13 +212,7 @@ object BucketedLayout {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Swap: current -> old, tmp -> current, drop old. Readers see the
     // old complete directory or the new complete directory, never a mix.
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compact: could not move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compact: could not install $tmp")
-    }
-    fs.delete(old, true)
+    swapDir(fs, tmp, path, old)
     fs.listStatus(path).count(st =>
       st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
   }

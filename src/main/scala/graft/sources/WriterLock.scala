@@ -29,6 +29,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * intentionally loud (the dead writer may have left a half-applied
   * batch worth inspecting) and is cleared with [[break]]. The
   * underscore name keeps the lock file invisible to parquet readers.
+  *
+  * Portability contract: the guarantee is exactly as strong as the
+  * filesystem's create-if-absent. On HDFS `create(overwrite=false)` is
+  * an atomic namespace operation; on the local filesystem Hadoop's
+  * `RawLocalFileSystem`/`ChecksumFileSystem` implement it as
+  * exists-check-then-create (NOT atomic), so local paths are acquired
+  * through `java.nio.file.Files.createFile` (O_EXCL — atomic). On
+  * object stores WITHOUT atomic create-if-absent (S3A before
+  * conditional-write support) two writers can both "acquire"; run
+  * mutators for one index from one coordinator there, or front the
+  * lock with a store that has the primitive (HDFS, ABFS, GCS preconditions,
+  * S3 If-None-Match). SCALING.md §locks records the same contract.
   */
 object WriterLock {
 
@@ -61,14 +73,7 @@ object WriterLock {
         val token = java.util.UUID.randomUUID().toString +
           " pid=" + ProcessHandle.current().pid() + " at=" + System.currentTimeMillis()
         fs.mkdirs(lock.getParent)
-        val out =
-          try fs.create(lock, false)
-          catch {
-            case _: java.io.IOException => throw new IllegalStateException(
-              s"$what is locked by another writer (${holder(fs, lock)}); " +
-                "wait for it, or clear a stale lock from a dead writer with WriterLock.break")
-          }
-        try out.write(token.getBytes("UTF-8")) finally out.close()
+        acquire(fs, lock, what, token)
         m(key) = (1, token)
         try body
         finally {
@@ -77,6 +82,60 @@ object WriterLock {
         }
     }
   }
+
+  private def lockedBy(fs: FileSystem, lock: Path, what: String) =
+    new IllegalStateException(
+      s"$what is locked by another writer (${holder(fs, lock)}); " +
+        "wait for it, or clear a stale lock from a dead writer with WriterLock.break")
+
+  /** Create the lock file with the token inside, atomically-if-absent.
+    *
+    * Only "already exists" maps to the locked-by-another-writer error;
+    * any OTHER IOException (permissions, quota, transient FS failure)
+    * propagates as what it is — misreporting those as "locked" would
+    * steer an operator toward [[break]], which breaks a lock someone
+    * may actually hold. If the create succeeded but the token write
+    * failed, the just-created file is removed before rethrowing (an
+    * empty lock with no holder bookkeeping would wedge every later
+    * mutator until a manual break).
+    */
+  private def acquire(fs: FileSystem, lock: Path, what: String, token: String): Unit =
+    if (fs.getUri.getScheme == "file") {
+      // Hadoop's local create(overwrite=false) is exists-check-then-
+      // create — two processes can both win. O_EXCL via nio is atomic.
+      val nio = java.nio.file.Paths.get(lock.toUri.getPath)
+      try java.nio.file.Files.createFile(nio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw lockedBy(fs, lock, what)
+      }
+      try java.nio.file.Files.write(nio, token.getBytes("UTF-8"))
+      catch {
+        case e: Throwable =>
+          try java.nio.file.Files.deleteIfExists(nio) catch { case _: Throwable => () }
+          throw e
+      }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw lockedBy(fs, lock, what)
+          // some filesystems signal an existing file as a bare
+          // IOException — treat it as locked only when the file IS there
+          case e: java.io.IOException =>
+            if (fs.exists(lock)) throw lockedBy(fs, lock, what) else throw e
+        }
+      try {
+        out.write(token.getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try fs.delete(lock, false) catch { case _: Throwable => () }
+          throw e
+      }
+    }
 
   /** Forcibly clear a stale lock left by a dead writer. Returns true
     * when a lock file was removed.

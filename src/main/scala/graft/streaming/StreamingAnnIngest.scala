@@ -112,10 +112,10 @@ object StreamingAnnIngest {
       // leaves no marker, so the stream replays the batch and the
       // redelivery re-installs BOTH trees.
       installTree(fs, new org.apache.hadoop.fs.Path(staging, "vectors"),
-        new org.apache.hadoop.fs.Path(indexDir, "vectors"), batchId)
+        new org.apache.hadoop.fs.Path(graft.ops.AnnIndex.vectorsPath(indexDir)), batchId)
       if (books.isDefined)
         installTree(fs, new org.apache.hadoop.fs.Path(staging, "pqcodes"),
-          new org.apache.hadoop.fs.Path(indexDir, "pqcodes"), batchId)
+          new org.apache.hadoop.fs.Path(graft.ops.AnnIndex.pqcodesPath(indexDir)), batchId)
       fs.delete(staging, true)
       // (3) seal: create-if-absent — losing the race to a concurrent
       // identical attempt is fine, the file names are deterministic

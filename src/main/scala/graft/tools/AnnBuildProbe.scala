@@ -49,7 +49,7 @@ object AnnBuildProbe {
     time("AnnIndex.build (kmeans+write)") {
       graft.ops.AnnIndex.build(vecs, dir, nClusters = kCells, iters = 1, nTotal = n)
     }
-    val stored = spark.read.parquet(s"$dir/vectors")
+    val stored = spark.read.parquet(graft.ops.AnnIndex.vectorsPath(dir))
       .select($"vec_id", $"v".as("embedding"))
     time("trainCodebooks (1 iter)") {
       graft.ops.ProductQuantization.trainCodebooks(stored, m, codes, iters = 1)

@@ -41,8 +41,8 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaExact.size == 5, "ranking still fills k from live vectors")
     // compact physically retires the row from BOTH trees and clears the set
     AnnIndex.compact(spark, dir)
-    assert(spark.read.parquet(s"$dir/vectors").filter($"vec_id" === nn).isEmpty)
-    assert(spark.read.parquet(s"$dir/pqcodes").filter($"vec_id" === nn).isEmpty)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).filter($"vec_id" === nn).isEmpty)
+    assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).filter($"vec_id" === nn).isEmpty)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
@@ -70,8 +70,8 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.build(e, dir, nClusters = 8, iters = 2)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pqcodes")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AnnIndex.pqcodesPath(dir))))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AnnIndex.codebooksPath(dir))))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits")),
       "stale markers would skip a fresh stream's first batches")
     val q = e.filter($"vec_id" === 0L)
@@ -98,8 +98,8 @@ class AnnIndexSpec extends SparkSpec {
     // the stream recovers the batch (redelivery replaces), then compact works
     assert(graft.streaming.StreamingAnnIngest.appendBatch(dir, batch, 3L))
     AnnIndex.compact(spark, dir)
-    assert(spark.read.parquet(s"$dir/vectors").count() == 110)
-    assert(spark.read.parquet(s"$dir/vectors").select("vec_id").distinct().count() == 110)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 110)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).select("vec_id").distinct().count() == 110)
   }
 
   test("null query embedding raises instead of silently dropping the query") {
@@ -250,8 +250,8 @@ class AnnIndexSpec extends SparkSpec {
         e.filter($"vec_id" === i.toLong)
           .select(($"vec_id" + 9100L).as("vec_id"), $"embedding"))
     }
-    def files(sub: String): Int = {
-      val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    def files(rootStr: String): Int = {
+      val root = new org.apache.hadoop.fs.Path(rootStr)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(root).filter(_.getPath.getName.startsWith("cell=")).map { cd =>
         fs.listStatus(cd.getPath).count { st =>
@@ -262,10 +262,11 @@ class AnnIndexSpec extends SparkSpec {
     val q = e.filter($"vec_id" < 10)
     val before = AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 4)
       .as[(Long, Long, Long, Double)].collect().toSet
-    val (vb, pb) = (files("vectors"), files("pqcodes"))
+    val (vb, pb) = (files(AnnIndex.vectorsPath(dir)), files(AnnIndex.pqcodesPath(dir)))
     AnnIndex.compact(spark, dir, minFiles = 2)
-    assert(files("vectors") < vb && files("pqcodes") < pb,
-      s"compact must collapse both trees: vectors $vb->${files("vectors")}, pqcodes $pb->${files("pqcodes")}")
+    val (va, pa) = (files(AnnIndex.vectorsPath(dir)), files(AnnIndex.pqcodesPath(dir)))
+    assert(va < vb && pa < pb,
+      s"compact must collapse both trees: vectors $vb->$va, pqcodes $pb->$pa")
     assert(AnnIndex.topKPq(spark, dir, q, k = 5, nProbe = 4)
       .as[(Long, Long, Long, Double)].collect().toSet == before)
   }
@@ -287,12 +288,12 @@ class AnnIndexSpec extends SparkSpec {
     }
     // Assignment parity: an appended copy of an ORIGINAL vector lands
     // in the same cell the build assigned the original to.
-    val cells = spark.read.parquet(s"$dir/vectors")
+    val cells = spark.read.parquet(AnnIndex.vectorsPath(dir))
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     val reappend = e.filter($"vec_id" < 5)
       .select(($"vec_id" + 2000L).as("vec_id"), $"embedding")
     AnnIndex.append(spark, dir, reappend)
-    val cells2 = spark.read.parquet(s"$dir/vectors")
+    val cells2 = spark.read.parquet(AnnIndex.vectorsPath(dir))
       .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
     (0L until 5L).foreach { i =>
       assert(cells2(i + 2000L) == cells(i), s"identical vector $i must share its cell")
@@ -319,7 +320,7 @@ class AnnIndexSpec extends SparkSpec {
     val dir = tmpDir()
     val cells = AnnIndex.build(e, dir)
     assert(cells == 20, "ceil(sqrt(400)) = 20")
-    val centers = spark.read.parquet(s"$dir/centers")
+    val centers = spark.read.parquet(AnnIndex.centersPath(dir))
     assert(centers.count() == 20)
     assert(centers.select(size($"center")).distinct().as[Int].head() == 16)
   }
@@ -335,7 +336,7 @@ class AnnIndexSpec extends SparkSpec {
     val before = AnnIndex.topK(spark, dir, queries, k = 3, nProbe = 2)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     def fileCount = {
-      val vecDir = new java.io.File(s"$dir/vectors")
+      val vecDir = new java.io.File(AnnIndex.vectorsPath(dir))
       vecDir.listFiles().filter(_.getName.startsWith("cell=")).map(cd =>
         cd.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
     }
@@ -349,6 +350,6 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == before, "probe results must be byte-identical across compaction")
     // appends stay searchable after compaction
     AnnIndex.append(spark, dir, batch(2000 until 2005))
-    assert(spark.read.parquet(s"$dir/vectors").count() == 185)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 185)
   }
 }

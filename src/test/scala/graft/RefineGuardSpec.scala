@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{AnnIndex, ProductQuantization, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Parity across both sides of the ANN family's broadcast guard: every
+  * `broadcast()` hint on a query-batch frame (probe AND refine stages)
+  * is guarded by [[Similarity.BroadcastGuardBytes]]; forcing the guard
+  * to 0 plans the same operators as shuffle joins, and the emitted
+  * rows must be identical — the guard changes the PLAN, never the
+  * answer. This is the contract that lets a 100k-query batch run the
+  * exact same code path, just without an executor-OOM-sized broadcast.
+  */
+class RefineGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def bothSides(run: => Set[Seq[Any]]): (Set[Seq[Any]], Set[Seq[Any]]) = {
+    val dflt = Similarity.BroadcastGuardBytes
+    val hinted = run
+    Similarity.BroadcastGuardBytes = 0L
+    try { (hinted, run) } finally Similarity.BroadcastGuardBytes = dflt
+  }
+
+  test("AnnIndex.topK and topKPq: guarded and shuffle paths emit identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_ann").toString
+    val e = vecs(200, seed = 5)
+    AnnIndex.build(e, dir, nClusters = 4, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    val q = vecs(6, seed = 6).select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    val (a1, a2) = bothSides(
+      AnnIndex.topK(spark, dir, q, k = 3, nProbe = 3).collect().map(_.toSeq).toSet)
+    assert(a1 == a2 && a1.nonEmpty, s"topK parity across the guard: $a1 vs $a2")
+    val (p1, p2) = bothSides(
+      AnnIndex.topKPq(spark, dir, q, k = 3, nProbe = 3).collect().map(_.toSeq).toSet)
+    assert(p1 == p2 && p1.nonEmpty, s"topKPq parity across the guard: $p1 vs $p2")
+  }
+
+  test("pqTopK and ivfPqTopK: guarded and shuffle paths emit identical rows") {
+    val e = vecs(150, seed = 9)
+    val q = vecs(5, seed = 10).select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    val (a1, a2) = bothSides(
+      ProductQuantization.pqTopK(e, q, k = 3, m = 4, codes = 8, iters = 2)
+        .collect().map(_.toSeq).toSet)
+    assert(a1 == a2 && a1.nonEmpty, s"pqTopK parity across the guard: $a1 vs $a2")
+    val (i1, i2) = bothSides(
+      ProductQuantization.ivfPqTopK(e, q, k = 3, nClusters = 4, m = 4, codes = 8, iters = 2)
+        .collect().map(_.toSeq).toSet)
+    assert(i1 == i2 && i1.nonEmpty, s"ivfPqTopK parity across the guard: $i1 vs $i2")
+  }
+
+  test("Similarity.annTopK: guarded and shuffle paths emit identical rows") {
+    val e = vecs(200, seed = 13)
+    val q = vecs(5, seed = 14).select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    val (a1, a2) = bothSides(
+      Similarity.annTopK(e, q, k = 3).collect().map(_.toSeq).toSet)
+    assert(a1 == a2, s"annTopK parity across the guard: $a1 vs $a2")
+  }
+}

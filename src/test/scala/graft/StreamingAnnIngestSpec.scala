@@ -34,7 +34,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     source.addData(twins.drop(3)); q.processAllAvailable()
     q.stop()
 
-    val stored = spark.read.parquet(s"$dir/vectors")
+    val stored = spark.read.parquet(AnnIndex.vectorsPath(dir))
     assert(stored.count() == 206)
     val queries = vecs(0 until 6).toDF("vec_id", "embedding")
     val got = AnnIndex.topK(spark, dir, queries, k = 1, nProbe = 3)
@@ -55,8 +55,8 @@ class StreamingAnnIngestSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
     assert(StreamingAnnIngest.appendBatch(dir, twin, 0L))
     // the sidecar grew with the batch — vectors/ and pqcodes/ agree
-    assert(spark.read.parquet(s"$dir/vectors").count() == 201)
-    assert(spark.read.parquet(s"$dir/pqcodes").count() == 201)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 201)
+    assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).count() == 201)
     // and the PQ probe path finds the streamed vector (not only topK)
     val q = vecs(0 until 200, seed = 51).filter(_._1 == 3L).toDF("vec_id", "embedding")
     val viaPq = AnnIndex.topKPq(spark, dir, q, k = 1, nProbe = 3)
@@ -64,8 +64,8 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(viaPq == 9003L, "topKPq must see the streamed twin immediately")
     // redelivery of the same batch stays a no-op for BOTH trees
     assert(!StreamingAnnIngest.appendBatch(dir, twin, 0L))
-    assert(spark.read.parquet(s"$dir/vectors").count() == 201)
-    assert(spark.read.parquet(s"$dir/pqcodes").count() == 201)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 201)
+    assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).count() == 201)
   }
 
   test("crash window with a PQ sidecar: redelivery replaces both trees") {
@@ -79,9 +79,9 @@ class StreamingAnnIngestSpec extends SparkSpec {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(marker, false), "test setup: marker must exist to delete")
     assert(StreamingAnnIngest.appendBatch(dir, batch, 5L))
-    assert(spark.read.parquet(s"$dir/vectors").count() == 90)
-    assert(spark.read.parquet(s"$dir/pqcodes").count() == 90)
-    assert(spark.read.parquet(s"$dir/pqcodes").select("vec_id").distinct().count() == 90)
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 90)
+    assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).count() == 90)
+    assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).select("vec_id").distinct().count() == 90)
   }
 
   test("one-file-per-cell invariant survives a session maxRecordsPerFile cap") {
@@ -94,7 +94,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     try {
       val batch = vecs(400 until 430, seed = 62).toDF("vec_id", "embedding")
       assert(StreamingAnnIngest.appendBatch(dir, batch, 1L))
-      assert(spark.read.parquet(s"$dir/vectors").count() == 80)
+      assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 80)
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 
@@ -107,7 +107,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     // twice with one batchId; the second delivery must no-op.
     assert(StreamingAnnIngest.appendBatch(dir, batch, 7L))
     assert(!StreamingAnnIngest.appendBatch(dir, batch, 7L))
-    assert(spark.read.parquet(s"$dir/vectors").count() == 60,
+    assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 60,
       "second delivery of batch 7 must not duplicate")
   }
 
@@ -123,7 +123,7 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(fs.delete(marker, false), "test setup: marker must exist to delete")
     // redelivery: deterministic b9-* names sweep + replace the leftovers
     assert(StreamingAnnIngest.appendBatch(dir, batch, 9L))
-    val stored = spark.read.parquet(s"$dir/vectors")
+    val stored = spark.read.parquet(AnnIndex.vectorsPath(dir))
     assert(stored.count() == 62, "redelivery after the crash window must not duplicate")
     assert(stored.select("vec_id").distinct().count() == 62)
     // no staging leftovers

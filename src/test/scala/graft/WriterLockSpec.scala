@@ -79,6 +79,55 @@ class WriterLockSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("create-if-absent is atomic under contention (O_EXCL on local fs)") {
+    // Hadoop's RawLocalFileSystem create(overwrite=false) is an
+    // exists-check-then-create — two racing writers could both win.
+    // The nio O_EXCL acquire must give mutual exclusion: 16 threads
+    // retry-loop to acquire; inside the critical section at most one
+    // may ever be present, and all 16 eventually succeed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock5").toString
+    val lock = WriterLock.lockPath(dir)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var violation: Option[String] = None
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        var acquired = false
+        while (!acquired && violation.isEmpty) {
+          try {
+            WriterLock.withLock(fs, lock, s"contender $i") {
+              val now = active.incrementAndGet()
+              if (now != 1) violation = Some(s"$now writers inside the lock at once")
+              Thread.sleep(1)
+              active.decrementAndGet()
+            }
+            acquired = true
+            done.incrementAndGet()
+          } catch {
+            case _: IllegalStateException => Thread.sleep(1) // locked; retry
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(violation.isEmpty, violation.toString)
+    assert(done.get() == 16, s"all contenders must eventually acquire, got ${done.get()}")
+    assert(!fs.exists(lock))
+  }
+
+  test("a non-'already exists' create failure is NOT reported as locked") {
+    // An environmental failure (here: the index root is not a
+    // directory) must propagate as what it is — misreporting it as
+    // "locked by another writer" steers operators toward
+    // WriterLock.break against a lock nobody holds.
+    val f = java.nio.file.Files.createTempFile("graft_wlock6", ".notadir")
+    val err = intercept[Throwable] {
+      WriterLock.withLock(fs, WriterLock.lockPath(f.toString), "x")(())
+    }
+    assert(!String.valueOf(err.getMessage).contains("locked by another writer"),
+      s"a file-as-root failure is not a held lock: $err")
+  }
+
   private def vecs(n: Int) = {
     val rnd = new scala.util.Random(7)
     (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
