@@ -322,6 +322,23 @@ object SparkEntry {
       ops.NearDupIndex.probePairs(s, pfx, d.filter($"doc_id" % 10 >= 6), threshold = 0.9)
         .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
     }),
+    // Takedown contract on the near-dup index: build on the head 60%,
+    // tombstone every indexed doc whose id is divisible by 7, probe the
+    // tail — pairs against deleted docs vanish, pairs against survivors
+    // stay. The oracle recomputes the surviving cross-pair set exactly.
+    "q_neardup_delete" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_nddel_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val pfx = "graft_q_neardup_delete_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.NearDupIndex.build(d.filter($"doc_id" % 10 < 6), out, pfx, nBuckets = 8)
+      ops.NearDupIndex.delete(s, pfx,
+        d.filter($"doc_id" % 10 < 6 && $"doc_id" % 7 === 0).select($"doc_id"))
+      ops.NearDupIndex.probePairs(s, pfx, d.filter($"doc_id" % 10 >= 6), threshold = 0.9)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
     // Near-dup pairs with integer (intersection, union) evidence. The
     // oracle recomputes the full exact Jaccard >= 0.9 pair set —
     // threshold chosen ABOVE the 16x8 banding knee (~0.71), where
@@ -954,6 +971,27 @@ object SparkEntry {
       idx.join(exact, Seq("query_id", "neighbor_id"))
         .groupBy($"query_id")
         .agg((count(lit(1)) >= 4L).as("recall_ok"))
+    }),
+    // Takedown contract on the ANN index, planted-twin form: index the
+    // corpus PLUS an identical twin (id + 1e6) of every query vector —
+    // pre-delete the twin is the guaranteed rank-1 hit at cosine 1.0 —
+    // then tombstone all twins. The probe must return k full rows per
+    // query with NO twin among them (a broken delete puts the twin at
+    // rank 1, flipping twin_absent for every query).
+    "q_ann_delete" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_anndel_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val e = embs(s, dir).select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 50)
+      val twins = q.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      ops.AnnIndex.build(e.unionByName(twins), out, nClusters = 16, iters = 5)
+      ops.AnnIndex.delete(s, out, twins.select($"vec_id"))
+      ops.AnnIndex.topK(s, out, q, k = 10, nProbe = 16)
+        .groupBy($"query_id")
+        .agg(
+          (sum(when($"neighbor_id" >= 1000000L, 1L).otherwise(0L)) === 0L).as("twin_absent"),
+          (count(lit(1)) === 10L).as("k_full"))
     }),
     // Persisted IVF-PQ: the 100-TB serving path for the vectors
     // themselves (m one-byte codes instead of ~3 KB of floats per
@@ -2308,6 +2346,22 @@ object SparkEntry {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
         |  FROM t a, t b WHERE a.doc_id % 10 < 6 AND b.doc_id % 10 >= 6)
         |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.9""".stripMargin,
+    // Same cross-corpus pair set AFTER the takedown of every indexed
+    // doc with id % 7 = 0: pairs whose indexed side was tombstoned
+    // vanish; everything else is unchanged — recomputed exactly.
+    "q_neardup_delete" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+        |  FROM t a, t b
+        |  WHERE a.doc_id % 10 < 6 AND a.doc_id % 7 <> 0 AND b.doc_id % 10 >= 6)
+        |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.9""".stripMargin,
     "q_neardup_exact" -> neardupOracleSql(0.5),
     // SimHash containment: keys = the exact J >= 0.5 set; the SimHash
     // consistency/subset checks are Spark-computed booleans that must
@@ -2453,6 +2507,10 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_ann_pq" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
+    // Takedown contract: every query must report its deleted identical
+    // twin absent AND a full k of surviving neighbors — uniformly true.
+    "q_ann_delete" ->
+      "SELECT vec_id AS query_id, true AS twin_absent, true AS k_full FROM embeddings WHERE vec_id < 50",
     "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pca" ->
