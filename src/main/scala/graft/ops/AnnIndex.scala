@@ -48,6 +48,23 @@ object AnnIndex {
   private[graft] def pqcodesPath(dir: String): String = s"$dir/pq/pqcodes"
   private[graft] def codebooksPath(dir: String): String = s"$dir/pq/codebooks"
 
+  /** An index written by the pre-grouped flat layout (`vectors/` at
+    * the root) is not readable by this version — fail with a migration
+    * hint instead of a bare missing-path error. [[build]] migrates: it
+    * writes the grouped layout and removes the flat directories.
+    */
+  private def checkLayout(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors")))
+      throw new IllegalStateException(
+        s"$dir holds a flat-layout index from an older version (vectors/ at the root); " +
+          "re-run AnnIndex.build (and buildPq) on it to migrate to the grouped ivf/ + pq/ layout")
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Single-writer lock (see [[graft.sources.WriterLock]]) on
     * `<dir>/_writer.lock`: compact racing an append would silently
     * drop files installed into a cell between compact's read and its
@@ -138,6 +155,11 @@ object AnnIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging"), true)
     fs.delete(staging, true)
+    // Migration sweep: an index from the flat pre-ivf/pq layout leaves
+    // its old root-level directories behind — orphaned storage readers
+    // no longer see. A rebuild IS the migration; remove them.
+    Seq("vectors", "centers", "pqcodes", "codebooks").foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
     kCells
     }
   }
@@ -157,6 +179,7 @@ object AnnIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = withWriterLock(spark, dir) {
     import spark.implicits._
+    checkLayout(fsFor(spark, dir), dir)
     val books = readCodebooks(spark, dir)
     val assigned0 = assignCells(spark, dir, embs, idCol, vecCol)
     // With a PQ sidecar present the batch feeds TWO appends — pin one
@@ -197,22 +220,32 @@ object AnnIndex {
     * vector is never returned by [[topK]] or [[topKPq]]; its rows in
     * `vectors/` (and `pqcodes/`, if present) are physically removed at
     * the next [[compact]], which also clears the tombstone set. Returns
-    * the count of distinct ids tombstoned — ids NOT present in the
-    * index are ignored ([[DedupIndex.delete]]'s semantics: the count is
-    * meaningful, and tombstoning an absent id would silently hide a
-    * future [[append]] that reuses it until the next compact).
+    * the count of distinct ids NEWLY tombstoned — ids not present in
+    * the index are ignored ([[DedupIndex.delete]]'s semantics: the
+    * count is meaningful, and tombstoning an absent id would silently
+    * hide a future [[append]] that reuses it until the next compact),
+    * and ids already tombstoned are too, so a redelivered takedown
+    * batch is a counted-once no-op instead of growing the set.
     */
   def delete(
       spark: SparkSession,
       dir: String,
       ids: DataFrame,
       idCol: String = "vec_id"): Long = withWriterLock(spark, dir) {
+    checkLayout(fsFor(spark, dir), dir)
     val requested = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
-    // one broadcast-semi scan of the index's id column — no shuffle of
-    // index-sized data; the takedown set is small by nature
-    val doomed = spark.read.parquet(vectorsPath(dir)).select("vec_id")
-      .join(broadcast(requested), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    // one semi scan of the index's id column — no shuffle of
+    // index-sized data. The ids frame is caller-supplied, so its
+    // broadcast rides the same guard as the query-batch hints.
+    val reqSide =
+      if (requested.count() * 56L <= Similarity.BroadcastGuardBytes) broadcast(requested)
+      else requested
+    val present = spark.read.parquet(vectorsPath(dir)).select("vec_id")
+      .join(reqSide, Seq("vec_id"), "left_semi")
       .distinct()
+    val doomed = readTombstones(spark, dir)
+      .fold(present)(t => present.join(broadcast(t), Seq("vec_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0)
@@ -277,17 +310,19 @@ object AnnIndex {
     * streaming micro-batch adds one-or-more parquet files per touched
     * cell, and after thousands of batches a probe reads thousands of
     * tiny files. Each tree (`vectors`, and `pqcodes` when present) is
-    * rewritten by ONE Spark job — read the whole tree, anti-join live
-    * tombstones, write a fresh generation `partitionBy(cell)` with a
-    * size-derived salt (≤ 8 files per cell, the [[build]] layout) —
-    * and swapped in atomically at the TREE root, so compact cost is
-    * independent of the cell count (the auto-sized index has ~√N cells;
-    * a per-cell loop would run √N sequential driver jobs) and
-    * concurrent probes see the old complete tree or the new complete
-    * one. Skipped entirely when no tombstones are live and no cell
-    * holds `minFiles`+ data files. Stream-commit markers live OUTSIDE
-    * the trees and survive, so a redelivered committed batch stays a
-    * no-op after compaction. Returns the total data-file count after.
+    * rewritten by ONE Spark job — so compact cost is independent of
+    * the cell count (the auto-sized index has ~√N cells; a per-cell
+    * loop would run √N sequential driver jobs). With live tombstones
+    * the whole tree rewrites (`partitionBy(cell)`, size-derived salt,
+    * ≤ 8 files per cell — the [[build]] layout) and swaps atomically
+    * at the tree root; without them only the cells holding `minFiles`+
+    * data files are read (partition-pruned) and swapped per cell, so
+    * the write and the lock window scale with fragmentation, not
+    * corpus size. Concurrent probes see the old complete state or the
+    * new one. Skipped entirely when there is nothing to do.
+    * Stream-commit markers live OUTSIDE the trees and survive, so a
+    * redelivered committed batch stays a no-op after compaction.
+    * Returns the total data-file count after.
     */
   def compact(
       spark: SparkSession,
@@ -295,6 +330,7 @@ object AnnIndex {
       targetBytes: Long = 128L << 20,
       minFiles: Int = 2): Long = withWriterLock(spark, dir) {
     require(targetBytes > 0 && minFiles >= 2, s"bad compact params: $targetBytes, $minFiles")
+    checkLayout(fsFor(spark, dir), dir)
     val vectors = new org.apache.hadoop.fs.Path(vectorsPath(dir))
     val pqcodes = new org.apache.hadoop.fs.Path(pqcodesPath(dir))
     val fs = vectors.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -334,29 +370,59 @@ object AnnIndex {
     val trees = Seq(vectors) ++ (if (fs.exists(pqcodes)) Seq(pqcodes) else Nil)
     def countTree(root: org.apache.hadoop.fs.Path): Long =
       cellDirs(root).map(cd => dataFiles(cd.getPath).length.toLong).sum
-    def fragmented(root: org.apache.hadoop.fs.Path): Boolean =
-      cellDirs(root).exists(cd => dataFiles(cd.getPath).length >= minFiles)
-    if (tomb.isEmpty && !trees.exists(fragmented)) trees.map(countTree).sum
+    def fragmentedCells(root: org.apache.hadoop.fs.Path): Array[Int] =
+      cellDirs(root)
+        .filter(cd => dataFiles(cd.getPath).length >= minFiles)
+        .map(cd => cd.getPath.getName.stripPrefix("cell=").toInt)
+        .sorted
+    if (tomb.isEmpty && trees.forall(fragmentedCells(_).isEmpty)) trees.map(countTree).sum
     else {
-      // One job per tree, however many cells: read, retire tombstones,
-      // rewrite. The salt keeps per-cell files at ~targetBytes (capped
-      // at build's 8-way write parallelism for hot cells); repartition
-      // on (cell, salt) bounds the layout exactly like [[build]]'s.
+      // One Spark job per tree, however many cells: read, retire
+      // tombstones, rewrite, swap. With live tombstones the WHOLE tree
+      // rewrites and the swap is the tree root (a tombstoned row may
+      // sit in any cell — physical retirement is the point); without
+      // them the job reads ONLY the fragmented cells (partition-pruned
+      // `isin`) and the swaps are per-cell renames — driver-side
+      // renames are cheap at any cell count, it was the per-cell Spark
+      // JOBS of the old loop that weren't, and the lock window now
+      // scales with fragmentation, not corpus size. The salt keeps
+      // per-cell files at ~targetBytes (capped at build's 8-way write
+      // parallelism for hot cells).
       def rewriteTree(root: org.apache.hadoop.fs.Path): Long = {
+        val only = if (tomb.isDefined) None else Some(fragmentedCells(root))
         val cds = cellDirs(root)
         val bytes = cds.flatMap(cd => dataFiles(cd.getPath)).map(_.getLen).sum
         val avgCell = bytes.toDouble / math.max(1, cds.length)
         val nSalt = math.min(8L, math.max(1L, math.ceil(avgCell / targetBytes).toLong)).toInt
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/${root.getName}")
         fs.delete(tmp, true)
-        val all = spark.read.parquet(root.toString)
-        val live = tomb.fold(all)(t => all.join(broadcast(t), Seq("vec_id"), "left_anti"))
-        live.repartition(col("cell"), pmod(hash(col("vec_id")), lit(nSalt)))
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-        graft.sources.SwapHooks.preSwap(root.toString)
-        graft.sources.BucketedLayout.swapDir(fs, tmp, root,
-          new org.apache.hadoop.fs.Path(s"$dir/_compact_old/${root.getName}"))
-        countTree(root)
+        if (only.exists(_.isEmpty)) countTree(root) // this tree is already compact
+        else {
+          val all = spark.read.parquet(root.toString)
+          val src = only.fold(all)(cs =>
+            all.filter(col("cell").isin(cs.map(Integer.valueOf).toIndexedSeq: _*)))
+          val live = tomb.fold(src)(t => src.join(broadcast(t), Seq("vec_id"), "left_anti"))
+          live.repartition(col("cell"), pmod(hash(col("vec_id")), lit(nSalt)))
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+          graft.sources.SwapHooks.preSwap(root.toString)
+          only match {
+            case None =>
+              graft.sources.BucketedLayout.swapDir(fs, tmp, root,
+                new org.apache.hadoop.fs.Path(s"$dir/_compact_old/${root.getName}"))
+            case Some(cs) =>
+              cs.foreach { c =>
+                val staged = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+                // a fragmented cell holding only 0-row files stages no
+                // output dir; leave it (nothing to collapse into)
+                if (fs.exists(staged))
+                  graft.sources.BucketedLayout.swapDir(fs, staged,
+                    new org.apache.hadoop.fs.Path(root, s"cell=$c"),
+                    new org.apache.hadoop.fs.Path(s"$dir/_compact_old/${root.getName}/cell=$c"))
+              }
+              fs.delete(tmp, true)
+          }
+          countTree(root)
+        }
       }
       val total = trees.map(rewriteTree).sum
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp"), true)
@@ -382,6 +448,7 @@ object AnnIndex {
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
+    checkLayout(fsFor(spark, dir), dir)
     // Centers are k * dim doubles — the same bounded collect the build
     // performed; the probes run through the native codegen'd kernel
     // ([[graft.functions.TopCentroids]]), identical selection to
@@ -433,8 +500,8 @@ object AnnIndex {
     * probed cells.
     *
     * {{{
-    *   dir/codebooks/          (sub, code, word array<double>)  m*codes rows
-    *   dir/pqcodes/cell=<c>/   (vec_id, pq_codes array<int>)    corpus
+    *   dir/pq/codebooks/          (sub, code, word array<double>)  m*codes rows
+    *   dir/pq/pqcodes/cell=<c>/   (vec_id, pq_codes array<int>)    corpus
     * }}}
     *
     * Codes are trained and encoded from the index's own `vectors`
@@ -455,8 +522,8 @@ object AnnIndex {
       codes: Int = 32,
       iters: Int = 5): Unit = withWriterLock(spark, dir) {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, dir)
+    checkLayout(fs, dir)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_buildpq_tmp")
     fs.delete(staging, true)
     val vectors = spark.read.parquet(vectorsPath(dir))
@@ -509,6 +576,7 @@ object AnnIndex {
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
+    checkLayout(fsFor(spark, dir), dir)
     val r = if (refine > 0) refine else 4 * k
     val centers = spark.read.parquet(centersPath(dir))
       .select($"cell", $"center").as[(Int, Seq[Double])]

@@ -48,12 +48,14 @@ object DedupIndex {
     * dir-carrying ones do.
     */
   private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, table: String)(body: => T): T = {
+    // Mutators must never lock the wrong root: resolve FRESH (given
+    // dir, or from the catalog — never the probe-path cache, which can
+    // be stale if the table was re-registered elsewhere), then refresh
+    // the cache for the probe path.
     val root =
-      if (dirStr != null) {
-        val p = new org.apache.hadoop.fs.Path(dirStr)
-        rootCache.put(table, p)
-        p
-      } else indexRoot(spark, table)
+      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
+      else freshRoot(spark, table)
+    rootCache.put(table, root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.WriterLock.withLock(
       fs, graft.sources.WriterLock.lockPath(root.toString), s"DedupIndex $table")(body)
@@ -61,11 +63,17 @@ object DedupIndex {
 
   /** Catalog-root lookups run on the PROBE path too (the per-call
     * tombstone check), and `getTableMetadata` is a driver round-trip —
-    * cache the root per table name. It never moves for a registered
-    * index (mutators that know the dir refresh the entry anyway).
+    * cache the root per table name for probes. Every mutator refreshes
+    * the entry from the catalog, so the worst staleness is one probe
+    * reading the previous location's tombstones after an out-of-band
+    * re-registration.
     */
   private val rootCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.Path]()
+
+  private def freshRoot(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent
 
   /** Catalog name of the tombstone table (exists only after the first
     * [[delete]]).
@@ -75,10 +83,11 @@ object DedupIndex {
   /** The index root — the parent of the bucketed table's directory,
     * recovered from the catalog for mutators that only know the name.
     */
-  private def indexRoot(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
-    rootCache.computeIfAbsent(table, _ =>
-      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)).location).getParent)
+  private def indexRoot(spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val hit = rootCache.get(table) // get-first: computeIfAbsent locks the bin even on hits
+    if (hit != null) hit
+    else rootCache.computeIfAbsent(table, _ => freshRoot(spark, table))
+  }
 
   /** The live tombstone set, if any: (text_hash, keep_id) rows retired
     * from probe visibility but not yet physically removed. Tombstones
@@ -134,10 +143,20 @@ object DedupIndex {
       ids: DataFrame,
       idCol: String = "doc_id"): Long = withWriterLock(spark, null, table) {
     val keep = ids.select(col(idCol).cast("long").as("keep_id")).distinct()
-    val doomed = spark.table(table)
-      .join(broadcast(keep), "keep_id")
+      .localCheckpoint()
+    // The ids frame is caller-supplied — broadcast only under the
+    // guard; already-tombstoned rows don't re-count (a redelivered
+    // takedown batch is a counted-once no-op, not tombstone growth).
+    val keepSide =
+      if (keep.count() * 56L <= Similarity.BroadcastGuardBytes) broadcast(keep)
+      else keep
+    val matched = spark.table(table)
+      .join(keepSide, "keep_id")
       .select(col("text_hash"), col("keep_id"))
       .distinct()
+    val doomed = tombstones(spark, table)
+      .fold(matched)(t =>
+        matched.join(broadcast(t), Seq("text_hash", "keep_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0) {

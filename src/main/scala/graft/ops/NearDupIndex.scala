@@ -53,29 +53,35 @@ object NearDupIndex {
     * index root from the buckets table's catalog entry.
     */
   private[graft] def withWriterLock[T](spark: SparkSession, dirStr: String, prefix: String)(body: => T): T = {
+    // Mutators resolve FRESH (never the probe-path cache — stale after
+    // an out-of-band re-registration would lock the wrong root) and
+    // refresh the cache; see [[DedupIndex.withWriterLock]].
     val root =
-      if (dirStr != null) {
-        val p = new org.apache.hadoop.fs.Path(dirStr)
-        rootCache.put(prefix, p)
-        p
-      } else indexRoot(spark, prefix)
+      if (dirStr != null) new org.apache.hadoop.fs.Path(dirStr)
+      else freshRoot(spark, prefix)
+    rootCache.put(prefix, root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.WriterLock.withLock(
       fs, graft.sources.WriterLock.lockPath(root.toString), s"NearDupIndex $prefix")(body)
   }
 
   /** Root lookups run on the probe path (tombstone check) — cached per
-    * prefix, as in [[DedupIndex]]: the root never moves for a
-    * registered index.
+    * prefix for probes, refreshed by every mutator, as in
+    * [[DedupIndex]].
     */
   private val rootCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.hadoop.fs.Path]()
 
+  private def freshRoot(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent
+
   /** The index root — the parent of the buckets table's directory. */
-  private def indexRoot(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path =
-    rootCache.computeIfAbsent(prefix, _ =>
-      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(bucketsTable(prefix))).location).getParent)
+  private def indexRoot(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path = {
+    val hit = rootCache.get(prefix) // get-first: computeIfAbsent locks the bin even on hits
+    if (hit != null) hit
+    else rootCache.computeIfAbsent(prefix, _ => freshRoot(spark, prefix))
+  }
 
   /** The live tombstone set, if any: indexed doc_ids retired from
     * probe visibility but not yet physically removed. Stored EXTERNAL
@@ -116,12 +122,19 @@ object NearDupIndex {
       ids: DataFrame,
       idCol: String = "doc_id"): Long = withWriterLock(spark, null, tablePrefix) {
     val requested = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    // count only ids actually indexed ([[DedupIndex.delete]] semantics;
-    // broadcast-semi against the doc_id-bucketed shingles table — no
-    // index-sized shuffle)
-    val doomed = spark.table(shinglesTable(tablePrefix)).select("doc_id")
-      .join(broadcast(requested), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // count only ids actually indexed AND not already tombstoned
+    // ([[DedupIndex.delete]] semantics, counted-once on redelivery);
+    // semi against the doc_id-bucketed shingles table — no index-sized
+    // shuffle. The caller-supplied ids broadcast only under the guard.
+    val reqSide =
+      if (requested.count() * 56L <= Similarity.BroadcastGuardBytes) broadcast(requested)
+      else requested
+    val present = spark.table(shinglesTable(tablePrefix)).select("doc_id")
+      .join(reqSide, Seq("doc_id"), "left_semi")
       .distinct()
+    val doomed = tombstones(spark, tablePrefix)
+      .fold(present)(t => present.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0) {

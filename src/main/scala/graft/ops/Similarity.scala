@@ -249,7 +249,11 @@ object Similarity {
       .withColumn("sig", sigUdf(col(s"vec_$idName"), col("t")))
 
     val corpus = bucketed(embs, "neighbor_id")
-    val qs = bucketed(queries, "query_id")
+    // Pinned once: the query frame feeds the sig/bucket pass, the
+    // refine join AND the guard's count — without the checkpoint an
+    // expensive derived `queries` lineage would evaluate three times.
+    val qPinned = queries.select(col(idCol), col(vecCol)).localCheckpoint()
+    val qs = bucketed(qPinned, "query_id")
 
     // Dedupe candidate PAIRS before touching vectors: distinct() over
     // bare ids shuffles 16 bytes/row instead of two embedded vectors.
@@ -262,8 +266,8 @@ object Similarity {
     // small side by convention, but the hint must not outlive the
     // convention — past the guard the join shuffles instead.
     val qVecs = guardedVecBroadcast(
-      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("vec_query_id")),
-      queries.count(), dim)
+      qPinned.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("vec_query_id")),
+      qPinned.count(), dim)
     val nVecs = embs.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("vec_neighbor_id"))
     val cands = candIds
       .join(qVecs, "query_id")

@@ -77,6 +77,9 @@ object BucketedLayout {
     */
   private[graft] def swapDir(fs: FileSystem, staged: Path, live: Path, aside: Path): Unit = {
     fs.delete(aside, true)
+    // rename requires existing destination parents (HDFS returns false
+    // otherwise, and the local fs would degrade to a non-atomic copy)
+    fs.mkdirs(aside.getParent)
     fs.mkdirs(live.getParent)
     val hadLive = fs.exists(live)
     if (hadLive && !fs.rename(live, aside))

@@ -124,6 +124,12 @@ object WarcIO {
     * (fixed date, record id = content hash), so a re-export of the
     * same frame is byte-identical. Existing `part-*.warc.gz` files in
     * `outDir` are overwritten.
+    *
+    * The export holds the [[WriterLock]] on `outDir` for its duration:
+    * the setup sweep below deletes every previous `part-*.warc.gz`, so
+    * two concurrent exports into one directory would destroy each
+    * other's already-committed parts (the rename-first task protocol
+    * only protects within one job). A second exporter fails loudly.
     */
   def writeResponses(
       df: DataFrame,
@@ -139,6 +145,7 @@ object WarcIO {
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val dirFs = dirPath.getFileSystem(hconf.value)
     dirFs.mkdirs(dirPath)
+    WriterLock.withLock(dirFs, WriterLock.lockPath(outDir), s"WARC export $outDir") {
     // Job setup (driver, before any task runs): sweep temp leftovers of
     // previously failed/killed jobs AND the previous export's part
     // files. Overwrite therefore happens HERE, exactly once — tasks
@@ -214,6 +221,7 @@ object WarcIO {
           } else fs.delete(tmp, false)
         }
       }
+    }
   }
 
   /** Hadoop `Configuration` is Writable, not Serializable; this is the
