@@ -291,8 +291,19 @@ object Bench {
           val dq = deepVecs.filter($"vec_id" < 50)
           val deepProbe = probeTimed(() =>
             force(graft.ops.AnnIndex.topKPq(spark, deepDir, dq, k = 10, nProbe = 8)))
+          // Compact-at-cell-count anchor: a 1024-cell index over the
+          // same corpus, every cell fragmented by the build's 8-way
+          // salt. The retired per-cell compact ran one Spark job per
+          // cell (1024 sequential driver jobs here); the single-job
+          // rewrite's cost must track the DATA, not the cell count —
+          // compare deep_compact_sec against deep_ann_build_sec, not
+          // against the cell count.
+          val cmpDir = s"$tmp/graft_bench_ann_cmp_$tag"
+          graft.ops.AnnIndex.build(deepVecs, cmpDir, nClusters = 1024, iters = 1, nTotal = n)
+          val deepCompact = timed(() => graft.ops.AnnIndex.compact(spark, cmpDir))
           s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
-          s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},"""
+          s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},""" +
+          s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},"""
         }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +

@@ -389,8 +389,14 @@ object AnnIndex {
       // per-cell files at ~targetBytes (capped at build's 8-way write
       // parallelism for hot cells).
       def rewriteTree(root: org.apache.hadoop.fs.Path): Long = {
-        val only = if (tomb.isDefined) None else Some(fragmentedCells(root))
         val cds = cellDirs(root)
+        // None = whole-tree rewrite + root swap: required for tombstone
+        // retirement, and cheaper than per-cell swaps when every cell
+        // is fragmented anyway (fresh-build salt, heavy streaming).
+        val frag = if (tomb.isDefined) Array.empty[Int] else fragmentedCells(root)
+        val only =
+          if (tomb.isDefined || (cds.nonEmpty && frag.length == cds.length)) None
+          else Some(frag)
         val bytes = cds.flatMap(cd => dataFiles(cd.getPath)).map(_.getLen).sum
         val avgCell = bytes.toDouble / math.max(1, cds.length)
         val nSalt = math.min(8L, math.max(1L, math.ceil(avgCell / targetBytes).toLong)).toInt
