@@ -65,6 +65,45 @@ object AnnIndex {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Operational snapshot of a persisted index — the counters an
+    * operator reads before deciding to [[compact]] (file counts grow
+    * with ingested batches), re-[[build]] (live vs corpus drift), or
+    * after a takedown wave (tombstones pending physical retirement).
+    * Row count comes from parquet metadata (footer-only job), the
+    * rest from listings — no data scan.
+    */
+  final case class IndexStats(
+      cells: Int,
+      rows: Long,
+      dataFiles: Long,
+      pqFiles: Long,
+      tombstones: Long,
+      hasPqSidecar: Boolean)
+
+  def stats(spark: SparkSession, dir: String): IndexStats = {
+    val fs = fsFor(spark, dir)
+    checkLayout(fs, dir)
+    def cellFiles(rootStr: String): Seq[Long] = {
+      val root = new org.apache.hadoop.fs.Path(rootStr)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(cd => fs.listStatus(cd.getPath).count { st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        }.toLong).toSeq
+    }
+    val vec = cellFiles(vectorsPath(dir))
+    val pq = cellFiles(pqcodesPath(dir))
+    IndexStats(
+      cells = vec.length,
+      rows = spark.read.parquet(vectorsPath(dir)).count(),
+      dataFiles = vec.sum,
+      pqFiles = pq.sum,
+      tombstones = readTombstones(spark, dir).fold(0L)(_.count()),
+      hasPqSidecar = fs.exists(new org.apache.hadoop.fs.Path(codebooksPath(dir))))
+  }
+
   /** Single-writer lock (see [[graft.sources.WriterLock]]) on
     * `<dir>/_writer.lock`: compact racing an append would silently
     * drop files installed into a cell between compact's read and its
@@ -394,8 +433,15 @@ object AnnIndex {
         // retirement, and cheaper than per-cell swaps when every cell
         // is fragmented anyway (fresh-build salt, heavy streaming).
         val frag = if (tomb.isDefined) Array.empty[Int] else fragmentedCells(root)
+        // Full-tree rewrite + root swap when: retiring tombstones (a
+        // doomed row may sit anywhere), every cell is fragmented (one
+        // rename beats per-cell swaps), or the fragmented set is too
+        // large to push as an `isin` partition filter (a 32k-literal
+        // list bloats the plan past what it saves).
         val only =
-          if (tomb.isDefined || (cds.nonEmpty && frag.length == cds.length)) None
+          if (tomb.isDefined ||
+              (cds.nonEmpty && frag.length == cds.length) ||
+              frag.length > 4096) None
           else Some(frag)
         val bytes = cds.flatMap(cd => dataFiles(cd.getPath)).map(_.getLen).sum
         val avgCell = bytes.toDouble / math.max(1, cds.length)

@@ -80,6 +80,25 @@ object DedupIndex {
     */
   def tombstonesTable(table: String): String = s"${table}_tombstones"
 
+  /** Operational snapshot: distinct-hash count (parquet metadata —
+    * footer-only), data-file count (the [[compact]] trigger: each
+    * ingested batch appends up-to-nBuckets files), and tombstones
+    * pending physical retirement.
+    */
+  final case class IndexStats(hashes: Long, dataFiles: Long, tombstones: Long)
+
+  def stats(spark: SparkSession, table: String): IndexStats = {
+    val path = new org.apache.hadoop.fs.Path(indexRoot(spark, table), "hashes")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).count { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    IndexStats(
+      hashes = spark.table(table).count(),
+      dataFiles = files.toLong,
+      tombstones = tombstones(spark, table).fold(0L)(_.count()))
+  }
+
   /** The index root — the parent of the bucketed table's directory,
     * recovered from the catalog for mutators that only know the name.
     */

@@ -45,6 +45,39 @@ object NearDupIndex {
   def tombstonesTable(prefix: String): String = s"${prefix}_tombstones"
   def droppedTable(prefix: String): String = s"${prefix}_dropped"
 
+  /** Operational snapshot: indexed docs and postings (parquet
+    * metadata counts), data files across both tables (the [[compact]]
+    * trigger), dropped posting buckets (the LSH coverage metric —
+    * see [[droppedBucketProbes]]), and tombstones pending retirement.
+    */
+  final case class IndexStats(
+      docs: Long,
+      postings: Long,
+      dataFiles: Long,
+      droppedBuckets: Long,
+      tombstones: Long)
+
+  def stats(spark: SparkSession, prefix: String): IndexStats = {
+    val root = indexRoot(spark, prefix)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(root, sub)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count { st =>
+        st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+      }.toLong
+    }
+    IndexStats(
+      docs = spark.table(shinglesTable(prefix)).select("doc_id").distinct().count(),
+      postings = spark.table(bucketsTable(prefix)).count(),
+      dataFiles = files("buckets") + files("shingles"),
+      droppedBuckets =
+        if (spark.catalog.tableExists(droppedTable(prefix)))
+          spark.table(droppedTable(prefix)).count()
+        else 0L,
+      tombstones = tombstones(spark, prefix).fold(0L)(_.count()))
+  }
+
   /** Single-writer lock (see [[graft.sources.WriterLock]]) on
     * `<dir>/_writer.lock`: compact racing an ingest/append would
     * silently drop the postings appended between its snapshot and the
