@@ -306,6 +306,23 @@ object SparkEntry {
       ops.DedupIndex.filterNew(s, tbl, d.filter($"doc_id" % 10 >= 6))
         .select($"doc_id", $"text_hash", $"n_dups")
     }),
+    // Shard consolidation: two dedup indexes built INDEPENDENTLY on
+    // disjoint corpus slices (per-crawl shards), merged into one — the
+    // merged frontier must equal what a from-scratch build over the
+    // union corpus would hold, hash for hash: summed duplicate counts
+    // (each side collapsed first), min keeper across both.
+    "q_index_merge" -> ((s, dir) => {
+      import s.implicits._
+      val sfx = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val outA = s"${System.getProperty("java.io.tmpdir")}/graft_mrga_$sfx"
+      val outB = s"${System.getProperty("java.io.tmpdir")}/graft_mrgb_$sfx"
+      val d = docs(s, dir)
+      ops.DedupIndex.build(d.filter($"doc_id" % 10 < 4), outA, s"graft_q_index_merge_a_$sfx", nBuckets = 8)
+      ops.DedupIndex.build(d.filter($"doc_id" % 10 >= 4 && $"doc_id" % 10 < 6), outB,
+        s"graft_q_index_merge_b_$sfx", nBuckets = 8)
+      ops.DedupIndex.merge(s, s"graft_q_index_merge_a_$sfx", outA, s"graft_q_index_merge_b_$sfx")
+      s.table(s"graft_q_index_merge_a_$sfx").select($"text_hash", $"n_dups", $"keep_id")
+    }),
     // Cross-run FUZZY dedup: persisted MinHash-LSH index on the head
     // 60%, tail 40% probed against it — verified cross pairs with
     // exact integer (intersection, union) evidence at J >= 0.9 (above
@@ -789,6 +806,32 @@ object SparkEntry {
       ops.TfIdf.topTerms(docs(s, dir), k = 3)
         .withColumn("rank", $"rank".cast("long"))
     }),
+    // BM25 lexical retrieval: 20 deterministic queries (the first 4
+    // tokens of every 25th doc) ranked against the corpus. Scores are
+    // integer micro-points end to end — the one libm factor (ln) is
+    // snapped to micro-nats per TERM before anything multiplies it,
+    // per-term contributions snap once, and the per-doc sum is an
+    // integer sum — so DuckDB replays the full formula bit-for-bit.
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      ops.Bm25.topDocs(d, bm25Queries(d), k = 10)
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    // the exact-cosine top-20 (both independently hash-verified paths),
+    // fused by integer micro-point RRF — the standard no-calibration
+    // lexical + vector combiner. The oracle recomputes both rankings
+    // AND the fusion exactly.
+    "q_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val lex = ops.Bm25.topDocs(d, bm25Queries(d), k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val vec = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0), k = 20)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
+    }),
     // Best-5 docs per source by quality score (bounded-heap reduction,
     // not a full window sort; ties broken by doc_id so the oracle's
     // row_number() reproduces ranks exactly).
@@ -992,6 +1035,43 @@ object SparkEntry {
         .agg(
           (sum(when($"neighbor_id" >= 1000000L, 1L).otherwise(0L)) === 0L).as("twin_absent"),
           (count(lit(1)) === 10L).as("k_full"))
+    }),
+    // Filtered ANN search, exact form: the index stores `label` as a
+    // filterable metadata column beside each vector, and the probe
+    // carries a metadata predicate ("top-k among label % 3 = 0") that
+    // pushes into the partition-pruned scan. At nProbe = the cell
+    // count every cell is scanned, so the result is EXACTLY brute-force
+    // filtered top-k — replayed row-for-row by DuckDB (ranked on the
+    // rounded score, AnnIndex.topK's contract, ties by neighbor_id).
+    "q_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annflt_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val e = embs(s, dir)
+      ops.AnnIndex.build(e, out, nClusters = 16, iters = 5, metaCols = Seq("label"))
+      val q = e.filter($"vec_id" < 50)
+      ops.AnnIndex.topK(s, out, q, k = 10, nProbe = 16,
+        filter = Some($"label" % 3 === 0))
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
+    }),
+    // The same filtered-search contract through the compressed sidecar:
+    // pqcodes stores the metadata beside the codes, the predicate
+    // applies DURING the ADC scan (excluded rows never consume the
+    // refine budget), and with nProbe = all cells + a refine budget
+    // past the filtered corpus size the ADC cut keeps every candidate
+    // — so the exact-cosine re-rank IS brute-force filtered top-k
+    // (ranked unrounded, topKPq's contract).
+    "q_ann_filtered_pq" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annfpq_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val e = embs(s, dir)
+      ops.AnnIndex.build(e, out, nClusters = 16, iters = 5, metaCols = Seq("label"))
+      ops.AnnIndex.buildPq(s, out, m = 16, codes = 32, iters = 5)
+      val q = e.filter($"vec_id" < 50)
+      ops.AnnIndex.topKPq(s, out, q, k = 10, nProbe = 16, refine = 500,
+        filter = Some($"label" % 3 === 0))
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
     }),
     // Persisted IVF-PQ: the 100-TB serving path for the vectors
     // themselves (m one-byte codes instead of ~3 KB of floats per
@@ -1405,6 +1485,47 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** 20 deterministic lexical queries: the first 4 whitespace tokens
+    * of every 25th document (the oracle rebuilds the identical term
+    * sets with `list_slice`, so the concat/re-split round trip is a
+    * no-op by construction — tokens carry no whitespace).
+    */
+  private def bm25Queries(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4)).as("text"))
+
+  /** The BM25 pipeline as DuckDB CTEs, replaying [[graft.ops.Bm25]]'s
+    * expression trees verbatim (k1 = 1.5 and b = 0.75 are dyadic; the
+    * ln snaps to integer micro-nats per term; contributions snap once
+    * and sum as integers — bit-identical across engines). Ends with
+    * `brank` = (query_id, doc_id, score_micro, rank).
+    */
+  private def bm25OracleCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+      |bstats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT term,
+      |  floor(ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * 1000000.0 + 0.5)::BIGINT AS idf_micro
+      |  FROM df, bstats),
+      |qt AS (SELECT DISTINCT doc_id AS query_id,
+      |  unnest(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 4)) AS term
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    floor(idf.idf_micro::DOUBLE *
+      |      ((tf.tf::DOUBLE * 2.5) /
+      |       (tf.tf::DOUBLE + 1.5 * (0.25 + 0.75 * (dl.dl::DOUBLE / bstats.avgdl)))) + 0.5)::BIGINT AS c_micro
+      |  FROM tf JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (doc_id), bstats),
+      |bscore AS (SELECT query_id, doc_id, sum(c_micro)::BIGINT AS score_micro
+      |  FROM contrib GROUP BY 1, 2),
+      |brank AS (SELECT query_id, doc_id, score_micro,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+      |  FROM bscore)""".stripMargin
+
   /** All pairs with exact word-3-shingle Jaccard >= 0.5, as integer
     * (n_inter, n_union) — the independent recomputation both near-dup
     * paths must match. All-pairs is fine for the oracle's sf0.01 (500
@@ -1467,6 +1588,13 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, text_hash, count(*) AS n_dups
         |FROM tail WHERE text_hash NOT IN (SELECT text_hash FROM live)
         |GROUP BY text_hash""".stripMargin,
+    // Merge contract: the merged frontier equals a from-scratch build
+    // over the UNION of the two shards' corpora — count and min-keeper
+    // per hash, recomputed directly from the documents.
+    "q_index_merge" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+        |count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents WHERE doc_id % 10 < 6 GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |length(text) AS n_chars,
@@ -2271,6 +2399,33 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df, score, rank
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q_bm25" ->
+      s"""WITH $bm25OracleCte
+        |SELECT query_id, doc_id, rank, score_micro FROM brank WHERE rank <= 10""".stripMargin,
+    // Fusion replay: BM25 top-20 + exact-cosine top-20, RRF'd with
+    // integer micro-point contributions (floor(1e6/(60+rank)+0.5)),
+    // re-ranked by the exact integer sum.
+    "q_hybrid" ->
+      s"""WITH $bm25OracleCte,
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |u AS (
+        |  SELECT query_id, doc_id,
+        |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c
+        |  FROM brank WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c
+        |  FROM vec WHERE rank <= 20),
+        |f AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_lists, sum(c)::BIGINT AS rrf_micro
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, n_lists, rrf_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+        |SELECT query_id, doc_id, rank, n_lists, rrf_micro FROM fr WHERE rank <= 10""".stripMargin,
     "q_topk_source" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2511,6 +2666,32 @@ object SparkEntry {
     // twin absent AND a full k of surviving neighbors — uniformly true.
     "q_ann_delete" ->
       "SELECT vec_id AS query_id, true AS twin_absent, true AS k_full FROM embeddings WHERE vec_id < 50",
+    // Filtered search, EXACT replay (not a recall contract): at
+    // nProbe = cell count the probe scans every cell, so the filtered
+    // top-10 must equal brute force over the predicate's rows. topK
+    // ranks on the ROUNDED score (ties by neighbor_id) — replayed.
+    "q_ann_filtered" ->
+      """WITH r AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC, n.vec_id) AS rank,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 50 AND n.vec_id != q.vec_id AND n.label % 3 = 0)
+        |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+    // Same exact contract through the PQ sidecar: all cells probed and
+    // the refine budget exceeds the filtered corpus, so the ADC cut
+    // keeps every candidate and the exact-cosine re-rank IS brute
+    // force. topKPq ranks UNROUNDED and rounds for display — replayed.
+    "q_ann_filtered_pq" ->
+      """WITH r AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 50 AND n.vec_id != q.vec_id AND n.label % 3 = 0)
+        |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
     "q_pq_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 50",
     "q_pca" ->

@@ -14,11 +14,18 @@ import org.apache.spark.sql.functions._
   * new complete one, never new vectors under old centers):
   *
   * {{{
-  *   dir/ivf/centers/            (cell, center array<double>)   k rows
-  *   dir/ivf/vectors/cell=<c>/   (vec_id, v array<float>)       corpus
-  *   dir/pq/codebooks/           (sub, code, word)        [buildPq]
-  *   dir/pq/pqcodes/cell=<c>/    (vec_id, pq_codes)       [buildPq]
+  *   dir/ivf/centers/            (cell, center array<double>)      k rows
+  *   dir/ivf/vectors/cell=<c>/   (vec_id, v array<float>, meta...) corpus
+  *   dir/pq/codebooks/           (sub, code, word)           [buildPq]
+  *   dir/pq/pqcodes/cell=<c>/    (vec_id, meta..., pq_codes) [buildPq]
   * }}}
+  *
+  * `meta...` are the caller-declared filterable attributes
+  * ([[build]]'s `metaCols` — language, licence, source, label): both
+  * probe APIs accept a predicate over them ("top-k among vectors WHERE
+  * lang = 'en'") that pushes into the partition-pruned scan, the
+  * filtered-search layout trade (attributes stored beside vectors AND
+  * codes, zero probe-path joins).
   *
   * The Spark-native part is the layout: `vectors` is written
   * `partitionBy("cell")`, so a query batch that probes `nProbe` cells
@@ -129,10 +136,14 @@ object AnnIndex {
       iters: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nTotal: Long = 0L): Int = {
+      nTotal: Long = 0L,
+      metaCols: Seq[String] = Nil): Int = {
     val spark = embs.sparkSession
     withWriterLock(spark, dir) {
     import spark.implicits._
+    val reserved = Set("vec_id", "v", "cell")
+    require(metaCols.forall(c => !reserved(c) && c != idCol && c != vecCol),
+      s"metaCols collide with index columns: ${metaCols.mkString(", ")}")
     val kCells =
       if (nClusters > 0) nClusters
       else {
@@ -159,7 +170,7 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_build_tmp")
     fs.delete(staging, true)
-    assignWithCenters(spark, embs, idCol, vecCol, centers)
+    assignWithCenters(spark, embs, idCol, vecCol, centers, metaCols)
       .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_build_tmp/ivf/vectors")
     centers.zipWithIndex
@@ -233,11 +244,11 @@ object AnnIndex {
     // per-batch commit, so both probe APIs see both ingest paths.
     books.foreach { bk =>
       assigned
-        .select($"vec_id", $"cell",
+        .select((Seq($"vec_id", $"cell") ++ indexMetaCols(spark, dir).map(col) ++ Seq(
           graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
             graft.functions.ColumnBridge.toExpression($"v"),
             graft.functions.RefTable.auto(spark, bk,
-              graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
+              graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))): _*)
         .write.mode("append").partitionBy("cell").parquet(pqcodesPath(dir))
     }
   }
@@ -308,10 +319,21 @@ object AnnIndex {
     readTombstones(spark, dir).fold(df)(t =>
       df.join(broadcast(t.withColumnRenamed("vec_id", on)), Seq(on), "left_anti"))
 
-  /** (vec_id, v, cell) of `embs` against the index's frozen centers —
-    * the assignment kernel [[append]] and the streaming ingest share
-    * (the latter stages the result and renames into place instead of
-    * appending blind — its exactly-once story).
+  /** The filterable metadata columns this index stores beside the
+    * vectors — everything in `vectors/` that is not the id, the vector
+    * or the partition column (footer-only schema read, no data scan).
+    */
+  private[graft] def indexMetaCols(spark: SparkSession, dir: String): Seq[String] = {
+    val core = Set("vec_id", "v", "cell")
+    spark.read.parquet(vectorsPath(dir)).schema.fieldNames.toSeq.filterNot(core)
+  }
+
+  /** (vec_id, v, meta..., cell) of `embs` against the index's frozen
+    * centers — the assignment kernel [[append]] and the streaming
+    * ingest share (the latter stages the result and renames into place
+    * instead of appending blind — its exactly-once story). Metadata
+    * columns follow the INDEX's schema: a batch entering an index built
+    * with `metaCols` must carry them.
     */
   private[graft] def assignCells(
       spark: SparkSession,
@@ -324,21 +346,28 @@ object AnnIndex {
       .select($"cell", $"center").as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
       .map(_._2.toArray)
-    assignWithCenters(spark, embs, idCol, vecCol, centers)
+    val meta = indexMetaCols(spark, dir)
+    val missing = meta.filterNot(embs.columns.toSet)
+    require(missing.isEmpty,
+      s"batch is missing the index's metadata column(s) ${missing.mkString(", ")} " +
+        s"(the index at $dir stores them beside every vector)")
+    assignWithCenters(spark, embs, idCol, vecCol, centers, meta)
   }
 
-  /** (vec_id, v, cell) of `embs` under an in-hand center table — the
-    * shared shuffle-free assignment pass of [[build]], [[append]] and
-    * the streaming ingest.
+  /** (vec_id, v, meta..., cell) of `embs` under an in-hand center
+    * table — the shared shuffle-free assignment pass of [[build]],
+    * [[append]] and the streaming ingest.
     */
   private def assignWithCenters(
       spark: SparkSession,
       embs: DataFrame,
       idCol: String,
       vecCol: String,
-      centers: Array[Array[Double]]): DataFrame =
+      centers: Array[Array[Double]],
+      metaCols: Seq[String] = Nil): DataFrame =
     embs
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .select((Seq(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")) ++
+        metaCols.map(col)): _*)
       .withColumn("cell", graft.functions.ColumnBridge.toColumn(
         graft.functions.NearestCentroid(
           graft.functions.ColumnBridge.toExpression(col("v")),
@@ -489,6 +518,16 @@ object AnnIndex {
   /** Top-k neighbors for each query against the persisted index:
     * (query_id, neighbor_id, rank, score). Self-matches excluded, the
     * same rank/tie contract as [[Clustering.ivfTopK]].
+    *
+    * `filter`: optional predicate over the index's metadata columns
+    * (stored via [[build]]'s `metaCols`) — "top-k among vectors WHERE
+    * ..." (per-language search, licence-restricted retrieval, source
+    * scoping). Applied to the vectors scan itself, so Catalyst pushes
+    * it into the partition-pruned parquet read (`PushedFilters`) and
+    * excluded rows never reach the scoring kernel. A selective filter
+    * thins each probed cell's candidates, so deep filters want a
+    * higher `nProbe` for the same recall; at `nProbe` >= the cell
+    * count the result is EXACT filtered top-k.
     */
   def topK(
       spark: SparkSession,
@@ -497,7 +536,8 @@ object AnnIndex {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
@@ -523,9 +563,10 @@ object AnnIndex {
     // only probed cell directories (visible as PartitionFilters in the
     // plan), instead of depending on dynamic-pruning heuristics.
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
+    val scan0 = spark.read.parquet(vectorsPath(dir))
+      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
     val vectors = minusTombstones(spark, dir,
-      spark.read.parquet(vectorsPath(dir))
-        .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      filter.fold(scan0)(scan0.filter)
         .select($"vec_id".as("neighbor_id"), $"v".as("nv"), $"cell"),
       on = "neighbor_id")
     // The broadcast hint bypasses Spark's size threshold, so guard it:
@@ -585,12 +626,17 @@ object AnnIndex {
     }.toSeq
       .toDF("sub", "code", "word")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/_buildpq_tmp/pq/codebooks")
+    // Metadata columns ride into the sidecar too: a [[topKPq]] filter
+    // must apply DURING the ADC scan (post-refine filtering would let
+    // excluded rows consume the refine budget), so the attributes live
+    // beside the codes — the standard filtered-IVF-PQ layout trade
+    // (meta bytes duplicated, zero extra joins on the probe path).
     vectors
-      .select($"vec_id", $"cell",
+      .select((Seq($"vec_id", $"cell") ++ indexMetaCols(spark, dir).map(col) ++ Seq(
         graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
           graft.functions.ColumnBridge.toExpression($"v"),
           graft.functions.RefTable.auto(spark, books,
-            graft.functions.RefTable.bytes3(books, 8)))).as("pq_codes"))
+            graft.functions.RefTable.bytes3(books, 8)))).as("pq_codes"))): _*)
       .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_buildpq_tmp/pq/pqcodes")
     graft.sources.SwapHooks.preSwap(dir)
@@ -616,6 +662,11 @@ object AnnIndex {
     * projections over the query frame — only the probed CELL ID set
     * (bounded by the cell count) is collected, to reach the scan as a
     * static partition filter.
+    *
+    * `filter`: optional metadata predicate, [[topK]]'s contract —
+    * applied to the ADC scan itself (the sidecar stores the metadata
+    * columns beside the codes), so excluded rows never consume the
+    * refine budget.
     */
   def topKPq(
       spark: SparkSession,
@@ -625,7 +676,8 @@ object AnnIndex {
       nProbe: Int = 8,
       refine: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
@@ -661,9 +713,14 @@ object AnnIndex {
       .drop("qv")
       .localCheckpoint()
     val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
+    // The metadata filter applies to the ADC scan itself (pqcodes
+    // carries the index's metadata columns for exactly this): rows the
+    // predicate excludes never consume the refine budget, and the
+    // filter pushes into the partition-pruned parquet read.
+    val codesScan0 = spark.read.parquet(pqcodesPath(dir))
+      .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
     val codesDf = minusTombstones(spark, dir,
-      spark.read.parquet(pqcodesPath(dir))
-        .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*)),
+      filter.fold(codesScan0)(codesScan0.filter),
       on = "vec_id")
     // Broadcast guard, as in [[topK]]: the probe frame is Q * nProbe
     // rows each carrying an m * codes float LUT.

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical relevance scoring — the retrieval half a curation
+  * pipeline pairs with embedding search (mining seed-relevant
+  * documents, building eval sets, hybrid filtering before expensive
+  * model passes). Okapi BM25 with the Lucene-style non-negative idf:
+  *
+  * {{{
+  *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   tfpart(t,d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  *   score(q,d)  = sum over distinct query terms of idf * tfpart
+  * }}}
+  *
+  * Engine-portable fixed-point discipline (the
+  * [[Sampling.weightedSamplePerGroup]] micro-nats pattern): the one
+  * libm-dependent factor (`ln`) is snapped to integer micro-nats
+  * (`floor(x*1e6 + 0.5)`) the moment it is computed, every other
+  * factor is exact IEEE arithmetic on an expression tree the oracle
+  * replays verbatim (k1 = 1.5 and b = 0.75 are dyadic, so the
+  * constants are exact), and the per-term contributions are summed as
+  * INTEGER micro-points — addition order can never move a score the
+  * way a floating sum across an arbitrary shuffle ordering could.
+  * Scores are therefore bit-identical across engines and layouts.
+  *
+  * Scale shape: tf is the one corpus-sized shuffle (map-side-combined
+  * groupBy over the exploded token stream, shared with [[TfIdf]]);
+  * df and dl aggregate the already-small tf table; corpus stats (N,
+  * avgdl) are a 1-row broadcast; the query-term table is tiny and
+  * broadcasts into tf, so candidate generation is one co-partitioned
+  * pass over the docs that contain at least one query term. Ranking
+  * uses the shared bounded-heap top-k ([[TopK.topKPerGroup]] shape via
+  * [[Similarity.rankTopK]]) — no full window sort.
+  */
+object Bm25 {
+
+  /** Integer micro-points of `x` — `floor(x*1e6 + 0.5)` as a long. */
+  private def micro(x: Column): Column = floor(x * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Per-(query, doc) BM25 scores in integer micro-points:
+    * (query_id, doc_id, score_micro). Only pairs sharing at least one
+    * term appear (a zero-overlap pair scores 0 by definition).
+    *
+    * `queries`: (idCol -> query_id, textCol -> query text); terms are
+    * deduplicated per query (standard bag-of-distinct-terms BM25).
+    */
+  def scores(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryTextCol: String = "text",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // tf feeds FOUR branches (dl, stats, df, the candidate join) — pin
+    // one evaluation or the corpus tokenize+shuffle replays per branch.
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // Doc length in tokens and corpus stats from the tf table (it
+    // already holds every (doc, term, count)) — no second corpus pass.
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    // idf snapped to micro-nats at the term level: the ln is the ONLY
+    // factor two engines' libms could disagree on, so it is rounded
+    // before anything multiplies it. df and n_docs are longs; the
+    // ratio's expression tree below is replayed verbatim by the oracle.
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"), col("df"),
+        micro(log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).as("idf_micro"))
+    // Candidates: docs sharing a term with the query. The query-term
+    // table is tiny (queries x terms) — broadcast it; tf keeps its
+    // partitioning. idf rides on the term key; dl joins per doc.
+    val tfpart =
+      (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(idf.drop("df")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      // Per-(term, doc) contribution in micro-points: idf_micro is the
+      // already-integer micro-nats idf, so idf_micro * tfpart IS the
+      // contribution scaled by 1e6 — snap once and sum exactly.
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf_micro").cast("double") * tfpart + lit(0.5)).cast("long").as("c_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_micro").as("score_micro"))
+  }
+
+  /** The `k` best docs per query by BM25: (query_id, doc_id, rank,
+    * score_micro), rank 1..k by (score desc, doc_id asc) — fully
+    * deterministic via the integer score. Bounded-heap reduction, no
+    * window sort.
+    */
+  def topDocs(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryTextCol: String = "text",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val s = scores(docs, queries, k1, b, textCol, idCol, queryTextCol, queryIdCol)
+    Similarity.rankTopK(
+      s.select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_micro").cast("double").as("score")), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank"),
+        col("score").cast("long").as("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009):
+    * rrf(d) = sum over rankings of 1/(k0 + rank_i(d)), the standard
+    * way to fuse lexical (BM25) and vector (ANN) retrieval without
+    * score calibration. Each input is a (query_id, doc_id, rank)
+    * frame (extra columns ignored; absent docs contribute 0).
+    *
+    * Portable by the same fixed-point discipline: each ranking's
+    * contribution `1e6/(k0 + rank)` is one exact IEEE division
+    * snapped to integer micro-points, and the fusion sum is an
+    * integer sum — orderless, engine-exact. Returns (query_id,
+    * doc_id, n_lists, rrf_micro) for every doc present in at least
+    * one ranking.
+    *
+    * Scale shape: inputs are per-query top-N frames (Q x N rows each),
+    * so the union + one groupBy is bounded by the fused depth, never
+    * the corpus.
+    */
+  def rrf(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    val tagged = rankings.map(r =>
+      r.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        floor(lit(1000000.0) / (lit(k0).cast("double") + col("rank").cast("double")) +
+          lit(0.5)).cast("long").as("c_micro")))
+    tagged.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum("c_micro").as("rrf_micro"))
+  }
+
+  /** The `k` best docs per query after RRF fusion: (query_id, doc_id,
+    * rank, n_lists, rrf_micro), rank by (rrf desc, doc_id asc).
+    */
+  def fuseTopK(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val fused = rrf(rankings, k0)
+    Similarity.rankTopK(
+      fused.select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rrf_micro").cast("double").as("score")), k)
+      .join(fused.withColumnRenamed("doc_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank"), col("n_lists"), col("rrf_micro"))
+  }
+}

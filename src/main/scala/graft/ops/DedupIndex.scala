@@ -270,6 +270,56 @@ object DedupIndex {
     fresh.drop("text_hash", "n_dups")
   }
 
+  /** Merge another dedup index INTO this one — the shard-consolidation
+    * path (per-crawl or per-tenant indexes built independently, then
+    * folded into the main frontier once vetted). The union of both
+    * LIVE row sets (each minus its own tombstones — a takedown honored
+    * by either side stays honored) re-aggregates per hash exactly like
+    * a from-scratch build over the union corpus would: `keep_id` = min
+    * across both (the dedup family's survivor rule), `n_dups` = sum
+    * (the corpora are distinct ingest histories, so duplicate counts
+    * add). Written as ONE fresh staged generation of `table` and
+    * swapped in by rename — probes of `table` read the old complete
+    * index for the whole merge, the [[build]]/[[compact]] atomicity
+    * contract. `other` is read-only throughout (drop it separately
+    * once the merge is verified).
+    *
+    * Scale shape: both sides scan bucketed with no exchange; the
+    * re-aggregation shuffles hash-frontier rows (one row per distinct
+    * content, never corpus-sized) into the fresh generation's
+    * bucketing. Returns the merged index's data-file count.
+    */
+  def merge(spark: SparkSession, table: String, dir: String, other: String): Long =
+    withWriterLock(spark, dir, table) {
+      val nBuckets = spark.table(table).queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          r.tableMeta.bucketSpec.map(_.numBuckets)
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.flatMap(_.bucketSpec).map(_.numBuckets)
+      }.flatten.getOrElse(64)
+      // Collapse each side's zombie double-append rows FIRST (max/min,
+      // the [[compact]] rule — a zombie is a re-written copy of the
+      // same ingest, not new duplicates), so the cross-side sum counts
+      // every ingest history exactly once. The per-side groupBy reuses
+      // the bucketed partitioning — no exchange.
+      def liveCollapsed(t: String): DataFrame =
+        minusTombstones(spark, t, spark.table(t))
+          .groupBy("text_hash")
+          .agg(max("n_dups").as("n_dups"), min("keep_id").as("keep_id"))
+      val total = BucketedLayout.writeBucketedSwap(
+        spark,
+        liveCollapsed(table).unionByName(liveCollapsed(other))
+          .groupBy("text_hash")
+          .agg(sum("n_dups").cast("long").as("n_dups"), min("keep_id").as("keep_id")),
+        table, s"$dir/hashes", "text_hash", nBuckets)
+      // This side's tombstones are physically retired by the rewrite
+      // (cleared after the swap, the compact contract); the other
+      // index's tombstones were honored by reading only its live rows
+      // and belong to IT — untouched.
+      clearTombstones(spark, table, new org.apache.hadoop.fs.Path(dir))
+      total
+    }
+
   /** Small-file compaction: every [[ingest]] / streaming batch appends
     * up-to-`nBuckets` files, so a long-lived index accumulates
     * `batches x buckets` tiny files and probe scans pay a task + a

@@ -97,11 +97,12 @@ object StreamingAnnIngest {
         // the sidecar NOW, with quantization drift (like center drift)
         // accruing until the next buildPq.
         assigned
-          .select($"vec_id", $"cell",
-            graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
-              graft.functions.ColumnBridge.toExpression($"v"),
-              graft.functions.RefTable.auto(spark, bk,
-                graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))
+          .select((Seq($"vec_id", $"cell") ++
+            graft.ops.AnnIndex.indexMetaCols(spark, indexDir).map(col) ++ Seq(
+              graft.functions.ColumnBridge.toColumn(graft.functions.PqEncode(
+                graft.functions.ColumnBridge.toExpression($"v"),
+                graft.functions.RefTable.auto(spark, bk,
+                  graft.functions.RefTable.bytes3(bk, 8)))).as("pq_codes"))): _*)
           .repartition(col("cell"))
           .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("cell")
           .parquet(new org.apache.hadoop.fs.Path(staging, "pqcodes").toString)
