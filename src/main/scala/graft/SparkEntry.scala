@@ -323,6 +323,27 @@ object SparkEntry {
       ops.DedupIndex.merge(s, s"graft_q_index_merge_a_$sfx", outA, s"graft_q_index_merge_b_$sfx")
       s.table(s"graft_q_index_merge_a_$sfx").select($"text_hash", $"n_dups", $"keep_id")
     }),
+    // Shard consolidation for the FUZZY frontier: two LSH indexes
+    // built independently on disjoint slices, merged — postings and
+    // fingerprints are deterministic functions of doc content, so the
+    // merged index must answer a probe exactly like one built over the
+    // union corpus (the q_neardup_index oracle, unchanged).
+    "q_neardup_merge" -> ((s, dir) => {
+      import s.implicits._
+      val sfx = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val outA = s"${System.getProperty("java.io.tmpdir")}/graft_ndmrga_$sfx"
+      val outB = s"${System.getProperty("java.io.tmpdir")}/graft_ndmrgb_$sfx"
+      val d = docs(s, dir)
+      ops.NearDupIndex.build(d.filter($"doc_id" % 10 < 4), outA,
+        s"graft_q_neardup_merge_a_$sfx", nBuckets = 8)
+      ops.NearDupIndex.build(d.filter($"doc_id" % 10 >= 4 && $"doc_id" % 10 < 6), outB,
+        s"graft_q_neardup_merge_b_$sfx", nBuckets = 8)
+      ops.NearDupIndex.merge(s, s"graft_q_neardup_merge_a_$sfx", outA,
+        s"graft_q_neardup_merge_b_$sfx")
+      ops.NearDupIndex.probePairs(s, s"graft_q_neardup_merge_a_$sfx",
+        d.filter($"doc_id" % 10 >= 6), threshold = 0.9)
+        .select($"doc_a", $"doc_b", $"n_inter", $"n_union")
+    }),
     // Cross-run FUZZY dedup: persisted MinHash-LSH index on the head
     // 60%, tail 40% probed against it — verified cross pairs with
     // exact integer (intersection, union) evidence at J >= 0.9 (above
@@ -1035,6 +1056,25 @@ object SparkEntry {
         .agg(
           (sum(when($"neighbor_id" >= 1000000L, 1L).otherwise(0L)) === 0L).as("twin_absent"),
           (count(lit(1)) === 10L).as("k_full"))
+    }),
+    // Shard consolidation for the vector tier: two ANN indexes built
+    // independently on the even/odd halves, the odd shard merged into
+    // the even one through the frozen-center append path. topK scores
+    // raw vectors, so at full probe depth the merged index answers
+    // EXACTLY like brute force over the union corpus — a hard
+    // row-for-row replay, not a recall contract.
+    "q_ann_merge" -> ((s, dir) => {
+      import s.implicits._
+      val sfx = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val outA = s"${System.getProperty("java.io.tmpdir")}/graft_amrga_$sfx"
+      val outB = s"${System.getProperty("java.io.tmpdir")}/graft_amrgb_$sfx"
+      val e = embs(s, dir).select($"vec_id", $"embedding")
+      ops.AnnIndex.build(e.filter($"vec_id" % 2 === 0), outA, nClusters = 16, iters = 5)
+      ops.AnnIndex.build(e.filter($"vec_id" % 2 === 1), outB, nClusters = 8, iters = 3)
+      ops.AnnIndex.merge(s, outA, outB)
+      val q = e.filter($"vec_id" < 50)
+      ops.AnnIndex.topK(s, outA, q, k = 10, nProbe = 16)
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
     }),
     // Filtered ANN search, exact form: the index stores `label` as a
     // filterable metadata column beside each vector, and the probe
@@ -2501,6 +2541,20 @@ object SparkEntry {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
         |  FROM t a, t b WHERE a.doc_id % 10 < 6 AND b.doc_id % 10 >= 6)
         |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.9""".stripMargin,
+    // Merge == build-over-union for the probe: the q_neardup_index
+    // pair set, unchanged — the merged shards must cover it exactly.
+    "q_neardup_merge" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+        |  FROM t a, t b WHERE a.doc_id % 10 < 6 AND b.doc_id % 10 >= 6)
+        |SELECT doc_a, doc_b, n_inter, n_union FROM p WHERE n_inter::DOUBLE >= n_union * 0.9""".stripMargin,
     // Same cross-corpus pair set AFTER the takedown of every indexed
     // doc with id % 7 = 0: pairs whose indexed side was tombstoned
     // vanish; everything else is unchanged — recomputed exactly.
@@ -2666,6 +2720,18 @@ object SparkEntry {
     // twin absent AND a full k of surviving neighbors — uniformly true.
     "q_ann_delete" ->
       "SELECT vec_id AS query_id, true AS twin_absent, true AS k_full FROM embeddings WHERE vec_id < 50",
+    // ANN merge, EXACT replay: full probe depth + raw-vector scoring
+    // means the merged (even-shard + odd-shard) index must return the
+    // brute-force top-10 over the whole corpus, rounded-rank contract.
+    "q_ann_merge" ->
+      """WITH r AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC, n.vec_id) AS rank,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) AS score
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 50 AND n.vec_id != q.vec_id)
+        |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
     // Filtered search, EXACT replay (not a recall contract): at
     // nProbe = cell count the probe scans every cell, so the filtered
     // top-10 must equal brute force over the predicate's rows. topK

@@ -254,6 +254,36 @@ object AnnIndex {
   }
 
   /** The persisted codebooks, if [[buildPq]] has run on this index. */
+  /** Merge another ANN index INTO this one — shard consolidation for
+    * the vector tier (per-crawl indexes folded into the serving one).
+    * The other index's LIVE vectors (minus its tombstones) enter
+    * through the [[append]] path: assigned to THIS index's frozen
+    * centers by the shuffle-free kernel, appended to their cells, and
+    * encoded into the PQ sidecar when one exists — immediately
+    * searchable through both probe APIs. The usual append trade rides
+    * along (centers were not trained on the merged rows, so recall on
+    * them drifts until the next [[build]]); at full probe depth the
+    * merged index answers EXACTLY like one holding the union corpus,
+    * since [[topK]] scores raw vectors. Metadata columns must be
+    * compatible: the other index must carry every `metaCols` column
+    * this one stores (loud otherwise). `other` is read-only; this
+    * index's own tombstones are untouched (merged-in ids are expected
+    * to be fresh — reusing a tombstoned id hides the row until the
+    * next compact, [[delete]]'s documented semantics). Returns the
+    * number of vectors merged in.
+    */
+  def merge(spark: SparkSession, dir: String, otherDir: String): Long =
+    withWriterLock(spark, dir) {
+      checkLayout(fsFor(spark, otherDir), otherDir)
+      val other = minusTombstones(spark, otherDir,
+        spark.read.parquet(vectorsPath(otherDir)), on = "vec_id")
+        .drop("cell")
+        .withColumnRenamed("v", "embedding")
+        .localCheckpoint() // one evaluation feeds the count and the append
+      append(spark, dir, other)
+      other.count()
+    }
+
   private[graft] def readCodebooks(
       spark: SparkSession, dir: String): Option[ProductQuantization.Codebooks] = {
     import spark.implicits._

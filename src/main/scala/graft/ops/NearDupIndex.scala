@@ -358,6 +358,72 @@ object NearDupIndex {
     kept
   }
 
+  /** Merge another near-dup index INTO this one — shard consolidation
+    * for the fuzzy frontier (per-crawl LSH indexes folded into the
+    * main one). Both sides' LIVE postings and fingerprints union
+    * (minus each side's tombstones), zombies collapse, and the
+    * `maxBucket` cap re-applies on the UNION sizes — a bucket under
+    * the cap in each shard can exceed it combined, exactly as a
+    * from-scratch build over the union corpus would drop it. Buckets
+    * already dropped by EITHER shard stay dropped and observable
+    * (their postings are gone — serving the surviving side's rows as
+    * a complete bucket would silently under-candidate); they re-enter
+    * only through a full [[build]]. Staged + swapped like
+    * [[build]]/[[compact]]: probes of this index read the old
+    * complete generation throughout; `other` is read-only.
+    *
+    * Postings are deterministic functions of doc content (shared
+    * hash/banding), so away from cap effects the merged index answers
+    * exactly like one built over the union corpus. Returns the merged
+    * data-file count.
+    */
+  def merge(
+      spark: SparkSession,
+      tablePrefix: String,
+      dir: String,
+      otherPrefix: String,
+      maxBucket: Int = 64): Long = withWriterLock(spark, dir, tablePrefix) {
+    val post = minusTombstones(spark, tablePrefix,
+        spark.table(bucketsTable(tablePrefix)), on = "doc_id")
+      .unionByName(minusTombstones(spark, otherPrefix,
+        spark.table(bucketsTable(otherPrefix)), on = "doc_id"))
+      .distinct().localCheckpoint()
+    def droppedOf(p: String): Option[DataFrame] =
+      if (spark.catalog.tableExists(droppedTable(p))) Some(spark.table(droppedTable(p)))
+      else None
+    val carried = (droppedOf(tablePrefix).toSeq ++ droppedOf(otherPrefix).toSeq)
+      .reduceOption(_.unionByName(_))
+      .map(_.groupBy("bb").agg(max(col("n_docs")).as("n_docs")).localCheckpoint())
+    val postLive = carried.fold(post)(c =>
+      post.join(c.select("bb"), Seq("bb"), "left_anti"))
+    val sizes = postLive.groupBy("bb").agg(count(lit(1)).as("n_docs")).localCheckpoint()
+    val kept = postLive.join(
+      sizes.filter(col("n_docs") <= maxBucket).select("bb"), "bb")
+      .select("bb", "doc_id")
+    val freshDropped = sizes.filter(col("n_docs") > maxBucket)
+    val droppedDf = carried.fold(freshDropped)(c =>
+      c.unionByName(freshDropped).groupBy("bb").agg(max(col("n_docs")).as("n_docs")))
+    val shingles = minusTombstones(spark, tablePrefix,
+        spark.table(shinglesTable(tablePrefix)), on = "doc_id")
+      .unionByName(minusTombstones(spark, otherPrefix,
+        spark.table(shinglesTable(otherPrefix)), on = "doc_id"))
+      .groupBy("doc_id").agg(min(col("shh")).as("shh"))
+    val nb = tableBuckets(spark, bucketsTable(tablePrefix))
+    val staged = Seq(
+      BucketedLayout.stageBucketed(spark, kept,
+        bucketsTable(tablePrefix), s"$dir/buckets", "bb", nb),
+      BucketedLayout.stageBucketed(spark, shingles,
+        shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nb),
+      BucketedLayout.stageBucketed(spark, droppedDf,
+        droppedTable(tablePrefix), s"$dir/dropped", "bb", nb))
+    graft.sources.SwapHooks.preSwap(dir)
+    val total = staged.map(BucketedLayout.swapInStaged(spark, _)).sum
+    // This side's tombstones are physically retired by the rewrite;
+    // the other shard's belong to it and are untouched.
+    clearTombstones(spark, tablePrefix, new org.apache.hadoop.fs.Path(dir))
+    total
+  }
+
   /** Rewrite both tables as one fresh bucketed generation — collapses
     * append-accumulated small files, re-applies the `maxBucket` cap to
     * postings lists that grew past it, and retires duplicate rows from
