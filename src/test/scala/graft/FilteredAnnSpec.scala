@@ -140,6 +140,43 @@ class FilteredAnnSpec extends SparkSpec {
     assert(spark.read.parquet(AnnIndex.pqcodesPath(dir)).columns.contains("label"))
   }
 
+  test("metadata filter reaches the parquet scan: pushed filter + partition pruning") {
+    val e = vecs(400, seed = 17)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 8, iters = 2, metaCols = Seq("label"))
+    val q = e.filter($"vec_id" < 5)
+    val out = AnnIndex.topK(spark, dir, q, k = 5, nProbe = 2,
+      filter = Some($"label" === 1))
+    out.collect() // force AQE to finalize
+    // AQE buries finalized stages inside QueryStageExec nodes whose
+    // `plan` is not a child — recurse through them explicitly.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    // the vectors scan carries BOTH the static cell partition filter
+    // and the pushed label data filter — the predicate runs in the
+    // reader, not after the join
+    val vecScans = scans(out.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf/vectors")))
+    assert(vecScans.nonEmpty, "expected a file scan over the vectors table")
+    assert(vecScans.forall(_.metadata.get("PushedFilters").exists(_.contains("label"))),
+      s"label not pushed: ${vecScans.map(_.metadata.get("PushedFilters"))}")
+    assert(vecScans.forall(_.partitionFilters.nonEmpty),
+      "probed-cell partition filter missing")
+  }
+
   test("filter on a column the index does not store fails loudly") {
     val e = vecs(100, seed = 9).select($"vec_id", $"embedding")
     val dir = tmpDir()
