@@ -37,7 +37,30 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Integer micro-points of `x` — `floor(x*1e6 + 0.5)` as a long. */
-  private def micro(x: Column): Column = floor(x * lit(1000000.0) + lit(0.5)).cast("long")
+  private[ops] def micro(x: Column): Column = floor(x * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** The idf in micro-nats — THE shared expression tree: [[scores]] and
+    * [[Bm25Index.topDocs]] must stay bit-identical, so both build their
+    * idf from this one definition (`nDocs`/`df` are long columns).
+    */
+  private[ops] def idfMicro(nDocs: Column, df: Column): Column =
+    micro(log(lit(1.0) +
+      ((nDocs - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5))))
+
+  /** One term's contribution to a doc's score, in integer micro-points
+    * (`idfMicro` already integer micro-nats; the tf saturation is exact
+    * IEEE arithmetic with dyadic default constants) — shared by the
+    * one-shot and the persisted index for bit-identical scores.
+    */
+  private[ops] def contribMicro(
+      tf: Column, dl: Column, avgdl: Column, idfMicro: Column,
+      k1: Double, b: Double): Column = {
+    val tfpart =
+      (tf.cast("double") * lit(k1 + 1.0)) /
+        (tf.cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / avgdl)))
+    floor(idfMicro.cast("double") * tfpart + lit(0.5)).cast("long")
+  }
 
   /** Per-(query, doc) BM25 scores in integer micro-points:
     * (query_id, doc_id, score_micro). Only pairs sharing at least one
@@ -80,16 +103,10 @@ object Bm25 {
     // ratio's expression tree below is replayed verbatim by the oracle.
     val idf = df.crossJoin(broadcast(stats))
       .select(col("term"), col("df"),
-        micro(log(lit(1.0) +
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)))).as("idf_micro"))
+        idfMicro(col("n_docs"), col("df")).as("idf_micro"))
     // Candidates: docs sharing a term with the query. The query-term
     // table is tiny (queries x terms) — broadcast it; tf keeps its
     // partitioning. idf rides on the term key; dl joins per doc.
-    val tfpart =
-      (col("tf").cast("double") * lit(k1 + 1.0)) /
-        (col("tf").cast("double") +
-          lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     tf.join(broadcast(qterms), "term")
       .join(broadcast(idf.drop("df")), "term")
       .join(dl, "doc_id")
@@ -98,7 +115,8 @@ object Bm25 {
       // already-integer micro-nats idf, so idf_micro * tfpart IS the
       // contribution scaled by 1e6 — snap once and sum exactly.
       .select(col("query_id"), col("doc_id"),
-        floor(col("idf_micro").cast("double") * tfpart + lit(0.5)).cast("long").as("c_micro"))
+        contribMicro(col("tf"), col("dl"), col("avgdl"),
+          col("idf_micro"), k1, b).as("c_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c_micro").as("score_micro"))
   }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics — the evaluation half of the retrieval
+  * tier ([[Bm25]], [[Bm25Index]], [[AnnIndex]], [[Bm25.rrf]] produce
+  * rankings; this scores them against a relevance set). The standard
+  * trec_eval trio per query: recall@k, reciprocal rank (MRR's per-query
+  * term), and binary-gain nDCG@k.
+  *
+  * Engine-portable fixed-point discipline (the [[Bm25]] pattern): the
+  * one libm factor — the 1/log2(rank+1) position discount — is snapped
+  * to integer micro-points PER POSITION (`floor(1e6/log2(r+1) + 0.5)`,
+  * stable across engines for any realistic k because the true values
+  * sit far from the rounding boundary), DCG and ideal DCG are integer
+  * sums of those, and the emitted ratios are single exact-IEEE
+  * divisions of small integers rounded at 6 places — so a DuckDB
+  * replay hash-matches, not approximately-matches.
+  *
+  * Scale shape: both inputs are per-query frames (a run is Q·k rows, a
+  * relevance set Q·judged rows — never corpus-sized), the hit join is
+  * co-keyed on (query_id, doc_id), and everything after is one
+  * query-sized aggregation. Evaluating a million-query run is one
+  * shuffle of the run itself.
+  */
+object RetrievalEval {
+
+  /** Integer micro-points of the rank-`r` position discount,
+    * 1e6/log2(r+1) snapped once — the shared DCG kernel.
+    */
+  private def discMicro(rank: Column): Column =
+    floor(lit(1000000.0) / log2(rank.cast("double") + lit(1.0)) + lit(0.5)).cast("long")
+
+  /** Per-query metrics of `run` against `qrels`:
+    *
+    * {{{
+    *   (query_id, n_rel, n_hit, recall, rr_micro,
+    *    dcg_micro, idcg_micro, ndcg)
+    * }}}
+    *
+    * `run`: (query_id, doc_id, rank) — a ranking, extra columns
+    * ignored; only positions <= k are scored. `qrels`: (query_id,
+    * doc_id) — the binary relevance set. Only judged queries (present
+    * in `qrels`) are evaluated — trec_eval's convention; a judged query
+    * the run never answers still appears, with zero hits.
+    *
+    *   - recall   = n_hit / n_rel, rounded at 6
+    *   - rr_micro = floor(1e6 / first-relevant-rank + 0.5); 0 if none
+    *   - dcg_micro / idcg_micro: binary-gain DCG@k as integer
+    *     micro-points (ideal = the first min(n_rel, k) positions)
+    *   - ndcg     = dcg_micro / idcg_micro, rounded at 6
+    */
+  def evaluate(
+      run: DataFrame,
+      qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = run.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_hit"),
+        min(col("rank")).as("first_rank"),
+        sum(discMicro(col("rank"))).as("dcg_micro"))
+    // Ideal DCG: the first min(n_rel, k) positions, summed with the
+    // SAME snapped per-position discount (sequence + aggregate — stays
+    // in codegen, n_rel-bounded work per query).
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+      lit(0L),
+      (acc: Column, i: Column) => acc + discMicro(i))
+    nRel.join(hits, Seq("query_id"), "left_outer")
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall"),
+        coalesce(
+          floor(lit(1000000.0) / col("first_rank").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcg.as("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          idcg.cast("double"), 6).as("ndcg"))
+  }
+
+  /** The run-level summary a dashboard wants: judged-query count and
+    * the means of recall@k, MRR and nDCG@k (exact-IEEE mean of the
+    * per-query values, rounded at 6).
+    */
+  def summarize(run: DataFrame, qrels: DataFrame, k: Int): DataFrame =
+    evaluate(run, qrels, k).agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 6).as("mean_recall"),
+      round(avg(col("rr_micro").cast("double") / lit(1000000.0)), 6).as("mrr"),
+      round(avg(col("ndcg")), 6).as("mean_ndcg"))
+}

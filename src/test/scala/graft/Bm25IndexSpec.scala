@@ -1,0 +1,198 @@
+package graft
+
+import graft.ops.{Bm25, Bm25Index}
+import graft.sources.SwapHooks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index: bit-identity with the one-shot operator
+  * (build, EXACT append, probe-time k1/b retuning, shard merge), the
+  * serving tier's takedown contract (immediate invisibility, stats
+  * retired at compact), the zero-downtime rebuild contract, and the
+  * single-writer lock.
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+
+  /** Deterministic corpus with shared vocabulary, varied lengths and
+    * tf skew, so rankings are non-trivial.
+    */
+  private def corpus(ids: Range): DataFrame = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    ids.map { i =>
+      val n = 3 + (i * 7) % 9
+      val text = (0 until n).map(j => words((i * 3 + j * j) % words.length)).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def queries: DataFrame = Seq(
+    (900L, "alpha delta"), (901L, "kappa"), (902L, "theta beta iota"))
+    .toDF("query_id", "text")
+
+  private def collectTop(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select($"query_id", $"doc_id", $"rank", $"score_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private def oneShot(d: DataFrame, k: Int, k1: Double = 1.5, b: Double = 0.75) =
+    collectTop(Bm25.topDocs(d, queries, k, k1, b))
+
+  test("build + probe is bit-identical to the one-shot operator") {
+    val dir = tmpDir()
+    val d = corpus(0 until 60)
+    assert(Bm25Index.build(d, dir, nTb = 8) == 60L)
+    val got = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5))
+    assert(got == oneShot(d, 5), s"index probe != one-shot")
+    assert(got.nonEmpty)
+  }
+
+  test("append is EXACT: build(head) + append(tail) == one-shot over the union") {
+    val dir = tmpDir()
+    val all = corpus(0 until 80)
+    Bm25Index.build(all.filter($"doc_id" < 50), dir, nTb = 8)
+    assert(Bm25Index.append(spark, dir, all.filter($"doc_id" >= 50)) == 30L)
+    val got = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5))
+    assert(got == oneShot(all, 5),
+      "appended index must answer bit-identically to a union build")
+  }
+
+  test("k1/b are probe-time knobs over the same stored tables") {
+    val dir = tmpDir()
+    val d = corpus(0 until 40)
+    Bm25Index.build(d, dir, nTb = 4)
+    val tuned = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5, k1 = 1.2, b = 0.5))
+    assert(tuned == oneShot(d, 5, k1 = 1.2, b = 0.5))
+    assert(tuned != oneShot(d, 5), "retuning should move at least one score")
+  }
+
+  test("delete: immediate invisibility with full-corpus stats; compact retires the stats") {
+    val dir = tmpDir()
+    val d = corpus(0 until 60)
+    Bm25Index.build(d, dir, nTb = 8)
+    // k > corpus size: every candidate appears, so the pre/post score
+    // comparison below never hits a truncation boundary.
+    val full = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 100))
+    val victims = full.map(_._2).take(3)
+    assert(Bm25Index.delete(spark, dir, victims.toSeq.toDF("doc_id")) == victims.size.toLong)
+    // Redelivered takedown + absent ids: counted-once no-op.
+    assert(Bm25Index.delete(spark, dir,
+      (victims.toSeq ++ Seq(123456L)).toDF("doc_id")) == 0L)
+    val after = Bm25Index.topDocs(spark, dir, queries, k = 100)
+    val afterSet = collectTop(after)
+    assert(afterSet.map(_._2).intersect(victims).isEmpty, "tombstoned docs still returned")
+    // Between delete and compact, scores keep the FULL corpus stats:
+    // surviving (query, doc) scores are unchanged from the full run.
+    val fullScores = full.map(t => (t._1, t._2) -> t._4).toMap
+    assert(afterSet.forall(t => fullScores((t._1, t._2)) == t._4),
+      "pre-compact scores must keep full-corpus df/avgdl/N")
+    // After compact, scores equal a fresh build on the survivors.
+    val survivors = d.filter(!$"doc_id".isin(victims.toSeq: _*))
+    Bm25Index.compact(spark, dir)
+    val compacted = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 100))
+    assert(compacted == collectTop(Bm25.topDocs(survivors, queries, k = 100)),
+      "post-compact scores must equal a fresh build on the surviving corpus")
+  }
+
+  test("compact collapses appended small files and stat deltas") {
+    val dir = tmpDir()
+    val all = corpus(0 until 60)
+    Bm25Index.build(all.filter($"doc_id" < 20), dir, nTb = 4)
+    Bm25Index.append(spark, dir, all.filter($"doc_id" >= 20 && $"doc_id" < 40))
+    Bm25Index.append(spark, dir, all.filter($"doc_id" >= 40))
+    val before = Bm25Index.stats(spark, dir)
+    assert(before.statDeltas == 3L, s"expected 3 stat deltas, got $before")
+    Bm25Index.compact(spark, dir)
+    val after = Bm25Index.stats(spark, dir)
+    assert(after.statDeltas == 1L)
+    assert(after.dataFiles < before.dataFiles,
+      s"compact should shrink the file count: $before -> $after")
+    assert(after.docs == 60L)
+    assert(collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5)) == oneShot(all, 5))
+  }
+
+  test("merge folds a shard in exactly: merged == one-shot over the union") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    val all = corpus(0 until 80)
+    Bm25Index.build(all.filter($"doc_id" < 40), dirA, nTb = 8)
+    Bm25Index.build(all.filter($"doc_id" >= 40), dirB, nTb = 4) // different bucketing
+    assert(Bm25Index.merge(spark, dirA, dirB) == 40L)
+    val got = collectTop(Bm25Index.topDocs(spark, dirA, queries, k = 5))
+    assert(got == oneShot(all, 5), "merged index must equal a union build")
+  }
+
+  test("merge honors the other shard's tombstones") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    val all = corpus(0 until 60)
+    Bm25Index.build(all.filter($"doc_id" < 30), dirA, nTb = 4)
+    Bm25Index.build(all.filter($"doc_id" >= 30), dirB, nTb = 4)
+    Bm25Index.delete(spark, dirB, Seq(35L, 36L).toDF("doc_id"))
+    assert(Bm25Index.merge(spark, dirA, dirB) == 28L)
+    val got = collectTop(Bm25Index.topDocs(spark, dirA, queries, k = 50))
+    val expected = collectTop(
+      Bm25.topDocs(all.filter(!$"doc_id".isin(35L, 36L)), queries, k = 50))
+    assert(got == expected)
+  }
+
+  test("rebuild: probe between staging write and swap serves the OLD generation") {
+    val dir = tmpDir()
+    val genA = corpus(0 until 30)
+    val genB = corpus(1000 until 1030)
+    Bm25Index.build(genA, dir, nTb = 4)
+    def probe() = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5))
+    val before = probe()
+    assert(before.forall(_._2 < 30L))
+    var hooked = Option.empty[Set[(Long, Long, Long, Long)]]
+    SwapHooks.preSwap = _ => { if (hooked.isEmpty) hooked = Some(probe()) }
+    try Bm25Index.build(genB, dir, nTb = 4)
+    finally SwapHooks.preSwap = _ => ()
+    assert(hooked.contains(before),
+      s"mid-rebuild probe must serve the old complete generation")
+    assert(probe().forall(_._2 >= 1000L), "post-swap probe must serve the new generation")
+  }
+
+  test("rebuild clears the previous generation's tombstones") {
+    val dir = tmpDir()
+    val d = corpus(0 until 30)
+    Bm25Index.build(d, dir, nTb = 4)
+    val victim = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 1)).head._2
+    Bm25Index.delete(spark, dir, Seq(victim).toDF("doc_id"))
+    Bm25Index.build(d, dir, nTb = 4) // every given doc live again
+    val got = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 50))
+    assert(got.exists(_._2 == victim), "rebuild must clear old tombstones")
+  }
+
+  test("mutators fail loudly under a held writer lock; probes never lock") {
+    val dir = tmpDir()
+    val d = corpus(0 until 20)
+    Bm25Index.build(d, dir, nTb = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = graft.sources.WriterLock.lockPath(dir)
+    val out = fs.create(lock, false)
+    out.write("someone-else".getBytes("UTF-8")); out.close()
+    try {
+      intercept[IllegalStateException] {
+        Bm25Index.append(spark, dir, corpus(20 until 25))
+      }
+      // probes never take the lock
+      assert(collectTop(Bm25Index.topDocs(spark, dir, queries, k = 3)).nonEmpty)
+    } finally fs.delete(lock, false)
+  }
+
+  test("probe plan prunes to the query terms' buckets") {
+    val dir = tmpDir()
+    Bm25Index.build(corpus(0 until 60), dir, nTb = 16)
+    val plan = Bm25Index.topDocs(spark, dir, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in plan:\n$plan")
+    // The probed-bucket isin must reach the scan (tb is the partition
+    // column); 6 distinct query terms can touch at most 6 of 16 buckets.
+    assert("tb#\\d+[L]? IN".r.findFirstIn(plan).isDefined ||
+      plan.contains("tb") && plan.contains(" IN "),
+      s"tb isin filter missing from plan:\n$plan")
+  }
+}

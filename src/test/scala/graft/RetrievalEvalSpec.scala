@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.RetrievalEval
+import org.apache.spark.sql.functions._
+
+/** Retrieval metrics: hand-computed integer micro-point goldens
+  * (disc(r) = floor(1e6/log2(r+1) + 0.5): disc(1)=1000000,
+  * disc(2)=630930, disc(3)=500000), trec_eval's judged-queries-only
+  * convention, and the zero-hit row shape.
+  */
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q1: run (10,11,12), relevant {11, 99} -> hit at rank 2
+  // q2: run (20,21,22), relevant {20, 22, 77} -> hits at ranks 1 and 3
+  // q3: in the run but UNJUDGED -> must not appear
+  // q4: judged {40} but absent from the run -> zero-hit row
+  private def run = Seq(
+    (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+    (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+    (3L, 30L, 1L)).toDF("query_id", "doc_id", "rank")
+
+  private def qrels = Seq(
+    (1L, 11L), (1L, 99L),
+    (2L, 20L), (2L, 22L), (2L, 77L),
+    (4L, 40L)).toDF("query_id", "doc_id")
+
+  test("hand-computed golden: recall, rr, dcg/idcg, ndcg per query") {
+    val got = RetrievalEval.evaluate(run, qrels, k = 3)
+      .select($"query_id", $"n_rel", $"n_hit", $"recall", $"rr_micro",
+        $"dcg_micro", $"idcg_micro", $"ndcg")
+      .as[(Long, Long, Long, Double, Long, Long, Long, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), s"judged-only convention broken: ${got.keySet}")
+    // q1: dcg = disc(2) = 630930; idcg = disc(1)+disc(2) = 1630930
+    assert(got(1L) == ((1L, 2L, 1L, 0.5, 500000L, 630930L, 1630930L, 0.386853)), s"${got(1L)}")
+    // q2: dcg = disc(1)+disc(3) = 1500000; idcg = 1000000+630930+500000
+    assert(got(2L) == ((2L, 3L, 2L, 0.666667, 1000000L, 1500000L, 2130930L, 0.703918)),
+      s"${got(2L)}")
+    // q4: judged, never answered
+    assert(got(4L) == ((4L, 1L, 0L, 0.0, 0L, 0L, 1000000L, 0.0)), s"${got(4L)}")
+  }
+
+  test("positions beyond k are ignored") {
+    val deep = Seq((1L, 11L, 4L)).toDF("query_id", "doc_id", "rank")
+    val got = RetrievalEval.evaluate(deep, qrels.filter($"query_id" === 1L), k = 3)
+      .select($"n_hit").as[Long].head()
+    assert(got == 0L, "a hit at rank 4 must not count for k=3")
+  }
+
+  test("summarize: means over judged queries") {
+    val got = RetrievalEval.summarize(run, qrels, k = 3)
+      .select($"n_queries", $"mean_recall", $"mrr", $"mean_ndcg")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - (0.5 + 0.666667 + 0.0) / 3) < 1e-6)
+    assert(math.abs(got._3 - 0.5) < 1e-6) // (0.5 + 1.0 + 0.0) / 3
+    assert(math.abs(got._4 - (0.386853 + 0.703918 + 0.0) / 3) < 1e-6)
+  }
+
+  test("duplicate qrel rows count once") {
+    val doubled = qrels.union(qrels)
+    val a = RetrievalEval.evaluate(run, qrels, k = 3).collect().toSet
+    val b = RetrievalEval.evaluate(run, doubled, k = 3).collect().toSet
+    assert(a == b)
+  }
+}
