@@ -248,6 +248,20 @@ object Bench {
         graft.ops.DedupIndex.build(d.filter($"doc_id" % 10 < 6), dedupDir, dedupTbl, nBuckets = 8))
       val dedupProbe = probeTimed(() =>
         force(graft.ops.DedupIndex.filterNew(spark, dedupTbl, d.filter($"doc_id" % 10 >= 6))))
+      // BM25 lexical index: full-corpus build, 20-query top-10 probe
+      // (the one-shot pays the corpus tokenize+aggregate per batch —
+      // bm25_probe_sec vs q_bm25's time is the serving-tier payoff)
+      val bmDir = s"$tmp/graft_bench_bmidx_$tag"
+      val bmBuild = timed(() => graft.ops.Bm25Index.build(d, bmDir, nTb = 64))
+      val bmQueries = {
+        import org.apache.spark.sql.functions.{concat_ws, slice, split, trim}
+        d.filter($"doc_id" % 25 === 0)
+          .select($"doc_id".as("query_id"),
+            concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 4)).as("text"))
+          .localCheckpoint()
+      }
+      val bmProbe = probeTimed(() =>
+        force(graft.ops.Bm25Index.topDocs(spark, bmDir, bmQueries, k = 10)))
       // Near-dup LSH index: same split, verified-pair probe
       val ndDir = s"$tmp/graft_bench_ndidx_$tag"
       val ndPfx = s"graft_bench_ndidx_$tag"
@@ -309,6 +323,7 @@ object Bench {
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +
         deepAnn +
         s""""dedup_build_sec":${f"$dedupBuild%.3f"},"dedup_probe_sec":${f"$dedupProbe%.3f"},""" +
+        s""""bm25_build_sec":${f"$bmBuild%.3f"},"bm25_probe_sec":${f"$bmProbe%.3f"},""" +
         s""""neardup_build_sec":${f"$ndBuild%.3f"},"neardup_probe_sec":${f"$ndProbe%.3f"}}""")
     } catch {
       case e: Throwable =>

@@ -853,6 +853,53 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
     }),
+    // Persisted BM25 serving index, probed through the EXACT-append
+    // contract: build on the head 60%, append the tail 40%, probe —
+    // because every stored quantity is additive (tf/dl per doc, df and
+    // corpus stats as summed deltas), the result must be bit-identical
+    // to one-shot BM25 over the full corpus (the q_bm25 oracle,
+    // unchanged). The ANN tier can't make this promise (frozen centers
+    // drift); the lexical tier can, and this query holds it to that.
+    "q_bm25_index" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.Bm25Index.build(d.filter($"doc_id" % 10 < 6), out, nTb = 16)
+      ops.Bm25Index.append(s, out, d.filter($"doc_id" % 10 >= 6))
+      ops.Bm25Index.topDocs(s, out, bm25Queries(d), k = 10)
+    }),
+    // Takedown contract on the BM25 index: tombstone every 21st doc,
+    // probe — deleted docs vanish from results IMMEDIATELY while the
+    // surviving docs' scores keep the FULL corpus df/avgdl/N until the
+    // next compact (a web index's behavior between takedown and segment
+    // merge). The oracle recomputes full-stats scores and re-ranks the
+    // survivors.
+    "q_bm25_delete" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25del_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.Bm25Index.build(d, out, nTb = 16)
+      ops.Bm25Index.delete(s, out, d.filter($"doc_id" % 21 === 0).select($"doc_id"))
+      ops.Bm25Index.topDocs(s, out, bm25Queries(d), k = 10)
+    }),
+    // Retrieval-quality metrics: score the BM25 top-10 run against the
+    // exact-cosine top-5 as the relevance set ("how well does lexical
+    // retrieval recover semantic neighbors") — recall@10, reciprocal
+    // rank, binary-gain nDCG@10, with the per-position 1/log2(r+1)
+    // discount snapped to integer micro-points so the oracle replays
+    // DCG and ideal DCG as integer sums.
+    "q_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val run = ops.Bm25.topDocs(d, bm25Queries(d), k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+      val qrels = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0), k = 5)
+        .select($"query_id", $"neighbor_id".as("doc_id"))
+      ops.RetrievalEval.evaluate(run, qrels, k = 10)
+    }),
     // Best-5 docs per source by quality score (bounded-heap reduction,
     // not a full window sort; ties broken by doc_id so the oracle's
     // row_number() reproduces ranks exactly).
@@ -2442,6 +2489,48 @@ object SparkEntry {
     "q_bm25" ->
       s"""WITH $bm25OracleCte
         |SELECT query_id, doc_id, rank, score_micro FROM brank WHERE rank <= 10""".stripMargin,
+    // Exact-append contract: the persisted index built 60/40 must equal
+    // one-shot BM25 over the full corpus — the oracle IS q_bm25's.
+    "q_bm25_index" ->
+      s"""WITH $bm25OracleCte
+        |SELECT query_id, doc_id, rank, score_micro FROM brank WHERE rank <= 10""".stripMargin,
+    // Takedown: full-corpus stats (bscore unchanged), deleted docs
+    // excluded, survivors re-ranked.
+    "q_bm25_delete" ->
+      s"""WITH $bm25OracleCte,
+        |bdel AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM bscore WHERE doc_id % 21 != 0)
+        |SELECT query_id, doc_id, rank, score_micro FROM bdel WHERE rank <= 10""".stripMargin,
+    // Metric replay: BM25 top-10 run vs exact-cosine top-5 qrels; DCG
+    // and ideal DCG as integer sums of the micro-snapped per-position
+    // discount floor(1e6/log2(r+1) + 0.5).
+    "q_retrieval_eval" ->
+      s"""WITH $bm25OracleCte,
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |qr AS (SELECT query_id, doc_id FROM vec WHERE rank <= 5),
+        |runq AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 10),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
+        |hits AS (SELECT r.query_id, count(*)::BIGINT AS n_hit, min(r.rank) AS fr,
+        |  sum(floor(1000000.0 / log2(r.rank + 1.0) + 0.5)::BIGINT)::BIGINT AS dcg
+        |  FROM runq r JOIN qr USING (query_id, doc_id) GROUP BY 1),
+        |pos AS (SELECT unnest(generate_series(1, 10)) AS i),
+        |idcg AS (SELECT n.query_id,
+        |  sum(floor(1000000.0 / log2(pos.i + 1.0) + 0.5)::BIGINT)::BIGINT AS idcg
+        |  FROM nrel n JOIN pos ON pos.i <= least(n.n_rel, 10) GROUP BY 1)
+        |SELECT n.query_id, n.n_rel,
+        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_rel, 6) AS recall,
+        |  coalesce(floor(1000000.0 / h.fr + 0.5)::BIGINT, 0)::BIGINT AS rr_micro,
+        |  coalesce(h.dcg, 0)::BIGINT AS dcg_micro,
+        |  i.idcg AS idcg_micro,
+        |  round(coalesce(h.dcg, 0)::DOUBLE / i.idcg, 6) AS ndcg
+        |FROM nrel n LEFT JOIN hits h USING (query_id) JOIN idcg i ON i.query_id = n.query_id""".stripMargin,
     // Fusion replay: BM25 top-20 + exact-cosine top-20, RRF'd with
     // integer micro-point contributions (floor(1e6/(60+rank)+0.5)),
     // re-ranked by the exact integer sum.
