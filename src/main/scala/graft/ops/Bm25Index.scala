@@ -78,7 +78,7 @@ object Bm25Index {
       fs, graft.sources.WriterLock.lockPath(dir), s"Bm25Index $dir")(body)
   }
 
-  private def readNTb(spark: SparkSession, dir: String): Int = {
+  private[graft] def readNTb(spark: SparkSession, dir: String): Int = {
     import spark.implicits._
     spark.read.parquet(metaPath(dir)).select($"n_tb").as[Int].head()
   }
@@ -86,14 +86,14 @@ object Bm25Index {
   /** The term-bucket partition key — MUST be identical at build,
     * append and probe time (`n_tb` is frozen in `meta/` at build).
     */
-  private def tbOf(term: Column, nTb: Int): Column = pmod(hash(term), lit(nTb))
+  private[graft] def tbOf(term: Column, nTb: Int): Column = pmod(hash(term), lit(nTb))
 
   /** (term, doc_id, tf, dl) of a document batch — the shared tokenize +
     * aggregate pass of [[build]] and [[append]], dl denormalized onto
     * every posting. One corpus-sized shuffle (the map-side-combined
     * groupBy), identical tokenization to [[Bm25.scores]].
     */
-  private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -148,8 +148,12 @@ object Bm25Index {
         new org.apache.hadoop.fs.Path(s"$dir/_build_tmp/lex"),
         new org.apache.hadoop.fs.Path(lexPath(dir)),
         new org.apache.hadoop.fs.Path(s"$dir/_build_old"))
-      // Generation state: a rebuild starts with every given doc live.
+      // Generation state: a rebuild starts with every given doc live,
+      // and a fresh stream restarts batchIds at 0 — stale markers would
+      // silently skip its first batches.
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging"), true)
       fs.delete(staging, true)
       nDocs
     }
@@ -253,6 +257,29 @@ object Bm25Index {
     val fs = fsFor(spark, dir)
     val nTb = readNTb(spark, dir)
     import spark.implicits._
+    // Refuse to compact over an UNCOMMITTED streamed batch (a
+    // `b<id>.parquet` whose marker is absent — a crashed attempt
+    // pending redelivery): the rewrite would merge its rows into the
+    // fresh generation AND destroy the deterministic name the retry
+    // replaces, so the redelivery would install a second copy. Loud +
+    // retryable, the [[AnnIndex.compact]] contract.
+    val batchFile = "b(\\d+)\\.parquet".r
+    val tableFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+      Seq(postingsPath(dir), dfdPath(dir))
+        .map(new org.apache.hadoop.fs.Path(_))
+        .flatMap(root => fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+          .flatMap(td => fs.listStatus(td.getPath).toSeq)) ++
+        fs.listStatus(new org.apache.hadoop.fs.Path(statsPath(dir))).toSeq
+    val pending = tableFiles
+      .flatMap(st => batchFile.findFirstMatchIn(st.getPath.getName).map(_.group(1)))
+      .distinct
+      .filterNot(id => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/_stream_commits/$id")))
+    if (pending.nonEmpty)
+      throw new IllegalStateException(
+        s"compact: uncommitted streamed batch(es) ${pending.mkString(", ")} present " +
+          "— a crashed ingest attempt is pending redelivery; let the stream recover, then compact")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp")
     fs.delete(staging, true)
     val tomb = readTombstones(spark, dir)
