@@ -821,6 +821,12 @@ object SparkEntry {
         .select($"doc_id", ops.TextAnalysis.tokenCount($"text").cast("long").as("n_toks"))
       ops.Packing.packSequences(withTokens, "n_toks", budget = 512L, nShards = 8)
     }),
+    // RAG passage chunking: 32-token windows every 24 tokens (overlap
+    // 8) — deterministic starts 0, 24, 48, ... < n_tokens, chunk ids
+    // start/stride, the whitespace tokenizer shared with BM25/TF-IDF.
+    // The oracle replays the whole slicing arithmetic in SQL.
+    "q_chunking" -> ((s, dir) =>
+      ops.Chunking.tokenWindows(docs(s, dir), size = 32, overlap = 8)),
     // Distinctive terms: top-3 per doc by tf/df with term tie-break.
     "q_tfidf" -> ((s, dir) => {
       import s.implicits._
@@ -850,6 +856,30 @@ object SparkEntry {
       val lex = ops.Bm25.topDocs(d, bm25Queries(d), k = 20)
         .select($"query_id", $"doc_id", $"rank")
       val vec = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0), k = 20)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
+    }),
+    // Hybrid retrieval served ENTIRELY from persisted indexes — the
+    // serving tier's composition story: the BM25 index answers the
+    // lexical top-20 (bit-identical to one-shot BM25 by the additive
+    // contract), the ANN index at FULL probe depth answers the vector
+    // top-20 exactly (nProbe = cell count scans every cell — ranked on
+    // the rounded score, replayed in the oracle), and RRF fuses them.
+    // No corpus pass happens at query time; the oracle recomputes both
+    // rankings and the fusion from raw data.
+    "q_hybrid_index" -> ((s, dir) => {
+      import s.implicits._
+      val sfx = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val bmOut = s"${System.getProperty("java.io.tmpdir")}/graft_hybbm_$sfx"
+      val annOut = s"${System.getProperty("java.io.tmpdir")}/graft_hybann_$sfx"
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      ops.Bm25Index.build(d, bmOut, nTb = 16)
+      val kCells = ops.AnnIndex.build(e, annOut, nClusters = 16, iters = 5)
+      val lex = ops.Bm25Index.topDocs(s, bmOut, bm25Queries(d), k = 20)
+        .select($"query_id", $"doc_id", $"rank")
+      val vec = ops.AnnIndex.topK(s, annOut, e.filter($"vec_id" % 25 === 0),
+          k = 20, nProbe = kCells)
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
     }),
@@ -2473,6 +2503,17 @@ object SparkEntry {
         |  (prev // 512)::BIGINT AS pack_id,
         |  (prev % 512)::BIGINT AS pack_offset
         |FROM s""".stripMargin,
+    "q_chunking" ->
+      """SELECT doc_id,
+        |  (start // 24)::BIGINT AS chunk_id,
+        |  start::BIGINT AS chunk_start,
+        |  (least(start + 32, n) - start)::BIGINT AS n_toks,
+        |  array_to_string(list_slice(t, start + 1, least(start + 32, n)), ' ') AS text
+        |FROM (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    unnest(range(0, greatest(len(t), 1), 24)) AS start
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents))""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
@@ -2489,6 +2530,30 @@ object SparkEntry {
     "q_bm25" ->
       s"""WITH $bm25OracleCte
         |SELECT query_id, doc_id, rank, score_micro FROM brank WHERE rank <= 10""".stripMargin,
+    // Serving-tier hybrid: brank from the (exact) BM25 index, vec from
+    // the full-probe ANN index — which ranks on the ROUNDED cosine
+    // (ties by doc id), replayed here; fusion identical to q_hybrid's.
+    "q_hybrid_index" ->
+      s"""WITH $bm25OracleCte,
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |u AS (
+        |  SELECT query_id, doc_id,
+        |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c
+        |  FROM brank WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c
+        |  FROM vec WHERE rank <= 20),
+        |f AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_lists, sum(c)::BIGINT AS rrf_micro
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, n_lists, rrf_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+        |SELECT query_id, doc_id, rank, n_lists, rrf_micro FROM fr WHERE rank <= 10""".stripMargin,
     // Exact-append contract: the persisted index built 60/40 must equal
     // one-shot BM25 over the full corpus — the oracle IS q_bm25's.
     "q_bm25_index" ->

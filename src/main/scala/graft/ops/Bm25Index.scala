@@ -167,8 +167,10 @@ object Bm25Index {
   private def writeStatsDelta(
       spark: SparkSession, posts: DataFrame, path: String, mode: String): Long = {
     import spark.implicits._
+    // coalesce: sum over an EMPTY frame is null (an empty build or an
+    // empty streaming micro-batch must write a (0, 0) delta, not NPE).
     val row = posts.select($"doc_id", $"dl").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum($"dl"), lit(0L)).as("sum_dl"))
       .as[(Long, Long)].head()
     Seq(row).toDF("n_docs", "sum_dl").repartition(1)
       .write.mode(mode).parquet(path)

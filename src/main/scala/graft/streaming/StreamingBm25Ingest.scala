@@ -87,10 +87,14 @@ object StreamingBm25Ingest {
         .repartition(col("tb"))
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "dfd").toString)
+      // coalesce: an EMPTY micro-batch must stage a (0, 0) delta, not
+      // NPE on the null sum.
       val statRow = posts.select($"doc_id", $"dl").distinct()
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_docs"),
-          org.apache.spark.sql.functions.sum($"dl").as("sum_dl"))
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum($"dl"),
+            org.apache.spark.sql.functions.lit(0L)).as("sum_dl"))
         .as[(Long, Long)].head()
       Seq(statRow).toDF("n_docs", "sum_dl").repartition(1)
         .write.mode("overwrite").option("maxRecordsPerFile", "0")
