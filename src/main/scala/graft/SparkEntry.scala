@@ -821,12 +821,6 @@ object SparkEntry {
         .select($"doc_id", ops.TextAnalysis.tokenCount($"text").cast("long").as("n_toks"))
       ops.Packing.packSequences(withTokens, "n_toks", budget = 512L, nShards = 8)
     }),
-    // RAG passage chunking: 32-token windows every 24 tokens (overlap
-    // 8) — deterministic starts 0, 24, 48, ... < n_tokens, chunk ids
-    // start/stride, the whitespace tokenizer shared with BM25/TF-IDF.
-    // The oracle replays the whole slicing arithmetic in SQL.
-    "q_chunking" -> ((s, dir) =>
-      ops.Chunking.tokenWindows(docs(s, dir), size = 32, overlap = 8)),
     // Distinctive terms: top-3 per doc by tf/df with term tie-break.
     "q_tfidf" -> ((s, dir) => {
       import s.implicits._
@@ -2503,17 +2497,6 @@ object SparkEntry {
         |  (prev // 512)::BIGINT AS pack_id,
         |  (prev % 512)::BIGINT AS pack_offset
         |FROM s""".stripMargin,
-    "q_chunking" ->
-      """SELECT doc_id,
-        |  (start // 24)::BIGINT AS chunk_id,
-        |  start::BIGINT AS chunk_start,
-        |  (least(start + 32, n) - start)::BIGINT AS n_toks,
-        |  array_to_string(list_slice(t, start + 1, least(start + 32, n)), ' ') AS text
-        |FROM (
-        |  SELECT doc_id, t, len(t) AS n,
-        |    unnest(range(0, greatest(len(t), 1), 24)) AS start
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents))""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),

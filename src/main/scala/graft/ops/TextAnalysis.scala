@@ -175,6 +175,32 @@ object TextAnalysis {
         size(col("col")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** [[chunk]] keyed for the vector tier: adds a single collision-free
+    * long key `chunk_key = doc_id * maxChunks + chunk_id` usable
+    * directly as [[AnnIndex.build]]'s `vec_id` — and invertible
+    * (`doc_id = chunk_key / maxChunks`, `chunk_id = chunk_key %
+    * maxChunks`), so retrieval hits map back to documents WITHOUT a
+    * join. Fails loudly when a document chunks past `maxChunks` or the
+    * key would overflow a long (the multiply stays inside the `when`
+    * branch — under ANSI mode a bare overflow would throw a generic
+    * ARITHMETIC_OVERFLOW before any separate check column runs).
+    */
+  def keyedChunks(
+      docs: DataFrame, width: Int, stride: Int,
+      maxChunks: Long = 1000000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxChunks >= 1, s"maxChunks must be >= 1: $maxChunks")
+    val chunks = chunk(docs, width, stride, textCol, idCol)
+    val key = when(
+      col("chunk_id") >= maxChunks ||
+        abs(col("doc_id")) > lit(Long.MaxValue / maxChunks - 1),
+      raise_error(concat(lit(s"chunk_key overflow (maxChunks=$maxChunks) for doc "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("doc_id") * maxChunks + col("chunk_id"))
+    chunks.select(key.as("chunk_key"),
+      col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language stopword profiles (public common-word lists). */

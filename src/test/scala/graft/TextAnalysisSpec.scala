@@ -90,6 +90,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("keyed chunks: chunk_key is collision-free and invertible") {
+    val df = Seq((5L, "a b c d e f"), (9L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.keyedChunks(df, width = 2, stride = 2, maxChunks = 100L)
+      .select($"chunk_key", $"doc_id", $"chunk_id").as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).distinct.length == got.length)
+    got.foreach { case (key, doc, cid) =>
+      assert(key / 100L == doc && key % 100L == cid, s"key $key not invertible")
+    }
+  }
+
+  test("keyed chunks: key overflow fails loudly, not with a generic ANSI error") {
+    val df = Seq((Long.MaxValue / 10L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.keyedChunks(df, width = 1, stride = 1, maxChunks = 100L).collect()
+    }
+    assert(e.getMessage.contains("chunk_key overflow"), e.getMessage)
+  }
+
   test("fingerprint: deterministic, order- and edit-sensitive") {
     assert(TextAnalysis.fingerprint("a b c") == TextAnalysis.fingerprint("a b c"))
     assert(TextAnalysis.fingerprint("a b c") != TextAnalysis.fingerprint("c b a"))
