@@ -105,4 +105,44 @@ object RetrievalEval {
       round(avg(col("recall")), 6).as("mean_recall"),
       round(avg(col("rr_micro").cast("double") / lit(1000000.0)), 6).as("mrr"),
       round(avg(col("ndcg")), 6).as("mean_ndcg"))
+
+  /** Recall@k of a persisted [[AnnIndex]] as a function of probe depth
+    * — the tuning table a serving deployment reads before picking
+    * `nProbe` (each +1 probe buys recall and costs a cell scan;
+    * at nProbe = cell count the answer is exact by construction, so
+    * the curve's last row is the sanity anchor):
+    *
+    * {{{
+    *   (n_probe, n_queries, mean_recall)   one row per requested depth
+    * }}}
+    *
+    * Ground truth is the index's OWN full-depth answer (every cell
+    * probed — exact top-k over the live corpus, including streamed
+    * appends and minus tombstones), so the curve isolates the
+    * IVF-approximation loss from everything else. Queries and k are
+    * the deployment's real shapes; cost is `nProbes.size + 1` probe
+    * rounds of the batch, driver-bounded by the depth list.
+    */
+  def annRecallCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Seq[Int],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty, "annRecallCurve needs at least one probe depth")
+    val nCells = spark.read.parquet(AnnIndex.centersPath(indexDir)).count().toInt
+    val truth = AnnIndex.topK(spark, indexDir, queries, k, nProbe = nCells,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      .localCheckpoint() // one ground-truth pass feeds every depth
+    nProbes.distinct.sorted.map { p =>
+      val run = AnnIndex.topK(spark, indexDir, queries, k, nProbe = p,
+          idCol = idCol, vecCol = vecCol)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      summarize(run, truth, k)
+        .select(lit(p).cast("int").as("n_probe"), col("n_queries"), col("mean_recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -64,4 +64,24 @@ class RetrievalEvalSpec extends SparkSpec {
     val b = RetrievalEval.evaluate(run, doubled, k = 3).collect().toSet
     assert(a == b)
   }
+
+  test("ANN recall curve: non-decreasing in probe depth, exact at full depth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recallcurve").toString
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    graft.ops.AnnIndex.build(vecs, dir, nClusters = 8, iters = 2)
+    val queries = vecs.filter($"vec_id" < 10)
+    val curve = RetrievalEval.annRecallCurve(spark, dir, queries, k = 5,
+        nProbes = Seq(1, 2, 8))
+      .orderBy($"n_probe")
+      .select($"n_probe", $"n_queries", $"mean_recall")
+      .as[(Int, Long, Double)].collect()
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 8))
+    assert(curve.forall(_._2 == 10L))
+    assert(curve.sliding(2).forall(w => w(0)._3 <= w(1)._3 + 1e-9),
+      s"recall must be non-decreasing in nProbe: ${curve.mkString(", ")}")
+    assert(curve.last._3 == 1.0, "full probe depth must recall the exact answer")
+    assert(curve.head._3 < 1.0, "nProbe=1 on an 8-cell index should miss something")
+  }
 }
