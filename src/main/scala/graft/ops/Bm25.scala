@@ -89,9 +89,18 @@ object Bm25 {
     // Doc length in tokens and corpus stats from the tf table (it
     // already holds every (doc, term, count)) — no second corpus pass.
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // Corpus stats collect driver-side (ONE row) and inline as
+    // literals: a 1-row crossJoin plans a BroadcastNestedLoopJoin —
+    // the shape the plan audit bans — while the literals compute the
+    // identical doubles (long sums are exact; the avgdl division is
+    // the same IEEE op the in-plan Divide performed).
+    val statsRow = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).as[(Long, Long)].head()
+    }
+    val nDocs = statsRow._1
+    val avgdl = if (nDocs == 0) 1.0 else statsRow._2.toDouble / nDocs.toDouble
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
@@ -101,21 +110,20 @@ object Bm25 {
     // factor two engines' libms could disagree on, so it is rounded
     // before anything multiplies it. df and n_docs are longs; the
     // ratio's expression tree below is replayed verbatim by the oracle.
-    val idf = df.crossJoin(broadcast(stats))
+    val idf = df
       .select(col("term"), col("df"),
-        idfMicro(col("n_docs"), col("df")).as("idf_micro"))
+        idfMicro(lit(nDocs), col("df")).as("idf_micro"))
     // Candidates: docs sharing a term with the query. The query-term
     // table is tiny (queries x terms) — broadcast it; tf keeps its
     // partitioning. idf rides on the term key; dl joins per doc.
     tf.join(broadcast(qterms), "term")
       .join(broadcast(idf.drop("df")), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
       // Per-(term, doc) contribution in micro-points: idf_micro is the
       // already-integer micro-nats idf, so idf_micro * tfpart IS the
       // contribution scaled by 1e6 — snap once and sum exactly.
       .select(col("query_id"), col("doc_id"),
-        contribMicro(col("tf"), col("dl"), col("avgdl"),
+        contribMicro(col("tf"), col("dl"), lit(avgdl),
           col("idf_micro"), k1, b).as("c_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c_micro").as("score_micro"))

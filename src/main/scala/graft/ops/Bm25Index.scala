@@ -413,19 +413,22 @@ object Bm25Index {
     // (and by n_tb), so collecting it is free.
     val tbs = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
     val tbFilter = col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*)
-    // Corpus stats: deltas sum exactly; avgdl's division is the same
-    // long-sum-cast-double arithmetic as the one-shot's.
-    val stats = spark.read.parquet(statsPath(dir))
-      .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
-      .select($"n_docs", ($"sum_dl".cast("double") / $"n_docs").as("avgdl"))
+    // Corpus stats: deltas sum exactly and collect driver-side (ONE
+    // row, inlined as literals — a 1-row crossJoin would plan the
+    // BroadcastNestedLoopJoin the plan audit bans); avgdl's division
+    // is the same IEEE op as the one-shot's.
+    val (nDocs, sumDl) = spark.read.parquet(statsPath(dir))
+      .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"sum_dl"), lit(0L)))
+      .as[(Long, Long)].head()
+    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs.toDouble
     // Query-term df: pruned dfd scan, semi against the terms, deltas
     // summed — query-term-sized output.
     val terms = qt.select($"term").distinct()
     val df = spark.read.parquet(dfdPath(dir)).filter(tbFilter)
       .join(broadcast(terms), Seq("term"), "left_semi")
       .groupBy("term").agg(sum("df").as("df"))
-    val idf = df.crossJoin(broadcast(stats))
-      .select($"term", Bm25.idfMicro($"n_docs", $"df").as("idf_micro"), $"avgdl")
+    val idf = df
+      .select($"term", Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
     // The broadcast hints bypass Spark's size threshold — guard them
     // (the serving-tier discipline): qt is Q x terms rows, idf at most
     // that many. Past the guard both joins fall back to shuffles of the
@@ -444,7 +447,7 @@ object Bm25Index {
     val scores = cands
       .join(idfSide, "term")
       .select($"query_id", $"doc_id",
-        Bm25.contribMicro($"tf", $"dl", $"avgdl", $"idf_micro", k1, b).as("c_micro"))
+        Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c_micro").as("score_micro"))
     Similarity.rankTopK(
