@@ -255,7 +255,10 @@ object Bench {
       val bmBuild = timed(() => graft.ops.Bm25Index.build(d, bmDir, nTb = 64))
       val bmQueries = {
         import org.apache.spark.sql.functions.{concat_ws, slice, split, trim}
-        d.filter($"doc_id" % 25 === 0)
+        // FIXED batch size across scale points (doc_id < 5000 = the
+        // sf0.1 shape): serving batches do not grow with the corpus,
+        // so the 10x sweep measures corpus scaling at constant load.
+        d.filter($"doc_id" % 25 === 0 && $"doc_id" < 5000)
           .select($"doc_id".as("query_id"),
             concat_ws(" ", slice(split(trim($"text"), "\\s+"), 1, 4)).as("text"))
           .localCheckpoint()

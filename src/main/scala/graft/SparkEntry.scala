@@ -849,7 +849,7 @@ object SparkEntry {
       val e = embs(s, dir)
       val lex = ops.Bm25.topDocs(d, bm25Queries(d), k = 20)
         .select($"query_id", $"doc_id", $"rank")
-      val vec = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0), k = 20)
+      val vec = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0 && $"vec_id" < 5000), k = 20)
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
     }),
@@ -872,7 +872,7 @@ object SparkEntry {
       val kCells = ops.AnnIndex.build(e, annOut, nClusters = 16, iters = 5)
       val lex = ops.Bm25Index.topDocs(s, bmOut, bm25Queries(d), k = 20)
         .select($"query_id", $"doc_id", $"rank")
-      val vec = ops.AnnIndex.topK(s, annOut, e.filter($"vec_id" % 25 === 0),
+      val vec = ops.AnnIndex.topK(s, annOut, e.filter($"vec_id" % 25 === 0 && $"vec_id" < 5000),
           k = 20, nProbe = kCells)
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
@@ -920,7 +920,7 @@ object SparkEntry {
       val e = embs(s, dir)
       val run = ops.Bm25.topDocs(d, bm25Queries(d), k = 10)
         .select($"query_id", $"doc_id", $"rank")
-      val qrels = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0), k = 5)
+      val qrels = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0 && $"vec_id" < 5000), k = 5)
         .select($"query_id", $"neighbor_id".as("doc_id"))
       ops.RetrievalEval.evaluate(run, qrels, k = 10)
     }),
@@ -1596,13 +1596,19 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** 20 deterministic lexical queries: the first 4 whitespace tokens
-    * of every 25th document (the oracle rebuilds the identical term
-    * sets with `list_slice`, so the concat/re-split round trip is a
-    * no-op by construction — tokens carry no whitespace).
+  /** Deterministic lexical queries: the first 4 whitespace tokens of
+    * every 25th document with doc_id < 5000 (the oracle rebuilds the
+    * identical term sets with `list_slice`, so the concat/re-split
+    * round trip is a no-op by construction — tokens carry no
+    * whitespace). The id cap FIXES the batch size across scale points
+    * (a no-op at sf <= 0.1): serving batches do not grow with the
+    * corpus, so the 10x sweep measures corpus scaling at constant
+    * query load instead of a quadratic queries-times-corpus blowup.
+    * The embedding-side query sets (`vec_id % 25 = 0 AND < 5000`)
+    * carry the same cap for the same reason.
     */
   private def bm25Queries(d: DataFrame): DataFrame =
-    d.filter(col("doc_id") % 25 === 0)
+    d.filter(col("doc_id") % 25 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 4)).as("text"))
 
@@ -1624,7 +1630,7 @@ object SparkEntry {
       |  FROM df, bstats),
       |qt AS (SELECT DISTINCT doc_id AS query_id,
       |  unnest(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 4)) AS term
-      |  FROM documents WHERE doc_id % 25 = 0),
+      |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 5000),
       |contrib AS (
       |  SELECT qt.query_id, tf.doc_id,
       |    floor(idf.idf_micro::DOUBLE *
@@ -2523,7 +2529,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 4) DESC, n.vec_id) AS rank
         |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 5000 AND n.vec_id != q.vec_id),
         |u AS (
         |  SELECT query_id, doc_id,
         |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c
@@ -2560,7 +2566,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
         |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 5000 AND n.vec_id != q.vec_id),
         |qr AS (SELECT query_id, doc_id FROM vec WHERE rank <= 5),
         |runq AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 10),
         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
@@ -2589,7 +2595,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
         |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id % 25 = 0 AND n.vec_id != q.vec_id),
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 5000 AND n.vec_id != q.vec_id),
         |u AS (
         |  SELECT query_id, doc_id,
         |    floor(1000000.0 / (60.0 + rank::DOUBLE) + 0.5)::BIGINT AS c

@@ -182,8 +182,13 @@ object Bm25Index {
     * (n_docs, sum_dl) pair), so after this call the index answers
     * bit-identically to one built from scratch on the union corpus.
     * Doc ids must be new to the index ([[AnnIndex.append]]'s contract;
-    * re-appending an id would double-count its df). Returns the batch
-    * doc count.
+    * re-appending an id would double-count its df). Each table's append
+    * is job-atomic but the three-table composite is not — a crash
+    * between them leaves the batch partially weighted until re-run
+    * (the [[AnnIndex.append]] batch semantics; drivers that need a
+    * crash-exact install use [[graft.streaming.StreamingBm25Ingest]],
+    * whose staged deterministic-name protocol replaces rather than
+    * duplicates). Returns the batch doc count.
     */
   def append(
       spark: SparkSession,
