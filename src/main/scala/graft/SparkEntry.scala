@@ -893,6 +893,21 @@ object SparkEntry {
       ops.Bm25Index.append(s, out, d.filter($"doc_id" % 10 >= 6))
       ops.Bm25Index.topDocs(s, out, bm25Queries(d), k = 10)
     }),
+    // Filtered lexical search: the index stores `source` beside every
+    // posting (build metaCols), the probe filters at the scan — docs
+    // outside the predicate never become candidates, while df/avgdl/N
+    // stay GLOBAL, so the result is exactly the unfiltered ranking
+    // minus non-matching docs (the oracle post-filters a global score
+    // table and re-ranks).
+    "q_bm25_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25fil_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val d = docs(s, dir)
+      ops.Bm25Index.build(d, out, nTb = 16, metaCols = Seq("source"))
+      ops.Bm25Index.topDocs(s, out, bm25Queries(d), k = 10,
+        filter = Some($"source".isin("src1", "src3", "src5", "src7", "src9")))
+    }),
     // Takedown contract on the BM25 index: tombstone every 21st doc,
     // probe — deleted docs vanish from results IMMEDIATELY while the
     // surviving docs' scores keep the FULL corpus df/avgdl/N until the
@@ -2548,6 +2563,15 @@ object SparkEntry {
     "q_bm25_index" ->
       s"""WITH $bm25OracleCte
         |SELECT query_id, doc_id, rank, score_micro FROM brank WHERE rank <= 10""".stripMargin,
+    // Filtered search: global stats (bscore unchanged), non-matching
+    // docs excluded, survivors re-ranked.
+    "q_bm25_filtered" ->
+      s"""WITH $bm25OracleCte,
+        |bfil AS (SELECT b.query_id, b.doc_id, b.score_micro,
+        |  row_number() OVER (PARTITION BY b.query_id ORDER BY b.score_micro DESC, b.doc_id) AS rank
+        |  FROM bscore b JOIN documents dd ON b.doc_id = dd.doc_id
+        |  WHERE dd.source IN ('src1', 'src3', 'src5', 'src7', 'src9'))
+        |SELECT query_id, doc_id, rank, score_micro FROM bfil WHERE rank <= 10""".stripMargin,
     // Takedown: full-corpus stats (bscore unchanged), deleted docs
     // excluded, survivors re-ranked.
     "q_bm25_delete" ->

@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   * outputs once and answers each batch against them:
   *
   * {{{
-  *   dir/lex/meta/               (n_tb)                    1 row
-  *   dir/lex/postings/tb=<b>/    (term, doc_id, tf, dl)    corpus
-  *   dir/lex/dfd/tb=<b>/         (term, df)                df deltas
-  *   dir/lex/stats/              (n_docs, sum_dl)          stat deltas
-  *   dir/tombstones/             (doc_id)                  takedowns
+  *   dir/lex/meta/               (n_tb)                          1 row
+  *   dir/lex/postings/tb=<b>/    (term, doc_id, tf, dl, meta...) corpus
+  *   dir/lex/dfd/tb=<b>/         (term, df)                      df deltas
+  *   dir/lex/stats/              (n_docs, sum_dl)                stat deltas
+  *   dir/tombstones/             (doc_id)                        takedowns
   * }}}
+  *
+  * `meta...` are [[build]]'s caller-declared filterable attributes
+  * (language, licence, source): [[topDocs]] accepts a predicate over
+  * them that pushes into the pruned scan — filtered lexical search
+  * with zero probe-path joins, the [[AnnIndex]] layout trade.
   *
   * The Spark-native part is the LAYOUT: postings are partitioned by a
   * term hash bucket (`tb = pmod(hash(term), n_tb)`), so a probe batch
@@ -88,12 +93,18 @@ object Bm25Index {
     */
   private[graft] def tbOf(term: Column, nTb: Int): Column = pmod(hash(term), lit(nTb))
 
-  /** (term, doc_id, tf, dl) of a document batch — the shared tokenize +
-    * aggregate pass of [[build]] and [[append]], dl denormalized onto
-    * every posting. One corpus-sized shuffle (the map-side-combined
-    * groupBy), identical tokenization to [[Bm25.scores]].
+  /** (term, doc_id, tf, dl, meta...) of a document batch — the shared
+    * tokenize + aggregate pass of [[build]] and [[append]], dl (and the
+    * caller-declared filterable metadata columns) DENORMALIZED onto
+    * every posting: the filtered-search layout trade [[AnnIndex]] makes
+    * — attribute bytes duplicated per posting buy a [[topDocs]] filter
+    * that applies during the pruned scan with zero probe-path joins.
+    * One corpus-sized shuffle (the map-side-combined groupBy),
+    * identical tokenization to [[Bm25.scores]].
     */
-  private[graft] def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def postingsOf(
+      docs: DataFrame, textCol: String, idCol: String,
+      metaCols: Seq[String] = Nil): DataFrame = {
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -102,7 +113,32 @@ object Bm25Index {
     // — no second corpus pass; dl is per-doc, so batch-local dl equals
     // union-corpus dl, the root of [[append]]'s exactness.
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, "doc_id").select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // Metadata rides the SAME per-doc join dl already pays — no extra
+    // shuffle of posting-sized data.
+    val docSide =
+      if (metaCols.isEmpty) dl
+      else dl.join(
+        docs.select(col(idCol).cast("long").as("doc_id") +: metaCols.map(col): _*),
+        "doc_id")
+    tf.join(docSide, "doc_id")
+      .select(Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
+        metaCols.map(col): _*)
+  }
+
+  /** The filterable metadata columns this index stores beside the
+    * postings — everything in `postings/` that is not the term, the
+    * ids/counters or the partition column (footer-only schema read).
+    */
+  private[graft] def indexMetaCols(spark: SparkSession, dir: String): Seq[String] = {
+    val core = Set("term", "doc_id", "tf", "dl", "tb")
+    spark.read.parquet(postingsPath(dir)).schema.fieldNames.toSeq.filterNot(core)
+  }
+
+  private[graft] def requireMeta(batch: DataFrame, meta: Seq[String], dir: String): Unit = {
+    val missing = meta.filterNot(batch.columns.toSet)
+    require(missing.isEmpty,
+      s"batch is missing the index's metadata column(s) ${missing.mkString(", ")} " +
+        s"(the BM25 index at $dir stores them beside every posting)")
   }
 
   /** Build the index at `dir` over `docs`, replacing any previous
@@ -115,9 +151,13 @@ object Bm25Index {
       dir: String,
       nTb: Int = 64,
       textCol: String = "text",
-      idCol: String = "doc_id"): Long = {
+      idCol: String = "doc_id",
+      metaCols: Seq[String] = Nil): Long = {
     val spark = docs.sparkSession
     require(nTb > 0, s"nTb > 0: $nTb")
+    val reserved = Set("term", "doc_id", "tf", "dl", "tb")
+    require(metaCols.forall(c => !reserved(c) && c != idCol && c != textCol),
+      s"metaCols collide with index columns: ${metaCols.mkString(", ")}")
     withWriterLock(spark, dir) {
       import spark.implicits._
       val fs = fsFor(spark, dir)
@@ -125,7 +165,7 @@ object Bm25Index {
       fs.delete(staging, true)
       // postings feed three writes (postings, dfd, stats) — pin one
       // evaluation or the corpus tokenize+shuffle replays per branch.
-      val posts = postingsOf(docs, textCol, idCol)
+      val posts = postingsOf(docs, textCol, idCol, metaCols)
         .withColumn("tb", tbOf(col("term"), nTb))
         .localCheckpoint()
       // Salt caps the layout at <= 8 files per term bucket while still
@@ -198,7 +238,9 @@ object Bm25Index {
       idCol: String = "doc_id"): Long = withWriterLock(spark, dir) {
     checkIndex(spark, dir)
     val nTb = readNTb(spark, dir)
-    val posts = postingsOf(docs, textCol, idCol)
+    val meta = indexMetaCols(spark, dir)
+    requireMeta(docs, meta, dir)
+    val posts = postingsOf(docs, textCol, idCol, meta)
       .withColumn("tb", tbOf(col("term"), nTb))
       .localCheckpoint() // three writes, one evaluation
     posts.repartition(col("tb"))
@@ -329,11 +371,14 @@ object Bm25Index {
       checkIndex(spark, dir)
       checkIndex(spark, otherDir)
       val nTb = readNTb(spark, dir)
+      val meta = indexMetaCols(spark, dir)
+      val otherPosts = spark.read.parquet(postingsPath(otherDir))
+      requireMeta(otherPosts, meta, dir)
       val live = readTombstones(spark, otherDir)
-        .fold(spark.read.parquet(postingsPath(otherDir)))(t =>
-          spark.read.parquet(postingsPath(otherDir))
-            .join(broadcast(t), Seq("doc_id"), "left_anti"))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .fold(otherPosts)(t =>
+          otherPosts.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .select(Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
+          meta.map(col): _*)
         .withColumn("tb", tbOf(col("term"), nTb)) // THIS index's bucketing
         .localCheckpoint()
       live.repartition(col("tb"))
@@ -393,6 +438,26 @@ object Bm25Index {
     * shuffle of the pruned candidate stream); the one aggregation is
     * candidate-sized. Nothing corpus-sized shuffles, and probe cost is
     * bounded by the batch's term selectivity, not the corpus.
+    *
+    * `filter`: optional predicate over the index's metadata columns
+    * (stored via [[build]]'s `metaCols` beside every posting — the
+    * [[AnnIndex.topK]] filtered-search contract): "top-k among docs
+    * WHERE lang = 'en'". Applied to the postings scan itself, so
+    * Catalyst pushes it into the partition-pruned parquet read and
+    * excluded docs never become candidates. Corpus statistics (df,
+    * avgdl, N) stay GLOBAL — surviving docs keep their unfiltered
+    * scores, so the result is exactly the unfiltered ranking with
+    * non-matching docs removed (replayable by post-filtering a global
+    * score table).
+    *
+    * `maxDfFrac` (< 1.0 to enable): drop query terms whose corpus df
+    * exceeds this fraction of N before candidate generation — the
+    * stopword cap. A term in most documents fans every probe out by
+    * ~the corpus while its idf (and thus its score contribution) is
+    * near zero micro-points; capping bounds candidate work at
+    * O(queries · maxDfFrac · N) worst-case. Scores then differ from
+    * the uncapped ranking by exactly the dropped terms' (tiny)
+    * contributions — an explicit, opt-in trade.
     */
   def topDocs(
       spark: SparkSession,
@@ -402,10 +467,13 @@ object Bm25Index {
       k1: Double = 1.5,
       b: Double = 0.75,
       queryTextCol: String = "text",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      filter: Option[Column] = None,
+      maxDfFrac: Double = 1.0): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac must be in (0, 1]: $maxDfFrac")
     checkIndex(spark, dir)
     val nTb = readNTb(spark, dir)
     val qt = queries.select(
@@ -432,7 +500,18 @@ object Bm25Index {
     val df = spark.read.parquet(dfdPath(dir)).filter(tbFilter)
       .join(broadcast(terms), Seq("term"), "left_semi")
       .groupBy("term").agg(sum("df").as("df"))
-    val idf = df
+    // Stopword cap: drop ubiquitous query terms BEFORE candidate
+    // generation (see the maxDfFrac scaladoc). The kept-term set is
+    // query-term-sized; pruning qt with it keeps the dropped terms'
+    // postings from ever fanning out.
+    val dfKept =
+      if (maxDfFrac >= 1.0) df
+      else df.filter(col("df").cast("double") <= lit(maxDfFrac) * lit(nDocs.toDouble))
+    val qtK =
+      if (maxDfFrac >= 1.0) qt
+      else qt.join(broadcast(dfKept.select($"term")), Seq("term"), "left_semi")
+        .localCheckpoint()
+    val idf = dfKept
       .select($"term", Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
     // The broadcast hints bypass Spark's size threshold — guard them
     // (the serving-tier discipline): qt is Q x terms rows, idf at most
@@ -441,9 +520,14 @@ object Bm25Index {
     // independent of join strategy.
     val qtRows = qt.count()
     val qtBytes = qtRows * 96L
-    val qtSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(qt) else qt
+    val qtSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(qtK) else qtK
     val idfSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(idf) else idf
-    val cands0 = spark.read.parquet(postingsPath(dir)).filter(tbFilter)
+    val scan0 = spark.read.parquet(postingsPath(dir)).filter(tbFilter)
+    // The metadata predicate applies to the scan itself (postings carry
+    // the index's metadata columns for exactly this): excluded docs
+    // never become candidates, and the filter pushes into the pruned
+    // parquet read.
+    val cands0 = filter.fold(scan0)(scan0.filter)
       .join(qtSide, "term")
     // Takedowns vanish immediately: candidate-bounded anti-join against
     // the (broadcast, takedown-sized) tombstone set.

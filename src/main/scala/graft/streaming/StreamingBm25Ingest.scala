@@ -68,8 +68,12 @@ object StreamingBm25Ingest {
     if (fs.exists(marker)) false
     else graft.ops.Bm25Index.withWriterLock(spark, indexDir) {
       val nTb = graft.ops.Bm25Index.readNTb(spark, indexDir)
-      // One evaluation feeds all three staged writes.
-      val posts = graft.ops.Bm25Index.postingsOf(batch, textCol, idCol)
+      // Metadata columns follow the index's schema (the batch must
+      // carry them — loud otherwise), and one evaluation feeds all
+      // three staged writes.
+      val meta = graft.ops.Bm25Index.indexMetaCols(spark, indexDir)
+      graft.ops.Bm25Index.requireMeta(batch, meta, indexDir)
+      val posts = graft.ops.Bm25Index.postingsOf(batch, textCol, idCol, meta)
         .withColumn("tb", graft.ops.Bm25Index.tbOf(col("term"), nTb))
         .localCheckpoint()
       val staging = new org.apache.hadoop.fs.Path(indexDir,

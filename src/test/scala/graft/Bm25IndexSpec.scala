@@ -183,6 +183,70 @@ class Bm25IndexSpec extends SparkSpec {
     } finally fs.delete(lock, false)
   }
 
+  test("filtered search: scan-level metadata predicate, global stats") {
+    val dir = tmpDir()
+    val d = corpus(0 until 60)
+      .withColumn("lang", when($"doc_id" % 3 === 0, "en").otherwise("de"))
+    Bm25Index.build(d, dir, nTb = 8, metaCols = Seq("lang"))
+    val unfiltered = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 100))
+    val filtered = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 100,
+      filter = Some($"lang" === "en")))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_._2 % 3 == 0), "filter must exclude non-matching docs")
+    // Global stats: surviving docs keep their unfiltered scores, so the
+    // filtered result IS the unfiltered ranking minus non-matching docs
+    // (re-ranked among survivors).
+    val unfScores = unfiltered.map(t => (t._1, t._2) -> t._4).toMap
+    assert(filtered.forall(t => unfScores((t._1, t._2)) == t._4),
+      "filtered scores must keep global df/avgdl/N")
+    // The predicate reaches the parquet scan (pushed, not post-join).
+    val plan = Bm25Index.topDocs(spark, dir, queries, k = 5,
+      filter = Some($"lang" === "en")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(lang,en)"),
+      s"metadata filter not pushed into the scan:\n$plan")
+  }
+
+  test("metadata columns carried by append and merge; missing meta fails loudly") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    val all = corpus(0 until 60)
+      .withColumn("lang", when($"doc_id" % 3 === 0, "en").otherwise("de"))
+    Bm25Index.build(all.filter($"doc_id" < 30), dirA, nTb = 4, metaCols = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      Bm25Index.append(spark, dirA, corpus(30 until 40)) // no lang column
+    }
+    Bm25Index.append(spark, dirA, all.filter($"doc_id" >= 30 && $"doc_id" < 40))
+    Bm25Index.build(all.filter($"doc_id" >= 40), dirB, nTb = 4, metaCols = Seq("lang"))
+    Bm25Index.merge(spark, dirA, dirB)
+    val filtered = collectTop(Bm25Index.topDocs(spark, dirA, queries, k = 100,
+      filter = Some($"lang" === "en")))
+    assert(filtered.map(_._2).exists(_ >= 40L), "merged docs must be filterable")
+    assert(filtered.forall(_._2 % 3 == 0))
+    // and the filtered ranking equals post-filtering the one-shot union scores
+    val expected = collectTop(Bm25.topDocs(all, queries, k = 1000))
+      .filter(_._2 % 3 == 0)
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._4, r._2)).zipWithIndex
+          .map { case ((q, doc, _, s), i) => (q, doc, (i + 1).toLong, s) }
+      }.toSet
+    assert(filtered == expected.filter(_._3 <= 100))
+  }
+
+  test("maxDfFrac drops ubiquitous terms: equal to querying without them") {
+    val dir = tmpDir()
+    // "omni" appears in EVERY doc; the real signal terms do not.
+    val d = corpus(0 until 40)
+      .withColumn("text", concat($"text", lit(" omni")))
+    Bm25Index.build(d, dir, nTb = 4)
+    val qWith = Seq((900L, "alpha delta omni")).toDF("query_id", "text")
+    val qWithout = Seq((900L, "alpha delta")).toDF("query_id", "text")
+    val capped = collectTop(Bm25Index.topDocs(spark, dir, qWith, k = 100, maxDfFrac = 0.9))
+    val stripped = collectTop(Bm25Index.topDocs(spark, dir, qWithout, k = 100))
+    assert(capped == stripped,
+      "capping an omnipresent term must equal removing it from the query")
+    val uncapped = collectTop(Bm25Index.topDocs(spark, dir, qWith, k = 100))
+    assert(uncapped != capped, "the cap should change scores by the dropped contribution")
+  }
+
   test("probe plan prunes to the query terms' buckets") {
     val dir = tmpDir()
     Bm25Index.build(corpus(0 until 60), dir, nTb = 16)
