@@ -870,12 +870,12 @@ object SparkEntry {
       val e = embs(s, dir)
       ops.Bm25Index.build(d, bmOut, nTb = 16)
       val kCells = ops.AnnIndex.build(e, annOut, nClusters = 16, iters = 5)
-      val lex = ops.Bm25Index.topDocs(s, bmOut, bm25Queries(d), k = 20)
-        .select($"query_id", $"doc_id", $"rank")
-      val vec = ops.AnnIndex.topK(s, annOut, e.filter($"vec_id" % 25 === 0 && $"vec_id" < 5000),
-          k = 20, nProbe = kCells)
-        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
-      ops.Bm25.fuseTopK(Seq(lex, vec), k = 10)
+      // Both modalities under one query id: the lexical text from the
+      // doc, the embedding from the aligned vector table.
+      val hq = bm25Queries(d)
+        .join(e.select($"vec_id".as("query_id"), $"embedding"), "query_id")
+      ops.Retrieval.hybridTopK(s, bmOut, annOut, hq,
+        k = 10, depth = 20, nProbe = kCells)
     }),
     // Persisted BM25 serving index, probed through the EXACT-append
     // contract: build on the head 60%, append the tail 40%, probe —
