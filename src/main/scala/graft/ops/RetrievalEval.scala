@@ -130,16 +130,27 @@ object RetrievalEval {
       k: Int,
       nProbes: Seq[Int],
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      pq: Boolean = false,
+      refine: Int = 0): DataFrame = {
     require(nProbes.nonEmpty, "annRecallCurve needs at least one probe depth")
     val nCells = spark.read.parquet(AnnIndex.centersPath(indexDir)).count().toInt
+    // Ground truth is always the EXACT full-depth raw-vector answer, so
+    // the PQ curve (pq = true — requires a buildPq sidecar) measures
+    // the JOINT loss of probe depth + quantization + the refine budget:
+    // at nProbe = cell count with refine >= corpus the PQ path
+    // re-ranks every candidate exactly and the curve closes to 1.0.
     val truth = AnnIndex.topK(spark, indexDir, queries, k, nProbe = nCells,
         idCol = idCol, vecCol = vecCol)
       .select(col("query_id"), col("neighbor_id").as("doc_id"))
       .localCheckpoint() // one ground-truth pass feeds every depth
     nProbes.distinct.sorted.map { p =>
-      val run = AnnIndex.topK(spark, indexDir, queries, k, nProbe = p,
+      val probed =
+        if (pq) AnnIndex.topKPq(spark, indexDir, queries, k, nProbe = p,
+          refine = refine, idCol = idCol, vecCol = vecCol)
+        else AnnIndex.topK(spark, indexDir, queries, k, nProbe = p,
           idCol = idCol, vecCol = vecCol)
+      val run = probed
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       summarize(run, truth, k)
         .select(lit(p).cast("int").as("n_probe"), col("n_queries"), col("mean_recall"))

@@ -83,5 +83,17 @@ class RetrievalEvalSpec extends SparkSpec {
       s"recall must be non-decreasing in nProbe: ${curve.mkString(", ")}")
     assert(curve.last._3 == 1.0, "full probe depth must recall the exact answer")
     assert(curve.head._3 < 1.0, "nProbe=1 on an 8-cell index should miss something")
+
+    // PQ curve against the same exact ground truth: with every cell
+    // probed and a corpus-sized refine budget the PQ path re-ranks all
+    // candidates exactly, so the curve closes to 1.0 there too.
+    graft.ops.AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    val pqCurve = RetrievalEval.annRecallCurve(spark, dir, queries, k = 5,
+        nProbes = Seq(1, 8), pq = true, refine = 1000)
+      .orderBy($"n_probe").select($"n_probe", $"mean_recall")
+      .as[(Int, Double)].collect()
+    assert(pqCurve.last._2 == 1.0,
+      s"full-depth full-refine PQ probe must close to exact: ${pqCurve.mkString(", ")}")
+    assert(pqCurve.head._2 <= pqCurve.last._2)
   }
 }
