@@ -106,6 +106,7 @@ object Bm25 {
       col(queryIdCol).cast("long").as("query_id"),
       explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
       .distinct()
+      .localCheckpoint() // feeds the guard's count AND two joins
     // idf snapped to micro-nats at the term level: the ln is the ONLY
     // factor two engines' libms could disagree on, so it is rounded
     // before anything multiplies it. df and n_docs are longs; the
@@ -114,10 +115,22 @@ object Bm25 {
       .select(col("term"), col("df"),
         idfMicro(lit(nDocs), col("df")).as("idf_micro"))
     // Candidates: docs sharing a term with the query. The query-term
-    // table is tiny (queries x terms) — broadcast it; tf keeps its
-    // partitioning. idf rides on the term key; dl joins per doc.
-    tf.join(broadcast(qterms), "term")
-      .join(broadcast(idf.drop("df")), "term")
+    // table is tiny (queries x terms) by CONVENTION, and conventions
+    // get guards: both hints ride the counted qterms estimate, falling
+    // back past it to shuffles of the candidate stream. idf as built
+    // is CORPUS-VOCABULARY-sized — it is semi-joined down to the query
+    // terms first (identical inner-join result: non-query terms never
+    // matched anything after the qterms join), so the hint never ships
+    // a 100-TB corpus's vocabulary to every executor.
+    val qtRows = qterms.count()
+    val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
+    val qtSide = if (hintable) broadcast(qterms) else qterms
+    val qTermSet = qterms.select(col("term")).distinct()
+    val qIdf = idf.drop("df")
+      .join(if (hintable) broadcast(qTermSet) else qTermSet, Seq("term"), "left_semi")
+    val idfSide = if (hintable) broadcast(qIdf) else qIdf
+    tf.join(qtSide, "term")
+      .join(idfSide, "term")
       .join(dl, "doc_id")
       // Per-(term, doc) contribution in micro-points: idf_micro is the
       // already-integer micro-nats idf, so idf_micro * tfpart IS the

@@ -138,13 +138,15 @@ object DedupIndex {
   }
 
   /** Exclude tombstoned rows from an index frame. Tombstone sets are
-    * takedown-sized (small by nature), so the anti-join broadcasts and
-    * the index side keeps its bucketed partitioning — no new exchange.
+    * takedown-sized (small by nature), so the anti-join broadcasts —
+    * under the guard — and the index side keeps its bucketed
+    * partitioning: no new exchange.
     */
   private def minusTombstones(
       spark: SparkSession, table: String, index: DataFrame): DataFrame =
     tombstones(spark, table).fold(index)(t =>
-      index.join(broadcast(t), Seq("text_hash", "keep_id"), "left_anti"))
+      index.join(Similarity.guardedRowBroadcast(t, perRowBytes = 64L),
+        Seq("text_hash", "keep_id"), "left_anti"))
 
   /** Tombstone every index row whose `keep_id` is in `ids` — the
     * takedown path (copyright, PII, robots retroactivity). Effects:
@@ -175,7 +177,8 @@ object DedupIndex {
       .distinct()
     val doomed = tombstones(spark, table)
       .fold(matched)(t =>
-        matched.join(broadcast(t), Seq("text_hash", "keep_id"), "left_anti"))
+        matched.join(Similarity.guardedRowBroadcast(t, perRowBytes = 64L),
+          Seq("text_hash", "keep_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0) {

@@ -167,7 +167,8 @@ object NearDupIndex {
       .join(reqSide, Seq("doc_id"), "left_semi")
       .distinct()
     val doomed = tombstones(spark, tablePrefix)
-      .fold(present)(t => present.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .fold(present)(t =>
+        present.join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0) {
@@ -179,13 +180,14 @@ object NearDupIndex {
     n
   }
 
-  /** Exclude tombstoned indexed docs (small takedown sets — broadcast,
-    * no new exchange on the index side).
+  /** Exclude tombstoned indexed docs (small takedown sets — broadcast
+    * under the guard, no new exchange on the index side).
     */
   private def minusTombstones(
       spark: SparkSession, prefix: String, df: DataFrame, on: String): DataFrame =
     tombstones(spark, prefix).fold(df)(t =>
-      df.join(broadcast(t.withColumnRenamed("doc_id", on)), Seq(on), "left_anti"))
+      df.join(Similarity.guardedRowBroadcast(t.withColumnRenamed("doc_id", on)),
+        Seq(on), "left_anti"))
 
   /** (doc_id, bb) postings of `docs` under the shared banding. */
   private def postings(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

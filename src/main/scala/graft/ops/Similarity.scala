@@ -188,6 +188,18 @@ object Similarity {
   private[graft] def guardedVecBroadcast(qFrame: DataFrame, rows: Long, dim: Int): DataFrame =
     if (rows * (4L * dim + 48L) <= BroadcastGuardBytes) broadcast(qFrame) else qFrame
 
+  /** `df` broadcast-hinted only when its rows (counted here — a
+    * metadata-cheap job for the parquet-backed tombstone/ids frames
+    * this guards) times `perRowBytes` fit [[BroadcastGuardBytes]].
+    * Past the guard the anti/semi join gets no hint and falls back to
+    * a shuffle of the already candidate-bounded stream — identical
+    * rows, bounded executor memory ("takedown-sized by nature" is a
+    * convention, and conventions need guards: a court-ordered
+    * million-doc takedown must not OOM every probe).
+    */
+  private[graft] def guardedRowBroadcast(df: DataFrame, perRowBytes: Long = 56L): DataFrame =
+    if (df.count() * perRowBytes <= BroadcastGuardBytes) broadcast(df) else df
+
   // ------------------------------------------------------------------ ANN
 
   /** Defaults: 16 tables x 8 bits. `bits` trades bucket selectivity
