@@ -325,7 +325,8 @@ object AnnIndex {
       .join(reqSide, Seq("vec_id"), "left_semi")
       .distinct()
     val doomed = readTombstones(spark, dir)
-      .fold(present)(t => present.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .fold(present)(t =>
+        present.join(Similarity.guardedRowBroadcast(t), Seq("vec_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0)
@@ -334,7 +335,8 @@ object AnnIndex {
   }
 
   /** The live tombstoned vec_ids, if any — takedown-sized, so callers
-    * broadcast the anti-join and candidate scans keep their shape.
+    * broadcast the anti-join (under the guard) and candidate scans
+    * keep their shape.
     */
   private def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -347,7 +349,8 @@ object AnnIndex {
   private def minusTombstones(
       spark: SparkSession, dir: String, df: DataFrame, on: String): DataFrame =
     readTombstones(spark, dir).fold(df)(t =>
-      df.join(broadcast(t.withColumnRenamed("vec_id", on)), Seq(on), "left_anti"))
+      df.join(Similarity.guardedRowBroadcast(t.withColumnRenamed("vec_id", on)),
+        Seq(on), "left_anti"))
 
   /** The filterable metadata columns this index stores beside the
     * vectors — everything in `vectors/` that is not the id, the vector
@@ -512,7 +515,8 @@ object AnnIndex {
           val all = spark.read.parquet(root.toString)
           val src = only.fold(all)(cs =>
             all.filter(col("cell").isin(cs.map(Integer.valueOf).toIndexedSeq: _*)))
-          val live = tomb.fold(src)(t => src.join(broadcast(t), Seq("vec_id"), "left_anti"))
+          val live = tomb.fold(src)(t =>
+            src.join(Similarity.guardedRowBroadcast(t), Seq("vec_id"), "left_anti"))
           live.repartition(col("cell"), pmod(hash(col("vec_id")), lit(nSalt)))
             .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
           graft.sources.SwapHooks.preSwap(root.toString)
@@ -546,8 +550,18 @@ object AnnIndex {
   }
 
   /** Top-k neighbors for each query against the persisted index:
-    * (query_id, neighbor_id, rank, score). Self-matches excluded, the
-    * same rank/tie contract as [[Clustering.ivfTopK]].
+    * (query_id, neighbor_id, rank, score). The same rank/tie contract
+    * as [[Clustering.ivfTopK]].
+    *
+    * `excludeSelf` (default true): drop candidates whose `vec_id`
+    * EQUALS the query's id — the right default when queries ARE corpus
+    * members (dedup, related-items, recall curves), where the trivial
+    * self-match at cosine 1.0 is noise. Pass false for index probes
+    * whose queries are NOT corpus members: the ids live in different
+    * key spaces, so an accidental numeric collision (query 42 vs
+    * indexed doc 42 — common for small integer ids) would otherwise
+    * silently drop a legitimate neighbor from that one query's
+    * ranking.
     *
     * `filter`: optional predicate over the index's metadata columns
     * (stored via [[build]]'s `metaCols`) — "top-k among vectors WHERE
@@ -567,7 +581,8 @@ object AnnIndex {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
@@ -607,8 +622,8 @@ object AnnIndex {
     // above is independent of the join strategy.
     val dim = if (centers.isEmpty) 0 else centers(0).length
     val qSide = Similarity.guardedVecBroadcast(q, q.count(), dim)
-    val cands = vectors.join(qSide, "cell")
-      .filter($"query_id" =!= $"neighbor_id")
+    val joined = vectors.join(qSide, "cell")
+    val cands = (if (excludeSelf) joined.filter($"query_id" =!= $"neighbor_id") else joined)
       .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
       .select($"query_id", $"neighbor_id", $"score")
     Similarity.rankTopK(cands, k)
@@ -696,7 +711,9 @@ object AnnIndex {
     * `filter`: optional metadata predicate, [[topK]]'s contract —
     * applied to the ADC scan itself (the sidecar stores the metadata
     * columns beside the codes), so excluded rows never consume the
-    * refine budget.
+    * refine budget. `excludeSelf`: [[topK]]'s contract — pass false
+    * when queries are not corpus members, so an id collision between
+    * the two key spaces cannot silently drop a neighbor.
     */
   def topKPq(
       spark: SparkSession,
@@ -707,7 +724,8 @@ object AnnIndex {
       refine: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
@@ -759,8 +777,8 @@ object AnnIndex {
     val probeBytes = probeRows * (4L * m * codes + 64L)
     val qSide =
       if (probeBytes <= Similarity.BroadcastGuardBytes) broadcast(q) else q
-    val cands = codesDf.join(qSide, "cell")
-      .filter($"query_id" =!= $"vec_id")
+    val joinedPq = codesDf.join(qSide, "cell")
+    val cands = (if (excludeSelf) joinedPq.filter($"query_id" =!= $"vec_id") else joinedPq)
       .select($"query_id", $"vec_id".as("neighbor_id"),
         graft.functions.ColumnBridge.toColumn(graft.functions.AdcScore(
           graft.functions.ColumnBridge.toExpression($"lut"),

@@ -30,6 +30,19 @@ object Retrieval {
     * the cell count for the exact vector ranking); `filter` applies to
     * BOTH indexes' scans when given (each stores the metadata columns
     * beside its rows — declare the same `metaCols` at both builds).
+    *
+    * `excludeSelf` — an ID-COLLISION HAZARD to decide consciously: the
+    * vector side inherits [[AnnIndex.topK]]'s self-exclusion
+    * (`query_id != neighbor_id`), the lexical side has no such notion.
+    * When query ids and doc ids share a key space (docs-as-queries —
+    * this library's oracles) the default true is what you want: the
+    * trivial self-hit is dropped from BOTH the vector pool (by the
+    * filter) and effectively demoted in fusion. But when queries are
+    * NOT corpus members and merely happen to collide numerically
+    * (query 42 vs doc 42 — common for small integer ids), true
+    * silently drops doc 42 from query 42's VECTOR ranking while the
+    * lexical side keeps it, skewing that query's fusion. Pass false
+    * there — ids in different key spaces must never interact.
     */
   def hybridTopK(
       spark: SparkSession,
@@ -43,7 +56,8 @@ object Retrieval {
       idCol: String = "query_id",
       textCol: String = "text",
       vecCol: String = "embedding",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && depth >= k, s"need depth >= k >= 1: k=$k, depth=$depth")
     val lex = Bm25Index.topDocs(spark, bm25Dir,
         queries.select(col(idCol).as("query_id"), col(textCol).as("text")),
@@ -51,7 +65,7 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = AnnIndex.topK(spark, annDir,
         queries.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
-        k = depth, nProbe = nProbe, filter = filter)
+        k = depth, nProbe = nProbe, filter = filter, excludeSelf = excludeSelf)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Bm25.fuseTopK(Seq(lex, vec), k, k0)
   }

@@ -180,10 +180,15 @@ object TextAnalysis {
     * directly as [[AnnIndex.build]]'s `vec_id` — and invertible
     * (`doc_id = chunk_key / maxChunks`, `chunk_id = chunk_key %
     * maxChunks`), so retrieval hits map back to documents WITHOUT a
-    * join. Fails loudly when a document chunks past `maxChunks` or the
-    * key would overflow a long (the multiply stays inside the `when`
-    * branch — under ANSI mode a bare overflow would throw a generic
-    * ARITHMETIC_OVERFLOW before any separate check column runs).
+    * join. Doc ids must be NON-NEGATIVE — the stated inversion uses
+    * JVM truncate-toward-zero division, which un-inverts negative keys
+    * (doc −1, chunk 5 keys to −999995, and −999995/1000000 = 0, not
+    * −1) — so a negative id fails loudly here rather than round-trip
+    * wrong later. Fails loudly too when a document chunks past
+    * `maxChunks` or the key would overflow a long (every check stays
+    * inside the `when` branch — under ANSI mode a bare overflow would
+    * throw a generic ARITHMETIC_OVERFLOW before any separate check
+    * column runs).
     */
   def keyedChunks(
       docs: DataFrame, width: Int, stride: Int,
@@ -192,9 +197,10 @@ object TextAnalysis {
     require(maxChunks >= 1, s"maxChunks must be >= 1: $maxChunks")
     val chunks = chunk(docs, width, stride, textCol, idCol)
     val key = when(
-      col("chunk_id") >= maxChunks ||
-        abs(col("doc_id")) > lit(Long.MaxValue / maxChunks - 1),
-      raise_error(concat(lit(s"chunk_key overflow (maxChunks=$maxChunks) for doc "),
+      col("doc_id") < 0 || col("chunk_id") >= maxChunks ||
+        col("doc_id") > lit((Long.MaxValue - (maxChunks - 1)) / maxChunks),
+      raise_error(concat(lit(s"chunk_key out of range (need 0 <= doc_id and " +
+        s"chunk_id < maxChunks=$maxChunks, key <= Long.MaxValue) for doc "),
         col("doc_id").cast("string"))).cast("long"))
       .otherwise(col("doc_id") * maxChunks + col("chunk_id"))
     chunks.select(key.as("chunk_key"),

@@ -352,4 +352,28 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.append(spark, dir, batch(2000 until 2005))
     assert(spark.read.parquet(AnnIndex.vectorsPath(dir)).count() == 185)
   }
+
+  test("excludeSelf=false keeps an id-colliding doc in the ranking (foreign query ids)") {
+    val e = vecs(120, seed = 33)
+    val dir = tmpDir()
+    AnnIndex.build(e, dir, nClusters = 4, iters = 2)
+    AnnIndex.buildPq(spark, dir, m = 4, codes = 8, iters = 2)
+    // Query id 7 is NOT corpus row 7 — it carries row 7's exact vector
+    // under a colliding id, the foreign-key-space hazard: with the
+    // default self-exclusion, doc 7 (its TRUE nearest neighbor, cosine
+    // 1.0) silently vanishes from this one query's ranking.
+    val q = e.filter($"vec_id" === 7L) // same id, same vector, "different" query
+    val withSelf = AnnIndex.topK(spark, dir, q, k = 3, nProbe = 4, excludeSelf = false)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(withSelf.get(7L).contains(1L),
+      s"excludeSelf=false must keep the colliding doc at rank 1: $withSelf")
+    val without = AnnIndex.topK(spark, dir, q, k = 3, nProbe = 4)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!without.contains(7L), "default excludeSelf must keep today's behavior")
+    // same contract on the PQ path
+    val pqWith = AnnIndex.topKPq(spark, dir, q, k = 3, nProbe = 4, excludeSelf = false)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toMap
+    assert(pqWith.get(7L).contains(1L),
+      s"topKPq excludeSelf=false must keep the colliding doc at rank 1: $pqWith")
+  }
 }

@@ -105,7 +105,25 @@ class TextAnalysisSpec extends SparkSpec {
     val e = intercept[Exception] {
       TextAnalysis.keyedChunks(df, width = 1, stride = 1, maxChunks = 100L).collect()
     }
-    assert(e.getMessage.contains("chunk_key overflow"), e.getMessage)
+    assert(e.getMessage.contains("chunk_key out of range"), e.getMessage)
+  }
+
+  test("keyed chunks: negative doc_id fails loudly (truncating division un-inverts it)") {
+    // doc -1, chunk 5 would key to -95 under maxChunks=100, and
+    // -95 / 100 = 0 on the JVM — NOT -1. The guard must refuse rather
+    // than hand out a key whose documented inversion is wrong.
+    val df = Seq((-1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.keyedChunks(df, width = 1, stride = 1, maxChunks = 100L).collect()
+    }
+    assert(e.getMessage.contains("chunk_key out of range"), e.getMessage)
+    // Long.MinValue used to blow the guard itself up (abs overflow
+    // throws the generic ANSI error the guard exists to pre-empt).
+    val dfMin = Seq((Long.MinValue, "a b")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextAnalysis.keyedChunks(dfMin, width = 1, stride = 1, maxChunks = 100L).collect()
+    }
+    assert(e2.getMessage.contains("chunk_key out of range"), e2.getMessage)
   }
 
   test("fingerprint: deterministic, order- and edit-sensitive") {
