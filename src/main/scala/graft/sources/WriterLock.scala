@@ -35,12 +35,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * an atomic namespace operation; on the local filesystem Hadoop's
   * `RawLocalFileSystem`/`ChecksumFileSystem` implement it as
   * exists-check-then-create (NOT atomic), so local paths are acquired
-  * through `java.nio.file.Files.createFile` (O_EXCL — atomic). On
-  * object stores WITHOUT atomic create-if-absent (S3A before
-  * conditional-write support) two writers can both "acquire"; run
-  * mutators for one index from one coordinator there, or front the
-  * lock with a store that has the primitive (HDFS, ABFS, GCS preconditions,
-  * S3 If-None-Match). SCALING.md §locks records the same contract.
+  * through `java.nio.file.Files.createFile` (O_EXCL — atomic).
+  * Non-local paths acquire through the `createFile(path)
+  * .overwrite(false)` BUILDER rather than the legacy two-arg create:
+  * on stores where a plain create can't be conditional, the builder is
+  * the surface that can — recent S3A (Hadoop 3.4.1+ conditional-write
+  * support) maps it to a conditional PUT (`If-None-Match: *`) that
+  * commits at close(), so create-if-absent is atomic on S3 too, and
+  * the token goes up IN the conditional write (no empty-lock cleanup
+  * window at all — the losing writer's object never materializes).
+  * On object stores where neither primitive exists, two writers can
+  * still both "acquire": run mutators for one index from one
+  * coordinator there, or front the lock with a store that has the
+  * primitive (HDFS, ABFS, GCS preconditions, S3 If-None-Match).
+  * SCALING.md §locks records the same contract.
   */
 object WriterLock {
 
@@ -116,8 +124,15 @@ object WriterLock {
           throw e
       }
     } else {
+      // The builder path: create-if-absent that stores with conditional
+      // writes can honor atomically (see the class doc). Where the
+      // store rejects early (HDFS — namespace create at build()), the
+      // failure surfaces here; where it commits late (S3A conditional
+      // PUT), it surfaces at close() — both funnel to the same
+      // taxonomy: "already exists" means locked, anything else
+      // propagates as what it is.
       val out =
-        try fs.create(lock, false)
+        try fs.createFile(lock).overwrite(false).build()
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
             throw lockedBy(fs, lock, what)
@@ -126,14 +141,38 @@ object WriterLock {
           case e: java.io.IOException =>
             if (fs.exists(lock)) throw lockedBy(fs, lock, what) else throw e
         }
+      // Early-commit stores (HDFS namespace create) have the file on
+      // disk NOW, empty — a later write/close failure must clean OUR
+      // file up or every future mutator wedges on an empty lock.
+      // Late-commit stores (S3A conditional PUT at close) have nothing
+      // yet — any file present at a close() failure is a RACING
+      // WINNER's lock and must never be deleted.
+      val earlyCommit = try fs.exists(lock) catch { case _: Throwable => false }
       try {
         out.write(token.getBytes("UTF-8"))
         out.close()
       } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          // late-commit conditional PUT lost the race at close(): the
+          // other writer's lock is the one on disk — ours never landed
+          throw lockedBy(fs, lock, what)
         case e: Throwable =>
           try out.close() catch { case _: Throwable => () }
-          try fs.delete(lock, false) catch { case _: Throwable => () }
-          throw e
+          val h = try {
+            if (fs.exists(lock)) Some(holder(fs, lock)) else None
+          } catch { case _: Throwable => None }
+          h match {
+            case Some(s) if s == token || (earlyCommit && token.startsWith(s)) =>
+              // ours (fully or partially written — a partial write is a
+              // prefix of our UUID token, a foreign token never is) —
+              // remove before rethrowing
+              try fs.delete(lock, false) catch { case _: Throwable => () }
+              throw e
+            case Some(_) =>
+              // a complete foreign token: a racing writer holds the lock
+              throw lockedBy(fs, lock, what)
+            case None => throw e
+          }
       }
     }
 

@@ -133,4 +133,49 @@ class WriterLockSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
       .toDF("vec_id", "embedding")
   }
+
+  /** Local filesystem wearing a non-"file" scheme, so acquire takes the
+    * NON-local branch — the `createFile().overwrite(false)` builder
+    * surface that recent S3A maps to a conditional PUT. The builder is
+    * exercised for real (create, token write, close, already-exists
+    * taxonomy); only the store-side atomicity is local-fs-grade here.
+    */
+  private def mockSchemeFs = {
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def getUri: java.net.URI = java.net.URI.create("mockstore:///")
+    }
+  }
+
+  test("non-local acquire uses the conditional-create builder: token, taxonomy, release") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wlock7").toString
+    val mock = mockSchemeFs
+    val lock = WriterLock.lockPath(dir)
+    @volatile var second: Option[Throwable] = None
+    WriterLock.withLock(mock, lock, "builder index") {
+      assert(mock.exists(lock), "builder acquire must create the lock")
+      // the token is IN the lock (written through the builder stream)
+      val in = mock.open(lock)
+      val tok = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(tok.contains("pid="), s"token not written through the builder: '$tok'")
+      // a second writer on the same store fails loudly with the holder
+      val t = new Thread(() =>
+        try WriterLock.withLock(mockSchemeFs, lock, "builder index")(())
+        catch { case e: Throwable => second = Some(e) })
+      t.start(); t.join()
+      assert(second.exists(_.getMessage.contains("locked by another writer")),
+        s"expected loud lock failure, got $second")
+    }
+    assert(!mock.exists(lock), "outermost exit must release")
+    // stale foreign lock -> locked taxonomy -> break -> proceeds
+    mock.createFile(lock).overwrite(false).build().close()
+    val e = intercept[IllegalStateException] {
+      WriterLock.withLock(mock, lock, "builder index")(())
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(WriterLock.break(mock, lock))
+    WriterLock.withLock(mock, lock, "builder index")(())
+    assert(!mock.exists(lock))
+  }
 }
