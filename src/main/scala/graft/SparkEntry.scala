@@ -939,6 +939,25 @@ object SparkEntry {
         .select($"query_id", $"neighbor_id".as("doc_id"))
       ops.RetrievalEval.evaluate(run, qrels, k = 10)
     }),
+    // GRADED retrieval metrics + MAP: the same run scored against
+    // graded qrels (cosine rank 1 = grade 3, ranks 2-3 = grade 2,
+    // ranks 4-5 = grade 1 — a deterministic trec-style judgment set).
+    // Gain = the grade itself in integer micro-points (dcg = sum of
+    // grade * snapped discount; ideal re-sorts the grades best-first),
+    // and average precision's per-hit precision terms are each one
+    // exact IEEE division snapped to micro-points — so DuckDB replays
+    // graded DCG, ideal DCG and AP as integer sums, hash-exact.
+    "q_retrieval_graded" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val run = ops.Bm25.topDocs(d, bm25Queries(d), k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+      val qrels = ops.Similarity.topK(e, e.filter($"vec_id" % 25 === 0 && $"vec_id" < 5000), k = 5)
+        .select($"query_id", $"neighbor_id".as("doc_id"),
+          when($"rank" === 1, 3L).when($"rank" <= 3, 2L).otherwise(1L).as("grade"))
+      ops.RetrievalEval.evaluateGraded(run, qrels, k = 10)
+    }),
     // Best-5 docs per source by quality score (bounded-heap reduction,
     // not a full window sort; ties broken by doc_id so the oracle's
     // row_number() reproduces ranks exactly).
@@ -2608,6 +2627,45 @@ object SparkEntry {
         |  coalesce(h.dcg, 0)::BIGINT AS dcg_micro,
         |  i.idcg AS idcg_micro,
         |  round(coalesce(h.dcg, 0)::DOUBLE / i.idcg, 6) AS ndcg
+        |FROM nrel n LEFT JOIN hits h USING (query_id) JOIN idcg i ON i.query_id = n.query_id""".stripMargin,
+    // Graded replay: gain = grade (integer x snapped discount), ideal
+    // DCG re-sorts the judged grades best-first (grade desc, doc_id),
+    // AP's per-hit precision snapped per term then integer-summed.
+    "q_retrieval_graded" ->
+      s"""WITH $bm25OracleCte,
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id % 25 = 0 AND q.vec_id < 5000 AND n.vec_id != q.vec_id),
+        |qr AS (SELECT query_id, doc_id,
+        |  (CASE WHEN rank = 1 THEN 3 WHEN rank <= 3 THEN 2 ELSE 1 END)::BIGINT AS grade
+        |  FROM vec WHERE rank <= 5),
+        |runq AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= 10),
+        |h AS (SELECT r.query_id, r.rank, q.grade,
+        |  row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank)::BIGINT AS cum
+        |  FROM runq r JOIN qr q USING (query_id, doc_id)),
+        |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
+        |hits AS (SELECT query_id, count(*)::BIGINT AS n_hit, min(rank) AS fr,
+        |  sum(grade * floor(1000000.0 / log2(rank + 1.0) + 0.5)::BIGINT)::BIGINT AS dcg,
+        |  sum(floor(1000000.0 * cum::DOUBLE / rank::DOUBLE + 0.5)::BIGINT)::BIGINT AS ap_sum
+        |  FROM h GROUP BY 1),
+        |ideal AS (SELECT query_id, grade,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id)::BIGINT AS pos
+        |  FROM qr),
+        |idcg AS (SELECT query_id,
+        |  sum(grade * floor(1000000.0 / log2(pos + 1.0) + 0.5)::BIGINT)::BIGINT AS idcg
+        |  FROM ideal WHERE pos <= 10 GROUP BY 1)
+        |SELECT n.query_id, n.n_rel,
+        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(h.n_hit, 0)::DOUBLE / n.n_rel, 6) AS recall,
+        |  coalesce(floor(1000000.0 / h.fr + 0.5)::BIGINT, 0)::BIGINT AS rr_micro,
+        |  coalesce(h.dcg, 0)::BIGINT AS dcg_micro,
+        |  i.idcg AS idcg_micro,
+        |  round(coalesce(h.dcg, 0)::DOUBLE / i.idcg, 6) AS ndcg,
+        |  coalesce(h.ap_sum, 0)::BIGINT AS ap_sum_micro,
+        |  round(coalesce(h.ap_sum, 0)::DOUBLE / 1000000.0 / n.n_rel, 6) AS ap
         |FROM nrel n LEFT JOIN hits h USING (query_id) JOIN idcg i ON i.query_id = n.query_id""".stripMargin,
     // Fusion replay: BM25 top-20 + exact-cosine top-20, RRF'd with
     // integer micro-point contributions (floor(1e6/(60+rank)+0.5)),

@@ -106,6 +106,106 @@ object RetrievalEval {
       round(avg(col("rr_micro").cast("double") / lit(1000000.0)), 6).as("mrr"),
       round(avg(col("ndcg")), 6).as("mean_ndcg"))
 
+  /** Per-query GRADED metrics — real qrels carry judgment LEVELS
+    * (trec-style 0..3), not booleans. Gain = the grade itself, in the
+    * same micro-point discipline as [[evaluate]], plus average
+    * precision (MAP's per-query term, binary over grade > 0):
+    *
+    * {{{
+    *   (query_id, n_rel, n_hit, recall, rr_micro,
+    *    dcg_micro, idcg_micro, ndcg, ap_sum_micro, ap)
+    * }}}
+    *
+    * `qrels`: (query_id, doc_id, `gradeCol`) — integer grades; grade 0
+    * rows are judged-NON-relevant (trec convention) and contribute to
+    * nothing; duplicate (query, doc) judgments collapse to the MAX
+    * grade (deterministic). With every grade 1 this equals [[evaluate]]
+    * plus the two AP columns (asserted in the spec).
+    *
+    *   - dcg_micro  = sum over hits of grade * discMicro(rank) —
+    *     integer products of integer micro-points, orderless sum
+    *   - idcg_micro = grades sorted (grade desc, doc_id asc), first
+    *     min(n_rel, k) positions through the same kernel
+    *   - ap_sum_micro = sum over hits of floor(1e6 * cumHits/rank + 0.5)
+    *     (each precision-at-hit one exact IEEE division, snapped); ap =
+    *     round(ap_sum_micro / 1e6 / n_rel, 6)
+    *
+    * Scale shape: identical to [[evaluate]] — run-sized join, two
+    * windows over per-query frames bounded by k and the judged count
+    * (never corpus-sized), one query-sized aggregation.
+    */
+  def evaluateGraded(
+      run: DataFrame,
+      qrels: DataFrame,
+      k: Int,
+      gradeCol: String = "grade"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = run.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col(gradeCol).cast("long").as("grade"))
+      .filter(col("grade") > 0)
+      .groupBy("query_id", "doc_id").agg(max(col("grade")).as("grade"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    // cum = hits-so-far at each hit's rank (row_number over rank order
+    // — every row IS a hit), so precision@that-rank = cum / rank.
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val hits = r.join(rel, Seq("query_id", "doc_id"))
+      .withColumn("cum", row_number().over(wCum).cast("long"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_hit"),
+        min(col("rank")).as("first_rank"),
+        sum(col("grade") * discMicro(col("rank"))).as("dcg_micro"),
+        sum(floor(lit(1000000.0) * col("cum").cast("double") / col("rank").cast("double") +
+          lit(0.5)).cast("long")).as("ap_sum_micro"))
+    // Ideal DCG: the judged grades themselves, best-first (grade desc,
+    // doc_id asc for determinism), first min(n_rel, k) positions.
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    val idcg = rel
+      .withColumn("pos", row_number().over(wIdeal).cast("long"))
+      .filter(col("pos") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("grade") * discMicro(col("pos"))).as("idcg_micro"))
+    nRel.join(hits, Seq("query_id"), "left_outer")
+      .join(idcg, Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall"),
+        coalesce(
+          floor(lit(1000000.0) / col("first_rank").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          col("idcg_micro").cast("double"), 6).as("ndcg"),
+        coalesce(col("ap_sum_micro"), lit(0L)).as("ap_sum_micro"),
+        round(coalesce(col("ap_sum_micro"), lit(0L)).cast("double") / lit(1000000.0) /
+          col("n_rel").cast("double"), 6).as("ap"))
+  }
+
+  /** [[summarize]] for graded qrels, with MAP: the means of recall@k,
+    * MRR, graded nDCG@k and AP over the judged queries.
+    */
+  def summarizeGraded(
+      run: DataFrame, qrels: DataFrame, k: Int, gradeCol: String = "grade"): DataFrame =
+    evaluateGraded(run, qrels, k, gradeCol).agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 6).as("mean_recall"),
+      round(avg(col("rr_micro").cast("double") / lit(1000000.0)), 6).as("mrr"),
+      round(avg(col("ndcg")), 6).as("mean_ndcg"),
+      round(avg(col("ap")), 6).as("map"))
+
   /** Recall@k of a persisted [[AnnIndex]] as a function of probe depth
     * — the tuning table a serving deployment reads before picking
     * `nProbe` (each +1 probe buys recall and costs a cell scan;

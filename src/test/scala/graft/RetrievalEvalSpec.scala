@@ -65,6 +65,58 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // graded qrels: q1 {11 -> 2, 99 -> 3}, q2 {20 -> 1, 22 -> 2, 77 -> 3},
+  // q4 {40 -> 2}; plus a grade-0 (judged non-relevant) row on q1's
+  // rank-1 doc that must contribute to NOTHING.
+  private def gradedQrels = Seq(
+    (1L, 11L, 2L), (1L, 99L, 3L), (1L, 10L, 0L),
+    (2L, 20L, 1L), (2L, 22L, 2L), (2L, 77L, 3L),
+    (4L, 40L, 2L)).toDF("query_id", "doc_id", "grade")
+
+  test("graded golden: gain = grade, ideal re-sorts grades, AP per query") {
+    val got = RetrievalEval.evaluateGraded(run, gradedQrels, k = 3)
+      .select($"query_id", $"n_rel", $"n_hit", $"recall", $"rr_micro",
+        $"dcg_micro", $"idcg_micro", $"ndcg", $"ap_sum_micro", $"ap")
+      .as[(Long, Long, Long, Double, Long, Long, Long, Double, Long, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), s"${got.keySet}")
+    // q1: hit at rank 2 grade 2 -> dcg = 2*disc(2) = 1261860; ideal
+    // [3, 2] -> idcg = 3*1000000 + 2*630930 = 4261860; AP: one hit,
+    // precision 1/2 -> 500000, ap = 0.5/2 rel = 0.25. Doc 10 (grade 0)
+    // is in the run at rank 1 but is NOT a hit and NOT in n_rel.
+    assert(got(1L) == ((1L, 2L, 1L, 0.5, 500000L, 1261860L, 4261860L, 0.296082,
+      500000L, 0.25)), s"${got(1L)}")
+    // q2: hits rank 1 grade 1, rank 3 grade 2 -> dcg = 1000000 +
+    // 2*500000 = 2000000; ideal [3,2,1] -> 3000000+1261860+500000;
+    // AP: 1/1 then 2/3 -> 1000000 + 666667, / 3 rel.
+    assert(got(2L) == ((2L, 3L, 2L, 0.666667, 1000000L, 2000000L, 4761860L, 0.420004,
+      1666667L, 0.555556)), s"${got(2L)}")
+    // q4: judged, never answered
+    assert(got(4L) == ((4L, 1L, 0L, 0.0, 0L, 0L, 2000000L, 0.0, 0L, 0.0)), s"${got(4L)}")
+  }
+
+  test("all-grades-1 graded evaluation equals the binary path plus AP columns") {
+    val ones = qrels.withColumn("grade", lit(1L))
+    val graded = RetrievalEval.evaluateGraded(run, ones, k = 3)
+      .drop("ap_sum_micro", "ap").collect().toSet
+    val binary = RetrievalEval.evaluate(run, qrels, k = 3).collect().toSet
+    assert(graded == binary, s"grade=1 must reduce to the binary metrics")
+  }
+
+  test("duplicate graded judgments collapse to the max grade") {
+    val dup = gradedQrels.union(Seq((1L, 11L, 1L)).toDF("query_id", "doc_id", "grade"))
+    val a = RetrievalEval.evaluateGraded(run, gradedQrels, k = 3).collect().toSet
+    val b = RetrievalEval.evaluateGraded(run, dup, k = 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("summarizeGraded: MAP is the mean of per-query AP") {
+    val got = RetrievalEval.summarizeGraded(run, gradedQrels, k = 3)
+      .select($"n_queries", $"map").as[(Long, Double)].head()
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - (0.25 + 0.555556 + 0.0) / 3) < 1e-6, s"$got")
+  }
+
   test("ANN recall curve: non-decreasing in probe depth, exact at full depth") {
     val dir = java.nio.file.Files.createTempDirectory("graft_recallcurve").toString
     val rnd = new scala.util.Random(11)
