@@ -318,9 +318,33 @@ object Bench {
           val cmpDir = s"$tmp/graft_bench_ann_cmp_$tag"
           graft.ops.AnnIndex.build(deepVecs, cmpDir, nClusters = 1024, iters = 1, nTotal = n)
           val deepCompact = timed(() => graft.ops.AnnIndex.compact(spark, cmpDir))
+          // Deep BM25 serving anchor: the corpus grows 10x (crossJoin
+          // replication, BENCH_NOTES §7 discipline), the query batch
+          // stays FIXED — the standing series for the MaxScore claim
+          // that probe cost tracks the batch, not the corpus. The
+          // exhaustive control (prune = false) prices what the probe
+          // would cost without dynamic pruning, in the same artifact.
+          val deepDocs = d
+            .select($"doc_id", $"text")
+            .crossJoin(spark.range(10).select($"id".as("__c")))
+            .select(($"doc_id" + $"__c" * 10000000L).as("doc_id"), $"text")
+            .localCheckpoint()
+          val deepDocCount = deepDocs.count()
+          val bmDeepDir = s"$tmp/graft_bench_bm_deep_$tag"
+          val deepBmBuild = timed(() =>
+            graft.ops.Bm25Index.build(deepDocs, bmDeepDir, nTb = 64))
+          val deepBmProbe = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, bmDeepDir, bmQueries, k = 10)))
+          val deepBmExhaustive = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, bmDeepDir, bmQueries, k = 10,
+              prune = false)))
           s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
           s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},""" +
-          s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},"""
+          s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},""" +
+          s""""deep_bm25_docs":$deepDocCount,""" +
+          s""""deep_bm25_build_sec":${f"$deepBmBuild%.3f"},""" +
+          s""""deep_bm25_probe_sec":${f"$deepBmProbe%.3f"},""" +
+          s""""deep_bm25_probe_exhaustive_sec":${f"$deepBmExhaustive%.3f"},"""
         }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +

@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   * {{{
   *   dir/lex/meta/               (n_tb)                          1 row
   *   dir/lex/postings/tb=<b>/    (term, doc_id, tf, dl, meta...) corpus
-  *   dir/lex/dfd/tb=<b>/         (term, df)                      df deltas
-  *   dir/lex/stats/              (n_docs, sum_dl)                stat deltas
+  *   dir/lex/dfd/tb=<b>/         (term, df, max_tf, min_dl)      df deltas
+  *   dir/lex/stats/              (n_docs, sum_dl, n_terms)       stat deltas
   *   dir/tombstones/             (doc_id)                        takedowns
   * }}}
+  *
+  * `max_tf`/`min_dl` are the dfd's per-term IMPACT BOUNDS (summed-df
+  * deltas combine by max/min, so they stay exact through append and
+  * merge): the BM25 contribution is increasing in tf and decreasing in
+  * dl for any valid (k1, b), so `contrib(max_tf, min_dl)` upper-bounds
+  * every posting of the term at ANY probe-time parameters — the
+  * MaxScore bound [[topDocs]]'s dynamic pruning uses to skip common
+  * terms' postings without moving a single rank (Turtle & Flood 1995).
   *
   * `meta...` are [[build]]'s caller-declared filterable attributes
   * (language, licence, source): [[topDocs]] accepts a predicate over
@@ -145,6 +153,20 @@ object Bm25Index {
     * generation with one atomic swap (probes mid-rebuild serve the old
     * complete index). Tombstones are generation state and clear with
     * the rebuild. Returns the indexed doc count.
+    *
+    * Refuses an EMPTY corpus (zero docs — under the shared tokenizer
+    * every doc yields at least one token, so zero postings means zero
+    * docs): `partitionBy` over an empty frame writes zero part
+    * files, so the postings table would have no parquet footer and
+    * every later probe/append would die on schema inference — loud
+    * here beats cryptic there. Refuses too to REBUILD a live index
+    * with a different `nTb`: probes read `n_tb` from `meta/` and scan
+    * `postings/` as separate non-atomic reads, so a probe racing a
+    * bucket-function change would compute bucket ids with the old
+    * `n_tb` over the new layout and silently return incomplete
+    * candidates. Resizing requires retiring the index (delete the
+    * directory) first — that makes the race loud (missing `lex/`)
+    * instead of silent.
     */
   def build(
       docs: DataFrame,
@@ -161,6 +183,14 @@ object Bm25Index {
     withWriterLock(spark, dir) {
       import spark.implicits._
       val fs = fsFor(spark, dir)
+      if (fs.exists(new org.apache.hadoop.fs.Path(metaPath(dir)))) {
+        val existing = readNTb(spark, dir)
+        require(existing == nTb,
+          s"rebuilding the live BM25 index at $dir with nTb=$nTb != its nTb=$existing " +
+            "would change the bucket function under concurrent probes (a probe that read " +
+            "the old n_tb would scan the new layout's wrong buckets and silently miss " +
+            "candidates); delete the index directory first to resize")
+      }
       val staging = new org.apache.hadoop.fs.Path(s"$dir/_build_tmp")
       fs.delete(staging, true)
       // postings feed three writes (postings, dfd, stats) — pin one
@@ -168,6 +198,10 @@ object Bm25Index {
       val posts = postingsOf(docs, textCol, idCol, metaCols)
         .withColumn("tb", tbOf(col("term"), nTb))
         .localCheckpoint()
+      require(!posts.isEmpty,
+        s"refusing to build an empty BM25 index at $dir (no docs, or no doc tokenizes " +
+          "to any term): an empty partitioned postings table has no parquet footer and " +
+          "every later probe/append would fail on schema inference")
       // Salt caps the layout at <= 8 files per term bucket while still
       // writing a hot bucket with 8-way parallelism (the AnnIndex.build
       // discipline).
@@ -175,12 +209,17 @@ object Bm25Index {
         .repartition(col("tb"), pmod(hash(col("doc_id")), lit(8)))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/postings")
-      posts.groupBy("term").agg(count(lit(1)).as("df"))
+      posts.groupBy("term").agg(count(lit(1)).as("df"),
+        max("tf").as("max_tf"), min("dl").as("min_dl"))
         .withColumn("tb", tbOf(col("term"), nTb))
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/dfd")
-      val nDocs = writeStatsDelta(spark, posts, s"$dir/_build_tmp/lex/stats", "overwrite")
+      // vocabulary = the staged dfd's row count (one row per term) —
+      // a parquet footer count, no data scan
+      val vocab = spark.read.parquet(s"$dir/_build_tmp/lex/dfd").count()
+      val nDocs = writeStatsDelta(spark, posts, s"$dir/_build_tmp/lex/stats", "overwrite",
+        nTerms = vocab)
       Seq(nTb).toDF("n_tb").repartition(1)
         .write.mode("overwrite").parquet(s"$dir/_build_tmp/lex/meta")
       graft.sources.SwapHooks.preSwap(dir)
@@ -199,23 +238,66 @@ object Bm25Index {
     }
   }
 
-  /** One (n_docs, sum_dl) stats delta from a postings frame. Returns
-    * the doc count. `sum_dl` sums each doc's length ONCE (dl rides on
-    * every posting row, so the per-doc row set is distinct'd first —
-    * (doc_id, dl) is functionally dependent, the distinct is exact).
+  /** One (n_docs, sum_dl, n_terms) stats delta from a postings frame.
+    * Returns the doc count. `sum_dl` sums each doc's length ONCE (dl
+    * rides on every posting row, so the per-doc row set is distinct'd
+    * first — (doc_id, dl) is functionally dependent, the distinct is
+    * exact). `nTerms` is the caller's NEW-to-the-index term count —
+    * whole vocab at build/compact, the anti-joined novelty count at
+    * append/merge/stream — so the vocabulary, though not itself
+    * additive (batches share terms), stays EXACTLY recoverable as a
+    * delta sum and [[stats]] never scans a data table for it.
     */
-  private def writeStatsDelta(
-      spark: SparkSession, posts: DataFrame, path: String, mode: String): Long = {
+  private[graft] def writeStatsDelta(
+      spark: SparkSession, posts: DataFrame, path: String, mode: String,
+      nTerms: Long): Long = {
     import spark.implicits._
-    // coalesce: sum over an EMPTY frame is null (an empty build or an
-    // empty streaming micro-batch must write a (0, 0) delta, not NPE).
+    // coalesce: sum over an EMPTY frame is null (an empty streaming
+    // micro-batch must write a (0, 0, 0) delta, not NPE).
     val row = posts.select($"doc_id", $"dl").distinct()
       .agg(count(lit(1)).as("n_docs"), coalesce(sum($"dl"), lit(0L)).as("sum_dl"))
       .as[(Long, Long)].head()
-    Seq(row).toDF("n_docs", "sum_dl").repartition(1)
+    Seq((row._1, row._2, nTerms)).toDF("n_docs", "sum_dl", "n_terms").repartition(1)
       .write.mode(mode).parquet(path)
     row._1
   }
+
+  /** Count of `batchTerms` (a distinct single-column `term` frame) NOT
+    * already present in the index's dfd — the vocabulary-novelty delta
+    * [[writeStatsDelta]] records for append/merge/stream. The dfd scan
+    * prunes to the batch terms' buckets (bounded by nTb) and the
+    * anti-join output is batch-vocab-sized; nothing corpus-shaped
+    * moves. MUST run BEFORE the batch's own dfd rows land (the anti
+    * would otherwise see the batch itself and count zero) — except for
+    * a REDELIVERED streamed batch, whose earlier attempt may already
+    * have installed its dfd file under the deterministic
+    * `b<batchId>.parquet` name: `excludeBatch` masks exactly that file
+    * out of the read, so the recount matches what the crashed attempt
+    * computed and the deterministic-name stats replace stays exact.
+    */
+  private[graft] def newTermCount(
+      spark: SparkSession, dir: String, batchTerms: DataFrame, nTb: Int,
+      excludeBatch: Option[Long] = None): Long = {
+    import spark.implicits._
+    val tbs = batchTerms.select(tbOf(col("term"), nTb).as("tb"))
+      .distinct().as[Int].collect().sorted
+    val scan = spark.read.parquet(dfdPath(dir))
+      .filter(col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*))
+    val existing = excludeBatch
+      .fold(scan)(id => scan.filter(!input_file_name().endsWith(s"b$id.parquet")))
+      .select("term")
+    batchTerms.join(existing, Seq("term"), "left_anti").count()
+  }
+
+  /** Loud shape check for mutators appending stats deltas: an index
+    * whose stats table predates the vocab-delta column must be rebuilt
+    * (compact would also rewrite it) — silently appending 3-column
+    * deltas beside 2-column ones corrupts every later stats read.
+    */
+  private[graft] def requireStatsHasTerms(spark: SparkSession, dir: String): Unit =
+    require(spark.read.parquet(statsPath(dir)).columns.contains("n_terms"),
+      s"the BM25 index at $dir was built before vocabulary deltas were tracked " +
+        "(stats/ lacks n_terms) — rebuild or compact it before appending")
 
   /** Append a document batch — EXACT, not drift-accruing: every stored
     * quantity is additive (per-doc tf/dl rows, per-term df counts, the
@@ -237,19 +319,23 @@ object Bm25Index {
       textCol: String = "text",
       idCol: String = "doc_id"): Long = withWriterLock(spark, dir) {
     checkIndex(spark, dir)
+    requireStatsHasTerms(spark, dir)
     val nTb = readNTb(spark, dir)
     val meta = indexMetaCols(spark, dir)
     requireMeta(docs, meta, dir)
     val posts = postingsOf(docs, textCol, idCol, meta)
       .withColumn("tb", tbOf(col("term"), nTb))
       .localCheckpoint() // three writes, one evaluation
+    // vocabulary novelty BEFORE the batch's dfd rows land
+    val newTerms = newTermCount(spark, dir, posts.select("term").distinct(), nTb)
     posts.repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
-    posts.groupBy("term").agg(count(lit(1)).as("df"))
+    posts.groupBy("term").agg(count(lit(1)).as("df"),
+        max("tf").as("max_tf"), min("dl").as("min_dl"))
       .withColumn("tb", tbOf(col("term"), nTb))
       .repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
-    writeStatsDelta(spark, posts, statsPath(dir), "append")
+    writeStatsDelta(spark, posts, statsPath(dir), "append", nTerms = newTerms)
   }
 
   /** Tombstone indexed docs — the takedown path. A tombstoned doc is
@@ -277,7 +363,8 @@ object Bm25Index {
       .join(reqSide, Seq("doc_id"), "left_semi")
       .distinct()
     val doomed = readTombstones(spark, dir)
-      .fold(present)(t => present.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .fold(present)(t =>
+        present.join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
     val n = doomed.count()
     if (n > 0)
@@ -298,8 +385,11 @@ object Bm25Index {
     * and swapped under the `lex/` root in one atomic rename — after
     * this, scores equal a fresh [[build]] on the surviving corpus.
     * Also the small-file play: thousands of appended batches collapse
-    * back to <= 8 files per term bucket. Returns the surviving doc
-    * count.
+    * back to <= 8 files per term bucket. Refuses to compact an index
+    * down to ZERO live docs (every doc tombstoned) — the rewrite would
+    * install a postings table with no parquet footer and every later
+    * read would die on schema inference; retire the index (delete the
+    * directory) instead. Returns the surviving doc count.
     */
   def compact(spark: SparkSession, dir: String): Long = withWriterLock(spark, dir) {
     checkIndex(spark, dir)
@@ -334,17 +424,27 @@ object Bm25Index {
     val tomb = readTombstones(spark, dir)
     val live = tomb.fold(spark.read.parquet(postingsPath(dir)))(t =>
       spark.read.parquet(postingsPath(dir))
-        .join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
+    if (live.isEmpty)
+      throw new IllegalStateException(
+        s"refusing to compact the BM25 index at $dir down to zero live docs (every doc " +
+          "is tombstoned): the rewrite would install a postings table with no parquet " +
+          "footer; delete the index directory instead")
     live.repartition(col("tb"), pmod(hash(col("doc_id")), lit(8)))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/postings")
-    live.groupBy("term").agg(count(lit(1)).as("df"))
+    live.groupBy("term").agg(count(lit(1)).as("df"),
+        max("tf").as("max_tf"), min("dl").as("min_dl"))
       .withColumn("tb", tbOf(col("term"), nTb))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/dfd")
-    val nDocs = writeStatsDelta(spark, live, s"$dir/_compact_tmp/lex/stats", "overwrite")
+    // fresh-generation vocabulary from the staged dfd's footer count —
+    // this is also where a tombstoned-out term leaves the count
+    val vocab = spark.read.parquet(s"$dir/_compact_tmp/lex/dfd").count()
+    val nDocs = writeStatsDelta(spark, live, s"$dir/_compact_tmp/lex/stats", "overwrite",
+      nTerms = vocab)
     Seq(nTb).toDF("n_tb").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/_compact_tmp/lex/meta")
     graft.sources.SwapHooks.preSwap(dir)
@@ -370,30 +470,44 @@ object Bm25Index {
     withWriterLock(spark, dir) {
       checkIndex(spark, dir)
       checkIndex(spark, otherDir)
+      requireStatsHasTerms(spark, dir)
       val nTb = readNTb(spark, dir)
       val meta = indexMetaCols(spark, dir)
       val otherPosts = spark.read.parquet(postingsPath(otherDir))
       requireMeta(otherPosts, meta, dir)
       val live = readTombstones(spark, otherDir)
         .fold(otherPosts)(t =>
-          otherPosts.join(broadcast(t), Seq("doc_id"), "left_anti"))
+          otherPosts.join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
         .select(Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
           meta.map(col): _*)
         .withColumn("tb", tbOf(col("term"), nTb)) // THIS index's bucketing
         .localCheckpoint()
+      // vocabulary novelty (the other's LIVE terms not already here)
+      // BEFORE its dfd rows land
+      val newTerms = newTermCount(spark, dir, live.select("term").distinct(), nTb)
       live.repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
-      live.groupBy("term").agg(count(lit(1)).as("df"))
+      live.groupBy("term").agg(count(lit(1)).as("df"),
+        max("tf").as("max_tf"), min("dl").as("min_dl"))
         .withColumn("tb", tbOf(col("term"), nTb))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
-      writeStatsDelta(spark, live, statsPath(dir), "append")
+      writeStatsDelta(spark, live, statsPath(dir), "append", nTerms = newTerms)
     }
 
   /** Operational snapshot: live docs, distinct terms (vocabulary),
     * postings data files (the [[compact]] trigger — each appended
     * batch adds up to n_tb files), stat deltas pending collapse, and
     * tombstones pending physical retirement.
+    *
+    * METADATA-ONLY by construction: docs and terms are delta sums from
+    * the tiny `stats/` table ([[writeStatsDelta]] records each
+    * mutation's vocabulary NOVELTY, so the non-additive "distinct
+    * terms" is still an exact additive sum), file counts are listings,
+    * tombstones a takedown-sized count — no postings or dfd data scan
+    * at any corpus size. Like `docs` vs pending takedowns' df drift,
+    * `terms` counts a term whose docs are all tombstoned until
+    * [[compact]] physically retires it.
     */
   final case class IndexStats(
       docs: Long,
@@ -414,10 +528,12 @@ object Bm25Index {
       }.toLong).sum
     import spark.implicits._
     val stat = spark.read.parquet(statsPath(dir))
+    val (nDocs, nTerms) = stat
+      .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"n_terms"), lit(0L)))
+      .as[(Long, Long)].head()
     IndexStats(
-      docs = stat.agg(sum($"n_docs")).as[Long].head() -
-        readTombstones(spark, dir).fold(0L)(_.count()),
-      terms = spark.read.parquet(dfdPath(dir)).select("term").distinct().count(),
+      docs = nDocs - readTombstones(spark, dir).fold(0L)(_.count()),
+      terms = nTerms,
       dataFiles = files,
       statDeltas = stat.count(),
       tombstones = readTombstones(spark, dir).fold(0L)(_.count()))
@@ -458,6 +574,39 @@ object Bm25Index {
     * O(queries · maxDfFrac · N) worst-case. Scores then differ from
     * the uncapped ranking by exactly the dropped terms' (tiny)
     * contributions — an explicit, opt-in trade.
+    *
+    * `prune` (default on): MaxScore-style RANK-SAFE dynamic pruning
+    * (Turtle & Flood 1995), the serving-grade answer to the one probe
+    * cost that is otherwise corpus-shaped — without it every posting
+    * of every query term is scored, so a common term means an
+    * O(df) ≈ O(corpus) aggregation per batch. With it:
+    *
+    *   1. SEED a per-query threshold θ: exactly score only the 2
+    *      highest-impact terms per query (impact bound = contrib at
+    *      the dfd's (max_tf, min_dl) — ≥ every real posting of the
+    *      term since the contribution is increasing in tf, decreasing
+    *      in dl); θ = the k-th best seed score. Any doc's true score
+    *      only exceeds its partial, so ≥ k docs truly score ≥ θ.
+    *   2. SPLIT terms per query: the maximal ascending-impact prefix
+    *      whose bound-sum stays BELOW θ is non-essential — a doc
+    *      containing only those cannot reach the top k. Candidate
+    *      generation scans ONLY essential terms' postings; a common
+    *      term (huge df, tiny idf ⇒ tiny bound) is exactly what lands
+    *      non-essential, so its corpus-sized postings never fan out.
+    *   3. TIGHTEN θ to the k-th essential partial, drop candidates
+    *      whose partial + Σ non-essential bounds < θ, and complete
+    *      ONLY the survivors' scores against the non-essential
+    *      postings (semi-joined during the scan — candidate-bounded
+    *      aggregation, columnar-scan-speed IO).
+    *
+    * Every survivor's final score is the exact full sum, the true
+    * top-k provably survives every cut, and ties rank identically —
+    * so the output is BIT-IDENTICAL to the exhaustive probe (the
+    * parity spec randomizes corpora over both paths; the oracle
+    * queries run with pruning on). Probes with fewer than
+    * [[PruneMinPostings]] total query-term postings (the seed round
+    * trips would cost more than they save), or against a pre-bounds
+    * index layout, take the exhaustive path — same answer either way.
     */
   def topDocs(
       spark: SparkSession,
@@ -469,7 +618,8 @@ object Bm25Index {
       queryTextCol: String = "text",
       queryIdCol: String = "query_id",
       filter: Option[Column] = None,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0,
+      prune: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
@@ -481,11 +631,6 @@ object Bm25Index {
       explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
       .distinct()
       .localCheckpoint() // feeds the bucket collect AND two joins
-    // Static partition pruning, the AnnIndex probed-cell discipline:
-    // the distinct query-term bucket set is bounded by the term count
-    // (and by n_tb), so collecting it is free.
-    val tbs = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
-    val tbFilter = col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*)
     // Corpus stats: deltas sum exactly and collect driver-side (ONE
     // row, inlined as literals — a 1-row crossJoin would plan the
     // BroadcastNestedLoopJoin the plan audit bans); avgdl's division
@@ -494,6 +639,57 @@ object Bm25Index {
       .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"sum_dl"), lit(0L)))
       .as[(Long, Long)].head()
     val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs.toDouble
+    // Pre-bounds index layouts (no max_tf/min_dl in dfd) can't bound
+    // impacts — exhaustive, as before the sidecar existed.
+    val hasBounds = {
+      val fields = spark.read.parquet(dfdPath(dir)).schema.fieldNames.toSet
+      fields.contains("max_tf") && fields.contains("min_dl")
+    }
+    if (!prune || !hasBounds)
+      topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+    else
+      topDocsPruned(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+  }
+
+  /** Below this many total query-term postings the exhaustive probe is
+    * taken even with `prune` on — the pruned path's extra driver round
+    * trips (seed + threshold collects) cost more than scoring every
+    * posting of a small candidate set. A VAR only so the parity spec
+    * can force pruning on spec-sized corpora; production never writes
+    * it. The gate reads only deterministic index state (df sums), so
+    * either way the answer is identical. 10k ≈ the point where one
+    * aggregation task's worth of postings outweighs two driver round
+    * trips — low enough that the sf0.01 DuckDB correctness gate runs
+    * the PRUNED path (rank-safety held to the hash gate, not just the
+    * parity spec).
+    */
+  private[graft] var PruneMinPostings: Long = 10000L
+
+  /** The shared final ranking: (query_id, doc_id, rank, score_micro)
+    * by (score desc, doc_id asc) through the bounded-heap top-k.
+    */
+  private def rankTail(scores: DataFrame, k: Int): DataFrame =
+    Similarity.rankTopK(
+      scores.select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_micro").cast("double").as("score")), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rank"), col("score").cast("long").as("score_micro"))
+
+  /** The exhaustive probe: every posting of every (kept) query term is
+    * scored. Bucket-pruned and candidate-bounded in SHUFFLE terms, but
+    * the aggregation WORK is O(sum of query-term df) — corpus-shaped
+    * for common terms, which is why [[topDocsPruned]] exists.
+    */
+  private def topDocsExhaustive(
+      spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
+      filter: Option[Column], maxDfFrac: Double, nTb: Int,
+      qt: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
+    import spark.implicits._
+    // Static partition pruning, the AnnIndex probed-cell discipline:
+    // the distinct query-term bucket set is bounded by the term count
+    // (and by n_tb), so collecting it is free.
+    val tbs = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
+    val tbFilter = col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*)
     // Query-term df: pruned dfd scan, semi against the terms, deltas
     // summed — query-term-sized output.
     val terms = qt.select($"term").distinct()
@@ -530,19 +726,167 @@ object Bm25Index {
     val cands0 = filter.fold(scan0)(scan0.filter)
       .join(qtSide, "term")
     // Takedowns vanish immediately: candidate-bounded anti-join against
-    // the (broadcast, takedown-sized) tombstone set.
+    // the (guarded-broadcast, takedown-sized) tombstone set.
     val cands = readTombstones(spark, dir)
-      .fold(cands0)(t => cands0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .fold(cands0)(t =>
+        cands0.join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
     val scores = cands
       .join(idfSide, "term")
       .select($"query_id", $"doc_id",
         Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c_micro").as("score_micro"))
-    Similarity.rankTopK(
-      scores.select($"query_id", $"doc_id".as("neighbor_id"),
-        $"score_micro".cast("double").as("score")), k)
-      .select($"query_id", $"neighbor_id".as("doc_id"),
-        $"rank".cast("long").as("rank"), $"score".cast("long").as("score_micro"))
+    rankTail(scores, k)
+  }
+
+  /** The MaxScore probe (see the [[topDocs]] scaladoc for the
+    * three-phase contract and the safety argument). Driver state is
+    * BATCH-bounded: the collected (term, df, bounds) table and the
+    * (query, term) pairs — never anything corpus-sized.
+    */
+  private def topDocsPruned(
+      spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
+      filter: Option[Column], maxDfFrac: Double, nTb: Int,
+      qt: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
+    import spark.implicits._
+    // Driver mirrors of the SHARED column expression trees (same IEEE
+    // ops in the same order — JVM doubles are strict, so these equal
+    // the codegen'd values bit-for-bit). They feed only the pruning
+    // DECISIONS; every emitted score is computed distributed, through
+    // the column expressions themselves.
+    def idfMicroD(df: Long): Long =
+      math.floor(math.log(1.0 + (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5))) *
+        1000000.0 + 0.5).toLong
+    def contribMicroD(tf: Long, dl: Long, idfM: Long): Long = {
+      val tfpart = (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+      math.floor(idfM.toDouble * tfpart + 0.5).toLong
+    }
+    val tbsAll = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
+    val tbFilterAll = col("tb").isin(tbsAll.map(Integer.valueOf).toIndexedSeq: _*)
+    // One pruned dfd pass collects df + impact bounds + the term's
+    // bucket (functionally dependent on the term) — query-term-sized.
+    val termStats = spark.read.parquet(dfdPath(dir)).filter(tbFilterAll)
+      .join(broadcast(qt.select($"term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(sum("df").as("df"),
+        max("max_tf").as("max_tf"), min("min_dl").as("min_dl"),
+        first("tb").as("tb"))
+      .as[(String, Long, Long, Long, Int)].collect()
+    val kept = termStats.filter { case (_, df, _, _, _) =>
+      maxDfFrac >= 1.0 || df.toDouble <= maxDfFrac * nDocs.toDouble
+    }
+    // term -> (idf, impact upper bound, bucket)
+    val info: Map[String, (Long, Long, Int)] = kept.map { case (t, df, mtf, mdl, tb) =>
+      val idfM = idfMicroD(df)
+      t -> (idfM, contribMicroD(mtf, mdl, idfM), tb)
+    }.toMap
+    val dfOf: Map[String, Long] = kept.map(t => t._1 -> t._2).toMap
+    val qtPairs = qt.as[(Long, String)].collect().filter(p => info.contains(p._2))
+    val byQuery: Map[Long, Array[String]] =
+      qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Cost gate: tiny probes skip the seed round trips (identical
+    // answer; see PruneMinPostings).
+    val totalDf = qtPairs.map(_._2).distinct.map(dfOf).sum
+    if (totalDf <= PruneMinPostings)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+    val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
+    val pairBytes = qtPairs.length.toLong * 96L
+    // Exact scores of a (query, term, idf) pair list against the
+    // postings: bucket-pruned scan, metadata filter pushed, takedowns
+    // anti-joined, candidate-sized aggregation — the same kernel as
+    // the exhaustive probe, restricted to the given pairs.
+    def scoreSubset(pairs: Seq[(Long, String)]): DataFrame = {
+      val pdf = pairs.map { case (q, t) => (q, t, info(t)._1) }
+        .toDF("query_id", "term", "idf_micro")
+      val pSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(pdf) else pdf
+      val ptbs = pairs.map(p => info(p._2)._3).distinct.sorted
+      val scan = spark.read.parquet(postingsPath(dir))
+        .filter(col("tb").isin(ptbs.map(Integer.valueOf).toIndexedSeq: _*))
+      val scanF = filter.fold(scan)(scan.filter)
+      val joined = scanF.join(pSide, "term")
+      val cands = tombSide.fold(joined)(t => joined.join(t, Seq("doc_id"), "left_anti"))
+      cands.select($"query_id", $"doc_id",
+          Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("c_micro").as("score_micro"))
+    }
+    // k-th best score per query of a scored frame (absent = fewer than
+    // k candidates = no pruning threshold for that query).
+    def kthScore(scores: DataFrame): Map[Long, Long] =
+      Similarity.rankTopK(
+        scores.select($"query_id", $"doc_id".as("neighbor_id"),
+          $"score_micro".cast("double").as("score")), k)
+        .filter(col("rank") === k)
+        .select($"query_id", $"score".cast("long")).as[(Long, Long)].collect().toMap
+
+    // Phase 1 — seed θ from the 2 highest-impact terms per query.
+    val ubOf = (t: String) => info(t)._2
+    val seedPairs = byQuery.toSeq.flatMap { case (q, ts) =>
+      ts.sortBy(t => (-ubOf(t), t)).take(2).map(t => (q, t))
+    }
+    val theta1 = kthScore(scoreSubset(seedPairs))
+
+    // Phase 2 — essential split: ascending-impact prefix with
+    // bound-sum < θ is non-essential. cut = first index whose prefix
+    // sum reaches θ (always exists when θ > 0: θ is an achieved score,
+    // so the full bound sum is ≥ θ; defensively, cut < 0 keeps
+    // everything essential — pruning may only ever shrink).
+    val splits: Map[Long, (Seq[String], Seq[String], Long)] = byQuery.map {
+      case (q, ts) =>
+        val theta = theta1.getOrElse(q, 0L)
+        if (theta <= 0L) q -> ((ts.toSeq, Seq.empty[String], 0L))
+        else {
+          val asc = ts.sortBy(t => (ubOf(t), t)).toSeq
+          val cums = asc.scanLeft(0L)((a, t) => a + ubOf(t)).tail
+          val cut = cums.indexWhere(_ >= theta)
+          if (cut < 0) q -> ((asc, Seq.empty[String], 0L))
+          else q -> ((asc.drop(cut), asc.take(cut), asc.take(cut).map(ubOf).sum))
+        }
+    }
+    val essPairs = splits.toSeq.flatMap { case (q, (ess, _, _)) => ess.map(t => (q, t)) }
+    val nonEssPairs = splits.toSeq.flatMap { case (q, (_, ne, _)) => ne.map(t => (q, t)) }
+    val partial = scoreSubset(essPairs).localCheckpoint()
+    if (nonEssPairs.isEmpty)
+      return rankTail(partial, k) // every term essential: partial IS exact
+
+    // Phase 3 — tighten θ with the k-th essential partial, keep only
+    // candidates whose certain-part + non-essential slack can still
+    // reach it (>= : a tie at θ may enter the top k on the doc_id
+    // tie-break), then complete ONLY the survivors.
+    val theta2 = kthScore(partial)
+    val metaDF = splits.toSeq.map { case (q, (_, _, slack)) =>
+      (q, slack, math.max(theta1.getOrElse(q, 0L), theta2.getOrElse(q, 0L)))
+    }.toDF("query_id", "slack", "theta")
+    val survivors = partial.join(broadcast(metaDF), "query_id")
+      .filter($"score_micro" + $"slack" >= $"theta")
+      .select($"query_id", $"doc_id", $"score_micro")
+      .localCheckpoint()
+    // The completing scan reads the non-essential (common) terms'
+    // buckets but aggregates only survivor rows: the doc-level semi
+    // applies DURING the scan, the (query, doc) semi right after the
+    // pair join — both guarded broadcasts. Tombstones and the metadata
+    // filter are already enforced through the survivor set itself.
+    val survDocs = Similarity.guardedRowBroadcast(survivors.select("doc_id").distinct())
+    val survPairs = Similarity.guardedRowBroadcast(
+      survivors.select("query_id", "doc_id"), perRowBytes = 64L)
+    val nePdf = nonEssPairs.map { case (q, t) => (q, t, info(t)._1) }
+      .toDF("query_id", "term", "idf_micro")
+    val neSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(nePdf) else nePdf
+    val neTbs = nonEssPairs.map(p => info(p._2)._3).distinct.sorted
+    val neScan0 = spark.read.parquet(postingsPath(dir))
+      .filter(col("tb").isin(neTbs.map(Integer.valueOf).toIndexedSeq: _*))
+    val neScan = filter.fold(neScan0)(neScan0.filter)
+    val addC = neScan
+      .join(survDocs, Seq("doc_id"), "left_semi")
+      .join(neSide, "term")
+      .join(survPairs, Seq("query_id", "doc_id"), "left_semi")
+      .select($"query_id", $"doc_id",
+        Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_micro").as("add_micro"))
+    val scores = survivors.join(addC, Seq("query_id", "doc_id"), "left_outer")
+      .select($"query_id", $"doc_id",
+        ($"score_micro" + coalesce($"add_micro", lit(0L))).as("score_micro"))
+    rankTail(scores, k)
   }
 }

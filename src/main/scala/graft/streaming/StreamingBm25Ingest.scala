@@ -68,6 +68,7 @@ object StreamingBm25Ingest {
     if (fs.exists(marker)) false
     else graft.ops.Bm25Index.withWriterLock(spark, indexDir) {
       val nTb = graft.ops.Bm25Index.readNTb(spark, indexDir)
+      graft.ops.Bm25Index.requireStatsHasTerms(spark, indexDir)
       // Metadata columns follow the index's schema (the batch must
       // carry them — loud otherwise), and one evaluation feeds all
       // three staged writes.
@@ -85,14 +86,21 @@ object StreamingBm25Ingest {
       posts.repartition(col("tb"))
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
-      posts.groupBy("term").agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("df"))
+      posts.groupBy("term").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df"),
+          org.apache.spark.sql.functions.max("tf").as("max_tf"),
+          org.apache.spark.sql.functions.min("dl").as("min_dl"))
         .withColumn("tb", graft.ops.Bm25Index.tbOf(col("term"), nTb))
         .repartition(col("tb"))
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "dfd").toString)
-      // coalesce: an EMPTY micro-batch must stage a (0, 0) delta, not
-      // NPE on the null sum.
+      // coalesce: an EMPTY micro-batch must stage a (0, 0, 0) delta,
+      // not NPE on the null sum. n_terms is the batch's vocabulary
+      // NOVELTY against the INSTALLED dfd (computed before any
+      // install, so a crash+redelivery recomputes the same number
+      // against the same dfd and the deterministic-name replace keeps
+      // the sum exact).
       val statRow = posts.select($"doc_id", $"dl").distinct()
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_docs"),
@@ -100,7 +108,11 @@ object StreamingBm25Ingest {
             org.apache.spark.sql.functions.sum($"dl"),
             org.apache.spark.sql.functions.lit(0L)).as("sum_dl"))
         .as[(Long, Long)].head()
-      Seq(statRow).toDF("n_docs", "sum_dl").repartition(1)
+      val newTerms = graft.ops.Bm25Index.newTermCount(
+        spark, indexDir, posts.select("term").distinct(), nTb,
+        excludeBatch = Some(batchId))
+      Seq((statRow._1, statRow._2, newTerms)).toDF("n_docs", "sum_dl", "n_terms")
+        .repartition(1)
         .write.mode("overwrite").option("maxRecordsPerFile", "0")
         .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
       // Install, stats -> dfd -> postings (docs become retrievable only

@@ -259,4 +259,61 @@ class Bm25IndexSpec extends SparkSpec {
       plan.contains("tb") && plan.contains(" IN "),
       s"tb isin filter missing from plan:\n$plan")
   }
+
+  test("empty build fails loudly, not with a later schema-inference error") {
+    val dir = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.build(corpus(0 until 0), dir, nTb = 4)
+    }
+    assert(e.getMessage.contains("empty BM25 index"), e.getMessage)
+    // a failed build leaves no half-index behind
+    intercept[IllegalStateException] {
+      Bm25Index.topDocs(spark, dir, queries, k = 1)
+    }
+  }
+
+  test("compacting every doc away fails loudly and leaves the index serving") {
+    val dir = tmpDir()
+    val d = corpus(0 until 10)
+    Bm25Index.build(d, dir, nTb = 4)
+    Bm25Index.delete(spark, dir, d.select($"doc_id"))
+    val e = intercept[IllegalStateException] { Bm25Index.compact(spark, dir) }
+    assert(e.getMessage.contains("zero live docs"), e.getMessage)
+    // the refused compact must not have touched the generation: probes
+    // still serve (and still honor the tombstones)
+    assert(collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5)).isEmpty)
+    assert(Bm25Index.stats(spark, dir).tombstones == 10L)
+  }
+
+  test("stats.terms: exact vocabulary as delta sums through every mutator") {
+    val dir = tmpDir(); val shard = tmpDir()
+    Bm25Index.build(
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"), dir, nTb = 4)
+    assert(Bm25Index.stats(spark, dir).terms == 3L) // {alpha, beta, gamma}
+    Bm25Index.append(spark, dir, Seq((2L, "beta delta")).toDF("doc_id", "text"))
+    assert(Bm25Index.stats(spark, dir).terms == 4L) // + delta only
+    Bm25Index.build(
+      Seq((10L, "epsilon alpha"), (11L, "zeta")).toDF("doc_id", "text"), shard, nTb = 8)
+    Bm25Index.merge(spark, dir, shard)
+    assert(Bm25Index.stats(spark, dir).terms == 6L) // + epsilon, zeta
+    // takedown of zeta's only holder: like df, the vocabulary keeps the
+    // term until compact physically retires it
+    Bm25Index.delete(spark, dir, Seq(11L).toDF("doc_id"))
+    assert(Bm25Index.stats(spark, dir).terms == 6L)
+    Bm25Index.compact(spark, dir)
+    assert(Bm25Index.stats(spark, dir).terms == 5L)
+    assert(Bm25Index.stats(spark, dir).docs == 4L)
+  }
+
+  test("rebuilding a live index with a different nTb fails loudly") {
+    val dir = tmpDir()
+    Bm25Index.build(corpus(0 until 20), dir, nTb = 4)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.build(corpus(0 until 20), dir, nTb = 8)
+    }
+    assert(e.getMessage.contains("nTb"), e.getMessage)
+    // same nTb rebuilds fine; the index still answers
+    Bm25Index.build(corpus(0 until 20), dir, nTb = 4)
+    assert(collectTop(Bm25Index.topDocs(spark, dir, queries, k = 3)).nonEmpty)
+  }
 }

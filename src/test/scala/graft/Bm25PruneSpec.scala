@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{Bm25, Bm25Index}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-safety of the MaxScore probe: the pruned path must emit rows
+  * BIT-IDENTICAL to the exhaustive path (and to the one-shot operator)
+  * on randomized Zipf-ish corpora — across k, k1/b retuning, metadata
+  * filters, tombstones and the stopword cap. The gate var is forced to
+  * 0 so spec-sized corpora actually take the pruned path.
+  */
+class Bm25PruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_bm25prune").toString
+
+  private def forced[T](body: => T): T = {
+    val old = Bm25Index.PruneMinPostings
+    Bm25Index.PruneMinPostings = 0L
+    try body finally Bm25Index.PruneMinPostings = old
+  }
+
+  /** Zipf-ish corpus: 3 near-ubiquitous terms (the MaxScore target — a
+    * common term's postings are corpus-sized), 10 mid-frequency, 200
+    * rare; lengths vary so dl actually moves the tf saturation.
+    */
+  private def corpus(n: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val common = Vector("the", "of", "and")
+    val mid = Vector.tabulate(10)(i => s"mid$i")
+    val rare = Vector.tabulate(200)(i => s"rare$i")
+    (0 until n).map { i =>
+      val words =
+        Seq.fill(2 + rnd.nextInt(3))(common(rnd.nextInt(common.size))) ++
+          Seq.fill(2 + rnd.nextInt(5))(mid(rnd.nextInt(mid.size))) ++
+          Seq.fill(1 + rnd.nextInt(3))(rare(rnd.nextInt(rare.size)))
+      (i.toLong, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  /** Queries mixing every frequency tier, incl. all-common (worst case
+    * for exhaustive scoring) and single-rare (θ comes entirely from
+    * one posting list).
+    */
+  private def queries: DataFrame = Seq(
+    (900L, "the mid3 rare17"), (901L, "of and"), (902L, "rare5"),
+    (903L, "mid1 mid2 the rare40"), (904L, "and mid7"), (905L, "the of and mid0"),
+    (906L, "rare17 rare5 mid3"), (907L, "absentterm the"))
+    .toDF("query_id", "text")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select($"query_id", $"doc_id", $"rank", $"score_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("pruned == exhaustive == one-shot across seeds and k") {
+    for (seed <- Seq(1, 2); k <- Seq(1, 5, 20)) {
+      val dir = tmpDir()
+      val d = corpus(400, seed)
+      Bm25Index.build(d, dir, nTb = 8)
+      val pruned = forced(rows(Bm25Index.topDocs(spark, dir, queries, k)))
+      val exhaustive = rows(Bm25Index.topDocs(spark, dir, queries, k, prune = false))
+      assert(pruned == exhaustive, s"seed=$seed k=$k pruned != exhaustive")
+      assert(pruned == rows(Bm25.topDocs(d, queries, k)), s"seed=$seed k=$k vs one-shot")
+      assert(pruned.nonEmpty)
+    }
+  }
+
+  test("pruned == exhaustive under probe-time k1/b retuning and the stopword cap") {
+    val dir = tmpDir()
+    Bm25Index.build(corpus(400, 3), dir, nTb = 8)
+    for ((k1, b) <- Seq((1.2, 0.4), (2.0, 1.0), (0.5, 0.0))) {
+      val p = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10, k1 = k1, b = b)))
+      val e = rows(Bm25Index.topDocs(spark, dir, queries, k = 10, k1 = k1, b = b,
+        prune = false))
+      assert(p == e, s"k1=$k1 b=$b pruned != exhaustive")
+    }
+    // maxDfFrac drops the common tier entirely; pruning must compose
+    val p = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10, maxDfFrac = 0.5)))
+    val e = rows(Bm25Index.topDocs(spark, dir, queries, k = 10, maxDfFrac = 0.5,
+      prune = false))
+    assert(p == e, "maxDfFrac + pruning parity")
+  }
+
+  test("pruned == exhaustive with a metadata filter and with tombstones") {
+    val dir = tmpDir()
+    val d = corpus(400, 4)
+      .withColumn("lang", when($"doc_id" % 3 === 0, "en").otherwise("de"))
+    Bm25Index.build(d, dir, nTb = 8, metaCols = Seq("lang"))
+    val f: Option[org.apache.spark.sql.Column] = Some($"lang" === "en")
+    val pf = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10, filter = f)))
+    val ef = rows(Bm25Index.topDocs(spark, dir, queries, k = 10, filter = f, prune = false))
+    assert(pf == ef && pf.forall(_._2 % 3 == 0), "filtered pruning parity")
+    Bm25Index.delete(spark, dir, d.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    val pt = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10)))
+    val et = rows(Bm25Index.topDocs(spark, dir, queries, k = 10, prune = false))
+    assert(pt == et && pt.forall(_._2 % 7 != 0), "tombstoned pruning parity")
+  }
+
+  test("pruned == exhaustive after append and merge (bounds stay exact)") {
+    val dir = tmpDir(); val shard = tmpDir()
+    val all = corpus(500, 5)
+    Bm25Index.build(all.filter($"doc_id" < 200), dir, nTb = 8)
+    Bm25Index.append(spark, dir, all.filter($"doc_id" >= 200 && $"doc_id" < 350))
+    Bm25Index.build(all.filter($"doc_id" >= 350), shard, nTb = 4)
+    Bm25Index.merge(spark, dir, shard)
+    val p = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10)))
+    assert(p == rows(Bm25Index.topDocs(spark, dir, queries, k = 10, prune = false)))
+    assert(p == rows(Bm25.topDocs(all, queries, k = 10)),
+      "bounds through append+merge must stay rank-safe vs the one-shot")
+  }
+}

@@ -84,6 +84,15 @@ class StreamingBm25IngestSpec extends SparkSpec {
     assert(got == collectTop(Bm25.topDocs(all, queries, k = 5)),
       "crash-window redelivery must replace, never double-count")
     assert(Bm25Index.stats(spark, dir).docs == 40L)
+    // The vocabulary delta survives the redelivery too: the recount
+    // masks the partial attempt's own installed dfd file (else it
+    // would see its own terms and replace the delta with 0).
+    val vocab = all
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextAnalysis.tokens($"text")).as("t"))
+      .distinct().count()
+    assert(Bm25Index.stats(spark, dir).terms == vocab,
+      "redelivery must recompute the same vocabulary-novelty delta")
   }
 
   test("compact refuses over an uncommitted streamed batch, runs after it commits") {
