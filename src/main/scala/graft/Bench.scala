@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // exact In pushdown for the BM25 probes' term filters (see
+      // Verify.scala) — affects scan IO only, never results
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -338,13 +341,59 @@ object Bench {
           val deepBmExhaustive = probeTimed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, bmDeepDir, bmQueries, k = 10,
               prune = false)))
+          // Zipf BM25 anchor: the testdata corpus has a ~30-term
+          // near-uniform vocabulary, so EVERY query term genuinely
+          // competes and MaxScore's adaptive gate (correctly) picks the
+          // exhaustive path above — term-level pruning has nothing to
+          // skip there. Real text is Zipf: common terms own most of the
+          // postings at near-zero idf. This anchor builds that shape
+          // (500k docs; 3 ubiquitous terms + 2 mid of 50 + 2 rare of
+          // 100k per doc) and probes a fixed 200-query common+mid+rare
+          // batch — the workload class dynamic pruning exists for. The
+          // exhaustive control (single timed sample — it is the
+          // expensive side being priced) shows what the same batch
+          // costs scoring every posting of the common terms.
+          import org.apache.spark.sql.functions.{concat, concat_ws, when}
+          val zn = 500000L
+          // filler varies dl 7..10 so tf-saturation differs per doc —
+          // without it every tf=1 match scores identically and the
+          // top-k boundary becomes a corpus-wide tie plateau
+          val zipfFiller = when(pmod(hash($"id", lit(6)), lit(4)) === 0, lit(""))
+            .when(pmod(hash($"id", lit(6)), lit(4)) === 1, lit("and"))
+            .when(pmod(hash($"id", lit(6)), lit(4)) === 2, lit("and and"))
+            .otherwise(lit("and and and"))
+          val zipfDocs = spark.range(zn).select($"id".as("doc_id"),
+            concat_ws(" ",
+              lit("the"), lit("of"), lit("and"), zipfFiller,
+              concat(lit("mid"), pmod(hash($"id", lit(1)), lit(50))),
+              concat(lit("mid"), pmod(hash($"id", lit(2)), lit(50))),
+              concat(lit("rare"), pmod(hash($"id", lit(4)), lit(100000))),
+              concat(lit("rare"), pmod(hash($"id", lit(5)), lit(100000)))
+            ).as("text")).localCheckpoint()
+          val zipfQueries = spark.range(200).select($"id".as("query_id"),
+            concat_ws(" ", lit("the"), lit("of"),
+              concat(lit("mid"), pmod(hash($"id", lit(9)), lit(50))),
+              concat(lit("rare"), pmod(hash($"id", lit(10)), lit(100000)))
+            ).as("text")).localCheckpoint()
+          val zipfDir = s"$tmp/graft_bench_bm_zipf_$tag"
+          val zipfBuild = timed(() =>
+            graft.ops.Bm25Index.build(zipfDocs, zipfDir, nTb = 64))
+          val zipfProbe = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, zipfDir, zipfQueries, k = 10)))
+          val zipfExhaustive = timed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, zipfDir, zipfQueries, k = 10,
+              prune = false)))
           s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
           s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},""" +
           s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},""" +
           s""""deep_bm25_docs":$deepDocCount,""" +
           s""""deep_bm25_build_sec":${f"$deepBmBuild%.3f"},""" +
           s""""deep_bm25_probe_sec":${f"$deepBmProbe%.3f"},""" +
-          s""""deep_bm25_probe_exhaustive_sec":${f"$deepBmExhaustive%.3f"},"""
+          s""""deep_bm25_probe_exhaustive_sec":${f"$deepBmExhaustive%.3f"},""" +
+          s""""zipf_bm25_docs":$zn,""" +
+          s""""zipf_bm25_build_sec":${f"$zipfBuild%.3f"},""" +
+          s""""zipf_bm25_probe_pruned_sec":${f"$zipfProbe%.3f"},""" +
+          s""""zipf_bm25_probe_exhaustive_sec":${f"$zipfExhaustive%.3f"},"""
         }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // BM25 probes push `term IN (...)` into term-sorted postings;
+      // above this threshold parquet degrades the In to a min/max
+      // range and the row-group skip is lost (values only change scan
+      // IO, never results)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

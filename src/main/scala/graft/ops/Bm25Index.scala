@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * MaxScore bound [[topDocs]]'s dynamic pruning uses to skip common
   * terms' postings without moving a single rank (Turtle & Flood 1995).
   *
+  * Postings are TERM-SORTED within every data file (build, append,
+  * compact, streaming all sort before writing) — the Spark-native form
+  * of impact-ordered posting lists: row groups carry tight term
+  * min/max stats and dictionary pages, so the probe's pushed
+  * `term IN (...)` filter skips every row group holding no query term
+  * and scan IO tracks the query terms' posting runs, not the bucket.
+  * (Set `spark.sql.parquet.pushdown.inFilterThreshold` at or above the
+  * probe's distinct-term count — else parquet degrades the In to a
+  * min/max range and keeps only the weaker skip.)
+  *
   * `meta...` are [[build]]'s caller-declared filterable attributes
   * (language, licence, source): [[topDocs]] accepts a predicate over
   * them that pushes into the pruned scan — filtered lexical search
@@ -204,9 +214,14 @@ object Bm25Index {
           "every later probe/append would fail on schema inference")
       // Salt caps the layout at <= 8 files per term bucket while still
       // writing a hot bucket with 8-way parallelism (the AnnIndex.build
-      // discipline).
+      // discipline). Term-sorted within each file (the Spark-native
+      // impact ordering): parquet row groups get tight term min/max
+      // stats and dictionary pages, so the probe's pushed `term IN`
+      // filter skips every row group holding no query term — IO
+      // bounded by the query terms' postings, not the bucket.
       posts
         .repartition(col("tb"), pmod(hash(col("doc_id")), lit(8)))
+        .sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/postings")
       posts.groupBy("term").agg(count(lit(1)).as("df"),
@@ -328,7 +343,7 @@ object Bm25Index {
       .localCheckpoint() // three writes, one evaluation
     // vocabulary novelty BEFORE the batch's dfd rows land
     val newTerms = newTermCount(spark, dir, posts.select("term").distinct(), nTb)
-    posts.repartition(col("tb"))
+    posts.repartition(col("tb")).sortWithinPartitions("tb", "term")
       .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
     posts.groupBy("term").agg(count(lit(1)).as("df"),
         max("tf").as("max_tf"), min("dl").as("min_dl"))
@@ -432,6 +447,7 @@ object Bm25Index {
           "is tombstoned): the rewrite would install a postings table with no parquet " +
           "footer; delete the index directory instead")
     live.repartition(col("tb"), pmod(hash(col("doc_id")), lit(8)))
+      .sortWithinPartitions("tb", "term")
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/postings")
     live.groupBy("term").agg(count(lit(1)).as("df"),
@@ -485,7 +501,7 @@ object Bm25Index {
       // vocabulary novelty (the other's LIVE terms not already here)
       // BEFORE its dfd rows land
       val newTerms = newTermCount(spark, dir, live.select("term").distinct(), nTb)
-      live.repartition(col("tb"))
+      live.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
       live.groupBy("term").agg(count(lit(1)).as("df"),
         max("tf").as("max_tf"), min("dl").as("min_dl"))
@@ -665,6 +681,12 @@ object Bm25Index {
     */
   private[graft] var PruneMinPostings: Long = 10000L
 
+  /** Diagnostic only: the path the LAST [[topDocs]] call planned
+    * ("pruned" or "exhaustive") — asserted by the parity spec so the
+    * pruned path can never be silently gated out of its own tests.
+    */
+  @volatile private[graft] var lastProbePath: String = ""
+
   /** The shared final ranking: (query_id, doc_id, rank, score_micro)
     * by (score desc, doc_id asc) through the bounded-heap top-k.
     */
@@ -680,20 +702,39 @@ object Bm25Index {
     * the aggregation WORK is O(sum of query-term df) — corpus-shaped
     * for common terms, which is why [[topDocsPruned]] exists.
     */
+  /** Above this many distinct probe terms the pushed `term IN` scan
+    * filter is skipped (an In literal list has planning cost, and
+    * parquet or-pushdown degrades to a range past the reader's
+    * threshold anyway) — the join still restricts rows, only the
+    * row-group-skip IO win is forgone. Identical answer either way.
+    */
+  private val MaxTermPushdown = 2048
+
   private def topDocsExhaustive(
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
       qt: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
     import spark.implicits._
+    lastProbePath = "exhaustive"
     // Static partition pruning, the AnnIndex probed-cell discipline:
-    // the distinct query-term bucket set is bounded by the term count
-    // (and by n_tb), so collecting it is free.
-    val tbs = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
+    // the distinct (term, bucket) set is bounded by the term count
+    // (and by n_tb), so ONE collect feeds both the partition filter
+    // and the pushed term filter — postings are term-SORTED within
+    // each file, so the In predicate's row-group stats/dictionary
+    // skipping reads only the query terms' posting runs.
+    val termTb = qt.select($"term", tbOf($"term", nTb).as("tb"))
+      .distinct().as[(String, Int)].collect()
+    val tbs = termTb.map(_._2).distinct.sorted
     val tbFilter = col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*)
+    val termList = termTb.map(_._1).distinct.sorted
+    val termFilter: Option[Column] =
+      if (termList.length <= MaxTermPushdown) Some(col("term").isin(termList.toIndexedSeq: _*))
+      else None
+    def pushTerms(df: DataFrame): DataFrame = termFilter.fold(df)(df.filter)
     // Query-term df: pruned dfd scan, semi against the terms, deltas
     // summed — query-term-sized output.
     val terms = qt.select($"term").distinct()
-    val df = spark.read.parquet(dfdPath(dir)).filter(tbFilter)
+    val df = pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilter))
       .join(broadcast(terms), Seq("term"), "left_semi")
       .groupBy("term").agg(sum("df").as("df"))
     // Stopword cap: drop ubiquitous query terms BEFORE candidate
@@ -718,7 +759,7 @@ object Bm25Index {
     val qtBytes = qtRows * 96L
     val qtSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(qtK) else qtK
     val idfSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(idf) else idf
-    val scan0 = spark.read.parquet(postingsPath(dir)).filter(tbFilter)
+    val scan0 = pushTerms(spark.read.parquet(postingsPath(dir)).filter(tbFilter))
     // The metadata predicate applies to the scan itself (postings carry
     // the index's metadata columns for exactly this): excluded docs
     // never become candidates, and the filter pushes into the pruned
@@ -762,11 +803,20 @@ object Bm25Index {
         (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
       math.floor(idfM.toDouble * tfpart + 0.5).toLong
     }
-    val tbsAll = qt.select(tbOf($"term", nTb).as("tb")).distinct().as[Int].collect().sorted
+    val termTbAll = qt.select($"term", tbOf($"term", nTb).as("tb"))
+      .distinct().as[(String, Int)].collect()
+    val tbsAll = termTbAll.map(_._2).distinct.sorted
     val tbFilterAll = col("tb").isin(tbsAll.map(Integer.valueOf).toIndexedSeq: _*)
+    val allTerms = termTbAll.map(_._1).distinct.sorted
+    // Pushed term filter for every scan of this probe: postings files
+    // are term-sorted, so In(term, ...) skips row groups holding no
+    // query term (see MaxTermPushdown).
+    def pushTerms(df: DataFrame, ts: Seq[String]): DataFrame =
+      if (ts.length <= MaxTermPushdown) df.filter(col("term").isin(ts: _*)) else df
     // One pruned dfd pass collects df + impact bounds + the term's
     // bucket (functionally dependent on the term) — query-term-sized.
-    val termStats = spark.read.parquet(dfdPath(dir)).filter(tbFilterAll)
+    val termStats = pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilterAll),
+        allTerms.toIndexedSeq)
       .join(broadcast(qt.select($"term").distinct()), Seq("term"), "left_semi")
       .groupBy("term").agg(sum("df").as("df"),
         max("max_tf").as("max_tf"), min("min_dl").as("min_dl"),
@@ -784,11 +834,44 @@ object Bm25Index {
     val qtPairs = qt.as[(Long, String)].collect().filter(p => info.contains(p._2))
     val byQuery: Map[Long, Array[String]] =
       qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    // Cost gate: tiny probes skip the seed round trips (identical
+    val ubOf = (t: String) => info(t)._2
+    // Cost gate 1: tiny probes skip the seed round trips (identical
     // answer; see PruneMinPostings).
     val totalDf = qtPairs.map(_._2).distinct.map(dfOf).sum
     if (totalDf <= PruneMinPostings)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+    // Cost gate 2 — the adaptive MaxScore decision, from stats already
+    // in hand: pruning only pays when a meaningful share of the
+    // exhaustive aggregation's rows (Σ per-pair df) could even
+    // OPTIMISTICALLY land non-essential. θ can never exceed θ̂ = the
+    // sum of the query's two best impact bounds (the seed score is ≤
+    // that by construction), and a term prunable under the real θ is
+    // prunable under θ̂ — so the θ̂-prefix's df is an UPPER bound on
+    // skippable work. Below half, MaxScore cannot win (it pays seed +
+    // completion passes): take the exhaustive path. This is what makes
+    // the operator safe on impact-UNIFORM workloads (every term
+    // genuinely competes — nothing to skip, e.g. small shared
+    // vocabularies) while Zipf text (common terms = most of the
+    // postings, tiny idf) goes down the pruned path.
+    val pairDfTotal = qtPairs.map(p => dfOf(p._2)).sum
+    val skippableDf = byQuery.valuesIterator.map { ts =>
+      if (ts.length < 2) 0L
+      else {
+        val thetaHat = ts.map(ubOf).sorted(Ordering[Long].reverse).take(2).sum
+        val asc = ts.sortBy(t => (ubOf(t), t))
+        var cum = 0L; var skip = 0L; var stop = false
+        asc.foreach { t =>
+          if (!stop) {
+            cum += ubOf(t)
+            if (cum < thetaHat) skip += dfOf(t) else stop = true
+          }
+        }
+        skip
+      }
+    }.sum
+    if (skippableDf * 2L < pairDfTotal)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+    lastProbePath = "pruned"
     val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
     val pairBytes = qtPairs.length.toLong * 96L
     // Exact scores of a (query, term, idf) pair list against the
@@ -800,8 +883,10 @@ object Bm25Index {
         .toDF("query_id", "term", "idf_micro")
       val pSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(pdf) else pdf
       val ptbs = pairs.map(p => info(p._2)._3).distinct.sorted
-      val scan = spark.read.parquet(postingsPath(dir))
-        .filter(col("tb").isin(ptbs.map(Integer.valueOf).toIndexedSeq: _*))
+      val scan = pushTerms(
+        spark.read.parquet(postingsPath(dir))
+          .filter(col("tb").isin(ptbs.map(Integer.valueOf).toIndexedSeq: _*)),
+        pairs.map(_._2).distinct.sorted)
       val scanF = filter.fold(scan)(scan.filter)
       val joined = scanF.join(pSide, "term")
       val cands = tombSide.fold(joined)(t => joined.join(t, Seq("doc_id"), "left_anti"))
@@ -819,12 +904,15 @@ object Bm25Index {
         .filter(col("rank") === k)
         .select($"query_id", $"score".cast("long")).as[(Long, Long)].collect().toMap
 
-    // Phase 1 — seed θ from the 2 highest-impact terms per query.
-    val ubOf = (t: String) => info(t)._2
+    // Phase 1 — seed θ from the 2 highest-impact terms per query. The
+    // seed scores are checkpointed: they are also (usually) the first
+    // installment of the essential partials, so the seed terms'
+    // postings are scanned once, not twice.
     val seedPairs = byQuery.toSeq.flatMap { case (q, ts) =>
       ts.sortBy(t => (-ubOf(t), t)).take(2).map(t => (q, t))
     }
-    val theta1 = kthScore(scoreSubset(seedPairs))
+    val seedScores = scoreSubset(seedPairs).localCheckpoint()
+    val theta1 = kthScore(seedScores)
 
     // Phase 2 — essential split: ascending-impact prefix with
     // bound-sum < θ is non-essential. cut = first index whose prefix
@@ -845,7 +933,22 @@ object Bm25Index {
     }
     val essPairs = splits.toSeq.flatMap { case (q, (ess, _, _)) => ess.map(t => (q, t)) }
     val nonEssPairs = splits.toSeq.flatMap { case (q, (_, ne, _)) => ne.map(t => (q, t)) }
-    val partial = scoreSubset(essPairs).localCheckpoint()
+    // Seed reuse: when every seed pair stayed essential (the normal
+    // case — seeds are the TOP-bound terms), the essential partial is
+    // seedScores + the not-yet-scored essential pairs, re-aggregated
+    // over the union (candidate-sized). A seed pair that landed
+    // non-essential (θ above its query's whole bound tail) falls back
+    // to scoring the essential set from scratch — correctness first.
+    val essSet = essPairs.toSet
+    val partial0 =
+      if (seedPairs.forall(essSet)) {
+        val extra = essPairs.filterNot(seedPairs.toSet)
+        if (extra.isEmpty) seedScores
+        else seedScores.unionByName(scoreSubset(extra))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("score_micro").as("score_micro"))
+      } else scoreSubset(essPairs)
+    val partial = partial0.localCheckpoint()
     if (nonEssPairs.isEmpty)
       return rankTail(partial, k) // every term essential: partial IS exact
 
@@ -873,8 +976,10 @@ object Bm25Index {
       .toDF("query_id", "term", "idf_micro")
     val neSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(nePdf) else nePdf
     val neTbs = nonEssPairs.map(p => info(p._2)._3).distinct.sorted
-    val neScan0 = spark.read.parquet(postingsPath(dir))
-      .filter(col("tb").isin(neTbs.map(Integer.valueOf).toIndexedSeq: _*))
+    val neScan0 = pushTerms(
+      spark.read.parquet(postingsPath(dir))
+        .filter(col("tb").isin(neTbs.map(Integer.valueOf).toIndexedSeq: _*)),
+      nonEssPairs.map(_._2).distinct.sorted)
     val neScan = filter.fold(neScan0)(neScan0.filter)
     val addC = neScan
       .join(survDocs, Seq("doc_id"), "left_semi")

@@ -83,7 +83,7 @@ object StreamingBm25Ingest {
       // the unit the install step renames atomically. maxRecordsPerFile
       // pinned off: a session cap would split a hot bucket's file and
       // break the invariant.
-      posts.repartition(col("tb"))
+      posts.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
       posts.groupBy("term").agg(

@@ -247,7 +247,7 @@ class Bm25IndexSpec extends SparkSpec {
     assert(uncapped != capped, "the cap should change scores by the dropped contribution")
   }
 
-  test("probe plan prunes to the query terms' buckets") {
+  test("probe plan prunes to the query terms' buckets and pushes the term filter") {
     val dir = tmpDir()
     Bm25Index.build(corpus(0 until 60), dir, nTb = 16)
     val plan = Bm25Index.topDocs(spark, dir, queries, k = 5)
@@ -258,6 +258,31 @@ class Bm25IndexSpec extends SparkSpec {
     assert("tb#\\d+[L]? IN".r.findFirstIn(plan).isDefined ||
       plan.contains("tb") && plan.contains(" IN "),
       s"tb isin filter missing from plan:\n$plan")
+    // The pushed term filter must reach the parquet reader: postings
+    // are term-sorted within each file, so In(term, ...) is what buys
+    // row-group skipping inside a probed bucket.
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term In filter not pushed into the postings scan:\n$plan")
+  }
+
+  test("postings land term-sorted within every file (the row-group-skip layout)") {
+    val dir = tmpDir()
+    Bm25Index.build(corpus(0 until 60), dir, nTb = 2)
+    Bm25Index.append(spark, dir, corpus(60 until 80))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(Bm25Index.postingsPath(dir)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .flatMap(td => fs.listStatus(td.getPath))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    assert(files.nonEmpty)
+    files.foreach { st =>
+      val terms = spark.read.parquet(st.getPath.toString)
+        .select($"term").as[String].collect()
+      assert(terms.sameElements(terms.sorted),
+        s"postings in ${st.getPath} are not term-sorted")
+    }
   }
 
   test("empty build fails loudly, not with a later schema-inference error") {

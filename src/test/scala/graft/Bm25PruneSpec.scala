@@ -60,6 +60,9 @@ class Bm25PruneSpec extends SparkSpec {
       val d = corpus(400, seed)
       Bm25Index.build(d, dir, nTb = 8)
       val pruned = forced(rows(Bm25Index.topDocs(spark, dir, queries, k)))
+      assert(Bm25Index.lastProbePath == "pruned",
+        "the spec corpus must actually take the pruned path " +
+          s"(took ${Bm25Index.lastProbePath}) — parity would otherwise be vacuous")
       val exhaustive = rows(Bm25Index.topDocs(spark, dir, queries, k, prune = false))
       assert(pruned == exhaustive, s"seed=$seed k=$k pruned != exhaustive")
       assert(pruned == rows(Bm25.topDocs(d, queries, k)), s"seed=$seed k=$k vs one-shot")
