@@ -841,29 +841,39 @@ object Bm25Index {
     if (totalDf <= PruneMinPostings)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
     // Cost gate 2 — the adaptive MaxScore decision, from stats already
-    // in hand: pruning only pays when a meaningful share of the
-    // exhaustive aggregation's rows (Σ per-pair df) could even
-    // OPTIMISTICALLY land non-essential. θ can never exceed θ̂ = the
-    // sum of the query's two best impact bounds (the seed score is ≤
-    // that by construction), and a term prunable under the real θ is
-    // prunable under θ̂ — so the θ̂-prefix's df is an UPPER bound on
-    // skippable work. Below half, MaxScore cannot win (it pays seed +
-    // completion passes): take the exhaustive path. This is what makes
-    // the operator safe on impact-UNIFORM workloads (every term
-    // genuinely competes — nothing to skip, e.g. small shared
-    // vocabularies) while Zipf text (common terms = most of the
-    // postings, tiny idf) goes down the pruned path.
+    // in hand. The gate predicts the seed threshold with a REALISTIC
+    // per-term contribution, tf = 1 at dl = avgdl (what a typical
+    // matching doc scores), NOT the impact bound: bounds use per-term
+    // extremes (max_tf, min_dl), so a θ̂ built from them overestimates
+    // the achievable threshold and calls near-uniform batches prunable
+    // when the real θ will keep every term essential — measured as a
+    // 2-4x probe REGRESSION on the benchmark corpus (every query term
+    // ~78% df, all alike: nothing is skippable, but θ̂ said 53% was).
+    // θ̃ = Σ of the two best typical contributions; a term whose
+    // ascending-bound prefix stays under θ̃ is LIKELY non-essential
+    // under the real θ. Below half the exhaustive aggregation's rows
+    // (Σ per-pair df) likely-skippable, MaxScore cannot recoup its
+    // seed/completion passes and checkpoints: take the exhaustive
+    // path. (The gate only picks the PLAN — either path returns
+    // bit-identical rows; the real split still uses the real θ.)
+    // Impact-uniform workloads (small shared vocabularies, every term
+    // genuinely competing) go exhaustive; Zipf text (common terms own
+    // most postings at near-zero idf) goes pruned.
+    // tf = 1 at dl = avgdl saturates to tfpart = (k1+1)/(1+k1·((1−b)+b))
+    // = 1 for EVERY (k1, b) — the typical contribution is exactly the
+    // term's idf in micro-nats.
+    val typOf: Map[String, Long] = info.map { case (t, (idfM, _, _)) => t -> idfM }
     val pairDfTotal = qtPairs.map(p => dfOf(p._2)).sum
     val skippableDf = byQuery.valuesIterator.map { ts =>
       if (ts.length < 2) 0L
       else {
-        val thetaHat = ts.map(ubOf).sorted(Ordering[Long].reverse).take(2).sum
+        val thetaTilde = ts.map(typOf).sorted(Ordering[Long].reverse).take(2).sum
         val asc = ts.sortBy(t => (ubOf(t), t))
         var cum = 0L; var skip = 0L; var stop = false
         asc.foreach { t =>
           if (!stop) {
             cum += ubOf(t)
-            if (cum < thetaHat) skip += dfOf(t) else stop = true
+            if (cum < thetaTilde) skip += dfOf(t) else stop = true
           }
         }
         skip
