@@ -713,7 +713,8 @@ object Bm25Index {
   private def topDocsExhaustive(
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
-      qt: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
+      qt: DataFrame, nDocs: Long, avgdl: Double,
+      preTermStats: Option[Array[(String, Long, Long, Long, Int)]] = None): DataFrame = {
     import spark.implicits._
     lastProbePath = "exhaustive"
     // Static partition pruning, the AnnIndex probed-cell discipline:
@@ -721,9 +722,15 @@ object Bm25Index {
     // (and by n_tb), so ONE collect feeds both the partition filter
     // and the pushed term filter — postings are term-SORTED within
     // each file, so the In predicate's row-group stats/dictionary
-    // skipping reads only the query terms' posting runs.
-    val termTb = qt.select($"term", tbOf($"term", nTb).as("tb"))
-      .distinct().as[(String, Int)].collect()
+    // skipping reads only the query terms' posting runs. When the
+    // MaxScore gate routed here, its collected per-term stats are
+    // handed over (`preTermStats`) so the probe never aggregates the
+    // dfd twice.
+    val termTb: Array[(String, Int)] = preTermStats match {
+      case Some(ts) => ts.map(t => (t._1, t._5))
+      case None => qt.select($"term", tbOf($"term", nTb).as("tb"))
+        .distinct().as[(String, Int)].collect()
+    }
     val tbs = termTb.map(_._2).distinct.sorted
     val tbFilter = col("tb").isin(tbs.map(Integer.valueOf).toIndexedSeq: _*)
     val termList = termTb.map(_._1).distinct.sorted
@@ -731,12 +738,19 @@ object Bm25Index {
       if (termList.length <= MaxTermPushdown) Some(col("term").isin(termList.toIndexedSeq: _*))
       else None
     def pushTerms(df: DataFrame): DataFrame = termFilter.fold(df)(df.filter)
-    // Query-term df: pruned dfd scan, semi against the terms, deltas
-    // summed — query-term-sized output.
-    val terms = qt.select($"term").distinct()
-    val df = pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilter))
-      .join(broadcast(terms), Seq("term"), "left_semi")
-      .groupBy("term").agg(sum("df").as("df"))
+    // Query-term df: the gate's collected sums when routed from there
+    // (a LocalRelation — same Spark-aggregated values, zero extra
+    // scan), else a pruned dfd scan, semi against the terms, deltas
+    // summed — query-term-sized either way. The idf is computed by the
+    // SAME shared column expression in both cases.
+    val df = preTermStats match {
+      case Some(ts) => ts.toSeq.map(t => (t._1, t._2)).toDF("term", "df")
+      case None =>
+        val terms = qt.select($"term").distinct()
+        pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilter))
+          .join(broadcast(terms), Seq("term"), "left_semi")
+          .groupBy("term").agg(sum("df").as("df"))
+    }
     // Stopword cap: drop ubiquitous query terms BEFORE candidate
     // generation (see the maxDfFrac scaladoc). The kept-term set is
     // query-term-sized; pruning qt with it keeps the dropped terms'
@@ -839,7 +853,8 @@ object Bm25Index {
     // answer; see PruneMinPostings).
     val totalDf = qtPairs.map(_._2).distinct.map(dfOf).sum
     if (totalDf <= PruneMinPostings)
-      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
+        preTermStats = Some(termStats))
     // Cost gate 2 — the adaptive MaxScore decision, from stats already
     // in hand. The gate predicts the seed threshold with a REALISTIC
     // per-term contribution, tf = 1 at dl = avgdl (what a typical
@@ -880,7 +895,8 @@ object Bm25Index {
       }
     }.sum
     if (skippableDf * 2L < pairDfTotal)
-      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
+        preTermStats = Some(termStats))
     lastProbePath = "pruned"
     val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
     val pairBytes = qtPairs.length.toLong * 96L
