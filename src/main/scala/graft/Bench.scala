@@ -353,7 +353,7 @@ object Bench {
           // exhaustive control (single timed sample — it is the
           // expensive side being priced) shows what the same batch
           // costs scoring every posting of the common terms.
-          import org.apache.spark.sql.functions.{concat, concat_ws, when}
+          import org.apache.spark.sql.functions.{array_repeat, concat, concat_ws, when}
           val zn = 500000L
           // filler varies dl 7..10 so tf-saturation differs per doc —
           // without it every tf=1 match scores identically and the
@@ -383,6 +383,69 @@ object Bench {
           val zipfExhaustive = timed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, zipfDir, zipfQueries, k = 10,
               prune = false)))
+          // Zipf SCALING pair: the same shape at 10x the docs, pruned
+          // path only (the exhaustive side is priced at 500k above —
+          // at 5M it would be ~2000 s of pure control). The standing
+          // series for the 100x question: zipf10x/zipf ratio must sit
+          // far below the 10x corpus growth, because the pruned
+          // probe's work tracks the ESSENTIAL (rare-term) postings,
+          // not the corpus.
+          val zn2 = 5000000L
+          val zipfDocs2 = spark.range(zn2).select($"id".as("doc_id"),
+            concat_ws(" ",
+              lit("the"), lit("of"), lit("and"), zipfFiller,
+              concat(lit("mid"), pmod(hash($"id", lit(1)), lit(50))),
+              concat(lit("mid"), pmod(hash($"id", lit(2)), lit(50))),
+              concat(lit("rare"), pmod(hash($"id", lit(4)), lit(100000))),
+              concat(lit("rare"), pmod(hash($"id", lit(5)), lit(100000)))
+            ).as("text")).localCheckpoint()
+          val zipfDir2 = s"$tmp/graft_bench_bm_zipf10_$tag"
+          val zipfBuild2 = timed(() =>
+            graft.ops.Bm25Index.build(zipfDocs2, zipfDir2, nTb = 64))
+          val zipfProbe2 = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, zipfDir2, zipfQueries, k = 10)))
+          // Moderate-skew anchor (the Block-Max workload): mid-df terms
+          // whose GLOBAL bound one spam outlier inflates ~2.2x, queries
+          // of 7 mids + 1 rare. Term-level MaxScore demotes only ~3/7
+          // mids (the r13 gate correctly routed these exhaustive);
+          // per-block bounds demote all 7 in every spam-free block.
+          // Three timings: the block-pruned path, the term-level path
+          // (split budget forced to one virtual block), and the
+          // exhaustive control (single sample — it is the expensive
+          // side being priced).
+          val mn = 500000L
+          val mh = pmod(hash($"id", lit(1)), lit(10))
+          def midAt(off: Int) = concat(lit("mid"), pmod(mh + lit(off), lit(10)))
+          val modDocs = spark.range(mn).select($"id".as("doc_id"),
+            when(pmod($"id", lit(mn / 70L)) === 0,
+              concat_ws(" ", array_repeat(midAt(0), 6)))
+              .otherwise(concat_ws(" ",
+                midAt(0), midAt(1), midAt(2), midAt(3), midAt(4),
+                concat(lit("rare"), pmod(hash($"id", lit(2)), lit(66))),
+                lit("pada padb padc padd pade padf")))
+              .as("text")).localCheckpoint()
+          val mg = pmod(hash($"id", lit(21)), lit(10))
+          def qmidAt(off: Int) = concat(lit("mid"), pmod(mg + lit(off), lit(10)))
+          val modQueries = spark.range(200).select($"id".as("query_id"),
+            concat_ws(" ", qmidAt(0), qmidAt(1), qmidAt(2), qmidAt(3), qmidAt(4),
+              qmidAt(5), qmidAt(6),
+              concat(lit("rare"), pmod(hash($"id", lit(22)), lit(66)))
+            ).as("text")).localCheckpoint()
+          val modDir = s"$tmp/graft_bench_bm_mod_$tag"
+          val modBuild = timed(() =>
+            graft.ops.Bm25Index.build(modDocs, modDir, nTb = 64))
+          val modProbe = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10)))
+          val modTermLevel = {
+            val old = graft.ops.Bm25Index.BlockSplitMaxPairs
+            graft.ops.Bm25Index.BlockSplitMaxPairs = 0L
+            try probeTimed(() =>
+              force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10)))
+            finally graft.ops.Bm25Index.BlockSplitMaxPairs = old
+          }
+          val modExhaustive = timed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10,
+              prune = false)))
           s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
           s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},""" +
           s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},""" +
@@ -393,7 +456,16 @@ object Bench {
           s""""zipf_bm25_docs":$zn,""" +
           s""""zipf_bm25_build_sec":${f"$zipfBuild%.3f"},""" +
           s""""zipf_bm25_probe_pruned_sec":${f"$zipfProbe%.3f"},""" +
-          s""""zipf_bm25_probe_exhaustive_sec":${f"$zipfExhaustive%.3f"},"""
+          s""""zipf_bm25_probe_exhaustive_sec":${f"$zipfExhaustive%.3f"},""" +
+          s""""zipf10x_bm25_docs":$zn2,""" +
+          s""""zipf10x_bm25_build_sec":${f"$zipfBuild2%.3f"},""" +
+          s""""zipf10x_bm25_probe_pruned_sec":${f"$zipfProbe2%.3f"},""" +
+          s""""zipf_probe_scaling_ratio":${f"${zipfProbe2 / zipfProbe}%.2f"},""" +
+          s""""modskew_bm25_docs":$mn,""" +
+          s""""modskew_bm25_build_sec":${f"$modBuild%.3f"},""" +
+          s""""modskew_probe_pruned_sec":${f"$modProbe%.3f"},""" +
+          s""""modskew_probe_term_level_sec":${f"$modTermLevel%.3f"},""" +
+          s""""modskew_probe_exhaustive_sec":${f"$modExhaustive%.3f"},"""
         }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +

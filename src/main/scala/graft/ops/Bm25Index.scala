@@ -84,6 +84,23 @@ object Bm25Index {
   private[graft] def dfdPath(dir: String): String = s"$dir/lex/dfd"
   private[graft] def statsPath(dir: String): String = s"$dir/lex/stats"
   private[graft] def metaPath(dir: String): String = s"$dir/lex/meta"
+  private[graft] def blockmaxPath(dir: String): String = s"$dir/lex/blockmax"
+
+  /** Doc-block count for the Block-Max sidecar. At most 64 so a
+    * per-(query, term) essential-block set is ONE long bitmask — the
+    * probe ships it as a column on the pair frame it already
+    * broadcasts, zero extra join. Frozen in `meta/` (`n_dblk`) at
+    * build/compact like `n_tb`; pre-sidecar indexes simply lack the
+    * column and probe at term granularity (one virtual block).
+    */
+  private[graft] val NDblk = 64
+
+  /** The doc-block key: computable from doc_id alone (never stored on
+    * postings — the probe derives it in the scan and the planner
+    * derives it per survivor), so the sidecar upgrade changes no
+    * postings bytes.
+    */
+  private[graft] def dblkOf(docId: Column, n: Int): Column = pmod(hash(docId), lit(n))
 
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -105,6 +122,33 @@ object Bm25Index {
     import spark.implicits._
     spark.read.parquet(metaPath(dir)).select($"n_tb").as[Int].head()
   }
+
+  /** The frozen doc-block count, or None on a pre-sidecar index (meta
+    * lacks `n_dblk`) — mutators then skip the sidecar (a PARTIAL
+    * sidecar would under-bound the uncovered postings and break
+    * rank-safety; all-or-nothing is the invariant) and probes fall
+    * back to term-granularity pruning. [[compact]] upgrades in place.
+    */
+  private[graft] def readNDblk(spark: SparkSession, dir: String): Option[Int] = {
+    import spark.implicits._
+    val m = spark.read.parquet(metaPath(dir))
+    if (!m.columns.contains("n_dblk")) None
+    else Some(m.select($"n_dblk").as[Int].head())
+  }
+
+  /** Per-(term, doc-block) df + impact-bound delta rows from a postings
+    * frame — the Block-Max WAND sidecar (Ding & Suel 2011's per-block
+    * maxima, kept as (max_tf, min_dl) so bounds stay probe-parameter-
+    * free like the dfd's global pair). Deltas combine by sum/max/min
+    * exactly like the dfd, so the sidecar stays EXACT through append,
+    * merge and streaming; compact recomputes it from survivors. Rows
+    * per mutation <= batch vocab x n_dblk — dfd-delta-shaped, never
+    * corpus-shaped.
+    */
+  private[graft] def blockmaxOf(posts: DataFrame, nTb: Int, nDblk: Int): DataFrame =
+    posts.groupBy(col("term"), dblkOf(col("doc_id"), nDblk).as("dblk"))
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .withColumn("tb", tbOf(col("term"), nTb))
 
   /** The term-bucket partition key — MUST be identical at build,
     * append and probe time (`n_tb` is frozen in `meta/` at build).
@@ -230,12 +274,16 @@ object Bm25Index {
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/dfd")
+      blockmaxOf(posts, nTb, NDblk)
+        .repartition(col("tb")).sortWithinPartitions("tb", "term")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$dir/_build_tmp/lex/blockmax")
       // vocabulary = the staged dfd's row count (one row per term) —
       // a parquet footer count, no data scan
       val vocab = spark.read.parquet(s"$dir/_build_tmp/lex/dfd").count()
       val nDocs = writeStatsDelta(spark, posts, s"$dir/_build_tmp/lex/stats", "overwrite",
         nTerms = vocab)
-      Seq(nTb).toDF("n_tb").repartition(1)
+      Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
         .write.mode("overwrite").parquet(s"$dir/_build_tmp/lex/meta")
       graft.sources.SwapHooks.preSwap(dir)
       graft.sources.BucketedLayout.swapDir(fs,
@@ -249,6 +297,7 @@ object Bm25Index {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_commits"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_stream_staging"), true)
       fs.delete(staging, true)
+      invalidateProbeCache(dir)
       nDocs
     }
   }
@@ -340,9 +389,18 @@ object Bm25Index {
     requireMeta(docs, meta, dir)
     val posts = postingsOf(docs, textCol, idCol, meta)
       .withColumn("tb", tbOf(col("term"), nTb))
-      .localCheckpoint() // three writes, one evaluation
+      .localCheckpoint() // the staged writes share one evaluation
     // vocabulary novelty BEFORE the batch's dfd rows land
     val newTerms = newTermCount(spark, dir, posts.select("term").distinct(), nTb)
+    // The Block-Max sidecar lands BEFORE the postings: a crash between
+    // the two leaves orphan sidecar rows, which only OVER-bound (less
+    // pruning, same answers) — postings visible without their sidecar
+    // coverage would under-bound and silently drop true top-k docs.
+    readNDblk(spark, dir).foreach { nDblk =>
+      blockmaxOf(posts, nTb, nDblk)
+        .repartition(col("tb")).sortWithinPartitions("tb", "term")
+        .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir))
+    }
     posts.repartition(col("tb")).sortWithinPartitions("tb", "term")
       .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
     posts.groupBy("term").agg(count(lit(1)).as("df"),
@@ -350,7 +408,9 @@ object Bm25Index {
       .withColumn("tb", tbOf(col("term"), nTb))
       .repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
-    writeStatsDelta(spark, posts, statsPath(dir), "append", nTerms = newTerms)
+    val n = writeStatsDelta(spark, posts, statsPath(dir), "append", nTerms = newTerms)
+    invalidateProbeCache(dir)
+    n
   }
 
   /** Tombstone indexed docs — the takedown path. A tombstoned doc is
@@ -419,8 +479,9 @@ object Bm25Index {
     // retryable, the [[AnnIndex.compact]] contract.
     val batchFile = "b(\\d+)\\.parquet".r
     val tableFiles: Seq[org.apache.hadoop.fs.FileStatus] =
-      Seq(postingsPath(dir), dfdPath(dir))
+      Seq(postingsPath(dir), dfdPath(dir), blockmaxPath(dir))
         .map(new org.apache.hadoop.fs.Path(_))
+        .filter(fs.exists) // pre-sidecar indexes have no blockmax/
         .flatMap(root => fs.listStatus(root).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
           .flatMap(td => fs.listStatus(td.getPath).toSeq)) ++
@@ -456,12 +517,19 @@ object Bm25Index {
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/dfd")
+    // Sidecar from survivors — this is also where compact UPGRADES a
+    // pre-sidecar index (fresh meta below declares n_dblk) and where a
+    // tombstoned outlier posting stops inflating its block's bound.
+    blockmaxOf(live, nTb, NDblk)
+      .repartition(col("tb")).sortWithinPartitions("tb", "term")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$dir/_compact_tmp/lex/blockmax")
     // fresh-generation vocabulary from the staged dfd's footer count —
     // this is also where a tombstoned-out term leaves the count
     val vocab = spark.read.parquet(s"$dir/_compact_tmp/lex/dfd").count()
     val nDocs = writeStatsDelta(spark, live, s"$dir/_compact_tmp/lex/stats", "overwrite",
       nTerms = vocab)
-    Seq(nTb).toDF("n_tb").repartition(1)
+    Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/_compact_tmp/lex/meta")
     graft.sources.SwapHooks.preSwap(dir)
     graft.sources.BucketedLayout.swapDir(fs,
@@ -470,6 +538,7 @@ object Bm25Index {
       new org.apache.hadoop.fs.Path(s"$dir/_compact_old"))
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     fs.delete(staging, true)
+    invalidateProbeCache(dir)
     nDocs
   }
 
@@ -501,6 +570,15 @@ object Bm25Index {
       // vocabulary novelty (the other's LIVE terms not already here)
       // BEFORE its dfd rows land
       val newTerms = newTermCount(spark, dir, live.select("term").distinct(), nTb)
+      // Sidecar recomputed from the other's LIVE rows under THIS
+      // index's block function (doc-hash — index-independent, so the
+      // other index's own sidecar state is irrelevant); before the
+      // postings, the [[append]] crash-ordering argument.
+      readNDblk(spark, dir).foreach { nDblk =>
+        blockmaxOf(live, nTb, nDblk)
+          .repartition(col("tb")).sortWithinPartitions("tb", "term")
+          .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir))
+      }
       live.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
       live.groupBy("term").agg(count(lit(1)).as("df"),
@@ -508,7 +586,9 @@ object Bm25Index {
         .withColumn("tb", tbOf(col("term"), nTb))
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
-      writeStatsDelta(spark, live, statsPath(dir), "append", nTerms = newTerms)
+      val n = writeStatsDelta(spark, live, statsPath(dir), "append", nTerms = newTerms)
+      invalidateProbeCache(dir)
+      n
     }
 
   /** Operational snapshot: live docs, distinct terms (vocabulary),
@@ -544,15 +624,27 @@ object Bm25Index {
       }.toLong).sum
     import spark.implicits._
     val stat = spark.read.parquet(statsPath(dir))
-    val (nDocs, nTerms) = stat
-      .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"n_terms"), lit(0L)))
-      .as[(Long, Long)].head()
+    // Pre-vocab-delta layouts (2-column stats/) degrade gracefully like
+    // [[topDocs]] does on pre-bounds dfd layouts — a read-only snapshot
+    // must not fail where only MUTATORS (requireStatsHasTerms) must:
+    // the vocabulary falls back to one distinct-term pass over the dfd.
+    val (nDocs, nTerms) =
+      if (stat.columns.contains("n_terms"))
+        stat.agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"n_terms"), lit(0L)))
+          .as[(Long, Long)].head()
+      else {
+        val d = stat.agg(coalesce(sum($"n_docs"), lit(0L))).as[Long].head()
+        val t = spark.read.parquet(dfdPath(dir))
+          .agg(count_distinct($"term")).as[Long].head()
+        (d, t)
+      }
+    val tombCount = readTombstones(spark, dir).fold(0L)(_.count())
     IndexStats(
-      docs = nDocs - readTombstones(spark, dir).fold(0L)(_.count()),
+      docs = nDocs - tombCount,
       terms = nTerms,
       dataFiles = files,
       statDeltas = stat.count(),
-      tombstones = readTombstones(spark, dir).fold(0L)(_.count()))
+      tombstones = tombCount)
   }
 
   /** The `k` best docs per query against the persisted index:
@@ -603,17 +695,27 @@ object Bm25Index {
     *      term since the contribution is increasing in tf, decreasing
     *      in dl); θ = the k-th best seed score. Any doc's true score
     *      only exceeds its partial, so ≥ k docs truly score ≥ θ.
-    *   2. SPLIT terms per query: the maximal ascending-impact prefix
-    *      whose bound-sum stays BELOW θ is non-essential — a doc
-    *      containing only those cannot reach the top k. Candidate
-    *      generation scans ONLY essential terms' postings; a common
-    *      term (huge df, tiny idf ⇒ tiny bound) is exactly what lands
-    *      non-essential, so its corpus-sized postings never fan out.
+    *   2. SPLIT terms per query AND per doc-block (Block-Max WAND,
+    *      Ding & Suel 2011, over the `blockmax/` sidecar's per-(term,
+    *      block) bounds): for each of the [[NDblk]] doc-hash blocks,
+    *      the maximal ascending-block-impact prefix whose bound-sum
+    *      stays BELOW θ is non-essential THERE — a doc in block β
+    *      matching only β-non-essential terms scores ≤ that prefix
+    *      sum < θ and cannot reach the top k. Candidate generation
+    *      scans only essential (term, block) postings — each pair row
+    *      carries its essential blocks as ONE 64-bit mask, tested
+    *      in-scan against `pmod(hash(doc_id), n_dblk)`. The global
+    *      per-term bound is outlier-fragile (one spammy tf-50 posting
+    *      keeps its term essential corpus-wide); block bounds confine
+    *      the outlier to its block, so a common term's postings drop
+    *      out everywhere the block maxima are typical.
     *   3. TIGHTEN θ to the k-th essential partial, drop candidates
-    *      whose partial + Σ non-essential bounds < θ, and complete
-    *      ONLY the survivors' scores against the non-essential
-    *      postings (semi-joined during the scan — candidate-bounded
-    *      aggregation, columnar-scan-speed IO).
+    *      whose partial + Σ of their OWN block's non-essential bounds
+    *      < θ (the block-refined slack — tighter than the global
+    *      tail), and complete ONLY the survivors' scores against the
+    *      non-essential (term, block) postings (semi-joined during
+    *      the scan — candidate-bounded aggregation,
+    *      columnar-scan-speed IO).
     *
     * Every survivor's final score is the exact full sum, the true
     * top-k provably survives every cut, and ties rank identically —
@@ -621,8 +723,14 @@ object Bm25Index {
     * parity spec randomizes corpora over both paths; the oracle
     * queries run with pruning on). Probes with fewer than
     * [[PruneMinPostings]] total query-term postings (the seed round
-    * trips would cost more than they save), or against a pre-bounds
-    * index layout, take the exhaustive path — same answer either way.
+    * trips would cost more than they save), or more than
+    * [[PruneMaxQueryPairs]] (query, term) pairs (the planner's driver
+    * state must stay batch-bounded; the exhaustive path's is
+    * O(distinct terms)), or against a pre-bounds index layout, take
+    * the exhaustive path — same answer every way. Pre-sidecar indexes
+    * (no `blockmax/`) and batches past [[BlockSplitMaxPairs]] pairs
+    * split at term granularity (one virtual block) — the r13
+    * behavior, same answer again.
     */
   def topDocs(
       spark: SparkSession,
@@ -641,7 +749,11 @@ object Bm25Index {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac must be in (0, 1]: $maxDfFrac")
     checkIndex(spark, dir)
-    val nTb = readNTb(spark, dir)
+    // One stamped cache entry answers what used to be four small reads
+    // per probe (meta, stats sums, dfd schema, and — on the pruned
+    // path — the per-term dfd/blockmax collects).
+    val entry = probeEntry(spark, dir)
+    val nTb = entry.nTb
     val qt = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
@@ -651,20 +763,15 @@ object Bm25Index {
     // row, inlined as literals — a 1-row crossJoin would plan the
     // BroadcastNestedLoopJoin the plan audit bans); avgdl's division
     // is the same IEEE op as the one-shot's.
-    val (nDocs, sumDl) = spark.read.parquet(statsPath(dir))
-      .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"sum_dl"), lit(0L)))
-      .as[(Long, Long)].head()
-    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs.toDouble
+    val nDocs = entry.nDocs
+    val avgdl = if (nDocs == 0) 1.0 else entry.sumDl.toDouble / nDocs.toDouble
     // Pre-bounds index layouts (no max_tf/min_dl in dfd) can't bound
     // impacts — exhaustive, as before the sidecar existed.
-    val hasBounds = {
-      val fields = spark.read.parquet(dfdPath(dir)).schema.fieldNames.toSet
-      fields.contains("max_tf") && fields.contains("min_dl")
-    }
-    if (!prune || !hasBounds)
+    if (!prune || !entry.hasBounds)
       topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
     else
-      topDocsPruned(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
+      topDocsPruned(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
+        entry)
   }
 
   /** Below this many total query-term postings the exhaustive probe is
@@ -681,11 +788,141 @@ object Bm25Index {
     */
   private[graft] var PruneMinPostings: Long = 10000L
 
+  /** Above this many (query, term) pairs the pruned path routes
+    * exhaustive BEFORE collecting anything pair-shaped: its planner
+    * holds the pair list plus per-query splits on the driver
+    * (batch-bounded by design, but a RetrievalEval-scale million-query
+    * batch x 10 terms is ~10^7 driver tuples), while the exhaustive
+    * path's driver state is O(distinct terms). The gate reads only a
+    * count, so either route returns identical rows. A VAR only so the
+    * spec can force the route on spec-sized batches.
+    */
+  private[graft] var PruneMaxQueryPairs: Long = 2000000L
+
+  /** Above this many (query, term) pairs the per-(query, block) split
+    * collapses to term granularity (one virtual block): the split
+    * sorts each query's terms once per doc-block, so its driver cost
+    * is pairs x [[NDblk]] x log(terms) — bounded here to keep planning
+    * in the low milliseconds. Identical rows either way (block bounds
+    * only shrink the scanned posting set, never the answer).
+    */
+  private[graft] var BlockSplitMaxPairs: Long = 65536L
+
   /** Diagnostic only: the path the LAST [[topDocs]] call planned
     * ("pruned" or "exhaustive") — asserted by the parity spec so the
     * pruned path can never be silently gated out of its own tests.
     */
   @volatile private[graft] var lastProbePath: String = ""
+
+  // ------------------------------------------------- probe-stats cache
+
+  /** Per-index probe cache, generation-stamped: repeated probes against
+    * an unchanged index skip the meta/stats/dfd-schema reads and the
+    * per-term dfd/blockmax collects — the standing latency floor of a
+    * serving loop (every [[topDocs]] call used to pay ~4 small Spark
+    * jobs before touching a posting). The generation stamp hashes the
+    * FILE LISTING (path, length, mtime) of `meta/ + stats/ + dfd/ +
+    * blockmax/` — a metadata-only walk, orders of magnitude cheaper
+    * than the scans it guards, and complete: every mutation that can
+    * move a cached quantity (build/compact swap `lex/`; append, merge
+    * and streamed batches add dfd + stats files) changes that listing.
+    * [[delete]] touches only `tombstones/`, which probes correctly
+    * re-read every call (takedown immediacy), so it does not — and
+    * must not — invalidate. In-JVM mutators also invalidate eagerly
+    * ([[invalidateProbeCache]]) so a same-process probe never even
+    * pays a stamp mismatch; cross-process mutations are caught by the
+    * stamp. Entries accumulate only PROBED terms (query-vocabulary-
+    * sized, never the corpus vocabulary); absent terms cache as None
+    * so unknown-term queries don't rescan either.
+    */
+  private final class ProbeCacheEntry(
+      val stamp: String,
+      val nTb: Int,
+      val nDblk: Option[Int],
+      val hasBounds: Boolean,
+      val nDocs: Long,
+      val sumDl: Long) {
+    /** term -> Some((df, max_tf, min_dl, tb, idf_micro)) or None =
+      * known absent from the index. idf_micro is the shared
+      * [[Bm25.idfMicro]] expression's output for THIS generation's
+      * nDocs (entries never outlive their stamp, so it can't go
+      * stale).
+      */
+    val terms = new scala.collection.concurrent.TrieMap[
+      String, Option[(Long, Long, Long, Int, Long)]]()
+    /** term -> its (dblk, df, max_tf, min_dl) sidecar rows; empty =
+      * scanned and found none (the probe then falls back to the
+      * GLOBAL bound for every block — always valid).
+      */
+    val blocks = new scala.collection.concurrent.TrieMap[
+      String, Array[(Int, Long, Long, Long)]]()
+  }
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ProbeCacheEntry]()
+
+  private[graft] def invalidateProbeCache(dir: String): Unit = probeCache.remove(dir)
+
+  /** Diagnostics only (racy under concurrent probes, like
+    * [[lastProbePath]]): whether the last probe's generation stamp hit
+    * the cache, and how many query terms it still had to fetch from
+    * the dfd (0 = the serving steady state).
+    */
+  @volatile private[graft] var lastProbeStampHit: Boolean = false
+  @volatile private[graft] var lastProbeTermsScanned: Long = -1L
+
+  private def generationStamp(spark: SparkSession, dir: String): String = {
+    val fs = fsFor(spark, dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq(metaPath(dir), statsPath(dir), dfdPath(dir), blockmaxPath(dir)).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(path)) {
+        val it = fs.listFiles(path, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+        }
+        entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The current generation's cache entry — reused when the stamp
+    * matches, else rebuilt from the small reads (meta, stats sums, dfd
+    * schema). Two racing probes may both rebuild; last-put wins and
+    * both are correct for the generation they stamped.
+    */
+  private def probeEntry(spark: SparkSession, dir: String): ProbeCacheEntry = {
+    val stamp = generationStamp(spark, dir)
+    val cur = probeCache.get(dir)
+    if (cur != null && cur.stamp == stamp) { lastProbeStampHit = true; cur }
+    else {
+      lastProbeStampHit = false
+      import spark.implicits._
+      val fields = spark.read.parquet(dfdPath(dir)).schema.fieldNames.toSet
+      val (nDocs, sumDl) = spark.read.parquet(statsPath(dir))
+        .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"sum_dl"), lit(0L)))
+        .as[(Long, Long)].head()
+      val e = new ProbeCacheEntry(stamp, readNTb(spark, dir),
+        readNDblk(spark, dir).filter(n => n >= 1 && n <= 64),
+        fields.contains("max_tf") && fields.contains("min_dl"), nDocs, sumDl)
+      probeCache.put(dir, e)
+      e
+    }
+  }
+
+  /** Diagnostics only (spec-asserted, never read by product logic;
+    * like [[lastProbePath]] they are process-global and racy under
+    * concurrent probes): of the last pruned probe's (query, term)
+    * pairs, how many had at least one doc-block demoted, and how many
+    * were PARTIALLY demoted (some blocks essential, some not — the
+    * signature of block-granularity pruning, impossible at term
+    * granularity).
+    */
+  @volatile private[graft] var lastProbeDemotedPairs: Long = -1L
+  @volatile private[graft] var lastProbePartialMaskPairs: Long = -1L
 
   /** The shared final ranking: (query_id, doc_id, rank, score_micro)
     * by (score desc, doc_id asc) through the bounded-heap top-k.
@@ -697,11 +934,6 @@ object Bm25Index {
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("rank"), col("score").cast("long").as("score_micro"))
 
-  /** The exhaustive probe: every posting of every (kept) query term is
-    * scored. Bucket-pruned and candidate-bounded in SHUFFLE terms, but
-    * the aggregation WORK is O(sum of query-term df) — corpus-shaped
-    * for common terms, which is why [[topDocsPruned]] exists.
-    */
   /** Above this many distinct probe terms the pushed `term IN` scan
     * filter is skipped (an In literal list has planning cost, and
     * parquet or-pushdown degrades to a range past the reader's
@@ -710,13 +942,24 @@ object Bm25Index {
     */
   private val MaxTermPushdown = 2048
 
+  /** The exhaustive probe: every posting of every (kept) query term is
+    * scored. Bucket-pruned and candidate-bounded in SHUFFLE terms, but
+    * the aggregation WORK is O(sum of query-term df) — corpus-shaped
+    * for common terms, which is why [[topDocsPruned]] exists.
+    */
   private def topDocsExhaustive(
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
       qt: DataFrame, nDocs: Long, avgdl: Double,
-      preTermStats: Option[Array[(String, Long, Long, Long, Int)]] = None): DataFrame = {
+      preTermStats: Option[Array[(String, Long, Long, Long, Int, Long)]] = None): DataFrame = {
     import spark.implicits._
     lastProbePath = "exhaustive"
+    // One broadcast guard for every query-shaped frame in this probe
+    // (qt is Q x terms rows; every hinted side is at most that): past
+    // it, joins fall back to shuffles of the pruned candidate stream.
+    val qtRows = qt.count()
+    val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
+    def hinted(frame: DataFrame): DataFrame = if (hintable) broadcast(frame) else frame
     // Static partition pruning, the AnnIndex probed-cell discipline:
     // the distinct (term, bucket) set is bounded by the term count
     // (and by n_tb), so ONE collect feeds both the partition filter
@@ -748,7 +991,7 @@ object Bm25Index {
       case None =>
         val terms = qt.select($"term").distinct()
         pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilter))
-          .join(broadcast(terms), Seq("term"), "left_semi")
+          .join(hinted(terms), Seq("term"), "left_semi")
           .groupBy("term").agg(sum("df").as("df"))
     }
     // Stopword cap: drop ubiquitous query terms BEFORE candidate
@@ -760,19 +1003,15 @@ object Bm25Index {
       else df.filter(col("df").cast("double") <= lit(maxDfFrac) * lit(nDocs.toDouble))
     val qtK =
       if (maxDfFrac >= 1.0) qt
-      else qt.join(broadcast(dfKept.select($"term")), Seq("term"), "left_semi")
+      else qt.join(hinted(dfKept.select($"term")), Seq("term"), "left_semi")
         .localCheckpoint()
     val idf = dfKept
       .select($"term", Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
-    // The broadcast hints bypass Spark's size threshold — guard them
-    // (the serving-tier discipline): qt is Q x terms rows, idf at most
-    // that many. Past the guard both joins fall back to shuffles of the
-    // PRUNED candidate stream; the static partition pruning above is
-    // independent of join strategy.
-    val qtRows = qt.count()
-    val qtBytes = qtRows * 96L
-    val qtSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(qtK) else qtK
-    val idfSide = if (qtBytes <= Similarity.BroadcastGuardBytes) broadcast(idf) else idf
+    // The broadcast hints bypass Spark's size threshold, so all of
+    // them ride the shared guard above (the serving-tier discipline);
+    // the static partition pruning is independent of join strategy.
+    val qtSide = hinted(qtK)
+    val idfSide = hinted(idf)
     val scan0 = pushTerms(spark.read.parquet(postingsPath(dir)).filter(tbFilter))
     // The metadata predicate applies to the scan itself (postings carry
     // the index's metadata columns for exactly this): excluded docs
@@ -794,67 +1033,176 @@ object Bm25Index {
     rankTail(scores, k)
   }
 
-  /** The MaxScore probe (see the [[topDocs]] scaladoc for the
-    * three-phase contract and the safety argument). Driver state is
-    * BATCH-bounded: the collected (term, df, bounds) table and the
-    * (query, term) pairs — never anything corpus-sized.
+  /** The MaxScore + Block-Max probe (see the [[topDocs]] scaladoc for
+    * the three-phase contract and the safety argument). Driver state
+    * is BATCH-bounded and gated: the collected (term, df, bounds,
+    * idf) table, the (query, term) pair list (capped by
+    * [[PruneMaxQueryPairs]] — past it the probe routes exhaustive
+    * before collecting anything pair-shaped), and the per-(query,
+    * block) splits (block granularity capped by
+    * [[BlockSplitMaxPairs]]) — never anything corpus-sized.
+    *
+    * No pruning DECISION depends on a driver-side `log`: the idf
+    * micro-nats come back from the collect queries, produced by the
+    * shared [[Bm25.idfMicro]] expression; the driver only runs the
+    * tf-saturation arithmetic (+,-,*,/ and floor — strict IEEE on
+    * every JVM) to turn collected (max_tf, min_dl) into impact
+    * bounds. Every EMITTED score is computed distributed, through the
+    * shared expression trees.
     */
   private def topDocsPruned(
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
-      qt: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
+      qt: DataFrame, nDocs: Long, avgdl: Double,
+      entry: ProbeCacheEntry): DataFrame = {
+    val nDblkOpt = entry.nDblk
     import spark.implicits._
-    // Driver mirrors of the SHARED column expression trees (same IEEE
-    // ops in the same order — JVM doubles are strict, so these equal
-    // the codegen'd values bit-for-bit). They feed only the pruning
-    // DECISIONS; every emitted score is computed distributed, through
-    // the column expressions themselves.
-    def idfMicroD(df: Long): Long =
-      math.floor(math.log(1.0 + (((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5))) *
-        1000000.0 + 0.5).toLong
+    // Driver mirror of the SHARED contribution expression's
+    // tf-saturation (same IEEE ops in the same order — JVM doubles are
+    // strict, so this equals the codegen'd value bit-for-bit given the
+    // same idf micro-nats). Decisions only; never an emitted score.
     def contribMicroD(tf: Long, dl: Long, idfM: Long): Long = {
       val tfpart = (tf.toDouble * (k1 + 1.0)) /
         (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
       math.floor(idfM.toDouble * tfpart + 0.5).toLong
     }
-    val termTbAll = qt.select($"term", tbOf($"term", nTb).as("tb"))
-      .distinct().as[(String, Int)].collect()
-    val tbsAll = termTbAll.map(_._2).distinct.sorted
-    val tbFilterAll = col("tb").isin(tbsAll.map(Integer.valueOf).toIndexedSeq: _*)
-    val allTerms = termTbAll.map(_._1).distinct.sorted
+    // Driver-state gate FIRST (one count, nothing collected yet): the
+    // pruned planner's state is O(query-term pairs), the exhaustive
+    // path's is O(distinct terms).
+    val qtRows = qt.count()
+    if (qtRows > PruneMaxQueryPairs)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
+        nDocs, avgdl)
+    // One broadcast guard for every query-shaped frame in this probe
+    // (the pair frames and term frames are all <= qtRows rows).
+    val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
+    def hinted(frame: DataFrame): DataFrame = if (hintable) broadcast(frame) else frame
+    // ONE pair collect feeds the whole planner (bounded by the
+    // PruneMaxQueryPairs gate above); distinct terms derive from it.
+    val qtPairsAll = qt.as[(Long, String)].collect()
+    val allTerms = qtPairsAll.map(_._2).distinct.sorted
     // Pushed term filter for every scan of this probe: postings files
     // are term-sorted, so In(term, ...) skips row groups holding no
     // query term (see MaxTermPushdown).
-    def pushTerms(df: DataFrame, ts: Seq[String]): DataFrame =
-      if (ts.length <= MaxTermPushdown) df.filter(col("term").isin(ts: _*)) else df
-    // One pruned dfd pass collects df + impact bounds + the term's
-    // bucket (functionally dependent on the term) — query-term-sized.
-    val termStats = pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilterAll),
-        allTerms.toIndexedSeq)
-      .join(broadcast(qt.select($"term").distinct()), Seq("term"), "left_semi")
-      .groupBy("term").agg(sum("df").as("df"),
-        max("max_tf").as("max_tf"), min("min_dl").as("min_dl"),
-        first("tb").as("tb"))
-      .as[(String, Long, Long, Long, Int)].collect()
-    val kept = termStats.filter { case (_, df, _, _, _) =>
+    def pushTerms(frame: DataFrame, ts: Seq[String]): DataFrame =
+      if (ts.length <= MaxTermPushdown) frame.filter(col("term").isin(ts: _*)) else frame
+    // Per-term df + impact bounds + bucket + the idf the shared
+    // expression computes from the summed df — query-term-sized. The
+    // generation-stamped cache answers previously-probed terms; only
+    // the MISSES scan the dfd (pruned to their buckets), and a term
+    // the scan doesn't return is cached as absent so it never
+    // rescans. A fully-cached vocabulary pays NO dfd-side job at all.
+    val missingTerms = allTerms.filterNot(entry.terms.contains)
+    lastProbeTermsScanned = missingTerms.length.toLong
+    // Term -> bucket for the misses: one LocalRelation projection (no
+    // IO) — the bucket function must stay Spark's hash, never a
+    // driver reimplementation.
+    val missingTb: Map[String, Int] =
+      if (missingTerms.isEmpty) Map.empty
+      else missingTerms.toSeq.toDF("term")
+        .select($"term", tbOf($"term", nTb).as("tb"))
+        .as[(String, Int)].collect().toMap
+    if (missingTerms.nonEmpty) {
+      val missTbs = missingTerms.map(missingTb).distinct.sorted
+      val scanned = pushTerms(
+          spark.read.parquet(dfdPath(dir))
+            .filter(col("tb").isin(missTbs.map(Integer.valueOf).toIndexedSeq: _*)),
+          missingTerms.toIndexedSeq)
+        .join(hinted(missingTerms.toSeq.toDF("term")), Seq("term"), "left_semi")
+        .groupBy("term").agg(sum("df").as("df"),
+          max("max_tf").as("max_tf"), min("min_dl").as("min_dl"),
+          first("tb").as("tb"))
+        .select($"term", $"df", $"max_tf", $"min_dl", $"tb",
+          Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
+        .as[(String, Long, Long, Long, Int, Long)].collect()
+      scanned.foreach(t => entry.terms.put(t._1, Some((t._2, t._3, t._4, t._5, t._6))))
+      val found = scanned.map(_._1).toSet
+      missingTerms.filterNot(found).foreach(t => entry.terms.put(t, None))
+    }
+    val termStats: Array[(String, Long, Long, Long, Int, Long)] =
+      allTerms.flatMap(t => entry.terms.get(t).flatten
+        .map { case (df, mtf, mdl, tb, idfM) => (t, df, mtf, mdl, tb, idfM) })
+    // present terms carry their bucket in the cache
+    val tbOfTerm: Map[String, Int] = termStats.map(t => t._1 -> t._5).toMap
+    val kept = termStats.filter { case (_, df, _, _, _, _) =>
       maxDfFrac >= 1.0 || df.toDouble <= maxDfFrac * nDocs.toDouble
     }
-    // term -> (idf, impact upper bound, bucket)
-    val info: Map[String, (Long, Long, Int)] = kept.map { case (t, df, mtf, mdl, tb) =>
-      val idfM = idfMicroD(df)
-      t -> (idfM, contribMicroD(mtf, mdl, idfM), tb)
+    // term -> (idf micro-nats, GLOBAL impact upper bound, bucket)
+    val info: Map[String, (Long, Long, Int)] = kept.map {
+      case (t, _, mtf, mdl, tb, idfM) =>
+        t -> (idfM, contribMicroD(mtf, mdl, idfM), tb)
     }.toMap
     val dfOf: Map[String, Long] = kept.map(t => t._1 -> t._2).toMap
-    val qtPairs = qt.as[(Long, String)].collect().filter(p => info.contains(p._2))
-    val byQuery: Map[Long, Array[String]] =
-      qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val ubOf = (t: String) => info(t)._2
     // Cost gate 1: tiny probes skip the seed round trips (identical
-    // answer; see PruneMinPostings).
-    val totalDf = qtPairs.map(_._2).distinct.map(dfOf).sum
-    if (totalDf <= PruneMinPostings)
-      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
-        preTermStats = Some(termStats))
+    // answer; see PruneMinPostings). Term stats hand over so the
+    // exhaustive probe never aggregates the dfd twice.
+    val keptTermDfTotal = kept.map(_._2).sum
+    if (keptTermDfTotal <= PruneMinPostings)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
+        nDocs, avgdl, preTermStats = Some(termStats))
+    val qtPairs = qtPairsAll.filter(p => info.contains(p._2))
+    val byQuery: Map[Long, Array[String]] =
+      qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // ------------------------------------------------ block bounds
+    // Per-(term, doc-block) bounds from the blockmax sidecar — the
+    // Block-Max refinement. Collected only past gate 1 (one extra
+    // pruned scan, kept-term x n_dblk rows) and only within the split
+    // budget; otherwise ONE virtual block reproduces term-granularity
+    // MaxScore exactly.
+    val useBlocks = nDblkOpt.isDefined && qtPairs.length <= BlockSplitMaxPairs
+    val nB = if (useBlocks) nDblkOpt.get else 1
+    val fullMask = if (nB >= 64) -1L else (1L << nB) - 1L
+    val (ubB, dfB): (Map[String, Array[Long]], Map[String, Array[Long]]) =
+      if (!useBlocks)
+        (kept.map(t => t._1 -> Array(ubOf(t._1))).toMap,
+          kept.map(t => t._1 -> Array(t._2)).toMap)
+      else {
+        // cache misses only, same discipline as the term stats
+        val keptTerms = kept.map(_._1)
+        val missB = keptTerms.filterNot(entry.blocks.contains)
+        if (missB.nonEmpty) {
+          val missTbs = missB.map(tbOfTerm).distinct.sorted
+          val rows = pushTerms(
+              spark.read.parquet(blockmaxPath(dir))
+                .filter(col("tb").isin(missTbs.map(Integer.valueOf).toIndexedSeq: _*)),
+              missB.toIndexedSeq)
+            .join(hinted(missB.toSeq.toDF("term")), Seq("term"), "left_semi")
+            .groupBy("term", "dblk").agg(sum("df").as("df"),
+              max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+            .as[(String, Int, Long, Long, Long)].collect()
+          val byTerm = rows.groupBy(_._1)
+          missB.foreach { t =>
+            entry.blocks.put(t,
+              byTerm.getOrElse(t, Array.empty)
+                .map { case (_, blk, df, mtf, mdl) => (blk, df, mtf, mdl) })
+          }
+        }
+        val ub = kept.map(t => t._1 -> new Array[Long](nB)).toMap
+        val dfb = kept.map(t => t._1 -> new Array[Long](nB)).toMap
+        kept.foreach { case (t, df, mtf, mdl, _, idfM) =>
+          val rows = entry.blocks.getOrElse(t, Array.empty)
+          if (rows.isEmpty) {
+            // defensive: a term with dfd rows but no sidecar rows
+            // should be impossible (the sidecar is all-or-nothing);
+            // fall back to the always-valid GLOBAL bound everywhere
+            // rather than under-bound uncovered postings to 0
+            var blk = 0
+            while (blk < nB) {
+              ub(t)(blk) = contribMicroD(mtf, mdl, idfM)
+              dfb(t)(blk) = df
+              blk += 1
+            }
+          } else
+            rows.foreach { case (blk, bdf, bmtf, bmdl) =>
+              if (blk >= 0 && blk < nB) {
+                ub(t)(blk) = contribMicroD(bmtf, bmdl, idfM)
+                dfb(t)(blk) = bdf
+              }
+            }
+        }
+        (ub, dfb)
+      }
     // Cost gate 2 — the adaptive MaxScore decision, from stats already
     // in hand. The gate predicts the seed threshold with a REALISTIC
     // per-term contribution, tf = 1 at dl = avgdl (what a typical
@@ -864,58 +1212,94 @@ object Bm25Index {
     // when the real θ will keep every term essential — measured as a
     // 2-4x probe REGRESSION on the benchmark corpus (every query term
     // ~78% df, all alike: nothing is skippable, but θ̂ said 53% was).
-    // θ̃ = Σ of the two best typical contributions; a term whose
-    // ascending-bound prefix stays under θ̃ is LIKELY non-essential
-    // under the real θ. Below half the exhaustive aggregation's rows
-    // (Σ per-pair df) likely-skippable, MaxScore cannot recoup its
-    // seed/completion passes and checkpoints: take the exhaustive
-    // path. (The gate only picks the PLAN — either path returns
-    // bit-identical rows; the real split still uses the real θ.)
-    // Impact-uniform workloads (small shared vocabularies, every term
-    // genuinely competing) go exhaustive; Zipf text (common terms own
-    // most postings at near-zero idf) goes pruned.
-    // tf = 1 at dl = avgdl saturates to tfpart = (k1+1)/(1+k1·((1−b)+b))
-    // = 1 for EVERY (k1, b) — the typical contribution is exactly the
-    // term's idf in micro-nats.
+    // θ̃ = Σ of the two best typical contributions; a (term, block)
+    // whose ascending-bound prefix stays under θ̃ is LIKELY
+    // non-essential under the real θ. Below half the exhaustive
+    // aggregation's rows (Σ per-pair df) likely-skippable, MaxScore
+    // cannot recoup its seed/completion passes and checkpoints: take
+    // the exhaustive path. (The gate only picks the PLAN — either path
+    // returns bit-identical rows; the real split still uses the real
+    // θ.) Impact-uniform workloads (small shared vocabularies, every
+    // term genuinely competing) go exhaustive; Zipf text (common terms
+    // own most postings at near-zero idf) goes pruned; moderately
+    // skewed text — where one outlier posting used to keep a term
+    // GLOBALLY essential — goes pruned exactly when enough of its
+    // blocks are outlier-free. tf = 1 at dl = avgdl saturates to
+    // tfpart = (k1+1)/(1+k1·((1−b)+b)) = 1 for EVERY (k1, b) — the
+    // typical contribution is exactly the term's idf in micro-nats.
+    // Large batches estimate from a deterministic 512-query sample
+    // (the decision is a plan choice; the REAL split below is exact).
     val typOf: Map[String, Long] = info.map { case (t, (idfM, _, _)) => t -> idfM }
-    val pairDfTotal = qtPairs.map(p => dfOf(p._2)).sum
-    val skippableDf = byQuery.valuesIterator.map { ts =>
-      if (ts.length < 2) 0L
+    val gateQs: Seq[Array[String]] =
+      if (byQuery.size <= 512) byQuery.values.toSeq
       else {
-        val thetaTilde = ts.map(typOf).sorted(Ordering[Long].reverse).take(2).sum
-        val asc = ts.sortBy(t => (ubOf(t), t))
-        var cum = 0L; var skip = 0L; var stop = false
-        asc.foreach { t =>
-          if (!stop) {
-            cum += ubOf(t)
-            if (cum < thetaTilde) skip += dfOf(t) else stop = true
-          }
-        }
-        skip
+        val ks = byQuery.keys.toArray.sorted
+        val step = ks.length / 512
+        (0 until 512).map(i => byQuery(ks(i * step)))
       }
-    }.sum
-    if (skippableDf * 2L < pairDfTotal)
-      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
-        preTermStats = Some(termStats))
+    var sampleSkip = 0L
+    var samplePairDf = 0L
+    gateQs.foreach { ts =>
+      samplePairDf += ts.map(dfOf).sum
+      if (ts.length >= 2) {
+        val thetaTilde = ts.map(typOf).sorted(Ordering[Long].reverse).take(2).sum
+        var blk = 0
+        while (blk < nB) {
+          val asc = ts.sortBy(t => (ubB(t)(blk), t))
+          var cum = 0L
+          var i = 0
+          var stop = false
+          while (i < asc.length && !stop) {
+            cum += ubB(asc(i))(blk)
+            if (cum < thetaTilde) sampleSkip += dfB(asc(i))(blk) else stop = true
+            i += 1
+          }
+          blk += 1
+        }
+      }
+    }
+    if (sampleSkip * 2L < samplePairDf)
+      return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
+        nDocs, avgdl, preTermStats = Some(termStats))
     lastProbePath = "pruned"
     val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
-    val pairBytes = qtPairs.length.toLong * 96L
-    // Exact scores of a (query, term, idf) pair list against the
-    // postings: bucket-pruned scan, metadata filter pushed, takedowns
-    // anti-joined, candidate-sized aggregation — the same kernel as
-    // the exhaustive probe, restricted to the given pairs.
-    def scoreSubset(pairs: Seq[(Long, String)]): DataFrame = {
-      val pdf = pairs.map { case (q, t) => (q, t, info(t)._1) }
-        .toDF("query_id", "term", "idf_micro")
-      val pSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(pdf) else pdf
+    // Exact scores of a (query, term, block-mask) pair list against
+    // the postings: bucket-pruned scan, pushed term filter, metadata
+    // filter pushed, the mask tested in-scan against the posting's
+    // doc-block, candidate-sized aggregation — the one scoring kernel
+    // all three phases share. idf_micro is built by the shared
+    // [[Bm25.idfMicro]] expression from the collected df (never the
+    // driver mirror). With `surv` set (completion), the survivor-doc
+    // semi applies DURING the scan and the (query, doc) semi right
+    // after the pair join — tombstones and the metadata filter are
+    // then already enforced through the survivor set itself.
+    def scoreSubset(
+        pairs: Seq[(Long, String, Long)],
+        surv: Option[(DataFrame, DataFrame)]): DataFrame = {
+      val pdf = pairs.map { case (q, t, m) => (q, t, dfOf(t), m) }
+        .toDF("query_id", "term", "df", "__mask")
+        .withColumn("idf_micro", Bm25.idfMicro(lit(nDocs), col("df")))
+        .drop("df")
+      val pSide = hinted(pdf)
+      val pTerms = pairs.map(_._2).distinct.sorted
       val ptbs = pairs.map(p => info(p._2)._3).distinct.sorted
-      val scan = pushTerms(
+      val scan0 = pushTerms(
         spark.read.parquet(postingsPath(dir))
           .filter(col("tb").isin(ptbs.map(Integer.valueOf).toIndexedSeq: _*)),
-        pairs.map(_._2).distinct.sorted)
-      val scanF = filter.fold(scan)(scan.filter)
-      val joined = scanF.join(pSide, "term")
-      val cands = tombSide.fold(joined)(t => joined.join(t, Seq("doc_id"), "left_anti"))
+        pTerms)
+      val scanF = filter.fold(scan0)(scan0.filter)
+      val scanS = surv.fold(scanF)(s => scanF.join(s._1, Seq("doc_id"), "left_semi"))
+      val joined = scanS.join(pSide, "term")
+      // plain integer ops — stays inside whole-stage codegen
+      val masked =
+        if (pairs.forall(_._3 == fullMask)) joined
+        else joined.filter(
+          expr(s"(shiftright(__mask, pmod(hash(doc_id), $nB)) & 1) = 1"))
+      val paired = surv.fold(masked)(s =>
+        masked.join(s._2, Seq("query_id", "doc_id"), "left_semi"))
+      val cands =
+        if (surv.isDefined) paired
+        else tombSide.fold(paired)(t => paired.join(t, Seq("doc_id"), "left_anti"))
       cands.select($"query_id", $"doc_id",
           Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
         .groupBy("query_id", "doc_id")
@@ -930,91 +1314,114 @@ object Bm25Index {
         .filter(col("rank") === k)
         .select($"query_id", $"score".cast("long")).as[(Long, Long)].collect().toMap
 
-    // Phase 1 — seed θ from the 2 highest-impact terms per query. The
-    // seed scores are checkpointed: they are also (usually) the first
-    // installment of the essential partials, so the seed terms'
-    // postings are scanned once, not twice.
+    // Phase 1 — seed θ from the 2 highest-GLOBAL-impact terms per
+    // query, scored over every block (mask = full). The seed scores
+    // are checkpointed: they are also (usually) the first installment
+    // of the essential partials, so the seed terms' postings are
+    // scanned once, not twice.
     val seedPairs = byQuery.toSeq.flatMap { case (q, ts) =>
       ts.sortBy(t => (-ubOf(t), t)).take(2).map(t => (q, t))
     }
-    val seedScores = scoreSubset(seedPairs).localCheckpoint()
+    val seedScores = scoreSubset(seedPairs.map(p => (p._1, p._2, fullMask)), None)
+      .localCheckpoint()
     val theta1 = kthScore(seedScores)
 
-    // Phase 2 — essential split: ascending-impact prefix with
-    // bound-sum < θ is non-essential. cut = first index whose prefix
-    // sum reaches θ (always exists when θ > 0: θ is an achieved score,
-    // so the full bound sum is ≥ θ; defensively, cut < 0 keeps
-    // everything essential — pruning may only ever shrink).
-    val splits: Map[Long, (Seq[String], Seq[String], Long)] = byQuery.map {
-      case (q, ts) =>
-        val theta = theta1.getOrElse(q, 0L)
-        if (theta <= 0L) q -> ((ts.toSeq, Seq.empty[String], 0L))
-        else {
-          val asc = ts.sortBy(t => (ubOf(t), t)).toSeq
-          val cums = asc.scanLeft(0L)((a, t) => a + ubOf(t)).tail
-          val cut = cums.indexWhere(_ >= theta)
-          if (cut < 0) q -> ((asc, Seq.empty[String], 0L))
-          else q -> ((asc.drop(cut), asc.take(cut), asc.take(cut).map(ubOf).sum))
+    // Phase 2 — the essential split, per query AND per doc-block: in
+    // each block the ascending-block-impact prefix with bound-sum < θ
+    // is non-essential there (a doc in that block matching only those
+    // terms scores strictly below θ — it cannot enter the top k even
+    // on the doc_id tie-break). A term's essential blocks become one
+    // 64-bit mask; the demoted bounds accumulate into the block's
+    // slack (the completion threshold's tail). θ ≤ 0 (fewer than k
+    // seed candidates) keeps everything essential — pruning may only
+    // ever shrink. With one virtual block this IS the r13 term-level
+    // split.
+    final case class QSplit(masks: Map[String, Long], slack: Array[Long])
+    val splits: Map[Long, QSplit] = byQuery.map { case (q, ts) =>
+      val theta = theta1.getOrElse(q, 0L)
+      if (theta <= 0L)
+        q -> QSplit(ts.map(t => t -> fullMask).toMap, new Array[Long](nB))
+      else {
+        val masks = collection.mutable.HashMap.empty[String, Long]
+        ts.foreach(t => masks(t) = 0L)
+        val slack = new Array[Long](nB)
+        var blk = 0
+        while (blk < nB) {
+          val asc = ts.sortBy(t => (ubB(t)(blk), t))
+          var cum = 0L
+          var i = 0
+          var cut = asc.length
+          while (i < asc.length && cut == asc.length) {
+            cum += ubB(asc(i))(blk)
+            if (cum >= theta) cut = i else i += 1
+          }
+          var j = 0
+          while (j < cut) { slack(blk) += ubB(asc(j))(blk); j += 1 }
+          j = cut
+          while (j < asc.length) { masks(asc(j)) |= (1L << blk); j += 1 }
+          blk += 1
         }
+        q -> QSplit(masks.toMap, slack)
+      }
     }
-    val essPairs = splits.toSeq.flatMap { case (q, (ess, _, _)) => ess.map(t => (q, t)) }
-    val nonEssPairs = splits.toSeq.flatMap { case (q, (_, ne, _)) => ne.map(t => (q, t)) }
-    // Seed reuse: when every seed pair stayed essential (the normal
-    // case — seeds are the TOP-bound terms), the essential partial is
-    // seedScores + the not-yet-scored essential pairs, re-aggregated
-    // over the union (candidate-sized). A seed pair that landed
-    // non-essential (θ above its query's whole bound tail) falls back
-    // to scoring the essential set from scratch — correctness first.
-    val essSet = essPairs.toSet
+    val essPairs: Seq[(Long, String, Long)] = splits.toSeq.flatMap { case (q, s) =>
+      s.masks.collect { case (t, m) if m != 0L => (q, t, m) }
+    }
+    val demPairs: Seq[(Long, String, Long)] = splits.toSeq.flatMap { case (q, s) =>
+      s.masks.collect { case (t, m) if (~m & fullMask) != 0L => (q, t, ~m & fullMask) }
+    }
+    lastProbeDemotedPairs = demPairs.length.toLong
+    lastProbePartialMaskPairs = essPairs.count(p => p._3 != fullMask).toLong
+    // Seed reuse: when every seed pair stayed essential in EVERY block
+    // (the normal case — seeds are the top-GLOBAL-bound terms), the
+    // essential partial is seedScores + the not-yet-scored essential
+    // pairs, re-aggregated over the union (candidate-sized). A seed
+    // pair with any demoted block (θ above its query's whole bound
+    // tail there) falls back to scoring the essential set from
+    // scratch — correctness first (reusing a full-mask seed score
+    // would double-count its demoted blocks at completion).
+    val seedSet = seedPairs.toSet
+    val seedFullyEss = seedPairs.forall { case (q, t) =>
+      splits(q).masks.getOrElse(t, 0L) == fullMask
+    }
     val partial0 =
-      if (seedPairs.forall(essSet)) {
-        val extra = essPairs.filterNot(seedPairs.toSet)
+      if (seedFullyEss) {
+        val extra = essPairs.filterNot(p => seedSet((p._1, p._2)))
         if (extra.isEmpty) seedScores
-        else seedScores.unionByName(scoreSubset(extra))
+        else seedScores.unionByName(scoreSubset(extra, None))
           .groupBy("query_id", "doc_id")
           .agg(sum("score_micro").as("score_micro"))
-      } else scoreSubset(essPairs)
+      } else scoreSubset(essPairs, None)
     val partial = partial0.localCheckpoint()
-    if (nonEssPairs.isEmpty)
-      return rankTail(partial, k) // every term essential: partial IS exact
+    if (demPairs.isEmpty)
+      return rankTail(partial, k) // everything essential: partial IS exact
 
     // Phase 3 — tighten θ with the k-th essential partial, keep only
-    // candidates whose certain-part + non-essential slack can still
-    // reach it (>= : a tie at θ may enter the top k on the doc_id
-    // tie-break), then complete ONLY the survivors.
+    // candidates whose certain-part + their OWN block's demoted slack
+    // can still reach it (>= : a tie at θ may enter the top k on the
+    // doc_id tie-break), then complete ONLY the survivors against the
+    // demoted (term, block) postings.
     val theta2 = kthScore(partial)
-    val metaDF = splits.toSeq.map { case (q, (_, _, slack)) =>
-      (q, slack, math.max(theta1.getOrElse(q, 0L), theta2.getOrElse(q, 0L)))
-    }.toDF("query_id", "slack", "theta")
-    val survivors = partial.join(broadcast(metaDF), "query_id")
-      .filter($"score_micro" + $"slack" >= $"theta")
+    val metaRows = splits.toSeq.flatMap { case (q, s) =>
+      val th = math.max(theta1.getOrElse(q, 0L), theta2.getOrElse(q, 0L))
+      (0 until nB).map(blk => (q, blk, s.slack(blk), th))
+    }
+    val metaDF0 = metaRows.toDF("query_id", "__dblk", "__slack", "__theta")
+    val metaDF =
+      if (metaRows.length.toLong * 48L <= Similarity.BroadcastGuardBytes)
+        broadcast(metaDF0)
+      else metaDF0
+    val survivors = partial
+      .withColumn("__dblk", dblkOf(col("doc_id"), nB))
+      .join(metaDF, Seq("query_id", "__dblk"))
+      .filter(col("score_micro") + col("__slack") >= col("__theta"))
       .select($"query_id", $"doc_id", $"score_micro")
       .localCheckpoint()
-    // The completing scan reads the non-essential (common) terms'
-    // buckets but aggregates only survivor rows: the doc-level semi
-    // applies DURING the scan, the (query, doc) semi right after the
-    // pair join — both guarded broadcasts. Tombstones and the metadata
-    // filter are already enforced through the survivor set itself.
     val survDocs = Similarity.guardedRowBroadcast(survivors.select("doc_id").distinct())
     val survPairs = Similarity.guardedRowBroadcast(
       survivors.select("query_id", "doc_id"), perRowBytes = 64L)
-    val nePdf = nonEssPairs.map { case (q, t) => (q, t, info(t)._1) }
-      .toDF("query_id", "term", "idf_micro")
-    val neSide = if (pairBytes <= Similarity.BroadcastGuardBytes) broadcast(nePdf) else nePdf
-    val neTbs = nonEssPairs.map(p => info(p._2)._3).distinct.sorted
-    val neScan0 = pushTerms(
-      spark.read.parquet(postingsPath(dir))
-        .filter(col("tb").isin(neTbs.map(Integer.valueOf).toIndexedSeq: _*)),
-      nonEssPairs.map(_._2).distinct.sorted)
-    val neScan = filter.fold(neScan0)(neScan0.filter)
-    val addC = neScan
-      .join(survDocs, Seq("doc_id"), "left_semi")
-      .join(neSide, "term")
-      .join(survPairs, Seq("query_id", "doc_id"), "left_semi")
-      .select($"query_id", $"doc_id",
-        Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("c_micro").as("add_micro"))
+    val addC = scoreSubset(demPairs, Some((survDocs, survPairs)))
+      .withColumnRenamed("score_micro", "add_micro")
     val scores = survivors.join(addC, Seq("query_id", "doc_id"), "left_outer")
       .select($"query_id", $"doc_id",
         ($"score_micro" + coalesce($"add_micro", lit(0L))).as("score_micro"))

@@ -43,6 +43,12 @@ object Retrieval {
     * silently drops doc 42 from query 42's VECTOR ranking while the
     * lexical side keeps it, skewing that query's fusion. Pass false
     * there — ids in different key spaces must never interact.
+    *
+    * The lexical half's probe knobs pass straight through to
+    * [[Bm25Index.topDocs]] — `k1`/`b` retune the scoring (free: the
+    * index stores raw tf/dl/df), `maxDfFrac` caps stopword fan-out,
+    * `prune` toggles MaxScore dynamic pruning — so a serving caller
+    * tunes the fused ranking without bypassing the operator.
     */
   def hybridTopK(
       spark: SparkSession,
@@ -57,11 +63,16 @@ object Retrieval {
       textCol: String = "text",
       vecCol: String = "embedding",
       filter: Option[Column] = None,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      prune: Boolean = true): DataFrame = {
     require(k >= 1 && depth >= k, s"need depth >= k >= 1: k=$k, depth=$depth")
     val lex = Bm25Index.topDocs(spark, bm25Dir,
         queries.select(col(idCol).as("query_id"), col(textCol).as("text")),
-        k = depth, filter = filter)
+        k = depth, k1 = k1, b = b, filter = filter, maxDfFrac = maxDfFrac,
+        prune = prune)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = AnnIndex.topK(spark, annDir,
         queries.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),

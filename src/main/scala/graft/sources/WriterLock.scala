@@ -152,12 +152,22 @@ object WriterLock {
         out.write(token.getBytes("UTF-8"))
         out.close()
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          // late-commit conditional PUT lost the race at close(): the
-          // other writer's lock is the one on disk — ours never landed
-          throw lockedBy(fs, lock, what)
         case e: Throwable =>
+          // the stream is dead on EVERY failure path — close it (best
+          // effort) before deciding whose lock is on disk, or the
+          // handle leaks
           try out.close() catch { case _: Throwable => () }
+          if (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] &&
+              !earlyCommit)
+            // late-commit conditional PUT lost the race at close(): the
+            // other writer's lock is the one on disk — ours never landed
+            throw lockedBy(fs, lock, what)
+          // An early-commit store surfacing "already exists" at
+          // write/close is NOT a lost race — our build() already won
+          // the namespace create, so the file on disk is OURS and must
+          // go through the same holder-token cleanup as any other
+          // write failure (reporting it as locked would leave our own
+          // lock wedging every later mutator until a manual break).
           val h = try {
             if (fs.exists(lock)) Some(holder(fs, lock)) else None
           } catch { case _: Throwable => None }

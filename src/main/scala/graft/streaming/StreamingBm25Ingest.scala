@@ -95,6 +95,15 @@ object StreamingBm25Ingest {
         .repartition(col("tb"))
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "dfd").toString)
+      // Block-Max sidecar delta (skipped on pre-sidecar indexes — a
+      // PARTIAL sidecar would under-bound the uncovered postings).
+      val nDblk = graft.ops.Bm25Index.readNDblk(spark, indexDir)
+      nDblk.foreach { n =>
+        graft.ops.Bm25Index.blockmaxOf(posts, nTb, n)
+          .repartition(col("tb"))
+          .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "blockmax").toString)
+      }
       // coalesce: an EMPTY micro-batch must stage a (0, 0, 0) delta,
       // not NPE on the null sum. n_terms is the batch's vocabulary
       // NOVELTY against the INSTALLED dfd (computed before any
@@ -115,15 +124,23 @@ object StreamingBm25Ingest {
         .repartition(1)
         .write.mode("overwrite").option("maxRecordsPerFile", "0")
         .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
-      // Install, stats -> dfd -> postings (docs become retrievable only
-      // once fully weighted), each file under its deterministic name.
+      // Install, stats -> dfd -> blockmax -> postings (docs become
+      // retrievable only once fully weighted AND fully bounded — a
+      // crash window must never serve postings whose block bounds are
+      // missing, since an absent sidecar row reads as "term absent
+      // from block" and would let the probe skip real docs), each file
+      // under its deterministic name.
       installFlat(fs, new org.apache.hadoop.fs.Path(staging, "stats"),
         new org.apache.hadoop.fs.Path(graft.ops.Bm25Index.statsPath(indexDir)), batchId)
       installTree(fs, new org.apache.hadoop.fs.Path(staging, "dfd"),
         new org.apache.hadoop.fs.Path(graft.ops.Bm25Index.dfdPath(indexDir)), batchId)
+      if (nDblk.isDefined)
+        installTree(fs, new org.apache.hadoop.fs.Path(staging, "blockmax"),
+          new org.apache.hadoop.fs.Path(graft.ops.Bm25Index.blockmaxPath(indexDir)), batchId)
       installTree(fs, new org.apache.hadoop.fs.Path(staging, "postings"),
         new org.apache.hadoop.fs.Path(graft.ops.Bm25Index.postingsPath(indexDir)), batchId)
       fs.delete(staging, true)
+      graft.ops.Bm25Index.invalidateProbeCache(indexDir)
       // Seal: create-if-absent — losing the race to a concurrent
       // identical attempt is fine, the file names are deterministic.
       fs.mkdirs(commits)

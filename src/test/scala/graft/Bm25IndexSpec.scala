@@ -330,6 +330,25 @@ class Bm25IndexSpec extends SparkSpec {
     assert(Bm25Index.stats(spark, dir).docs == 4L)
   }
 
+  test("stats on a pre-vocab-delta layout falls back to a dfd distinct count") {
+    val dir = tmpDir()
+    Bm25Index.build(
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"), dir, nTb = 4)
+    // simulate the pre-upgrade 2-column stats/ table
+    val legacy = spark.read.parquet(Bm25Index.statsPath(dir))
+      .select($"n_docs", $"sum_dl").as[(Long, Long)].collect().toSeq
+    legacy.toDF("n_docs", "sum_dl").repartition(1)
+      .write.mode("overwrite").parquet(Bm25Index.statsPath(dir))
+    val s = Bm25Index.stats(spark, dir) // must not throw on the missing column
+    assert(s.docs == 2L && s.terms == 3L, s"$s")
+    // mutators still refuse loudly (appending 3-column deltas beside
+    // 2-column ones would corrupt every later stats read)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.append(spark, dir, Seq((2L, "delta")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("n_terms"), e.getMessage)
+  }
+
   test("rebuilding a live index with a different nTb fails loudly") {
     val dir = tmpDir()
     Bm25Index.build(corpus(0 until 20), dir, nTb = 4)

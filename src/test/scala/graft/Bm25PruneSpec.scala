@@ -101,6 +101,113 @@ class Bm25PruneSpec extends SparkSpec {
     assert(pt == et && pt.forall(_._2 % 7 != 0), "tombstoned pruning parity")
   }
 
+  /** Moderate skew with spam outliers — the Block-Max target: mid-df
+    * terms whose GLOBAL (max_tf, min_dl) bound is inflated by a few
+    * spammy docs (one term repeated in a short doc), so term-level
+    * MaxScore would keep them essential corpus-wide, while most
+    * doc-hash blocks are outlier-free and demote them there.
+    */
+  private def spamCorpus(n: Int, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val mid = Vector.tabulate(6)(i => s"mid$i")
+    val rare = Vector.tabulate(150)(i => s"rare$i")
+    (0 until n).map { i =>
+      val words =
+        if (i % 47 == 0) Seq.fill(8)(mid(rnd.nextInt(mid.size))) // spam
+        else
+          Seq.fill(3 + rnd.nextInt(3))(mid(rnd.nextInt(mid.size))) ++
+            Seq.fill(1 + rnd.nextInt(2))(rare(rnd.nextInt(rare.size))) ++
+            Seq.fill(4 + rnd.nextInt(6))(s"pad${rnd.nextInt(3)}")
+      (i.toLong, rnd.shuffle(words).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def spamQueries: DataFrame = Seq(
+    (900L, "rare3 mid0 mid1 mid2 mid4"), (901L, "rare11 mid1 mid3 mid5 mid0"),
+    (902L, "rare40 mid2 mid3 mid4 mid5"), (903L, "rare7 rare9 mid0 mid5 mid1 mid2"))
+    .toDF("query_id", "text")
+
+  test("block-granularity demotion occurs and stays rank-safe (parity + one-shot)") {
+    for (seed <- Seq(11, 12)) {
+      val dir = tmpDir()
+      val d = spamCorpus(600, seed)
+      Bm25Index.build(d, dir, nTb = 8)
+      val pruned = forced(rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10)))
+      assert(Bm25Index.lastProbePath == "pruned",
+        s"seed=$seed the spam corpus must take the pruned path")
+      assert(Bm25Index.lastProbeDemotedPairs > 0,
+        s"seed=$seed nothing was demoted — the split is vacuous here")
+      assert(Bm25Index.lastProbePartialMaskPairs > 0,
+        s"seed=$seed no PARTIAL masks — block granularity never engaged " +
+          "(every pair was all-or-nothing, i.e. term-level behavior)")
+      val exhaustive = rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10,
+        prune = false))
+      assert(pruned == exhaustive, s"seed=$seed block pruning broke parity")
+      assert(pruned == rows(Bm25.topDocs(d, spamQueries, k = 10)),
+        s"seed=$seed vs one-shot")
+      assert(pruned.nonEmpty)
+    }
+  }
+
+  test("past PruneMaxQueryPairs the probe routes exhaustive, identical rows") {
+    val dir = tmpDir()
+    Bm25Index.build(corpus(400, 7), dir, nTb = 8)
+    val old = Bm25Index.PruneMaxQueryPairs
+    try {
+      Bm25Index.PruneMaxQueryPairs = 4L
+      val e = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10)))
+      assert(Bm25Index.lastProbePath == "exhaustive",
+        "a past-budget batch must route exhaustive before any pair collect")
+      Bm25Index.PruneMaxQueryPairs = old
+      val p = forced(rows(Bm25Index.topDocs(spark, dir, queries, k = 10)))
+      assert(Bm25Index.lastProbePath == "pruned")
+      assert(e == p, "the driver-state gate changed the answer")
+    } finally Bm25Index.PruneMaxQueryPairs = old
+  }
+
+  test("term-granularity fallbacks (past-budget split, pre-sidecar layout) agree") {
+    val dir = tmpDir()
+    val d = spamCorpus(600, 13)
+    Bm25Index.build(d, dir, nTb = 8)
+    val blockRows = forced(rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10)))
+    assert(Bm25Index.lastProbePath == "pruned")
+    // past the block-split budget: one virtual block = r13 term-level
+    // MaxScore; partial masks are impossible there by construction
+    val old = Bm25Index.BlockSplitMaxPairs
+    val termRows =
+      try {
+        Bm25Index.BlockSplitMaxPairs = 0L
+        forced(rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10)))
+      } finally Bm25Index.BlockSplitMaxPairs = old
+    assert(Bm25Index.lastProbePartialMaskPairs == 0,
+      "one virtual block cannot partially demote a pair")
+    assert(termRows == blockRows, "term-level and block-level answers diverged")
+    // simulate an r13 (pre-sidecar) index: meta without n_dblk, no
+    // blockmax/ — the probe must fall back to term granularity...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nTb = Bm25Index.readNTb(spark, dir)
+    Seq(nTb).toDF("n_tb").repartition(1)
+      .write.mode("overwrite").parquet(Bm25Index.metaPath(dir))
+    fs.delete(new org.apache.hadoop.fs.Path(Bm25Index.blockmaxPath(dir)), true)
+    val legacyRows = forced(rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10)))
+    assert(legacyRows == blockRows, "pre-sidecar fallback diverged")
+    // ...and a mutator must NOT start a partial sidecar on it (absent
+    // rows read as "term absent from block" and would break rank
+    // safety for every pre-existing posting)
+    Bm25Index.append(spark, dir,
+      Seq((9000L, "mid0 rare3 freshterm"), (9001L, "mid1 rare11 pad0"))
+        .toDF("doc_id", "text"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Bm25Index.blockmaxPath(dir))),
+      "append started a PARTIAL blockmax sidecar on a pre-sidecar index")
+    val appended = forced(rows(Bm25Index.topDocs(spark, dir, spamQueries, k = 10)))
+    val union = d.unionByName(
+      Seq((9000L, "mid0 rare3 freshterm"), (9001L, "mid1 rare11 pad0"))
+        .toDF("doc_id", "text"))
+    assert(appended == rows(Bm25.topDocs(union, spamQueries, k = 10)),
+      "legacy-layout append diverged from the one-shot")
+  }
+
   test("pruned == exhaustive after append and merge (bounds stay exact)") {
     val dir = tmpDir(); val shard = tmpDir()
     val all = corpus(500, 5)

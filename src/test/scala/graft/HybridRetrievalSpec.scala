@@ -53,6 +53,38 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("the lexical probe knobs pass through (k1/b/maxDfFrac/prune)") {
+    val bmDir = tmpDir(); val annDir = tmpDir()
+    val d = corpus(0 until 60); val v = vectors(0 until 60)
+    Bm25Index.build(d, bmDir, nTb = 8)
+    val kCells = AnnIndex.build(v, annDir, nClusters = 4, iters = 2)
+    val hq = d.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"), $"text")
+      .join(v.select($"vec_id".as("query_id"), $"embedding"), "query_id")
+    val got = Retrieval.hybridTopK(spark, bmDir, annDir, hq,
+        k = 5, depth = 10, nProbe = kCells,
+        k1 = 1.2, b = 0.4, maxDfFrac = 0.6, prune = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val lex = Bm25Index.topDocs(spark, bmDir,
+        hq.select($"query_id", $"text"), k = 10,
+        k1 = 1.2, b = 0.4, maxDfFrac = 0.6, prune = false)
+      .select($"query_id", $"doc_id", $"rank")
+    val vec = AnnIndex.topK(spark, annDir,
+        hq.select($"query_id".as("vec_id"), $"embedding"), k = 10, nProbe = kCells)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+    val manual = Bm25.fuseTopK(Seq(lex, vec), k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == manual)
+    assert(got.nonEmpty)
+    // and the default-knob result must differ somewhere on this corpus,
+    // or the passthrough assertion is vacuous
+    val defaults = Retrieval.hybridTopK(spark, bmDir, annDir, hq,
+        k = 5, depth = 10, nProbe = kCells)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(defaults != got,
+      "non-default lexical knobs must change the fused ranking on this corpus")
+  }
+
   test("the shared metadata predicate reaches both indexes") {
     val bmDir = tmpDir(); val annDir = tmpDir()
     val d = corpus(0 until 60); val v = vectors(0 until 60)

@@ -52,6 +52,17 @@ class StreamingBm25IngestSpec extends SparkSpec {
     val got = collectTop(Bm25Index.topDocs(spark, dir, queries, k = 5))
     assert(got == collectTop(Bm25.topDocs(all, queries, k = 5)),
       "streamed index must answer bit-identically to a union build")
+    // the Block-Max sidecar rode both batches under the same
+    // deterministic-name install discipline as dfd/postings
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bmRoot = new org.apache.hadoop.fs.Path(Bm25Index.blockmaxPath(dir))
+    val staged = fs.listStatus(bmRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("tb="))
+      .flatMap(td => fs.listStatus(td.getPath))
+      .map(_.getPath.getName)
+    assert(staged.exists(_ == "b0.parquet") && staged.exists(_ == "b1.parquet"),
+      s"streamed blockmax deltas missing: ${staged.mkString(",")}")
   }
 
   test("redelivered committed batch is a counted no-op for all three tables") {
