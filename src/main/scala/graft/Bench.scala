@@ -413,7 +413,7 @@ object Bench {
           // (split budget forced to one virtual block), and the
           // exhaustive control (single sample — it is the expensive
           // side being priced).
-          val mn = 500000L
+          val mn = 1000000L
           val mh = pmod(hash($"id", lit(1)), lit(10))
           def midAt(off: Int) = concat(lit("mid"), pmod(mh + lit(off), lit(10)))
           val modDocs = spark.range(mn).select($"id".as("doc_id"),
@@ -426,7 +426,7 @@ object Bench {
               .as("text")).localCheckpoint()
           val mg = pmod(hash($"id", lit(21)), lit(10))
           def qmidAt(off: Int) = concat(lit("mid"), pmod(mg + lit(off), lit(10)))
-          val modQueries = spark.range(200).select($"id".as("query_id"),
+          val modQueries = spark.range(100).select($"id".as("query_id"),
             concat_ws(" ", qmidAt(0), qmidAt(1), qmidAt(2), qmidAt(3), qmidAt(4),
               qmidAt(5), qmidAt(6),
               concat(lit("rare"), pmod(hash($"id", lit(22)), lit(66)))
@@ -436,10 +436,13 @@ object Bench {
             graft.ops.Bm25Index.build(modDocs, modDir, nTb = 64))
           val modProbe = probeTimed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10)))
+          // single sample: the term-level probe routes exhaustive here
+          // (that IS the r13 claim being priced) — three multi-minute
+          // control runs would dominate the whole deep section
           val modTermLevel = {
             val old = graft.ops.Bm25Index.BlockSplitMaxPairs
             graft.ops.Bm25Index.BlockSplitMaxPairs = 0L
-            try probeTimed(() =>
+            try timed(() =>
               force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10)))
             finally graft.ops.Bm25Index.BlockSplitMaxPairs = old
           }

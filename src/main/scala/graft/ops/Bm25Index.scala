@@ -1057,6 +1057,14 @@ object Bm25Index {
       entry: ProbeCacheEntry): DataFrame = {
     val nDblkOpt = entry.nDblk
     import spark.implicits._
+    // phase timing to stderr, bench-diagnostic only
+    val debugT = sys.env.contains("GRAFT_BM25_DEBUG")
+    var tLast = System.nanoTime()
+    def mark(phase: String): Unit = if (debugT) {
+      val now = System.nanoTime()
+      System.err.println(f"[bm25prune] $phase%-22s ${(now - tLast) / 1e9}%.3f s")
+      tLast = now
+    }
     // Driver mirror of the SHARED contribution expression's
     // tf-saturation (same IEEE ops in the same order — JVM doubles are
     // strict, so this equals the codegen'd value bit-for-bit given the
@@ -1289,8 +1297,21 @@ object Bm25Index {
         pTerms)
       val scanF = filter.fold(scan0)(scan0.filter)
       val scanS = surv.fold(scanF)(s => scanF.join(s._1, Seq("doc_id"), "left_semi"))
-      val joined = scanS.join(pSide, "term")
-      // plain integer ops — stays inside whole-stage codegen
+      // Pre-join block filter: a posting row in a block NO query needs
+      // (the OR of the term's pair masks) is dropped BEFORE the pair
+      // join fans it out per query — without this, the per-pair mask
+      // only prunes the aggregation, and the join work stays
+      // exhaustive-shaped. The side is term-count-sized.
+      val unionMask: Map[String, Long] = pairs.groupBy(_._2).view
+        .mapValues(_.map(_._3).reduce(_ | _)).toMap
+      val scanB =
+        if (unionMask.valuesIterator.forall(_ == fullMask)) scanS
+        else scanS
+          .join(hinted(unionMask.toSeq.toDF("term", "__umask")), "term")
+          .filter(expr(s"(shiftright(__umask, pmod(hash(doc_id), $nB)) & 1) = 1"))
+          .drop("__umask")
+      val joined = scanB.join(pSide, "term")
+      // per-pair refinement — plain integer ops, whole-stage codegen
       val masked =
         if (pairs.forall(_._3 == fullMask)) joined
         else joined.filter(
@@ -1314,17 +1335,62 @@ object Bm25Index {
         .filter(col("rank") === k)
         .select($"query_id", $"score".cast("long")).as[(Long, Long)].collect().toMap
 
-    // Phase 1 — seed θ from the 2 highest-GLOBAL-impact terms per
-    // query, scored over every block (mask = full). The seed scores
-    // are checkpointed: they are also (usually) the first installment
-    // of the essential partials, so the seed terms' postings are
-    // scanned once, not twice.
-    val seedPairs = byQuery.toSeq.flatMap { case (q, ts) =>
-      ts.sortBy(t => (-ubOf(t), t)).take(2).map(t => (q, t))
+    // Phase 1 — seed θ. The TOP-1 (highest-GLOBAL-impact) list is
+    // scored fully per query; the TOP-2 list is scored RESTRICTED to
+    // the top-1 docs (a semi-join — its rows are top-1-candidate-
+    // sized, never top-2-list-sized). The restricted scores are still
+    // achieved partial scores of real docs, so their k-th best is a
+    // valid θ — and the expensive case this dodges is exactly the
+    // moderate-skew one, where the top-2 term is a mid-df list whose
+    // full scan used to cost as much as the whole pruning saved.
+    // Queries that cannot fill k from top-1-matching docs fall back
+    // to the full top-2 list (the r13 seed — heavy-Zipf queries whose
+    // rare term matches < k docs take this path, keeping that
+    // anchor's θ intact).
+    mark("plan")
+    val top2Of: Map[Long, Seq[String]] = byQuery.map { case (q, ts) =>
+      q -> ts.sortBy(t => (-ubOf(t), t)).take(2).toSeq
     }
-    val seedScores = scoreSubset(seedPairs.map(p => (p._1, p._2, fullMask)), None)
+    val seed1Pairs = top2Of.toSeq.map { case (q, ts) => (q, ts.head) }
+    val seed2Pairs = top2Of.toSeq.collect { case (q, ts) if ts.length > 1 => (q, ts(1)) }
+    val seedA = scoreSubset(seed1Pairs.map(p => (p._1, p._2, fullMask)), None)
       .localCheckpoint()
-    val theta1 = kthScore(seedScores)
+    mark("seed1-score")
+    val thetaProbe =
+      if (seed2Pairs.isEmpty) seedA
+      else {
+        val seedB = scoreSubset(seed2Pairs.map(p => (p._1, p._2, fullMask)),
+          Some((Similarity.guardedRowBroadcast(seedA.select("doc_id").distinct()),
+            Similarity.guardedRowBroadcast(
+              seedA.select("query_id", "doc_id"), perRowBytes = 64L))))
+        seedA.unionByName(seedB)
+          .groupBy("query_id", "doc_id").agg(sum("score_micro").as("score_micro"))
+      }
+    val theta1a = kthScore(thetaProbe)
+    mark("theta1a")
+    // fallback: fewer than k docs matched the top-1 list — take the
+    // full top-2 list for THOSE queries only; its scores then also
+    // serve as that pair's essential installment (the pair is pinned)
+    val fbQueries: Set[Long] =
+      seed2Pairs.map(_._1).toSet.filterNot(theta1a.contains)
+    val fbPairs = seed2Pairs.filter(p => fbQueries(p._1))
+    val (fbScores, theta1) =
+      if (fbPairs.isEmpty) (None: Option[DataFrame], theta1a)
+      else {
+        val fb = scoreSubset(fbPairs.map(p => (p._1, p._2, fullMask)), None)
+          .localCheckpoint()
+        val fbAll = seedA
+          .join(hinted(fbQueries.toSeq.toDF("query_id")), Seq("query_id"), "left_semi")
+          .unionByName(fb)
+          .groupBy("query_id", "doc_id").agg(sum("score_micro").as("score_micro"))
+        (Some(fb), theta1a ++ kthScore(fbAll))
+      }
+    mark("theta1")
+    // the pinned-essential pairs: top-1 everywhere; top-2 where the
+    // fallback scored it fully (a restricted top-2 score can never
+    // enter the partial — docs matching top-2 but not top-1 would be
+    // missing its contribution with no slack to cover it)
+    val seedPairs = seed1Pairs ++ fbPairs
 
     // Phase 2 — the essential split, per query AND per doc-block: in
     // each block the ascending-block-impact prefix with bound-sum < θ
@@ -1336,18 +1402,32 @@ object Bm25Index {
     // seed candidates) keeps everything essential — pruning may only
     // ever shrink. With one virtual block this IS the r13 term-level
     // split.
+    //
+    // SEED terms are pinned essential in EVERY block: any superset of
+    // the required essential set is rank-safe (docs matching only
+    // demoted terms still bound < θ), and the seeds' exact scores are
+    // already paid for — pinning makes the seed pass reusable AS the
+    // first installment of the partial unconditionally, where a
+    // partially-demoted seed would otherwise force re-scoring the
+    // whole essential set from scratch and waste the seed
+    // materialization (measured as the pruned path LOSING to
+    // exhaustive on spam-block corpora).
+    val seedTermsOf: Map[Long, Set[String]] =
+      seedPairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     final case class QSplit(masks: Map[String, Long], slack: Array[Long])
     val splits: Map[Long, QSplit] = byQuery.map { case (q, ts) =>
       val theta = theta1.getOrElse(q, 0L)
       if (theta <= 0L)
         q -> QSplit(ts.map(t => t -> fullMask).toMap, new Array[Long](nB))
       else {
+        val seedTs = seedTermsOf.getOrElse(q, Set.empty)
         val masks = collection.mutable.HashMap.empty[String, Long]
-        ts.foreach(t => masks(t) = 0L)
+        ts.foreach(t => masks(t) = if (seedTs(t)) fullMask else 0L)
+        val nonSeed = ts.filterNot(seedTs)
         val slack = new Array[Long](nB)
         var blk = 0
         while (blk < nB) {
-          val asc = ts.sortBy(t => (ubB(t)(blk), t))
+          val asc = nonSeed.sortBy(t => (ubB(t)(blk), t))
           var cum = 0L
           var i = 0
           var cut = asc.length
@@ -1372,27 +1452,20 @@ object Bm25Index {
     }
     lastProbeDemotedPairs = demPairs.length.toLong
     lastProbePartialMaskPairs = essPairs.count(p => p._3 != fullMask).toLong
-    // Seed reuse: when every seed pair stayed essential in EVERY block
-    // (the normal case — seeds are the top-GLOBAL-bound terms), the
-    // essential partial is seedScores + the not-yet-scored essential
-    // pairs, re-aggregated over the union (candidate-sized). A seed
-    // pair with any demoted block (θ above its query's whole bound
-    // tail there) falls back to scoring the essential set from
-    // scratch — correctness first (reusing a full-mask seed score
-    // would double-count its demoted blocks at completion).
+    // Seed reuse — unconditional now that the pinned pairs are exactly
+    // the fully-scored ones: the essential partial is the top-1
+    // scores + the fallback top-2 scores + the not-yet-scored
+    // essential pairs, re-aggregated over the union (candidate-sized).
     val seedSet = seedPairs.toSet
-    val seedFullyEss = seedPairs.forall { case (q, t) =>
-      splits(q).masks.getOrElse(t, 0L) == fullMask
-    }
-    val partial0 =
-      if (seedFullyEss) {
-        val extra = essPairs.filterNot(p => seedSet((p._1, p._2)))
-        if (extra.isEmpty) seedScores
-        else seedScores.unionByName(scoreSubset(extra, None))
-          .groupBy("query_id", "doc_id")
-          .agg(sum("score_micro").as("score_micro"))
-      } else scoreSubset(essPairs, None)
-    val partial = partial0.localCheckpoint()
+    val extra = essPairs.filterNot(p => seedSet((p._1, p._2)))
+    val seedParts: Seq[DataFrame] = Seq(Some(seedA), fbScores,
+      if (extra.isEmpty) None else Some(scoreSubset(extra, None))).flatten
+    val partial =
+      if (seedParts.length == 1) seedParts.head
+      else seedParts.reduce(_.unionByName(_))
+        .groupBy("query_id", "doc_id").agg(sum("score_micro").as("score_micro"))
+        .localCheckpoint()
+    mark("partial")
     if (demPairs.isEmpty)
       return rankTail(partial, k) // everything essential: partial IS exact
 
@@ -1402,6 +1475,7 @@ object Bm25Index {
     // doc_id tie-break), then complete ONLY the survivors against the
     // demoted (term, block) postings.
     val theta2 = kthScore(partial)
+    mark("theta2")
     val metaRows = splits.toSeq.flatMap { case (q, s) =>
       val th = math.max(theta1.getOrElse(q, 0L), theta2.getOrElse(q, 0L))
       (0 until nB).map(blk => (q, blk, s.slack(blk), th))
@@ -1417,11 +1491,58 @@ object Bm25Index {
       .filter(col("score_micro") + col("__slack") >= col("__theta"))
       .select($"query_id", $"doc_id", $"score_micro")
       .localCheckpoint()
-    val survDocs = Similarity.guardedRowBroadcast(survivors.select("doc_id").distinct())
-    val survPairs = Similarity.guardedRowBroadcast(
-      survivors.select("query_id", "doc_id"), perRowBytes = 64L)
-    val addC = scoreSubset(demPairs, Some((survDocs, survPairs)))
+    mark("survivors")
+    // Completion join order routes on the survivor-pair size. SMALL
+    // survivor sets broadcast into the term-major kernel (semi during
+    // the scan, then per-pair). A LARGE survivor set would force that
+    // kernel to fan every demoted posting out per query BEFORE the
+    // (query, doc) semi can cut it — the near-exhaustive shuffle the
+    // pruning was supposed to avoid — so it goes DOC-major instead:
+    // postings ⋈ survivors on doc_id first (fan = survivors x the
+    // doc's matching demoted terms, survivor-bounded), then the
+    // demoted-pair frame (inner, broadcastable) picks the (query,
+    // term) combinations and the block mask refines.
+    val survRows = survivors.count()
+    val addC = (
+      if (survRows * 64L <= Similarity.BroadcastGuardBytes) {
+        val survDocs =
+          Similarity.guardedRowBroadcast(survivors.select("doc_id").distinct())
+        val survPairs =
+          Similarity.guardedRowBroadcast(
+            survivors.select("query_id", "doc_id"), perRowBytes = 64L)
+        scoreSubset(demPairs, Some((survDocs, survPairs)))
+      } else {
+        val pdf = demPairs.map { case (q, t, m) => (q, t, dfOf(t), m) }
+          .toDF("query_id", "term", "df", "__mask")
+          .withColumn("idf_micro", Bm25.idfMicro(lit(nDocs), col("df")))
+          .drop("df")
+        val demTerms = demPairs.map(_._2).distinct.sorted
+        val demTbs = demPairs.map(p => info(p._2)._3).distinct.sorted
+        val scan0 = pushTerms(
+          spark.read.parquet(postingsPath(dir))
+            .filter(col("tb").isin(demTbs.map(Integer.valueOf).toIndexedSeq: _*)),
+          demTerms)
+        val scanF = filter.fold(scan0)(scan0.filter)
+        val unionMask = demPairs.groupBy(_._2).view
+          .mapValues(_.map(_._3).reduce(_ | _)).toMap
+        val scanB =
+          if (unionMask.valuesIterator.forall(_ == fullMask)) scanF
+          else scanF
+            .join(hinted(unionMask.toSeq.toDF("term", "__umask")), "term")
+            .filter(expr(s"(shiftright(__umask, pmod(hash(doc_id), $nB)) & 1) = 1"))
+            .drop("__umask")
+        scanB
+          .join(survivors.select($"query_id", $"doc_id"), "doc_id")
+          .join(hinted(pdf), Seq("query_id", "term"))
+          .filter(expr(s"(shiftright(__mask, pmod(hash(doc_id), $nB)) & 1) = 1"))
+          .select($"query_id", $"doc_id",
+            Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b)
+              .as("c_micro"))
+          .groupBy("query_id", "doc_id")
+          .agg(sum("c_micro").as("score_micro"))
+      })
       .withColumnRenamed("score_micro", "add_micro")
+    mark("completion-plan")
     val scores = survivors.join(addC, Seq("query_id", "doc_id"), "left_outer")
       .select($"query_id", $"doc_id",
         ($"score_micro" + coalesce($"add_micro", lit(0L))).as("score_micro"))
