@@ -150,6 +150,30 @@ object Bm25Index {
       .agg(count(lit(1)).as("df"), max("tf").as("max_tf"), min("dl").as("min_dl"))
       .withColumn("tb", tbOf(col("term"), nTb))
 
+  /** The dfd delta and (when the index carries a sidecar) the blockmax
+    * delta for a postings frame, in ONE corpus-sized aggregation: the
+    * per-term dfd rows RE-AGGREGATE the per-(term, block) rows (counts
+    * sum, max/min compose exactly — same values as aggregating the
+    * postings directly), so the sidecar costs a vocab-x-blocks rollup
+    * instead of a second pass over the postings. The blockmax frame is
+    * pinned (localCheckpoint) because both the sidecar write and the
+    * dfd derivation consume it.
+    */
+  private[graft] def dfDeltaFrames(
+      posts: DataFrame, nTb: Int, nDblk: Option[Int]): (DataFrame, Option[DataFrame]) =
+    nDblk match {
+      case Some(n) =>
+        val bm = blockmaxOf(posts, nTb, n).localCheckpoint()
+        val dfd = bm.groupBy("term").agg(sum("df").as("df"),
+            max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+          .withColumn("tb", tbOf(col("term"), nTb))
+        (dfd, Some(bm))
+      case None =>
+        (posts.groupBy("term").agg(count(lit(1)).as("df"),
+            max("tf").as("max_tf"), min("dl").as("min_dl"))
+          .withColumn("tb", tbOf(col("term"), nTb)), None)
+    }
+
   /** The term-bucket partition key — MUST be identical at build,
     * append and probe time (`n_tb` is frozen in `meta/` at build).
     */
@@ -268,13 +292,12 @@ object Bm25Index {
         .sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/postings")
-      posts.groupBy("term").agg(count(lit(1)).as("df"),
-        max("tf").as("max_tf"), min("dl").as("min_dl"))
-        .withColumn("tb", tbOf(col("term"), nTb))
+      val (dfdDelta, bmDelta) = dfDeltaFrames(posts, nTb, Some(NDblk))
+      dfdDelta
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/dfd")
-      blockmaxOf(posts, nTb, NDblk)
+      bmDelta.get
         .repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/blockmax")
@@ -396,16 +419,13 @@ object Bm25Index {
     // the two leaves orphan sidecar rows, which only OVER-bound (less
     // pruning, same answers) — postings visible without their sidecar
     // coverage would under-bound and silently drop true top-k docs.
-    readNDblk(spark, dir).foreach { nDblk =>
-      blockmaxOf(posts, nTb, nDblk)
-        .repartition(col("tb")).sortWithinPartitions("tb", "term")
-        .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir))
-    }
+    val (dfdDelta, bmDelta) = dfDeltaFrames(posts, nTb, readNDblk(spark, dir))
+    bmDelta.foreach(
+      _.repartition(col("tb")).sortWithinPartitions("tb", "term")
+        .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir)))
     posts.repartition(col("tb")).sortWithinPartitions("tb", "term")
       .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
-    posts.groupBy("term").agg(count(lit(1)).as("df"),
-        max("tf").as("max_tf"), min("dl").as("min_dl"))
-      .withColumn("tb", tbOf(col("term"), nTb))
+    dfdDelta
       .repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
     val n = writeStatsDelta(spark, posts, statsPath(dir), "append", nTerms = newTerms)
@@ -511,16 +531,16 @@ object Bm25Index {
       .sortWithinPartitions("tb", "term")
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/postings")
-    live.groupBy("term").agg(count(lit(1)).as("df"),
-        max("tf").as("max_tf"), min("dl").as("min_dl"))
-      .withColumn("tb", tbOf(col("term"), nTb))
+    // Sidecar from survivors (the dfd re-aggregates its rollup) — this
+    // is also where compact UPGRADES a pre-sidecar index (fresh meta
+    // below declares n_dblk) and where a tombstoned outlier posting
+    // stops inflating its block's bound.
+    val (dfdDelta, bmDelta) = dfDeltaFrames(live, nTb, Some(NDblk))
+    dfdDelta
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/dfd")
-    // Sidecar from survivors — this is also where compact UPGRADES a
-    // pre-sidecar index (fresh meta below declares n_dblk) and where a
-    // tombstoned outlier posting stops inflating its block's bound.
-    blockmaxOf(live, nTb, NDblk)
+    bmDelta.get
       .repartition(col("tb")).sortWithinPartitions("tb", "term")
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/blockmax")
@@ -573,17 +593,16 @@ object Bm25Index {
       // Sidecar recomputed from the other's LIVE rows under THIS
       // index's block function (doc-hash — index-independent, so the
       // other index's own sidecar state is irrelevant); before the
-      // postings, the [[append]] crash-ordering argument.
-      readNDblk(spark, dir).foreach { nDblk =>
-        blockmaxOf(live, nTb, nDblk)
-          .repartition(col("tb")).sortWithinPartitions("tb", "term")
-          .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir))
-      }
+      // postings, the [[append]] crash-ordering argument. The dfd
+      // delta re-aggregates the sidecar rollup — one corpus-sized
+      // aggregation, not two.
+      val (dfdDelta, bmDelta) = dfDeltaFrames(live, nTb, readNDblk(spark, dir))
+      bmDelta.foreach(
+        _.repartition(col("tb")).sortWithinPartitions("tb", "term")
+          .write.mode("append").partitionBy("tb").parquet(blockmaxPath(dir)))
       live.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("append").partitionBy("tb").parquet(postingsPath(dir))
-      live.groupBy("term").agg(count(lit(1)).as("df"),
-        max("tf").as("max_tf"), min("dl").as("min_dl"))
-        .withColumn("tb", tbOf(col("term"), nTb))
+      dfdDelta
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
       val n = writeStatsDelta(spark, live, statsPath(dir), "append", nTerms = newTerms)

@@ -86,24 +86,20 @@ object StreamingBm25Ingest {
       posts.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
-      posts.groupBy("term").agg(
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("df"),
-          org.apache.spark.sql.functions.max("tf").as("max_tf"),
-          org.apache.spark.sql.functions.min("dl").as("min_dl"))
-        .withColumn("tb", graft.ops.Bm25Index.tbOf(col("term"), nTb))
+      // Block-Max sidecar delta (skipped on pre-sidecar indexes — a
+      // PARTIAL sidecar would under-bound the uncovered postings); the
+      // dfd delta re-aggregates the sidecar rollup, so both cost one
+      // corpus-sized aggregation.
+      val nDblk = graft.ops.Bm25Index.readNDblk(spark, indexDir)
+      val (dfdDelta, bmDelta) = graft.ops.Bm25Index.dfDeltaFrames(posts, nTb, nDblk)
+      dfdDelta
         .repartition(col("tb"))
         .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "dfd").toString)
-      // Block-Max sidecar delta (skipped on pre-sidecar indexes — a
-      // PARTIAL sidecar would under-bound the uncovered postings).
-      val nDblk = graft.ops.Bm25Index.readNDblk(spark, indexDir)
-      nDblk.foreach { n =>
-        graft.ops.Bm25Index.blockmaxOf(posts, nTb, n)
-          .repartition(col("tb"))
+      bmDelta.foreach(
+        _.repartition(col("tb"))
           .write.mode("overwrite").option("maxRecordsPerFile", "0").partitionBy("tb")
-          .parquet(new org.apache.hadoop.fs.Path(staging, "blockmax").toString)
-      }
+          .parquet(new org.apache.hadoop.fs.Path(staging, "blockmax").toString))
       // coalesce: an EMPTY micro-batch must stage a (0, 0, 0) delta,
       // not NPE on the null sum. n_terms is the batch's vocabulary
       // NOVELTY against the INSTALLED dfd (computed before any
