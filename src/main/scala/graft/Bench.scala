@@ -377,7 +377,7 @@ object Bench {
             ).as("text")).localCheckpoint()
           val zipfDir = s"$tmp/graft_bench_bm_zipf_$tag"
           val zipfBuild = timed(() =>
-            graft.ops.Bm25Index.build(zipfDocs, zipfDir, nTb = 64))
+            graft.ops.Bm25Index.build(zipfDocs, zipfDir, nTb = 64, blockMax = true))
           val zipfProbe = probeTimed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, zipfDir, zipfQueries, k = 10)))
           val zipfExhaustive = timed(() =>
@@ -401,7 +401,7 @@ object Bench {
             ).as("text")).localCheckpoint()
           val zipfDir2 = s"$tmp/graft_bench_bm_zipf10_$tag"
           val zipfBuild2 = timed(() =>
-            graft.ops.Bm25Index.build(zipfDocs2, zipfDir2, nTb = 64))
+            graft.ops.Bm25Index.build(zipfDocs2, zipfDir2, nTb = 64, blockMax = true))
           val zipfProbe2 = probeTimed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, zipfDir2, zipfQueries, k = 10)))
           // Moderate-skew anchor (the Block-Max workload): mid-df terms
@@ -433,7 +433,7 @@ object Bench {
             ).as("text")).localCheckpoint()
           val modDir = s"$tmp/graft_bench_bm_mod_$tag"
           val modBuild = timed(() =>
-            graft.ops.Bm25Index.build(modDocs, modDir, nTb = 64))
+            graft.ops.Bm25Index.build(modDocs, modDir, nTb = 64, blockMax = true))
           val modProbe = probeTimed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10)))
           // single sample: the term-level probe routes exhaustive here
@@ -449,6 +449,29 @@ object Bench {
           val modExhaustive = timed(() =>
             force(graft.ops.Bm25Index.topDocs(spark, modDir, modQueries, k = 10,
               prune = false)))
+          // Moderate-skew SCALING pair (1M -> 10M docs), the zipf10x
+          // mirror for the block-level win: same shape and the same
+          // FIXED query batch, pruned path only (the exhaustive
+          // control is priced at 1M above — at 10M it would be
+          // ~2000 s of pure control). The spam cadence scales with
+          // the corpus (one spam doc per ~14k clean docs either way);
+          // the rare vocabulary stays fixed, so the essential (rare +
+          // per-block-surviving) postings grow linearly and the
+          // honest question is how far below 10x the probe stays.
+          val mn2 = 10000000L
+          val modDocs2 = spark.range(mn2).select($"id".as("doc_id"),
+            when(pmod($"id", lit(mn2 / 700L)) === 0,
+              concat_ws(" ", array_repeat(midAt(0), 6)))
+              .otherwise(concat_ws(" ",
+                midAt(0), midAt(1), midAt(2), midAt(3), midAt(4),
+                concat(lit("rare"), pmod(hash($"id", lit(2)), lit(66))),
+                lit("pada padb padc padd pade padf")))
+              .as("text")).localCheckpoint()
+          val modDir2 = s"$tmp/graft_bench_bm_mod10_$tag"
+          val modBuild2 = timed(() =>
+            graft.ops.Bm25Index.build(modDocs2, modDir2, nTb = 64, blockMax = true))
+          val modProbe2 = probeTimed(() =>
+            force(graft.ops.Bm25Index.topDocs(spark, modDir2, modQueries, k = 10)))
           s""""deep_ann_rows":$n,"deep_ann_build_sec":${f"$deepBuild%.3f"},""" +
           s""""deep_ann_probe_sec":${f"$deepProbe%.3f"},""" +
           s""""deep_compact_cells":1024,"deep_compact_sec":${f"$deepCompact%.3f"},""" +
@@ -468,7 +491,11 @@ object Bench {
           s""""modskew_bm25_build_sec":${f"$modBuild%.3f"},""" +
           s""""modskew_probe_pruned_sec":${f"$modProbe%.3f"},""" +
           s""""modskew_probe_term_level_sec":${f"$modTermLevel%.3f"},""" +
-          s""""modskew_probe_exhaustive_sec":${f"$modExhaustive%.3f"},"""
+          s""""modskew_probe_exhaustive_sec":${f"$modExhaustive%.3f"},""" +
+          s""""modskew10x_bm25_docs":$mn2,""" +
+          s""""modskew10x_bm25_build_sec":${f"$modBuild2%.3f"},""" +
+          s""""modskew10x_probe_pruned_sec":${f"$modProbe2%.3f"},""" +
+          s""""modskew_probe_scaling_ratio":${f"${modProbe2 / modProbe}%.2f"},"""
         }
       Some(
         s"""{"ann_build_sec":${f"$annBuild%.3f"},"ann_probe_sec":${f"$annProbe%.3f"},""" +

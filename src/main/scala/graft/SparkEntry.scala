@@ -913,13 +913,16 @@ object SparkEntry {
     // surviving docs' scores keep the FULL corpus df/avgdl/N until the
     // next compact (a web index's behavior between takedown and segment
     // merge). The oracle recomputes full-stats scores and re-ranks the
-    // survivors.
+    // survivors. This build opts into the Block-Max sidecar (the one
+    // oracle query that does), so the sidecar write + the per-block
+    // probe machinery stay on the DuckDB hash gate — the other BM25
+    // queries run the default flag-off layout both layouts must match.
     "q_bm25_delete" -> ((s, dir) => {
       import s.implicits._
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25del_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val d = docs(s, dir)
-      ops.Bm25Index.build(d, out, nTb = 16)
+      ops.Bm25Index.build(d, out, nTb = 16, blockMax = true)
       ops.Bm25Index.delete(s, out, d.filter($"doc_id" % 21 === 0).select($"doc_id"))
       ops.Bm25Index.topDocs(s, out, bm25Queries(d), k = 10)
     }),

@@ -54,6 +54,7 @@ object AnnIndex {
   private[graft] def centersPath(dir: String): String = s"$dir/ivf/centers"
   private[graft] def pqcodesPath(dir: String): String = s"$dir/pq/pqcodes"
   private[graft] def codebooksPath(dir: String): String = s"$dir/pq/codebooks"
+  private[graft] def buildinfoPath(dir: String): String = s"$dir/ivf/buildinfo"
 
   /** An index written by the pre-grouped flat layout (`vectors/` at
     * the root) is not readable by this version — fail with a migration
@@ -85,7 +86,9 @@ object AnnIndex {
       dataFiles: Long,
       pqFiles: Long,
       tombstones: Long,
-      hasPqSidecar: Boolean)
+      hasPqSidecar: Boolean,
+      builtRows: Long,
+      appendedFraction: Double)
 
   def stats(spark: SparkSession, dir: String): IndexStats = {
     val fs = fsFor(spark, dir)
@@ -102,13 +105,90 @@ object AnnIndex {
     }
     val vec = cellFiles(vectorsPath(dir))
     val pq = cellFiles(pqcodesPath(dir))
+    val rows = spark.read.parquet(vectorsPath(dir)).count()
+    // builtRows from the tiny buildinfo table; a pre-buildinfo layout
+    // degrades to "everything counts as build-time" (fraction 0 — the
+    // read-only snapshot must not fail where only a rebuild can fix)
+    val builtRows = readBuildinfo(spark, dir).map(_._1).getOrElse(rows)
     IndexStats(
       cells = vec.length,
-      rows = spark.read.parquet(vectorsPath(dir)).count(),
+      rows = rows,
       dataFiles = vec.sum,
       pqFiles = pq.sum,
       tombstones = readTombstones(spark, dir).fold(0L)(_.count()),
-      hasPqSidecar = fs.exists(new org.apache.hadoop.fs.Path(codebooksPath(dir))))
+      hasPqSidecar = fs.exists(new org.apache.hadoop.fs.Path(codebooksPath(dir))),
+      builtRows = builtRows,
+      appendedFraction =
+        if (rows <= 0L) 0.0
+        else math.max(0L, rows - builtRows).toDouble / rows.toDouble)
+  }
+
+  /** (built_rows, mean_center_sim) recorded at the last [[build]], if
+    * this generation has one (pre-buildinfo layouts don't).
+    */
+  private def readBuildinfo(spark: SparkSession, dir: String): Option[(Long, Double)] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(buildinfoPath(dir))
+    if (!fsFor(spark, dir).exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .select($"built_rows", $"mean_center_sim").as[(Long, Double)].head())
+  }
+
+  /** Center-drift snapshot — the rebuild-decision surface [[append]]'s
+    * frozen-center trade needs. [[stats]] is metadata-only; this one
+    * deliberately pays ONE columnar pass over `vectors/` (join against
+    * the broadcast k-row center table, no shuffle of index-sized data)
+    * to compare the corpus's CURRENT mean vector-to-assigned-center
+    * cosine against the value recorded at build time:
+    *
+    *   - `appendedFraction` — rows assigned to frozen centers they
+    *     were never trained on, the drift driver;
+    *   - `simRatio` = currentMeanSim / buildMeanSim — how much worse
+    *     the quantizer now fits its corpus (1.0 = no drift; the ratio
+    *     cancels the corpus's intrinsic clusterability, so it is
+    *     comparable across indexes).
+    *
+    * Rebuild guidance (measured, `BENCH_NOTES` §18 — recall@10 vs
+    * appended fraction on the benchmark corpus): recall at nProbe=8/16
+    * cells degrades roughly linearly with `appendedFraction` and stays
+    * within a few points of the fresh-build recall below ~0.3;
+    * schedule a [[build]] when `appendedFraction` exceeds ~0.5 or
+    * `simRatio` drops below ~0.98, whichever first. Returns None on a
+    * pre-buildinfo generation (no baseline to compare against —
+    * rebuild once to start the series).
+    */
+  final case class DriftStats(
+      rows: Long,
+      builtRows: Long,
+      appendedFraction: Double,
+      buildMeanCenterSim: Double,
+      currentMeanCenterSim: Double,
+      simRatio: Double)
+
+  def driftStats(spark: SparkSession, dir: String): Option[DriftStats] = {
+    import spark.implicits._
+    checkLayout(fsFor(spark, dir), dir)
+    readBuildinfo(spark, dir).map { case (builtRows, builtSim) =>
+      val centersF = spark.read.parquet(centersPath(dir))
+        .select($"cell", $"center".cast("array<float>").as("__center"))
+      val (rows, curSim) = spark.read.parquet(vectorsPath(dir))
+        .join(broadcast(centersF), "cell")
+        .agg(count(lit(1)),
+          coalesce(avg(graft.functions.ColumnBridge.toColumn(
+            graft.functions.CosineSimilarity(
+              graft.functions.ColumnBridge.toExpression(col("v")),
+              graft.functions.ColumnBridge.toExpression(col("__center"))))), lit(0.0)))
+        .as[(Long, Double)].head()
+      DriftStats(
+        rows = rows,
+        builtRows = builtRows,
+        appendedFraction =
+          if (rows <= 0L) 0.0
+          else math.max(0L, rows - builtRows).toDouble / rows.toDouble,
+        buildMeanCenterSim = builtSim,
+        currentMeanCenterSim = curSim,
+        simRatio = if (builtSim == 0.0) 1.0 else curSim / builtSim)
+    }
   }
 
   /** Single-writer lock (see [[graft.sources.WriterLock]]) on
@@ -178,6 +258,27 @@ object AnnIndex {
       .toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/centers")
+    // Drift baseline for [[stats]]/[[driftStats]]: the TRAIN-time row
+    // count and mean vector-to-assigned-center cosine. One extra
+    // columnar pass over the staged vectors (small beside the k-means
+    // rounds the build just paid) buys the only signal that can say
+    // when the frozen centers have drifted enough for a rebuild to
+    // pay. Staged with the tree and swapped atomically — generation
+    // state like everything else under ivf/.
+    val centersF = centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "__center")
+    val (builtRows, builtSim) = spark.read.parquet(s"$dir/_build_tmp/ivf/vectors")
+      .join(broadcast(centersF), "cell")
+      .agg(count(lit(1)),
+        coalesce(avg(graft.functions.ColumnBridge.toColumn(
+          graft.functions.CosineSimilarity(
+            graft.functions.ColumnBridge.toExpression(col("v")),
+            graft.functions.ColumnBridge.toExpression(col("__center"))))), lit(0.0)))
+      .as[(Long, Double)].head()
+    Seq((builtRows, builtSim)).toDF("built_rows", "mean_center_sim")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/buildinfo")
     graft.sources.SwapHooks.preSwap(dir)
     // Swap, loud-before-silent:
     // 1. Retire the PQ sidecar FIRST (one atomic delete). Its codes

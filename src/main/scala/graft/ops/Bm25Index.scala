@@ -85,6 +85,7 @@ object Bm25Index {
   private[graft] def statsPath(dir: String): String = s"$dir/lex/stats"
   private[graft] def metaPath(dir: String): String = s"$dir/lex/meta"
   private[graft] def blockmaxPath(dir: String): String = s"$dir/lex/blockmax"
+  private[graft] def generationMarkerPath(dir: String): String = s"$dir/lex/_generation"
 
   /** Doc-block count for the Block-Max sidecar. At most 64 so a
     * per-(query, term) essential-block set is ONE long bitmask — the
@@ -123,11 +124,13 @@ object Bm25Index {
     spark.read.parquet(metaPath(dir)).select($"n_tb").as[Int].head()
   }
 
-  /** The frozen doc-block count, or None on a pre-sidecar index (meta
-    * lacks `n_dblk`) — mutators then skip the sidecar (a PARTIAL
-    * sidecar would under-bound the uncovered postings and break
-    * rank-safety; all-or-nothing is the invariant) and probes fall
-    * back to term-granularity pruning. [[compact]] upgrades in place.
+  /** The frozen doc-block count, or None on a sidecar-less index (meta
+    * lacks `n_dblk` — either a pre-sidecar layout or a `blockMax =
+    * false` build) — mutators then skip the sidecar (a PARTIAL sidecar
+    * would under-bound the uncovered postings and break rank-safety;
+    * all-or-nothing is the invariant) and probes fall back to
+    * term-granularity pruning. [[compact]]`(blockMax = Some(true))`
+    * backfills the sidecar in place.
     */
   private[graft] def readNDblk(spark: SparkSession, dir: String): Option[Int] = {
     import spark.implicits._
@@ -178,6 +181,40 @@ object Bm25Index {
     * append and probe time (`n_tb` is frozen in `meta/` at build).
     */
   private[graft] def tbOf(term: Column, nTb: Int): Column = pmod(hash(term), lit(nTb))
+
+  /** The `meta/` row for a (re)built generation: `n_dblk` present iff
+    * the generation carries the Block-Max sidecar — its ABSENCE is the
+    * layout signal every mutator and probe keys the all-or-nothing
+    * invariant on.
+    */
+  private def writeMeta(
+      spark: SparkSession, path: String, nTb: Int, blockMax: Boolean): Unit = {
+    import spark.implicits._
+    if (blockMax)
+      Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
+        .write.mode("overwrite").parquet(path)
+    else
+      Seq(nTb).toDF("n_tb").repartition(1)
+        .write.mode("overwrite").parquet(path)
+  }
+
+  /** Refresh the generation marker (`lex/_generation`) — ONE tiny file
+    * whose content changes with every mutation, so [[generationStamp]]
+    * is a single small read instead of four recursive directory
+    * listings (an O(files) LIST per probe batch on an object store).
+    * Called by every mutator under the writer lock, AFTER its data
+    * writes land (a probe reading the old marker against new data just
+    * rebuilds one generation late — the documented non-transactional
+    * window); build/compact stage it inside the new `lex/` tree so the
+    * atomic swap carries it. [[delete]] deliberately does NOT touch it:
+    * probes re-read tombstones every call.
+    */
+  private[graft] def writeGenerationMarker(
+      fs: org.apache.hadoop.fs.FileSystem, markerPath: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(markerPath), true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** (term, doc_id, tf, dl, meta...) of a document batch — the shared
     * tokenize + aggregate pass of [[build]] and [[append]], dl (and the
@@ -232,6 +269,19 @@ object Bm25Index {
     * complete index). Tombstones are generation state and clear with
     * the rebuild. Returns the indexed doc count.
     *
+    * `blockMax` (default OFF): write the Block-Max `blockmax/` sidecar
+    * (per-(term, doc-block) impact bounds — see [[topDocs]] step 2).
+    * The sidecar roughly doubles every mutation's aggregation+write
+    * cost, and its probe win only materializes on SKEWED corpora large
+    * enough to clear the pruned pipeline's fixed costs (measured
+    * break-even ~10⁶ docs on moderately skewed text; a small or
+    * uniform-vocab corpus pays the write forever while the adaptive
+    * gate correctly never uses the blocks) — so it is an explicit
+    * opt-in, not a default tax. Flag-off indexes still carry the dfd's
+    * GLOBAL per-term bounds and prune at term granularity; flipping
+    * the flag later costs one [[compact]]`(blockMax = Some(true))`
+    * backfill, no rebuild.
+    *
     * Refuses an EMPTY corpus (zero docs — under the shared tokenizer
     * every doc yields at least one token, so zero postings means zero
     * docs): `partitionBy` over an empty frame writes zero part
@@ -252,7 +302,8 @@ object Bm25Index {
       nTb: Int = 64,
       textCol: String = "text",
       idCol: String = "doc_id",
-      metaCols: Seq[String] = Nil): Long = {
+      metaCols: Seq[String] = Nil,
+      blockMax: Boolean = false): Long = {
     val spark = docs.sparkSession
     require(nTb > 0, s"nTb > 0: $nTb")
     val reserved = Set("term", "doc_id", "tf", "dl", "tb")
@@ -292,22 +343,23 @@ object Bm25Index {
         .sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/postings")
-      val (dfdDelta, bmDelta) = dfDeltaFrames(posts, nTb, Some(NDblk))
+      val (dfdDelta, bmDelta) = dfDeltaFrames(posts, nTb,
+        if (blockMax) Some(NDblk) else None)
       dfdDelta
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/dfd")
-      bmDelta.get
-        .repartition(col("tb")).sortWithinPartitions("tb", "term")
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(s"$dir/_build_tmp/lex/blockmax")
+      bmDelta.foreach(
+        _.repartition(col("tb")).sortWithinPartitions("tb", "term")
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$dir/_build_tmp/lex/blockmax"))
       // vocabulary = the staged dfd's row count (one row per term) —
       // a parquet footer count, no data scan
       val vocab = spark.read.parquet(s"$dir/_build_tmp/lex/dfd").count()
       val nDocs = writeStatsDelta(spark, posts, s"$dir/_build_tmp/lex/stats", "overwrite",
         nTerms = vocab)
-      Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
-        .write.mode("overwrite").parquet(s"$dir/_build_tmp/lex/meta")
+      writeMeta(spark, s"$dir/_build_tmp/lex/meta", nTb, blockMax)
+      writeGenerationMarker(fs, s"$dir/_build_tmp/lex/_generation")
       graft.sources.SwapHooks.preSwap(dir)
       graft.sources.BucketedLayout.swapDir(fs,
         new org.apache.hadoop.fs.Path(s"$dir/_build_tmp/lex"),
@@ -429,6 +481,7 @@ object Bm25Index {
       .repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
     val n = writeStatsDelta(spark, posts, statsPath(dir), "append", nTerms = newTerms)
+    writeGenerationMarker(fsFor(spark, dir), generationMarkerPath(dir))
     invalidateProbeCache(dir)
     n
   }
@@ -485,8 +538,21 @@ object Bm25Index {
     * install a postings table with no parquet footer and every later
     * read would die on schema inference; retire the index (delete the
     * directory) instead. Returns the surviving doc count.
+    *
+    * `blockMax`: `None` (default) preserves the index's current
+    * sidecar state; `Some(true)` BACKFILLS the Block-Max sidecar over
+    * the surviving postings (the lazy upgrade path for a
+    * [[build]]`(blockMax = false)` index — one flag flip at the
+    * compaction the index was due for anyway, no rebuild);
+    * `Some(false)` drops it (the swap installs a `lex/` without
+    * `blockmax/`, and later mutators follow the meta). Either way the
+    * all-or-nothing invariant holds: the sidecar after compact covers
+    * exactly the surviving postings or does not exist.
     */
-  def compact(spark: SparkSession, dir: String): Long = withWriterLock(spark, dir) {
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      blockMax: Option[Boolean] = None): Long = withWriterLock(spark, dir) {
     checkIndex(spark, dir)
     val fs = fsFor(spark, dir)
     val nTb = readNTb(spark, dir)
@@ -532,25 +598,28 @@ object Bm25Index {
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/postings")
     // Sidecar from survivors (the dfd re-aggregates its rollup) — this
-    // is also where compact UPGRADES a pre-sidecar index (fresh meta
-    // below declares n_dblk) and where a tombstoned outlier posting
-    // stops inflating its block's bound.
-    val (dfdDelta, bmDelta) = dfDeltaFrames(live, nTb, Some(NDblk))
+    // is where a Some(true) compact UPGRADES a sidecar-less index
+    // (fresh meta below declares n_dblk) and where a tombstoned
+    // outlier posting stops inflating its block's bound. None keeps
+    // whatever the index had.
+    val wantBlocks = blockMax.getOrElse(readNDblk(spark, dir).isDefined)
+    val (dfdDelta, bmDelta) = dfDeltaFrames(live, nTb,
+      if (wantBlocks) Some(NDblk) else None)
     dfdDelta
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/dfd")
-    bmDelta.get
-      .repartition(col("tb")).sortWithinPartitions("tb", "term")
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$dir/_compact_tmp/lex/blockmax")
+    bmDelta.foreach(
+      _.repartition(col("tb")).sortWithinPartitions("tb", "term")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$dir/_compact_tmp/lex/blockmax"))
     // fresh-generation vocabulary from the staged dfd's footer count —
     // this is also where a tombstoned-out term leaves the count
     val vocab = spark.read.parquet(s"$dir/_compact_tmp/lex/dfd").count()
     val nDocs = writeStatsDelta(spark, live, s"$dir/_compact_tmp/lex/stats", "overwrite",
       nTerms = vocab)
-    Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/_compact_tmp/lex/meta")
+    writeMeta(spark, s"$dir/_compact_tmp/lex/meta", nTb, wantBlocks)
+    writeGenerationMarker(fs, s"$dir/_compact_tmp/lex/_generation")
     graft.sources.SwapHooks.preSwap(dir)
     graft.sources.BucketedLayout.swapDir(fs,
       new org.apache.hadoop.fs.Path(s"$dir/_compact_tmp/lex"),
@@ -606,6 +675,7 @@ object Bm25Index {
         .repartition(col("tb"))
         .write.mode("append").partitionBy("tb").parquet(dfdPath(dir))
       val n = writeStatsDelta(spark, live, statsPath(dir), "append", nTerms = newTerms)
+      writeGenerationMarker(fsFor(spark, dir), generationMarkerPath(dir))
       invalidateProbeCache(dir)
       n
     }
@@ -762,16 +832,35 @@ object Bm25Index {
       queryIdCol: String = "query_id",
       filter: Option[Column] = None,
       maxDfFrac: Double = 1.0,
-      prune: Boolean = true): DataFrame = {
-    import spark.implicits._
+      prune: Boolean = true): DataFrame =
+    topDocsWithReport(spark, dir, queries, k, k1, b, queryTextCol, queryIdCol,
+      filter, maxDfFrac, prune)._1
+
+  /** [[topDocs]] plus this call's [[ProbeReport]] — the observability
+    * surface a serving deployment reads (the `lastProbe*` globals are
+    * deprecated racy mirrors of the same fields).
+    */
+  def topDocsWithReport(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      queryTextCol: String = "text",
+      queryIdCol: String = "query_id",
+      filter: Option[Column] = None,
+      maxDfFrac: Double = 1.0,
+      prune: Boolean = true): (DataFrame, ProbeReport) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac must be in (0, 1]: $maxDfFrac")
     checkIndex(spark, dir)
+    val rep = new ReportState
     // One stamped cache entry answers what used to be four small reads
     // per probe (meta, stats sums, dfd schema, and — on the pruned
     // path — the per-term dfd/blockmax collects).
-    val entry = probeEntry(spark, dir)
+    val entry = probeEntry(spark, dir, rep)
     val nTb = entry.nTb
     val qt = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
@@ -786,11 +875,21 @@ object Bm25Index {
     val avgdl = if (nDocs == 0) 1.0 else entry.sumDl.toDouble / nDocs.toDouble
     // Pre-bounds index layouts (no max_tf/min_dl in dfd) can't bound
     // impacts — exhaustive, as before the sidecar existed.
-    if (!prune || !entry.hasBounds)
-      topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl)
-    else
-      topDocsPruned(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
-        entry)
+    val out =
+      if (!prune || !entry.hasBounds)
+        topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs,
+          avgdl, rep)
+      else
+        topDocsPruned(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt, nDocs, avgdl,
+          entry, rep)
+    val report = rep.report
+    // deprecated global mirrors, written once per call
+    lastProbePath = report.path
+    lastProbeStampHit = report.stampHit
+    lastProbeTermsScanned = report.termsScanned
+    lastProbeDemotedPairs = report.demotedPairs
+    lastProbePartialMaskPairs = report.partialMaskPairs
+    (out, report)
   }
 
   /** Below this many total query-term postings the exhaustive probe is
@@ -806,6 +905,24 @@ object Bm25Index {
     * parity spec).
     */
   private[graft] var PruneMinPostings: Long = 10000L
+
+  /** The pruned pipeline's FIXED wall-clock cost — seed + threshold
+    * driver round trips, 2-3 localCheckpoints, a ~12-stage plan —
+    * expressed in SKIPPABLE POSTING ROWS at the exhaustive
+    * aggregation's measured throughput: unless the batch's estimated
+    * skippable postings exceed this floor, the exhaustive path's
+    * variable cost is lower than the pruned pipeline's fixed cost
+    * even at a high skip FRACTION (the relative criterion alone
+    * routes mid-size skewed corpora pruned and loses wall-clock to a
+    * sub-second exhaustive aggregation). Calibrated from the
+    * [[graft.tools.PruneBreakEven]] sweep (BENCH_NOTES §19): on this
+    * class of box the pruned pipeline floors at ~2-4 s while the
+    * exhaustive path aggregates roughly 1-2 M postings/s through the
+    * same scan+join kernel, so the crossover sits at ~2-5 M skippable
+    * rows across both measured skew shapes. A VAR only so specs and
+    * the sweep tool can force the route; production never writes it.
+    */
+  private[graft] var PruneFixedCostRows: Long = 2000000L
 
   /** Above this many (query, term) pairs the pruned path routes
     * exhaustive BEFORE collecting anything pair-shaped: its planner
@@ -827,9 +944,47 @@ object Bm25Index {
     */
   private[graft] var BlockSplitMaxPairs: Long = 65536L
 
-  /** Diagnostic only: the path the LAST [[topDocs]] call planned
-    * ("pruned" or "exhaustive") — asserted by the parity spec so the
-    * pruned path can never be silently gated out of its own tests.
+  /** Per-call probe diagnostics, returned by [[topDocsWithReport]]:
+    * the route the planner took ("pruned" / "exhaustive"), whether the
+    * generation stamp hit the probe cache, how many query terms (and
+    * block-bound terms) the call still had to fetch from the dfd /
+    * blockmax (0 = the serving steady state), how many (query, term)
+    * pairs had doc-blocks demoted and how many masks were PARTIAL (the
+    * signature of block-granularity pruning), and how many terms fell
+    * back to the global bound because their sidecar coverage
+    * cross-check failed (nonzero = a mixed-version mutator wrote
+    * postings without sidecar rows — rank-safety held, pruning lost).
+    * A value, not shared state — safe under concurrent probes, unlike
+    * the deprecated `lastProbe*` globals it replaces.
+    */
+  final case class ProbeReport(
+      path: String,
+      stampHit: Boolean,
+      termsScanned: Long,
+      blockTermsScanned: Long,
+      demotedPairs: Long,
+      partialMaskPairs: Long,
+      coverageFallbackTerms: Long)
+
+  /** Mutable accumulator one [[topDocsWithReport]] call threads through
+    * its private phases; never shared across calls.
+    */
+  private final class ReportState {
+    var path: String = ""
+    var stampHit: Boolean = false
+    var termsScanned: Long = -1L
+    var blockTermsScanned: Long = 0L
+    var demotedPairs: Long = -1L
+    var partialMaskPairs: Long = -1L
+    var coverageFallbackTerms: Long = 0L
+    def report: ProbeReport = ProbeReport(path, stampHit, termsScanned,
+      blockTermsScanned, demotedPairs, partialMaskPairs, coverageFallbackTerms)
+  }
+
+  /** Deprecated process-global mirror of the LAST probe's report —
+    * racy under concurrent probes by construction; kept only so older
+    * callers keep compiling. Read [[topDocsWithReport]]'s return value
+    * instead. Never read by product logic.
     */
   @volatile private[graft] var lastProbePath: String = ""
 
@@ -839,20 +994,21 @@ object Bm25Index {
     * an unchanged index skip the meta/stats/dfd-schema reads and the
     * per-term dfd/blockmax collects — the standing latency floor of a
     * serving loop (every [[topDocs]] call used to pay ~4 small Spark
-    * jobs before touching a posting). The generation stamp hashes the
-    * FILE LISTING (path, length, mtime) of `meta/ + stats/ + dfd/ +
-    * blockmax/` — a metadata-only walk, orders of magnitude cheaper
-    * than the scans it guards, and complete: every mutation that can
-    * move a cached quantity (build/compact swap `lex/`; append, merge
-    * and streamed batches add dfd + stats files) changes that listing.
+    * jobs before touching a posting). The generation stamp is the
+    * `lex/_generation` marker's content — every mutator rewrites it
+    * under the writer lock, so the check is ONE small read per probe
+    * (see [[generationStamp]] for the marker-less listing fallback).
     * [[delete]] touches only `tombstones/`, which probes correctly
     * re-read every call (takedown immediacy), so it does not — and
-    * must not — invalidate. In-JVM mutators also invalidate eagerly
-    * ([[invalidateProbeCache]]) so a same-process probe never even
-    * pays a stamp mismatch; cross-process mutations are caught by the
-    * stamp. Entries accumulate only PROBED terms (query-vocabulary-
-    * sized, never the corpus vocabulary); absent terms cache as None
-    * so unknown-term queries don't rescan either.
+    * must not — refresh the marker or invalidate. In-JVM mutators
+    * also invalidate eagerly ([[invalidateProbeCache]]) so a
+    * same-process probe never even pays a stamp mismatch;
+    * cross-process mutations are caught by the stamp, with one
+    * accepted single-probe mixed-generation window
+    * ([[revalidateAfterScan]]). Entries accumulate only PROBED terms
+    * (query-vocabulary-sized, never the corpus vocabulary), capped by
+    * [[ProbeCacheMaxTerms]]/[[ProbeCacheMaxBlockTerms]]; absent terms
+    * cache as None so unknown-term queries don't rescan either.
     */
   private final class ProbeCacheEntry(
       val stamp: String,
@@ -875,50 +1031,118 @@ object Bm25Index {
       */
     val blocks = new scala.collection.concurrent.TrieMap[
       String, Array[(Int, Long, Long, Long)]]()
+    /** Bound both maps BEFORE an insert round would push them past
+      * their cap: a long-lived serving JVM probing an unbounded (and
+      * adversarial — absent-term None entries are attacker-controlled
+      * typo space) query vocabulary must hold O(cap) driver memory,
+      * not O(distinct terms ever probed). A full clear, not LRU: the
+      * maps are lock-free TrieMaps shared by concurrent probes, cap
+      * overflow is a rare regime (a query vocabulary wider than the
+      * cap), and a flush only costs the next probes one re-scan.
+      */
+    def admit(nTerms: Int, nBlockTerms: Int): Unit = {
+      if (nTerms > 0 && terms.size + nTerms > ProbeCacheMaxTerms) terms.clear()
+      if (nBlockTerms > 0 && blocks.size + nBlockTerms > ProbeCacheMaxBlockTerms)
+        blocks.clear()
+    }
   }
+
+  /** Caps on a cache entry's per-term maps (vars only for the bound
+    * spec). Terms entries are ~100 B; block entries carry up to
+    * [[NDblk]] tuples (~2 KB worst case) — the defaults bound a
+    * serving JVM at low tens of MB per index.
+    */
+  private[graft] var ProbeCacheMaxTerms: Int = 1 << 17
+  private[graft] var ProbeCacheMaxBlockTerms: Int = 1 << 14
 
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, ProbeCacheEntry]()
 
   private[graft] def invalidateProbeCache(dir: String): Unit = probeCache.remove(dir)
 
-  /** Diagnostics only (racy under concurrent probes, like
-    * [[lastProbePath]]): whether the last probe's generation stamp hit
-    * the cache, and how many query terms it still had to fetch from
-    * the dfd (0 = the serving steady state).
+  /** Test hook: the cached entry's (terms, blocks) map sizes, if an
+    * entry exists for `dir` — the cap spec's observability.
     */
+  private[graft] def probeCacheSizes(dir: String): Option[(Int, Int)] =
+    Option(probeCache.get(dir)).map(e => (e.terms.size, e.blocks.size))
+
+  /** Deprecated mirrors of the last report — see [[lastProbePath]]. */
   @volatile private[graft] var lastProbeStampHit: Boolean = false
   @volatile private[graft] var lastProbeTermsScanned: Long = -1L
 
+  /** The current generation's identity. Marker-first: every mutator
+    * rewrites `lex/_generation` with a fresh UUID under the writer
+    * lock ([[writeGenerationMarker]]), so the steady-state stamp is
+    * ONE small-file read — not an O(files) recursive LIST per probe
+    * batch, which on an object store was the probe cache's standing
+    * serving cost. A marker-less index (written by a pre-marker
+    * binary, or mid-upgrade) falls back to the full listing walk of
+    * the four cached tables — slower, equally correct, and any
+    * CURRENT-version mutation installs the marker.
+    */
   private def generationStamp(spark: SparkSession, dir: String): String = {
     val fs = fsFor(spark, dir)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Seq(metaPath(dir), statsPath(dir), dfdPath(dir), blockmaxPath(dir)).foreach { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(path)) {
-        val it = fs.listFiles(path, true)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val st = it.next()
-          entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    val marker = new org.apache.hadoop.fs.Path(generationMarkerPath(dir))
+    val markerStamp: Option[String] =
+      try {
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try {
+            val buf = new Array[Byte](64)
+            val n = math.max(0, in.read(buf))
+            // a concurrent overwrite can yield a short/empty read —
+            // treat it as "no marker" so the listing walk decides
+            if (n >= 8) Some("g:" + new String(buf, 0, n, "UTF-8")) else None
+          } finally in.close()
         }
-        entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+      } catch { case _: java.io.IOException => None }
+    markerStamp.getOrElse {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Seq(metaPath(dir), statsPath(dir), dfdPath(dir), blockmaxPath(dir)).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(path)) {
+          val it = fs.listFiles(path, true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+          }
+          entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+        }
       }
+      md.digest().map("%02x".format(_)).mkString
     }
-    md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Re-check the generation after a cache MISS-scan stored rows into
+    * `entry`: a cross-process mutation landing mid-probe can have let
+    * the scan read NEXT-generation dfd/blockmax files whose rows were
+    * then cached under the CURRENT generation's stamp (idf computed
+    * from old nDocs against new df). The conditional remove kills
+    * exactly that polluted entry — the rows still serve THIS probe
+    * (the accepted single-probe mixed-generation window, same caveat
+    * as the non-transactional meta/stats/postings reads), but the next
+    * probe rebuilds fresh instead of inheriting them. One marker read
+    * in the steady state — only paid on miss-scans.
+    */
+  private def revalidateAfterScan(
+      spark: SparkSession, dir: String, entry: ProbeCacheEntry): Unit =
+    if (generationStamp(spark, dir) != entry.stamp)
+      probeCache.remove(dir, entry)
 
   /** The current generation's cache entry — reused when the stamp
     * matches, else rebuilt from the small reads (meta, stats sums, dfd
     * schema). Two racing probes may both rebuild; last-put wins and
     * both are correct for the generation they stamped.
     */
-  private def probeEntry(spark: SparkSession, dir: String): ProbeCacheEntry = {
+  private def probeEntry(
+      spark: SparkSession, dir: String, rep: ReportState): ProbeCacheEntry = {
     val stamp = generationStamp(spark, dir)
     val cur = probeCache.get(dir)
-    if (cur != null && cur.stamp == stamp) { lastProbeStampHit = true; cur }
+    if (cur != null && cur.stamp == stamp) { rep.stampHit = true; cur }
     else {
-      lastProbeStampHit = false
+      rep.stampHit = false
       import spark.implicits._
       val fields = spark.read.parquet(dfdPath(dir)).schema.fieldNames.toSet
       val (nDocs, sumDl) = spark.read.parquet(statsPath(dir))
@@ -932,14 +1156,7 @@ object Bm25Index {
     }
   }
 
-  /** Diagnostics only (spec-asserted, never read by product logic;
-    * like [[lastProbePath]] they are process-global and racy under
-    * concurrent probes): of the last pruned probe's (query, term)
-    * pairs, how many had at least one doc-block demoted, and how many
-    * were PARTIALLY demoted (some blocks essential, some not — the
-    * signature of block-granularity pruning, impossible at term
-    * granularity).
-    */
+  /** Deprecated mirrors of the last report — see [[lastProbePath]]. */
   @volatile private[graft] var lastProbeDemotedPairs: Long = -1L
   @volatile private[graft] var lastProbePartialMaskPairs: Long = -1L
 
@@ -969,10 +1186,10 @@ object Bm25Index {
   private def topDocsExhaustive(
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
-      qt: DataFrame, nDocs: Long, avgdl: Double,
+      qt: DataFrame, nDocs: Long, avgdl: Double, rep: ReportState,
       preTermStats: Option[Array[(String, Long, Long, Long, Int, Long)]] = None): DataFrame = {
     import spark.implicits._
-    lastProbePath = "exhaustive"
+    rep.path = "exhaustive"
     // One broadcast guard for every query-shaped frame in this probe
     // (qt is Q x terms rows; every hinted side is at most that): past
     // it, joins fall back to shuffles of the pruned candidate stream.
@@ -1073,7 +1290,7 @@ object Bm25Index {
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
       qt: DataFrame, nDocs: Long, avgdl: Double,
-      entry: ProbeCacheEntry): DataFrame = {
+      entry: ProbeCacheEntry, rep: ReportState): DataFrame = {
     val nDblkOpt = entry.nDblk
     import spark.implicits._
     // phase timing to stderr, bench-diagnostic only
@@ -1099,7 +1316,7 @@ object Bm25Index {
     val qtRows = qt.count()
     if (qtRows > PruneMaxQueryPairs)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
-        nDocs, avgdl)
+        nDocs, avgdl, rep)
     // One broadcast guard for every query-shaped frame in this probe
     // (the pair frames and term frames are all <= qtRows rows).
     val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
@@ -1120,7 +1337,7 @@ object Bm25Index {
     // the scan doesn't return is cached as absent so it never
     // rescans. A fully-cached vocabulary pays NO dfd-side job at all.
     val missingTerms = allTerms.filterNot(entry.terms.contains)
-    lastProbeTermsScanned = missingTerms.length.toLong
+    rep.termsScanned = missingTerms.length.toLong
     // Term -> bucket for the misses: one LocalRelation projection (no
     // IO) — the bucket function must stay Spark's hash, never a
     // driver reimplementation.
@@ -1142,9 +1359,11 @@ object Bm25Index {
         .select($"term", $"df", $"max_tf", $"min_dl", $"tb",
           Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
         .as[(String, Long, Long, Long, Int, Long)].collect()
+      entry.admit(missingTerms.length, 0)
       scanned.foreach(t => entry.terms.put(t._1, Some((t._2, t._3, t._4, t._5, t._6))))
       val found = scanned.map(_._1).toSet
       missingTerms.filterNot(found).foreach(t => entry.terms.put(t, None))
+      revalidateAfterScan(spark, dir, entry)
     }
     val termStats: Array[(String, Long, Long, Long, Int, Long)] =
       allTerms.flatMap(t => entry.terms.get(t).flatten
@@ -1167,7 +1386,7 @@ object Bm25Index {
     val keptTermDfTotal = kept.map(_._2).sum
     if (keptTermDfTotal <= PruneMinPostings)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
-        nDocs, avgdl, preTermStats = Some(termStats))
+        nDocs, avgdl, rep, preTermStats = Some(termStats))
     val qtPairs = qtPairsAll.filter(p => info.contains(p._2))
     val byQuery: Map[Long, Array[String]] =
       qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -1188,6 +1407,7 @@ object Bm25Index {
         // cache misses only, same discipline as the term stats
         val keptTerms = kept.map(_._1)
         val missB = keptTerms.filterNot(entry.blocks.contains)
+        rep.blockTermsScanned = missB.length.toLong
         if (missB.nonEmpty) {
           val missTbs = missB.map(tbOfTerm).distinct.sorted
           val rows = pushTerms(
@@ -1199,21 +1419,32 @@ object Bm25Index {
               max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
             .as[(String, Int, Long, Long, Long)].collect()
           val byTerm = rows.groupBy(_._1)
+          entry.admit(0, missB.length)
           missB.foreach { t =>
             entry.blocks.put(t,
               byTerm.getOrElse(t, Array.empty)
                 .map { case (_, blk, df, mtf, mdl) => (blk, df, mtf, mdl) })
           }
+          revalidateAfterScan(spark, dir, entry)
         }
         val ub = kept.map(t => t._1 -> new Array[Long](nB)).toMap
         val dfb = kept.map(t => t._1 -> new Array[Long](nB)).toMap
         kept.foreach { case (t, df, mtf, mdl, _, idfM) =>
           val rows = entry.blocks.getOrElse(t, Array.empty)
-          if (rows.isEmpty) {
-            // defensive: a term with dfd rows but no sidecar rows
-            // should be impossible (the sidecar is all-or-nothing);
-            // fall back to the always-valid GLOBAL bound everywhere
-            // rather than under-bound uncovered postings to 0
+          // COVERAGE CROSS-CHECK (the all-or-nothing invariant,
+          // enforced rather than assumed): the sidecar's per-block df
+          // must sum to the dfd's df for the term — both are written
+          // by the same mutations from the same rollup, and
+          // tombstones touch neither. A mismatch means some mutator
+          // wrote postings without sidecar rows (a pre-sidecar binary
+          // appending into an upgraded index — the mixed-version
+          // deployment); trusting the partial rows would read the
+          // uncovered postings' blocks as "term absent" and silently
+          // drop true top-k docs. Fall back to the always-valid
+          // GLOBAL bound for exactly that term: rank-safe, just less
+          // pruning, and surfaced in the report.
+          if (rows.isEmpty || rows.iterator.map(_._2).sum != df) {
+            rep.coverageFallbackTerms += 1
             var blk = 0
             while (blk < nB) {
               ub(t)(blk) = contribMicroD(mtf, mdl, idfM)
@@ -1257,12 +1488,15 @@ object Bm25Index {
     // Large batches estimate from a deterministic 512-query sample
     // (the decision is a plan choice; the REAL split below is exact).
     val typOf: Map[String, Long] = info.map { case (t, (idfM, _, _)) => t -> idfM }
+    // fixed-point index spreads the sample across the WHOLE id range
+    // (an integer stride floors to 1 for 513..1023 queries and would
+    // sample only the lowest 512 ids — a skewed route estimate on
+    // batches ordered by id; plan-choice only, answers identical)
     val gateQs: Seq[Array[String]] =
       if (byQuery.size <= 512) byQuery.values.toSeq
       else {
         val ks = byQuery.keys.toArray.sorted
-        val step = ks.length / 512
-        (0 until 512).map(i => byQuery(ks(i * step)))
+        (0 until 512).map(i => byQuery(ks((i.toLong * ks.length / 512).toInt)))
       }
     var sampleSkip = 0L
     var samplePairDf = 0L
@@ -1285,10 +1519,19 @@ object Bm25Index {
         }
       }
     }
-    if (sampleSkip * 2L < samplePairDf)
+    // Two criteria, both required: RELATIVE (less than half the
+    // aggregation rows skippable -> MaxScore can't recoup its extra
+    // passes) and ABSOLUTE (the estimated skippable rows, scaled from
+    // the sample to the whole batch, must clear the pruned pipeline's
+    // fixed wall-clock floor expressed in rows — see
+    // PruneFixedCostRows; a mid-size corpus can be 80% skippable and
+    // still lose to a sub-second exhaustive aggregation).
+    val sampleScale = byQuery.size.toDouble / math.max(1, gateQs.size).toDouble
+    if (sampleSkip * 2L < samplePairDf ||
+        sampleSkip * sampleScale < PruneFixedCostRows.toDouble)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
-        nDocs, avgdl, preTermStats = Some(termStats))
-    lastProbePath = "pruned"
+        nDocs, avgdl, rep, preTermStats = Some(termStats))
+    rep.path = "pruned"
     val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
     // Exact scores of a (query, term, block-mask) pair list against
     // the postings: bucket-pruned scan, pushed term filter, metadata
@@ -1469,8 +1712,8 @@ object Bm25Index {
     val demPairs: Seq[(Long, String, Long)] = splits.toSeq.flatMap { case (q, s) =>
       s.masks.collect { case (t, m) if (~m & fullMask) != 0L => (q, t, ~m & fullMask) }
     }
-    lastProbeDemotedPairs = demPairs.length.toLong
-    lastProbePartialMaskPairs = essPairs.count(p => p._3 != fullMask).toLong
+    rep.demotedPairs = demPairs.length.toLong
+    rep.partialMaskPairs = essPairs.count(p => p._3 != fullMask).toLong
     // Seed reuse — unconditional now that the pinned pairs are exactly
     // the fully-scored ones: the essential partial is the top-1
     // scores + the fallback top-2 scores + the not-yet-scored

@@ -136,6 +136,8 @@ object StreamingBm25Ingest {
       installTree(fs, new org.apache.hadoop.fs.Path(staging, "postings"),
         new org.apache.hadoop.fs.Path(graft.ops.Bm25Index.postingsPath(indexDir)), batchId)
       fs.delete(staging, true)
+      graft.ops.Bm25Index.writeGenerationMarker(
+        fs, graft.ops.Bm25Index.generationMarkerPath(indexDir))
       graft.ops.Bm25Index.invalidateProbeCache(indexDir)
       // Seal: create-if-absent — losing the race to a concurrent
       // identical attempt is fine, the file names are deterministic.

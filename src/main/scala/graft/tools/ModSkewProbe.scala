@@ -62,30 +62,34 @@ object ModSkewProbe {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_modskew").toString
     val t0 = System.nanoTime()
-    graft.ops.Bm25Index.build(docs, dir, nTb = 64)
+    graft.ops.Bm25Index.build(docs, dir, nTb = 64, blockMax = true)
     println(f"build_sec=${(System.nanoTime() - t0) / 1e9}%.2f n=$n")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    def timed(label: String, once: Boolean = false)(r: => Unit): Double = {
+    def timed(label: String, once: Boolean = false)(
+        r: => graft.ops.Bm25Index.ProbeReport): Double = {
       if (!once) r // warm (expensive controls run once, unwarmed)
-      val a = { val t = System.nanoTime(); r; (System.nanoTime() - t) / 1e9 }
-      val b = if (once) a else { val t = System.nanoTime(); r; (System.nanoTime() - t) / 1e9 }
+      var rep: graft.ops.Bm25Index.ProbeReport = null
+      val a = { val t = System.nanoTime(); rep = r; (System.nanoTime() - t) / 1e9 }
+      val b = if (once) a
+        else { val t = System.nanoTime(); rep = r; (System.nanoTime() - t) / 1e9 }
       val best = math.min(a, b)
-      println(f"$label%-28s ${best}%.3f s  path=${graft.ops.Bm25Index.lastProbePath} " +
-        f"demoted=${graft.ops.Bm25Index.lastProbeDemotedPairs} " +
-        f"partial=${graft.ops.Bm25Index.lastProbePartialMaskPairs}")
+      println(f"$label%-28s ${best}%.3f s  path=${rep.path} " +
+        f"demoted=${rep.demotedPairs} partial=${rep.partialMaskPairs}")
       best
     }
-    timed("pruned(blocks)")(
-      force(graft.ops.Bm25Index.topDocs(spark, dir, queries, k = 10)))
+    def probe(prune: Boolean): graft.ops.Bm25Index.ProbeReport = {
+      val (df, rep) = graft.ops.Bm25Index.topDocsWithReport(
+        spark, dir, queries, k = 10, prune = prune)
+      force(df); rep
+    }
+    timed("pruned(blocks)")(probe(prune = true))
     val oldB = graft.ops.Bm25Index.BlockSplitMaxPairs
     graft.ops.Bm25Index.BlockSplitMaxPairs = 0L
-    try timed("pruned(term-level)", once = true)(
-      force(graft.ops.Bm25Index.topDocs(spark, dir, queries, k = 10)))
+    try timed("pruned(term-level)", once = true)(probe(prune = true))
     finally graft.ops.Bm25Index.BlockSplitMaxPairs = oldB
-    timed("exhaustive", once = true)(
-      force(graft.ops.Bm25Index.topDocs(spark, dir, queries, k = 10, prune = false)))
+    timed("exhaustive", once = true)(probe(prune = false))
     // parity of the three routes on this corpus
     val p = graft.ops.Bm25Index.topDocs(spark, dir, queries, k = 10)
       .orderBy("query_id", "rank").collect().toSeq

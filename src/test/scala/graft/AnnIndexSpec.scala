@@ -376,4 +376,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(pqWith.get(7L).contains(1L),
       s"topKPq excludeSelf=false must keep the colliding doc at rank 1: $pqWith")
   }
+
+  test("stats/driftStats: appended fraction + center-fit drift, reset by rebuild") {
+    val dir = tmpDir()
+    val head = vecs(200, seed = 41)
+    AnnIndex.build(head, dir, nClusters = 8, iters = 3)
+    val s0 = AnnIndex.stats(spark, dir)
+    assert(s0.builtRows == 200L && s0.appendedFraction == 0.0,
+      s"fresh build: $s0")
+    val d0 = AnnIndex.driftStats(spark, dir)
+      .getOrElse(fail("fresh build must carry a drift baseline"))
+    assert(math.abs(d0.simRatio - 1.0) < 1e-6 && d0.appendedFraction == 0.0,
+      s"no-append drift must be ~1.0: $d0")
+    assert(d0.buildMeanCenterSim > 0.0,
+      "a trained quantizer fits its own corpus with positive mean cosine")
+    // append a same-size batch the centers were NEVER trained on: the
+    // appended fraction is exact, and the frozen quantizer fits the
+    // union worse than its training set (k-means optimized fit there)
+    val tail = vecs(400, seed = 77).filter($"vec_id" >= 200)
+    AnnIndex.append(spark, dir, tail)
+    val s1 = AnnIndex.stats(spark, dir)
+    assert(s1.rows == 400L && s1.builtRows == 200L && s1.appendedFraction == 0.5,
+      s"post-append: $s1")
+    val d1 = AnnIndex.driftStats(spark, dir).get
+    assert(d1.appendedFraction == 0.5)
+    assert(d1.simRatio < 1.0,
+      s"appending untrained rows must lower the center fit: $d1")
+    // compact does NOT retrain — the drift baseline survives it
+    AnnIndex.delete(spark, dir, Seq(5L).toDF("vec_id"))
+    AnnIndex.compact(spark, dir)
+    val d2 = AnnIndex.driftStats(spark, dir).get
+    assert(d2.builtRows == 200L && d2.rows == 399L,
+      s"compact must keep the build baseline: $d2")
+    // a REBUILD retrains and resets the series
+    AnnIndex.build(vecs(400, seed = 78), dir, nClusters = 8, iters = 3)
+    val d3 = AnnIndex.driftStats(spark, dir).get
+    assert(d3.builtRows == 400L && d3.appendedFraction == 0.0 &&
+      math.abs(d3.simRatio - 1.0) < 1e-6,
+      s"rebuild must reset the drift series: $d3")
+    // pre-buildinfo generation: stats degrades, driftStats is None
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(AnnIndex.buildinfoPath(dir)), true)
+    assert(AnnIndex.driftStats(spark, dir).isEmpty,
+      "no baseline -> no drift series (rebuild starts one)")
+    val sOld = AnnIndex.stats(spark, dir)
+    assert(sOld.builtRows == sOld.rows && sOld.appendedFraction == 0.0,
+      s"pre-buildinfo stats must degrade, not throw: $sOld")
+  }
 }

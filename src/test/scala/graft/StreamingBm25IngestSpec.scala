@@ -37,7 +37,10 @@ class StreamingBm25IngestSpec extends SparkSpec {
   test("streamed batches keep the index exact (== union build), across the stream API") {
     val dir = tmpDir()
     val all = corpus(0 until 60)
-    Bm25Index.build(all.filter($"doc_id" < 30), dir, nTb = 8)
+    // blockMax on: the sidecar-delta install discipline is part of
+    // what this test asserts (flag-off streams are covered by the
+    // other tests, whose builds use the default)
+    Bm25Index.build(all.filter($"doc_id" < 30), dir, nTb = 8, blockMax = true)
 
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
