@@ -250,7 +250,30 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_build_tmp")
     fs.delete(staging, true)
-    assignWithCenters(spark, embs, idCol, vecCol, centers, metaCols)
+    // Drift baseline for [[stats]]/[[driftStats]] — the TRAIN-time row
+    // count and mean vector-to-assigned-center cosine — is OBSERVED on
+    // the vectors write itself (a broadcast of the tiny center table
+    // attaches each row's center for the cosine; the written columns
+    // are unchanged): the only signal that can say when the frozen
+    // centers have drifted enough for a rebuild to pay, now at zero
+    // extra passes where it used to re-read the staged tree. Staged
+    // with the tree and swapped atomically — generation state like
+    // everything else under ivf/.
+    val centersF = centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "__center")
+    val buildObs = org.apache.spark.sql.Observation()
+    val assigned = assignWithCenters(spark, embs, idCol, vecCol, centers, metaCols)
+    assigned
+      .join(broadcast(centersF), "cell")
+      .observe(buildObs,
+        count(lit(1)).as("n"),
+        coalesce(avg(graft.functions.ColumnBridge.toColumn(
+          graft.functions.CosineSimilarity(
+            graft.functions.ColumnBridge.toExpression(col("v")),
+            graft.functions.ColumnBridge.toExpression(col("__center"))))), lit(0.0))
+          .as("sim"))
+      .select(assigned.columns.map(col).toIndexedSeq: _*)
       .repartition(col("cell"), pmod(hash(col("vec_id")), lit(8)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_build_tmp/ivf/vectors")
     centers.zipWithIndex
@@ -258,24 +281,8 @@ object AnnIndex {
       .toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/centers")
-    // Drift baseline for [[stats]]/[[driftStats]]: the TRAIN-time row
-    // count and mean vector-to-assigned-center cosine. One extra
-    // columnar pass over the staged vectors (small beside the k-means
-    // rounds the build just paid) buys the only signal that can say
-    // when the frozen centers have drifted enough for a rebuild to
-    // pay. Staged with the tree and swapped atomically — generation
-    // state like everything else under ivf/.
-    val centersF = centers.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
-      .toDF("cell", "__center")
-    val (builtRows, builtSim) = spark.read.parquet(s"$dir/_build_tmp/ivf/vectors")
-      .join(broadcast(centersF), "cell")
-      .agg(count(lit(1)),
-        coalesce(avg(graft.functions.ColumnBridge.toColumn(
-          graft.functions.CosineSimilarity(
-            graft.functions.ColumnBridge.toExpression(col("v")),
-            graft.functions.ColumnBridge.toExpression(col("__center"))))), lit(0.0)))
-      .as[(Long, Double)].head()
+    val (builtRows, builtSim) =
+      (buildObs.get("n").asInstanceOf[Long], buildObs.get("sim").asInstanceOf[Double])
     Seq((builtRows, builtSim)).toDF("built_rows", "mean_center_sim")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/buildinfo")
@@ -707,8 +714,13 @@ object AnnIndex {
     // most k of them), so collecting it is free — and pushing it as a
     // static `isin` on the partition column guarantees the scan reads
     // only probed cell directories (visible as PartitionFilters in the
-    // plan), instead of depending on dynamic-pruning heuristics.
-    val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
+    // plan), instead of depending on dynamic-pruning heuristics. The
+    // same one job's per-cell counts sum to the probe-frame row count
+    // the broadcast guard needs — no second count action.
+    val cellCounts = q.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    val probedCells = cellCounts.map(_._1).sorted
+    val probeRows = cellCounts.map(_._2).sum
     val scan0 = spark.read.parquet(vectorsPath(dir))
       .filter($"cell".isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
     val vectors = minusTombstones(spark, dir,
@@ -722,7 +734,7 @@ object AnnIndex {
     // (AQE skew-splits hot cells); the static `isin` partition pruning
     // above is independent of the join strategy.
     val dim = if (centers.isEmpty) 0 else centers(0).length
-    val qSide = Similarity.guardedVecBroadcast(q, q.count(), dim)
+    val qSide = Similarity.guardedVecBroadcast(q, probeRows, dim)
     val joined = vectors.join(qSide, "cell")
     val cands = (if (excludeSelf) joined.filter($"query_id" =!= $"neighbor_id") else joined)
       .withColumn("score", round(Similarity.cosineCol(spark, $"qv", $"nv"), 4))
@@ -861,7 +873,12 @@ object AnnIndex {
             graft.functions.RefTable.bytes2(centers, 4)), nProbe))))
       .drop("qv")
       .localCheckpoint()
-    val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
+    // One job answers both the probed-cell set (static partition
+    // filter) and the probe-frame row count (broadcast guard).
+    val cellCounts = q.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    val probedCells = cellCounts.map(_._1).sorted
+    val probeRows = cellCounts.map(_._2).sum
     // The metadata filter applies to the ADC scan itself (pqcodes
     // carries the index's metadata columns for exactly this): rows the
     // predicate excludes never consume the refine budget, and the
@@ -874,7 +891,6 @@ object AnnIndex {
     // Broadcast guard, as in [[topK]]: the probe frame is Q * nProbe
     // rows each carrying an m * codes float LUT.
     val m = books.length
-    val probeRows = q.count()
     val probeBytes = probeRows * (4L * m * codes + 64L)
     val qSide =
       if (probeBytes <= Similarity.BroadcastGuardBytes) broadcast(q) else q

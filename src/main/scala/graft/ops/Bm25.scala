@@ -79,25 +79,31 @@ object Bm25 {
       queryTextCol: String = "text",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
+    // dl (doc length in tokens) is size(tokens) — computed in the SAME
+    // pass that explodes them and carried through the tf groupBy as a
+    // doc-functional key, so no per-doc aggregation and (crucially) no
+    // corpus-sized dl join back into the candidate stream: sum(tf) per
+    // doc IS the token count, value-identical by construction.
     val toks = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    // tf feeds FOUR branches (dl, stats, df, the candidate join) — pin
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    // tf feeds THREE branches (stats, df, the candidate join) — pin
     // one evaluation or the corpus tokenize+shuffle replays per branch.
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    // Doc length in tokens and corpus stats from the tf table (it
-    // already holds every (doc, term, count)) — no second corpus pass.
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // Corpus stats collect driver-side (ONE row) and inline as
     // literals: a 1-row crossJoin plans a BroadcastNestedLoopJoin —
     // the shape the plan audit bans — while the literals compute the
     // identical doubles (long sums are exact; the avgdl division is
-    // the same IEEE op the in-plan Divide performed).
+    // the same IEEE op the in-plan Divide performed). (doc_id, dl) is
+    // functionally dependent, so the distinct is exact per-doc rows.
     val statsRow = {
       val spark = docs.sparkSession
       import spark.implicits._
-      dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).as[(Long, Long)].head()
+      tf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).as[(Long, Long)].head()
     }
     val nDocs = statsRow._1
     val avgdl = if (nDocs == 0) 1.0 else statsRow._2.toDouble / nDocs.toDouble
@@ -131,10 +137,10 @@ object Bm25 {
     val idfSide = if (hintable) broadcast(qIdf) else qIdf
     tf.join(qtSide, "term")
       .join(idfSide, "term")
-      .join(dl, "doc_id")
       // Per-(term, doc) contribution in micro-points: idf_micro is the
       // already-integer micro-nats idf, so idf_micro * tfpart IS the
-      // contribution scaled by 1e6 — snap once and sum exactly.
+      // contribution scaled by 1e6 — snap once and sum exactly. dl
+      // rides on tf, so no per-doc join re-enters the candidate stream.
       .select(col("query_id"), col("doc_id"),
         contribMicro(col("tf"), col("dl"), lit(avgdl),
           col("idf_micro"), k1, b).as("c_micro"))

@@ -119,10 +119,74 @@ object Bm25Index {
       fs, graft.sources.WriterLock.lockPath(dir), s"Bm25Index $dir")(body)
   }
 
-  private[graft] def readNTb(spark: SparkSession, dir: String): Int = {
-    import spark.implicits._
-    spark.read.parquet(metaPath(dir)).select($"n_tb").as[Int].head()
+  /** Driver-side rows of a TINY metadata parquet table (`meta/`,
+    * `stats/`: one row per build or mutation, single-digit KB) — a
+    * direct parquet-hadoop read of each data file, NO Spark job. Every
+    * probe-miss and every mutator used to pay a full job (plan +
+    * schedule + task round trip) per 1-row read; at serving scale that
+    * was the probe path's fixed latency floor, and the read is pure
+    * driver work at any corpus size.
+    */
+  private def readTinyParquetRows(
+      spark: SparkSession, dirStr: String): Seq[org.apache.parquet.example.data.Group] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    files.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf)
+        .build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).toVector
+      finally reader.close()
+    }
   }
+
+  /** Whether the dfd carries the (max_tf, min_dl) impact-bound columns
+    * — ONE data-file footer read, driver-side (all dfd files share the
+    * generation's schema; pre-bounds layouts simply lack the fields).
+    */
+  private def dfdHasBounds(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dfdPath(dir))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return false
+    val it = fs.listFiles(root, true)
+    var file: org.apache.hadoop.fs.Path = null
+    while (file == null && it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) file = st.getPath
+    }
+    if (file == null) false
+    else {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("max_tf") && schema.containsField("min_dl")
+      } finally reader.close()
+    }
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Option[Int]) = {
+    val rows = readTinyParquetRows(spark, metaPath(dir))
+    require(rows.nonEmpty, s"empty BM25 meta table at ${metaPath(dir)}")
+    val g = rows.head
+    val nTb = g.getInteger("n_tb", 0)
+    val nDblk =
+      if (g.getType.containsField("n_dblk") && g.getFieldRepetitionCount("n_dblk") > 0)
+        Some(g.getInteger("n_dblk", 0))
+      else None
+    (nTb, nDblk)
+  }
+
+  private[graft] def readNTb(spark: SparkSession, dir: String): Int =
+    readMeta(spark, dir)._1
 
   /** The frozen doc-block count, or None on a sidecar-less index (meta
     * lacks `n_dblk` — either a pre-sidecar layout or a `blockMax =
@@ -132,11 +196,23 @@ object Bm25Index {
     * term-granularity pruning. [[compact]]`(blockMax = Some(true))`
     * backfills the sidecar in place.
     */
-  private[graft] def readNDblk(spark: SparkSession, dir: String): Option[Int] = {
-    import spark.implicits._
-    val m = spark.read.parquet(metaPath(dir))
-    if (!m.columns.contains("n_dblk")) None
-    else Some(m.select($"n_dblk").as[Int].head())
+  private[graft] def readNDblk(spark: SparkSession, dir: String): Option[Int] =
+    readMeta(spark, dir)._2
+
+  /** Driver-side delta sums over the tiny `stats/` table: (n_docs,
+    * sum_dl, n_terms or -1 on a pre-vocab-delta layout, delta row
+    * count) — one [[readTinyParquetRows]] pass, no Spark job.
+    */
+  private[graft] def statsSums(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val rows = readTinyParquetRows(spark, statsPath(dir))
+    var nDocs = 0L; var sumDl = 0L; var nTerms = 0L; var hasTerms = true
+    rows.foreach { g =>
+      nDocs += g.getLong("n_docs", 0)
+      sumDl += g.getLong("sum_dl", 0)
+      if (g.getType.containsField("n_terms")) nTerms += g.getLong("n_terms", 0)
+      else hasTerms = false
+    }
+    (nDocs, sumDl, if (hasTerms) nTerms else -1L, rows.length.toLong)
   }
 
   /** Per-(term, doc-block) df + impact-bound delta rows from a postings
@@ -228,22 +304,21 @@ object Bm25Index {
   private[graft] def postingsOf(
       docs: DataFrame, textCol: String, idCol: String,
       metaCols: Seq[String] = Nil): DataFrame = {
+    // dl = size(tokens), stamped in the SAME pass that explodes them
+    // (sum-of-tf per doc IS the token count — value-identical, and
+    // batch-local dl equals union-corpus dl, the root of [[append]]'s
+    // exactness). dl and the metadata columns ride the tf groupBy as
+    // doc-functional keys, so the whole postings frame is ONE
+    // tokenize pass + ONE map-side-combined shuffle — no per-doc
+    // aggregation and no posting-sized join (the previous shape paid
+    // both a dl groupBy and a tf-x-docSide join here).
     val toks = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // dl from the tf table (it already holds every (doc, term, count))
-    // — no second corpus pass; dl is per-doc, so batch-local dl equals
-    // union-corpus dl, the root of [[append]]'s exactness.
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // Metadata rides the SAME per-doc join dl already pays — no extra
-    // shuffle of posting-sized data.
-    val docSide =
-      if (metaCols.isEmpty) dl
-      else dl.join(
-        docs.select(col(idCol).cast("long").as("doc_id") +: metaCols.map(col): _*),
-        "doc_id")
-    tf.join(docSide, "doc_id")
+      Seq(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks")) ++ metaCols.map(col): _*)
+      .select(Seq(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term")) ++ metaCols.map(col): _*)
+    toks.groupBy(Seq(col("doc_id"), col("dl"), col("term")) ++ metaCols.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
       .select(Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
         metaCols.map(col): _*)
   }
@@ -327,7 +402,11 @@ object Bm25Index {
       val posts = postingsOf(docs, textCol, idCol, metaCols)
         .withColumn("tb", tbOf(col("term"), nTb))
         .localCheckpoint()
-      require(!posts.isEmpty,
+      // Stats aggregation FIRST: its n_docs doubles as the emptiness
+      // check (one job instead of a separate isEmpty round trip) —
+      // the (n_docs, sum_dl) pair is needed below regardless.
+      val (nDocs, sumDl) = statsAggOf(spark, posts)
+      require(nDocs > 0,
         s"refusing to build an empty BM25 index at $dir (no docs, or no doc tokenizes " +
           "to any term): an empty partitioned postings table has no parquet footer and " +
           "every later probe/append would fail on schema inference")
@@ -345,7 +424,11 @@ object Bm25Index {
         .parquet(s"$dir/_build_tmp/lex/postings")
       val (dfdDelta, bmDelta) = dfDeltaFrames(posts, nTb,
         if (blockMax) Some(NDblk) else None)
+      // vocabulary = the dfd's row count (one row per term), observed
+      // ON the dfd write itself — no read-back job at all
+      val vocabObs = org.apache.spark.sql.Observation()
       dfdDelta
+        .observe(vocabObs, count(lit(1)).as("n"))
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_build_tmp/lex/dfd")
@@ -353,11 +436,9 @@ object Bm25Index {
         _.repartition(col("tb")).sortWithinPartitions("tb", "term")
           .write.mode("overwrite").partitionBy("tb")
           .parquet(s"$dir/_build_tmp/lex/blockmax"))
-      // vocabulary = the staged dfd's row count (one row per term) —
-      // a parquet footer count, no data scan
-      val vocab = spark.read.parquet(s"$dir/_build_tmp/lex/dfd").count()
-      val nDocs = writeStatsDelta(spark, posts, s"$dir/_build_tmp/lex/stats", "overwrite",
-        nTerms = vocab)
+      val vocab = vocabObs.get("n").asInstanceOf[Long]
+      writeStatsRow(spark, s"$dir/_build_tmp/lex/stats", "overwrite",
+        nDocs, sumDl, nTerms = vocab)
       writeMeta(spark, s"$dir/_build_tmp/lex/meta", nTb, blockMax)
       writeGenerationMarker(fs, s"$dir/_build_tmp/lex/_generation")
       graft.sources.SwapHooks.preSwap(dir)
@@ -390,15 +471,30 @@ object Bm25Index {
   private[graft] def writeStatsDelta(
       spark: SparkSession, posts: DataFrame, path: String, mode: String,
       nTerms: Long): Long = {
+    val (nDocs, sumDl) = statsAggOf(spark, posts)
+    writeStatsRow(spark, path, mode, nDocs, sumDl, nTerms)
+    nDocs
+  }
+
+  /** The (n_docs, sum_dl) pair of a postings frame — one aggregation
+    * over the distinct per-doc rows ((doc_id, dl) is functionally
+    * dependent, so the distinct is exact). coalesce: sum over an EMPTY
+    * frame is null (an empty streaming micro-batch must record a
+    * (0, 0) delta, not NPE).
+    */
+  private[graft] def statsAggOf(spark: SparkSession, posts: DataFrame): (Long, Long) = {
     import spark.implicits._
-    // coalesce: sum over an EMPTY frame is null (an empty streaming
-    // micro-batch must write a (0, 0, 0) delta, not NPE).
-    val row = posts.select($"doc_id", $"dl").distinct()
+    posts.select($"doc_id", $"dl").distinct()
       .agg(count(lit(1)).as("n_docs"), coalesce(sum($"dl"), lit(0L)).as("sum_dl"))
       .as[(Long, Long)].head()
-    Seq((row._1, row._2, nTerms)).toDF("n_docs", "sum_dl", "n_terms").repartition(1)
+  }
+
+  private[graft] def writeStatsRow(
+      spark: SparkSession, path: String, mode: String,
+      nDocs: Long, sumDl: Long, nTerms: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, sumDl, nTerms)).toDF("n_docs", "sum_dl", "n_terms").repartition(1)
       .write.mode(mode).parquet(path)
-    row._1
   }
 
   /** Count of `batchTerms` (a distinct single-column `term` frame) NOT
@@ -434,7 +530,7 @@ object Bm25Index {
     * deltas beside 2-column ones corrupts every later stats read.
     */
   private[graft] def requireStatsHasTerms(spark: SparkSession, dir: String): Unit =
-    require(spark.read.parquet(statsPath(dir)).columns.contains("n_terms"),
+    require(statsSums(spark, dir)._3 >= 0L,
       s"the BM25 index at $dir was built before vocabulary deltas were tracked " +
         "(stats/ lacks n_terms) — rebuild or compact it before appending")
 
@@ -588,7 +684,10 @@ object Bm25Index {
       spark.read.parquet(postingsPath(dir))
         .join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
-    if (live.isEmpty)
+    // Stats aggregation FIRST: its n_docs doubles as the zero-live
+    // check (one job instead of a separate isEmpty round trip).
+    val (nDocs, sumDl) = statsAggOf(spark, live)
+    if (nDocs == 0)
       throw new IllegalStateException(
         s"refusing to compact the BM25 index at $dir down to zero live docs (every doc " +
           "is tombstoned): the rewrite would install a postings table with no parquet " +
@@ -605,7 +704,12 @@ object Bm25Index {
     val wantBlocks = blockMax.getOrElse(readNDblk(spark, dir).isDefined)
     val (dfdDelta, bmDelta) = dfDeltaFrames(live, nTb,
       if (wantBlocks) Some(NDblk) else None)
+    // fresh-generation vocabulary (one row per surviving term — this
+    // is also where a tombstoned-out term leaves the count), observed
+    // ON the dfd write itself — no read-back job
+    val vocabObs = org.apache.spark.sql.Observation()
     dfdDelta
+      .observe(vocabObs, count(lit(1)).as("n"))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/_compact_tmp/lex/dfd")
@@ -613,11 +717,9 @@ object Bm25Index {
       _.repartition(col("tb")).sortWithinPartitions("tb", "term")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/_compact_tmp/lex/blockmax"))
-    // fresh-generation vocabulary from the staged dfd's footer count —
-    // this is also where a tombstoned-out term leaves the count
-    val vocab = spark.read.parquet(s"$dir/_compact_tmp/lex/dfd").count()
-    val nDocs = writeStatsDelta(spark, live, s"$dir/_compact_tmp/lex/stats", "overwrite",
-      nTerms = vocab)
+    val vocab = vocabObs.get("n").asInstanceOf[Long]
+    writeStatsRow(spark, s"$dir/_compact_tmp/lex/stats", "overwrite",
+      nDocs, sumDl, nTerms = vocab)
     writeMeta(spark, s"$dir/_compact_tmp/lex/meta", nTb, wantBlocks)
     writeGenerationMarker(fs, s"$dir/_compact_tmp/lex/_generation")
     graft.sources.SwapHooks.preSwap(dir)
@@ -712,27 +814,23 @@ object Bm25Index {
           !st.getPath.getName.startsWith(".")
       }.toLong).sum
     import spark.implicits._
-    val stat = spark.read.parquet(statsPath(dir))
-    // Pre-vocab-delta layouts (2-column stats/) degrade gracefully like
-    // [[topDocs]] does on pre-bounds dfd layouts — a read-only snapshot
-    // must not fail where only MUTATORS (requireStatsHasTerms) must:
-    // the vocabulary falls back to one distinct-term pass over the dfd.
-    val (nDocs, nTerms) =
-      if (stat.columns.contains("n_terms"))
-        stat.agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"n_terms"), lit(0L)))
-          .as[(Long, Long)].head()
-      else {
-        val d = stat.agg(coalesce(sum($"n_docs"), lit(0L))).as[Long].head()
-        val t = spark.read.parquet(dfdPath(dir))
-          .agg(count_distinct($"term")).as[Long].head()
-        (d, t)
-      }
+    // Delta sums come from the driver-side tiny-table read (no Spark
+    // job). Pre-vocab-delta layouts (2-column stats/, n_terms = -1)
+    // degrade gracefully like [[topDocs]] does on pre-bounds dfd
+    // layouts — a read-only snapshot must not fail where only MUTATORS
+    // (requireStatsHasTerms) must: the vocabulary falls back to one
+    // distinct-term pass over the dfd.
+    val (nDocs, _, nTermsSum, statDeltas) = statsSums(spark, dir)
+    val nTerms =
+      if (nTermsSum >= 0L) nTermsSum
+      else spark.read.parquet(dfdPath(dir))
+        .agg(count_distinct($"term")).as[Long].head()
     val tombCount = readTombstones(spark, dir).fold(0L)(_.count())
     IndexStats(
       docs = nDocs - tombCount,
       terms = nTerms,
       dataFiles = files,
-      statDeltas = stat.count(),
+      statDeltas = statDeltas,
       tombstones = tombCount)
   }
 
@@ -862,11 +960,14 @@ object Bm25Index {
     // path — the per-term dfd/blockmax collects).
     val entry = probeEntry(spark, dir, rep)
     val nTb = entry.nTb
+    // LAZY (not checkpointed here): the pruned path consumes it as ONE
+    // bounded collect, the exhaustive path pins it itself — pinning
+    // here paid a materialization job even on the path that never
+    // re-evaluates it.
     val qt = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
       .distinct()
-      .localCheckpoint() // feeds the bucket collect AND two joins
     // Corpus stats: deltas sum exactly and collect driver-side (ONE
     // row, inlined as literals — a 1-row crossJoin would plan the
     // BroadcastNestedLoopJoin the plan audit bans); avgdl's division
@@ -1143,14 +1244,15 @@ object Bm25Index {
     if (cur != null && cur.stamp == stamp) { rep.stampHit = true; cur }
     else {
       rep.stampHit = false
-      import spark.implicits._
-      val fields = spark.read.parquet(dfdPath(dir)).schema.fieldNames.toSet
-      val (nDocs, sumDl) = spark.read.parquet(statsPath(dir))
-        .agg(coalesce(sum($"n_docs"), lit(0L)), coalesce(sum($"sum_dl"), lit(0L)))
-        .as[(Long, Long)].head()
-      val e = new ProbeCacheEntry(stamp, readNTb(spark, dir),
-        readNDblk(spark, dir).filter(n => n >= 1 && n <= 64),
-        fields.contains("max_tf") && fields.contains("min_dl"), nDocs, sumDl)
+      // Rebuild from DRIVER-SIDE reads only (meta row, stats delta
+      // sums, one dfd footer schema): a cache miss costs small-file
+      // IO, zero Spark jobs — the old shape paid four job round trips
+      // here, the probe path's fixed latency floor.
+      val (nDocs, sumDl, _, _) = statsSums(spark, dir)
+      val (nTb, nDblk) = readMeta(spark, dir)
+      val e = new ProbeCacheEntry(stamp, nTb,
+        nDblk.filter(n => n >= 1 && n <= 64),
+        dfdHasBounds(spark, dir), nDocs, sumDl)
       probeCache.put(dir, e)
       e
     }
@@ -1187,13 +1289,22 @@ object Bm25Index {
       spark: SparkSession, dir: String, k: Int, k1: Double, b: Double,
       filter: Option[Column], maxDfFrac: Double, nTb: Int,
       qt: DataFrame, nDocs: Long, avgdl: Double, rep: ReportState,
-      preTermStats: Option[Array[(String, Long, Long, Long, Int, Long)]] = None): DataFrame = {
+      preTermStats: Option[Array[(String, Long, Long, Long, Int, Long)]] = None,
+      qtPairs: Option[Array[(Long, String)]] = None): DataFrame = {
     import spark.implicits._
     rep.path = "exhaustive"
+    // When the MaxScore gate routed here it already collected the pair
+    // list — rebuild qt as a LocalRelation from it (no materialization
+    // job, no count job, broadcasts build driver-side); a direct route
+    // pins the frame once (it feeds the bucket collect and two joins).
+    val qtF = qtPairs match {
+      case Some(ps) => spark.createDataset(ps.toSeq).toDF("query_id", "term")
+      case None => qt.localCheckpoint()
+    }
     // One broadcast guard for every query-shaped frame in this probe
     // (qt is Q x terms rows; every hinted side is at most that): past
     // it, joins fall back to shuffles of the pruned candidate stream.
-    val qtRows = qt.count()
+    val qtRows = qtPairs.map(_.length.toLong).getOrElse(qtF.count())
     val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
     def hinted(frame: DataFrame): DataFrame = if (hintable) broadcast(frame) else frame
     // Static partition pruning, the AnnIndex probed-cell discipline:
@@ -1207,7 +1318,7 @@ object Bm25Index {
     // dfd twice.
     val termTb: Array[(String, Int)] = preTermStats match {
       case Some(ts) => ts.map(t => (t._1, t._5))
-      case None => qt.select($"term", tbOf($"term", nTb).as("tb"))
+      case None => qtF.select($"term", tbOf($"term", nTb).as("tb"))
         .distinct().as[(String, Int)].collect()
     }
     val tbs = termTb.map(_._2).distinct.sorted
@@ -1225,7 +1336,7 @@ object Bm25Index {
     val df = preTermStats match {
       case Some(ts) => ts.toSeq.map(t => (t._1, t._2)).toDF("term", "df")
       case None =>
-        val terms = qt.select($"term").distinct()
+        val terms = qtF.select($"term").distinct()
         pushTerms(spark.read.parquet(dfdPath(dir)).filter(tbFilter))
           .join(hinted(terms), Seq("term"), "left_semi")
           .groupBy("term").agg(sum("df").as("df"))
@@ -1238,8 +1349,8 @@ object Bm25Index {
       if (maxDfFrac >= 1.0) df
       else df.filter(col("df").cast("double") <= lit(maxDfFrac) * lit(nDocs.toDouble))
     val qtK =
-      if (maxDfFrac >= 1.0) qt
-      else qt.join(hinted(dfKept.select($"term")), Seq("term"), "left_semi")
+      if (maxDfFrac >= 1.0) qtF
+      else qtF.join(hinted(dfKept.select($"term")), Seq("term"), "left_semi")
         .localCheckpoint()
     val idf = dfKept
       .select($"term", Bm25.idfMicro(lit(nDocs), $"df").as("idf_micro"))
@@ -1310,10 +1421,16 @@ object Bm25Index {
         (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
       math.floor(idfM.toDouble * tfpart + 0.5).toLong
     }
-    // Driver-state gate FIRST (one count, nothing collected yet): the
-    // pruned planner's state is O(query-term pairs), the exhaustive
-    // path's is O(distinct terms).
-    val qtRows = qt.count()
+    // Driver-state gate and pair collect FUSED into one bounded
+    // action: collect at most PruneMaxQueryPairs + 1 pairs — one more
+    // than the cap proves the batch is over it (route exhaustive with
+    // nothing pair-shaped retained), one job instead of the old
+    // count-then-collect round trips, and driver state stays capped
+    // either way.
+    val qtPairsAll = qt
+      .limit(math.min(PruneMaxQueryPairs + 1L, Int.MaxValue.toLong).toInt)
+      .as[(Long, String)].collect()
+    val qtRows = qtPairsAll.length.toLong
     if (qtRows > PruneMaxQueryPairs)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
         nDocs, avgdl, rep)
@@ -1321,9 +1438,6 @@ object Bm25Index {
     // (the pair frames and term frames are all <= qtRows rows).
     val hintable = qtRows * 96L <= Similarity.BroadcastGuardBytes
     def hinted(frame: DataFrame): DataFrame = if (hintable) broadcast(frame) else frame
-    // ONE pair collect feeds the whole planner (bounded by the
-    // PruneMaxQueryPairs gate above); distinct terms derive from it.
-    val qtPairsAll = qt.as[(Long, String)].collect()
     val allTerms = qtPairsAll.map(_._2).distinct.sorted
     // Pushed term filter for every scan of this probe: postings files
     // are term-sorted, so In(term, ...) skips row groups holding no
@@ -1386,7 +1500,8 @@ object Bm25Index {
     val keptTermDfTotal = kept.map(_._2).sum
     if (keptTermDfTotal <= PruneMinPostings)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
-        nDocs, avgdl, rep, preTermStats = Some(termStats))
+        nDocs, avgdl, rep, preTermStats = Some(termStats),
+        qtPairs = Some(qtPairsAll))
     val qtPairs = qtPairsAll.filter(p => info.contains(p._2))
     val byQuery: Map[Long, Array[String]] =
       qtPairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -1530,7 +1645,8 @@ object Bm25Index {
     if (sampleSkip * 2L < samplePairDf ||
         sampleSkip * sampleScale < PruneFixedCostRows.toDouble)
       return topDocsExhaustive(spark, dir, k, k1, b, filter, maxDfFrac, nTb, qt,
-        nDocs, avgdl, rep, preTermStats = Some(termStats))
+        nDocs, avgdl, rep, preTermStats = Some(termStats),
+        qtPairs = Some(qtPairsAll))
     rep.path = "pruned"
     val tombSide = readTombstones(spark, dir).map(Similarity.guardedRowBroadcast(_))
     // Exact scores of a (query, term, block-mask) pair list against
