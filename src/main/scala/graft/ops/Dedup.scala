@@ -112,6 +112,17 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
   }
 
+  /** [[minhashSignatures]] from a prebuilt [[shingles]] frame
+    * ((doc_id, sh, ...)): signature values are IDENTICAL (each
+    * permutation's min is set-order-independent and `sh` is the
+    * distinct shingle set), so a caller that also persists the shingle
+    * table pays the shingle extraction pass once instead of twice.
+    */
+  def minhashFromShingles(sh: DataFrame): DataFrame = {
+    val sigUdf = udf((shArr: Seq[String]) => signature(shArr.toSet))
+    sh.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+  }
+
   /** Candidate pairs from banded LSH: two docs are candidates iff they
     * agree on all rows of at least one band. Only intra-bucket pairs are
     * generated; buckets above `maxBucket` are dropped (logged via the

@@ -194,6 +194,18 @@ object NearDupIndex {
     Dedup.bandBuckets(Dedup.minhashSignatures(docs, textCol, idCol, k))
       .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bb"))
 
+  /** The shingle frame (pinned) and the (doc_id, bb) postings DERIVED
+    * from it — every entry point that needs both tables (build, append,
+    * probe) pays the shingle extraction UDF once; the signatures are
+    * bit-identical to [[postings]]'s ([[Dedup.minhashFromShingles]]).
+    */
+  private def shAndPostings(
+      docs: DataFrame, textCol: String, idCol: String, k: Int): (DataFrame, DataFrame) = {
+    val sh = Dedup.shingles(docs, textCol, idCol, k).localCheckpoint()
+    (sh, Dedup.bandBuckets(Dedup.minhashFromShingles(sh))
+      .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bb")))
+  }
+
   /** Build the index from a seed corpus. Oversized postings lists
     * (> `maxBucket` docs in one (band, bucket)) are dropped — the
     * [[Dedup.lshCandidatePairs]] cap, applied at write time so probes
@@ -211,7 +223,8 @@ object NearDupIndex {
       idCol: String = "doc_id",
       k: Int = 3): Unit = withWriterLock(docs.sparkSession, dir, tablePrefix) {
     val spark = docs.sparkSession
-    val post = postings(docs, textCol, idCol, k).localCheckpoint()
+    val (sh, post0) = shAndPostings(docs, textCol, idCol, k)
+    val post = post0.localCheckpoint()
     val sizes = post.groupBy("bb").agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val kept = post.join(
       sizes.filter(col("n_docs") <= maxBucket).select("bb"), "bb")
@@ -224,7 +237,7 @@ object NearDupIndex {
       BucketedLayout.stageBucketed(spark,
         kept.select("bb", "doc_id"), bucketsTable(tablePrefix), s"$dir/buckets", "bb", nBuckets),
       BucketedLayout.stageBucketed(spark,
-        Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh"),
+        sh.select("doc_id", "shh"),
         shinglesTable(tablePrefix), s"$dir/shingles", "doc_id", nBuckets),
       BucketedLayout.stageBucketed(spark,
         sizes.filter(col("n_docs") > maxBucket),
@@ -250,10 +263,11 @@ object NearDupIndex {
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 3): Unit = withWriterLock(spark, null, tablePrefix) {
-    postings(docs, textCol, idCol, k)
+    val (sh, post) = shAndPostings(docs, textCol, idCol, k)
+    post
       .select("bb", "doc_id")
       .write.mode(SaveMode.Append).format("parquet").insertInto(bucketsTable(tablePrefix))
-    Dedup.shingles(docs, textCol, idCol, k).select("doc_id", "shh")
+    sh.select("doc_id", "shh")
       .write.mode(SaveMode.Append).format("parquet").insertInto(shinglesTable(tablePrefix))
   }
 
@@ -273,8 +287,9 @@ object NearDupIndex {
     import spark.implicits._
     // Tombstoned docs drop out at candidate time — before the shingle
     // joins, so a takedown also stops paying verification cost.
+    val (sh, post) = shAndPostings(batch, textCol, idCol, k)
     val cands = minusTombstones(spark, tablePrefix,
-      postings(batch, textCol, idCol, k)
+      post
         .select(col("doc_id").as("doc_b"), col("bb"))
         .join(spark.table(bucketsTable(tablePrefix)), "bb")
         .select(col("doc_id").as("doc_a"), col("doc_b"))
@@ -283,7 +298,7 @@ object NearDupIndex {
     cands
       .join(spark.table(shinglesTable(tablePrefix))
         .select(col("doc_id").as("doc_a"), col("shh").as("ha")), "doc_a")
-      .join(Dedup.shingles(batch, textCol, idCol, k)
+      .join(sh
         .select(col("doc_id").as("doc_b"), col("shh").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
       .as[(Long, Long, Array[Long], Array[Long])]

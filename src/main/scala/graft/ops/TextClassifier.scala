@@ -90,12 +90,20 @@ object TextClassifier {
     // Features are a pure function of the text — extract ONCE and
     // persist the hashed sparse vectors, so each of the `iters` epochs
     // pays only arithmetic, not a re-tokenization of the corpus (the
-    // string pass dominated the epoch at every scale).
-    val corpus = docs
+    // string pass dominated the epoch at every scale). The persisted
+    // frame is spread to at least the cluster's parallelism: a small
+    // input arrives as one partition and would otherwise serialize
+    // every epoch's softmax/gradient pass onto one core (measured 20
+    // single-task jobs back to back); results are placement-invariant
+    // by construction (fixed-point integer gradient sums). Larger
+    // inputs keep their own partitioning.
+    val featDs = docs
       .select(col(textCol).cast("string").as("t"), col(labelCol).cast("string").as("y"))
       .as[(String, String)]
       .map { case (t, y) => (features(t, nBuckets), y) }
-      .persist()
+    val nPart = math.max(featDs.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    val corpus = featDs.repartition(nPart).persist()
 
     val w = Array.fill(c)(new Array[Float](nBuckets))
     val bIdx = spark.sparkContext.broadcast(labelIdx)
