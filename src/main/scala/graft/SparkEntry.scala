@@ -94,6 +94,18 @@ object SparkEntry {
   private val freqCache =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Spread a small derived frame across the session's cores before
+    * pinning it: a tiny corpus plans as ONE scan split (parquet can't
+    * split inside a row group), so every downstream CPU-heavy pass
+    * over the pinned frame — payload decode/hash, sketch probes,
+    * fingerprint joins — would otherwise run as a single serialized
+    * task while the other cores idle. A frame already at or above the
+    * session's parallelism (the at-scale case) is left untouched, so
+    * the layout is scale-adaptive, never a local[32] constant.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    graft.core.Spread.ifNarrow(df)
+
   private def freqShared(s: SparkSession, dir: String): DataFrame =
     freqCache.synchronized {
       freqCache.computeIfAbsent(
@@ -134,7 +146,10 @@ object SparkEntry {
       mediaCache.computeIfAbsent(
         s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
     }.computeIfAbsent(dir, { _ =>
-      ops.Multimodal.syntheticMedia(docs(s, dir)).localCheckpoint()
+      // spread the INPUT ids, not the generated output: the payload
+      // UDF runs in the scan stage, so spreading afterwards would
+      // leave generation serialized AND shuffle the payload bytes
+      ops.Multimodal.syntheticMedia(spread(s, docs(s, dir))).localCheckpoint()
     })
 
   /** The exploded line frame of the boilerplate-injected corpus,

@@ -90,20 +90,16 @@ object TextClassifier {
     // Features are a pure function of the text — extract ONCE and
     // persist the hashed sparse vectors, so each of the `iters` epochs
     // pays only arithmetic, not a re-tokenization of the corpus (the
-    // string pass dominated the epoch at every scale). The persisted
-    // frame is spread to at least the cluster's parallelism: a small
-    // input arrives as one partition and would otherwise serialize
-    // every epoch's softmax/gradient pass onto one core (measured 20
-    // single-task jobs back to back); results are placement-invariant
-    // by construction (fixed-point integer gradient sums). Larger
-    // inputs keep their own partitioning.
-    val featDs = docs
+    // string pass dominated the epoch at every scale). Deliberately
+    // NOT fanned out at small scale: an epoch's whole gradient pass is
+    // ~0.2 s of arithmetic, and a 32-task fan-out costs more in task
+    // scheduling than the serial compute it parallelizes (measured
+    // 2.8 s -> 8.1 s on the bench corpus).
+    val corpus = docs
       .select(col(textCol).cast("string").as("t"), col(labelCol).cast("string").as("y"))
       .as[(String, String)]
       .map { case (t, y) => (features(t, nBuckets), y) }
-    val nPart = math.max(featDs.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
-    val corpus = featDs.repartition(nPart).persist()
+      .persist()
 
     val w = Array.fill(c)(new Array[Float](nBuckets))
     val bIdx = spark.sparkContext.broadcast(labelIdx)
