@@ -664,6 +664,43 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // reporting must never fail the bench
     println(line)
+    // The harness that captures this output keeps only its LAST 2000
+    // characters and parses a JSON line out of that tail; the full line
+    // above is ~4 KB (115 queries + spread map), so since r09 the tail
+    // held a truncated fragment and the harness's `parsed` came back
+    // null — the optimization rounds never got machine-readable
+    // per-query data. The full line (every query, every field — the
+    // unchanged measurement contract) still prints above and lands in
+    // bench_full.json; this FINAL line is a <= ~1900-char digest of the
+    // same run — totals, errors, the 12 slowest queries (the only ones
+    // above the sandbox noise floor), the index/scale/skew blocks and
+    // the determinism anchors — so the tail always contains one
+    // complete, parseable JSON object. Optional blocks drop in noise-
+    // tolerance order if an unusually long errors map would overflow.
+    val digestParts = List(
+      skewCheck.map(sc => s""""skew_check":$sc"""),
+      scaleCheck.map(sc => s""""scale_check":$sc"""),
+      // index_check can carry the (opt-in) deep-scale fields: too long
+      // for the digest, so cap it rather than drop the whole block
+      indexCheck.filter(_.length <= 400).map(ic => s""""index_check":$ic"""))
+    val digestHead =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
+      s""""queries_all_in":"bench_full.json","n_queries":${timings.size},""" +
+      s""""errors":$es,"ingest_sec":${f"$ingestSec%.4f"},""" +
+      s""""ingest_rows_per_sec":${rowsPerSec.toLong},""" +
+      s""""raw_rows":$rawRows,"summary_windows":$windowRows,""" +
+      s""""compression_ratio":${f"$compression%.6f"},""" +
+      s""""big_stream_rows_per_sec":${bigRowsPerSec.toLong},""" +
+      s""""big_stream_windows":$bigWindows"""
+    val digestTail = s""""sf":${jq(sfDir)}}"""
+    // keep the digest under the 2000-char tail with ~100 chars of slack
+    // for the runner's own trailing output
+    val budget = 1900 - digestHead.length - digestTail.length - 2
+    val kept = digestParts.flatten
+      .foldLeft(List.empty[String]) { (acc, p) =>
+        if ((acc.map(_.length + 1).sum + p.length) <= budget) acc :+ p else acc
+      }
+    println((digestHead +: kept).mkString(",") + "," + digestTail)
     spark.stop()
   }
 }

@@ -99,11 +99,11 @@ object SparkEntry {
     * split inside a row group), so every downstream CPU-heavy pass
     * over the pinned frame — payload decode/hash, sketch probes,
     * fingerprint joins — would otherwise run as a single serialized
-    * task while the other cores idle. A frame already at or above the
-    * session's parallelism (the at-scale case) is left untouched, so
-    * the layout is scale-adaptive, never a local[32] constant.
+    * task while the other cores idle. A frame over the (capped) size
+    * guard (the at-scale case) is left untouched, so the layout is
+    * scale-adaptive, never a local[32] constant.
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+  private def spread(df: DataFrame): DataFrame =
     graft.core.Spread.ifNarrow(df)
 
   private def freqShared(s: SparkSession, dir: String): DataFrame =
@@ -148,8 +148,12 @@ object SparkEntry {
     }.computeIfAbsent(dir, { _ =>
       // spread the INPUT ids, not the generated output: the payload
       // UDF runs in the scan stage, so spreading afterwards would
-      // leave generation serialized AND shuffle the payload bytes
-      ops.Multimodal.syntheticMedia(spread(s, docs(s, dir))).localCheckpoint()
+      // leave generation serialized AND shuffle the payload bytes.
+      // Only the id PROJECTION spreads — the generator consumes
+      // doc_id alone, so shuffling the text column too would move
+      // corpus bytes for nothing.
+      ops.Multimodal.syntheticMedia(spread(docs(s, dir).select("doc_id")))
+        .localCheckpoint()
     })
 
   /** The exploded line frame of the boilerplate-injected corpus,

@@ -394,14 +394,16 @@ object AnnIndex {
 
   private[graft] def readCodebooks(
       spark: SparkSession, dir: String): Option[ProductQuantization.Codebooks] = {
-    import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(codebooksPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString)
-      .select($"sub", $"code", $"word").as[(Int, Int, Seq[Double])]
-      .collect().groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3.toArray)))
+    // m * codes rows — driver-side read, no Spark job on the probe path
+    else Some(graft.sources.TinyParquet
+      .rows(spark.sparkContext.hadoopConfiguration, p.toString)
+      .map(g => (g.getInteger("sub", 0), g.getInteger("code", 0),
+        graft.sources.TinyParquet.doubleArray(g, "word")))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray))
   }
 
   /** Tombstone indexed vectors by id — the takedown path. A tombstoned
@@ -444,14 +446,35 @@ object AnnIndex {
 
   /** The live tombstoned vec_ids, if any — takedown-sized, so callers
     * broadcast the anti-join (under the guard) and candidate scans
-    * keep their shape.
+    * keep their shape. Under the tininess guard the set is read
+    * DRIVER-SIDE into a LocalRelation (sorted distinct ids — no Spark
+    * job for the read, the distinct, or the broadcast-guard count, the
+    * probe path's fixed latency floor); past the guard it falls back to
+    * the Spark read with identical semantics.
     */
   private def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+    else graft.sources.TinyParquet.longsIfTiny(
+      spark.sparkContext.hadoopConfiguration, p.toString, "vec_id") match {
+      case Some(ids) =>
+        import spark.implicits._
+        Some(spark.createDataset(ids.distinct.sorted.toSeq).toDF("vec_id"))
+      case None => Some(spark.read.parquet(p.toString).select("vec_id").distinct())
+    }
   }
+
+  /** The frozen center table, cell-ascending — a k-row driver-side
+    * parquet read ([[graft.sources.TinyParquet]]): every probe and
+    * every append used to pay a full Spark collect job for it.
+    */
+  private def readCenters(spark: SparkSession, dir: String): Array[Array[Double]] =
+    graft.sources.TinyParquet
+      .rows(spark.sparkContext.hadoopConfiguration, centersPath(dir))
+      .map(g => (g.getInteger("cell", 0),
+        graft.sources.TinyParquet.doubleArray(g, "center")))
+      .sortBy(_._1).map(_._2).toArray
 
   /** Exclude tombstoned vectors from a candidate frame keyed by `on`. */
   private def minusTombstones(
@@ -483,10 +506,7 @@ object AnnIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val centers = spark.read.parquet(centersPath(dir))
-      .select($"cell", $"center").as[(Int, Seq[Double])]
-      .collect().sortBy(_._1)
-      .map(_._2.toArray)
+    val centers = readCenters(spark, dir)
     val meta = indexMetaCols(spark, dir)
     val missing = meta.filterNot(embs.columns.toSet)
     require(missing.isEmpty,
@@ -694,14 +714,11 @@ object AnnIndex {
     import spark.implicits._
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
-    // Centers are k * dim doubles — the same bounded collect the build
-    // performed; the probes run through the native codegen'd kernel
-    // ([[graft.functions.TopCentroids]]), identical selection to
+    // Centers are k * dim doubles — driver-side read (no Spark job on
+    // the probe path); the probes run through the native codegen'd
+    // kernel ([[graft.functions.TopCentroids]]), identical selection to
     // ivfTopK's.
-    val centers = spark.read.parquet(centersPath(dir))
-      .select($"cell", $"center").as[(Int, Seq[Double])]
-      .collect().sortBy(_._1)
-      .map(_._2.map(_.toFloat).toArray)
+    val centers = readCenters(spark, dir).map(_.map(_.toFloat))
     val q = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(graft.functions.ColumnBridge.toColumn(
@@ -843,10 +860,7 @@ object AnnIndex {
     require(k >= 1 && nProbe >= 1, s"k >= 1, nProbe >= 1: $k, $nProbe")
     checkLayout(fsFor(spark, dir), dir)
     val r = if (refine > 0) refine else 4 * k
-    val centers = spark.read.parquet(centersPath(dir))
-      .select($"cell", $"center").as[(Int, Seq[Double])]
-      .collect().sortBy(_._1)
-      .map(_._2.map(_.toFloat).toArray)
+    val centers = readCenters(spark, dir).map(_.map(_.toFloat))
     val books: ProductQuantization.Codebooks = readCodebooks(spark, dir)
       .getOrElse(throw new IllegalStateException(
         s"no PQ sidecar at ${codebooksPath(dir)} — run buildPq first"))

@@ -77,6 +77,24 @@ object Bm25 {
       textCol: String = "text",
       idCol: String = "doc_id",
       queryTextCol: String = "text",
+      queryIdCol: String = "query_id"): DataFrame =
+    contribs(docs, queries, k1, b, textCol, idCol, queryTextCol, queryIdCol)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_micro").as("score_micro"))
+
+  /** The PRE-aggregation per-(query, doc, term) contribution stream
+    * (query_id, doc_id, c_micro) — [[scores]] is its exact-long-sum
+    * rollup, [[topDocs]] fuses the rollup with the top-k rank in one
+    * exchange ([[Similarity.sumRankTopKMicro]]).
+    */
+  private[ops] def contribs(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryTextCol: String = "text",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1, b=$b")
     // dl (doc length in tokens) is size(tokens) — computed in the SAME
@@ -144,8 +162,6 @@ object Bm25 {
       .select(col("query_id"), col("doc_id"),
         contribMicro(col("tf"), col("dl"), lit(avgdl),
           col("idf_micro"), k1, b).as("c_micro"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("c_micro").as("score_micro"))
   }
 
   /** The `k` best docs per query by BM25: (query_id, doc_id, rank,
@@ -164,13 +180,14 @@ object Bm25 {
       queryTextCol: String = "text",
       queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val s = scores(docs, queries, k1, b, textCol, idCol, queryTextCol, queryIdCol)
-    Similarity.rankTopK(
-      s.select(col("query_id"), col("doc_id").as("neighbor_id"),
-        col("score_micro").cast("double").as("score")), k)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").cast("long").as("rank"),
-        col("score").cast("long").as("score_micro"))
+    // Fused sum+rank: the (query, doc) keys of the contribution stream
+    // are near-unique (most docs match a query on one term), so the old
+    // groupBy-then-rankTopK shape paid a no-op partial aggregation plus
+    // a second exchange; the fused pass shuffles once by query_id and
+    // streams exact long sums into the bounded heap — identical rows
+    // (long sums are order-free, same (score desc, doc_id asc) ties).
+    Similarity.sumRankTopKMicro(
+      contribs(docs, queries, k1, b, textCol, idCol, queryTextCol, queryIdCol), k)
   }
 
   /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009):
@@ -207,13 +224,17 @@ object Bm25 {
     */
   def fuseTopK(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val fused = rrf(rankings, k0)
-    Similarity.rankTopK(
-      fused.select(col("query_id"), col("doc_id").as("neighbor_id"),
-        col("rrf_micro").cast("double").as("score")), k)
-      .join(fused.withColumnRenamed("doc_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"))
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").cast("long").as("rank"), col("n_lists"), col("rrf_micro"))
+    // Fused sum+rank over the per-list contribution stream: one
+    // exchange computes the exact rrf sums, the list count AND the
+    // bounded top-k rank — the old shape aggregated, ranked (two more
+    // exchanges) and then JOINED the ranks back to the aggregate to
+    // recover (n_lists, rrf_micro). Identical rows: integer sums are
+    // order-free and the heap keeps rankTopK's (score desc, doc_id asc)
+    // tie contract.
+    val tagged = rankings.map(r =>
+      r.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        floor(lit(1000000.0) / (lit(k0).cast("double") + col("rank").cast("double")) +
+          lit(0.5)).cast("long").as("c_micro")))
+    Similarity.sumRankTopKFusion(tagged.reduce(_.unionByName(_)), k)
   }
 }

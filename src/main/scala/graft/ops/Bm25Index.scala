@@ -128,27 +128,18 @@ object Bm25Index {
     * driver work at any corpus size.
     */
   private def readTinyParquetRows(
-      spark: SparkSession, dirStr: String): Seq[org.apache.parquet.example.data.Group] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dirPath = new org.apache.hadoop.fs.Path(dirStr)
-    val fs = dirPath.getFileSystem(conf)
-    val files = fs.listStatus(dirPath).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    files.flatMap { st =>
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
-        .withConf(conf)
-        .build()
-      try Iterator.continually(reader.read()).takeWhile(_ != null).toVector
-      finally reader.close()
-    }
-  }
+      spark: SparkSession, dirStr: String): Seq[org.apache.parquet.example.data.Group] =
+    graft.sources.TinyParquet.rows(spark.sparkContext.hadoopConfiguration, dirStr)
 
   /** Whether the dfd carries the (max_tf, min_dl) impact-bound columns
-    * — ONE data-file footer read, driver-side (all dfd files share the
-    * generation's schema; pre-bounds layouts simply lack the fields).
+    * — ONE data-file footer read, driver-side (all dfd files written by
+    * one generation share its schema; pre-bounds layouts simply lack
+    * the fields). The probed footer is the LEXICOGRAPHICALLY FIRST
+    * data file, not whatever the filesystem lists first: a pre-bounds
+    * index that later receives bounds-writing appends holds mixed
+    * schemas under dfd/, and an order-dependent pick would make the
+    * pruned-vs-exhaustive routing nondeterministic across filesystems
+    * (answers are identical either way — only the plan choice moves).
     */
   private def dfdHasBounds(spark: SparkSession, dir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -157,10 +148,11 @@ object Bm25Index {
     if (!fs.exists(root)) return false
     val it = fs.listFiles(root, true)
     var file: org.apache.hadoop.fs.Path = null
-    while (file == null && it.hasNext) {
+    while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) file = st.getPath
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+        (file == null || n.compareTo(file.getName) < 0)) file = st.getPath
     }
     if (file == null) false
     else {
@@ -201,7 +193,12 @@ object Bm25Index {
 
   /** Driver-side delta sums over the tiny `stats/` table: (n_docs,
     * sum_dl, n_terms or -1 on a pre-vocab-delta layout, delta row
-    * count) — one [[readTinyParquetRows]] pass, no Spark job.
+    * count) — one [[readTinyParquetRows]] pass, no Spark job. A MIXED
+    * stats layout (some delta files carrying n_terms, some not — an
+    * invariant violation only a mixed-version deployment can produce)
+    * deterministically degrades to the pre-vocab path: ANY file without
+    * the field flags the whole index (strictest-file-wins), where the
+    * old one-footer schema sample answered by footer lottery.
     */
   private[graft] def statsSums(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
     val rows = readTinyParquetRows(spark, statsPath(dir))
@@ -620,7 +617,16 @@ object Bm25Index {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    // takedown-sized: under the tininess guard the ids read DRIVER-SIDE
+    // into a LocalRelation (no read/distinct/guard-count jobs on the
+    // probe path); past it, the Spark read — identical distinct set
+    else graft.sources.TinyParquet.longsIfTiny(
+      spark.sparkContext.hadoopConfiguration, p.toString, "doc_id") match {
+      case Some(ids) =>
+        import spark.implicits._
+        Some(spark.createDataset(ids.distinct.sorted.toSeq).toDF("doc_id"))
+      case None => Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    }
   }
 
   /** Physically retire tombstoned docs and re-collapse the delta
@@ -1371,13 +1377,21 @@ object Bm25Index {
     val cands = readTombstones(spark, dir)
       .fold(cands0)(t =>
         cands0.join(Similarity.guardedRowBroadcast(t), Seq("doc_id"), "left_anti"))
-    val scores = cands
-      .join(idfSide, "term")
-      .select($"query_id", $"doc_id",
-        Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum("c_micro").as("score_micro"))
-    rankTail(scores, k)
+    // Fused sum+rank ([[Similarity.sumRankTopKMicro]]): the exhaustive
+    // candidate stream's (query, doc) keys are near-unique (each doc
+    // matches most queries on one term), so the old
+    // groupBy(query_id, doc_id).sum + rankTail shape paid a no-op
+    // partial hash aggregation over the full candidate stream PLUS a
+    // second exchange for the ranking window. One exchange by query_id,
+    // spillable doc_id sort, streaming exact long sums into the
+    // k-bounded heap — bit-identical rows (integer sums are order-free,
+    // same tie contract), O(k) memory per query.
+    Similarity.sumRankTopKMicro(
+      cands
+        .join(idfSide, "term")
+        .select($"query_id", $"doc_id",
+          Bm25.contribMicro($"tf", $"dl", lit(avgdl), $"idf_micro", k1, b).as("c_micro")),
+      k)
   }
 
   /** The MaxScore + Block-Max probe (see the [[topDocs]] scaladoc for

@@ -116,11 +116,23 @@ object DedupIndex {
     * falls back to the path.
     */
   private def tombstones(spark: SparkSession, table: String): Option[DataFrame] = {
-    if (spark.catalog.tableExists(tombstonesTable(table)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexRoot(spark, table), "tombstones")
+    val files = graft.sources.TinyParquet.dataFiles(conf, p.toString)
+    // takedown-sized: under the tininess guard the pairs read
+    // DRIVER-SIDE into a LocalRelation (the catalog table is external
+    // over exactly this path) — no read/distinct/guard-count jobs on
+    // the probe path; past the guard, the Spark read
+    if (files.nonEmpty && files.map(_.getLen).sum <= (8L << 20)) {
+      import spark.implicits._
+      val rows = graft.sources.TinyParquet.rows(conf, p.toString).iterator
+        .map(g => (g.getString("text_hash", 0), g.getLong("keep_id", 0)))
+        .toSeq.distinct.sorted
+      Some(spark.createDataset(rows).toDF("text_hash", "keep_id"))
+    } else if (spark.catalog.tableExists(tombstonesTable(table)))
       Some(spark.table(tombstonesTable(table)).select("text_hash", "keep_id").distinct())
     else {
-      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, table), "tombstones")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else Some(spark.read.parquet(p.toString).select("text_hash", "keep_id").distinct())
     }

@@ -123,13 +123,21 @@ object NearDupIndex {
     * takedowns, so a missing catalog entry falls back to the path.
     */
   private def tombstones(spark: SparkSession, prefix: String): Option[DataFrame] = {
-    if (spark.catalog.tableExists(tombstonesTable(prefix)))
-      Some(spark.table(tombstonesTable(prefix)).select("doc_id").distinct())
-    else {
-      val p = new org.apache.hadoop.fs.Path(indexRoot(spark, prefix), "tombstones")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(indexRoot(spark, prefix), "tombstones")
+    // takedown-sized: under the tininess guard the ids read DRIVER-SIDE
+    // into a LocalRelation (the catalog table is external over exactly
+    // this path) — no read/distinct/guard-count jobs on the probe path
+    graft.sources.TinyParquet.longsIfTiny(conf, p.toString, "doc_id") match {
+      case Some(ids) =>
+        import spark.implicits._
+        Some(spark.createDataset(ids.distinct.sorted.toSeq).toDF("doc_id"))
+      case None if spark.catalog.tableExists(tombstonesTable(prefix)) =>
+        Some(spark.table(tombstonesTable(prefix)).select("doc_id").distinct())
+      case None =>
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) None
+        else Some(spark.read.parquet(p.toString).select("doc_id").distinct())
     }
   }
 

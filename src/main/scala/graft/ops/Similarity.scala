@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 case class Cand(queryId: Long, vecId: Long, score: Double)
 
+/** One ranked integer-scored result row from [[Similarity.sumRankTopKMicro]]
+  * (top-level for the same Janino-constructibility reason as [[Cand]]).
+  */
+case class RankedSum(query_id: Long, doc_id: Long, rank: Long, score_micro: Long)
+
+/** One ranked fusion row from [[Similarity.sumRankTopKFusion]]. */
+case class RankedFusion(
+    query_id: Long, doc_id: Long, rank: Long, n_lists: Long, rrf_micro: Long)
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
@@ -171,6 +180,86 @@ object Similarity {
       .select($"queryId".as("query_id"), $"vecId".as("neighbor_id"), $"rank", $"score")
   }
 
+  /** Streaming exact-sum + bounded top-k over one query's doc-ascending
+    * contribution stream: finish each doc's LONG sums (exact,
+    * order-free), offer the finished doc to a k-bounded heap ordered by
+    * (sumA desc, doc asc) — the [[rankTopK]] tie contract — and emit
+    * the kept docs as (doc, sumA, sumB, rank 1..m). Memory is O(k) per
+    * query regardless of how many docs the query matches.
+    */
+  private def sumTopKSorted(
+      it: Iterator[(Long, Long, Long)], k: Int): Array[(Long, Long, Long, Long)] = {
+    val heap = collection.mutable.PriorityQueue.empty[(Long, Long, Long)](
+      Ordering.by[(Long, Long, Long), (Long, Long)](x => (-x._1, x._2)))
+    var curDoc = 0L
+    var sumA = 0L
+    var sumB = 0L
+    var open = false
+    def close(): Unit = if (open) {
+      if (heap.size < k) heap.enqueue((sumA, curDoc, sumB))
+      else if (sumA > heap.head._1 ||
+        (sumA == heap.head._1 && curDoc < heap.head._2)) {
+        heap.dequeue(); heap.enqueue((sumA, curDoc, sumB))
+      }
+    }
+    it.foreach { case (d, a, b) =>
+      if (open && d == curDoc) { sumA += a; sumB += b }
+      else { close(); curDoc = d; sumA = a; sumB = b; open = true }
+    }
+    close()
+    heap.toArray.sortBy(x => (-x._1, x._2)).zipWithIndex
+      .map { case ((s, d, b), i) => (d, s, b, (i + 1).toLong) }
+  }
+
+  /** Exact per-(query, doc) integer score sum AND bounded top-k rank in
+    * ONE exchange: input is the PRE-aggregation contribution stream
+    * (query_id, doc_id, c_micro). The previous shape —
+    * `groupBy(query_id, doc_id).agg(sum)` followed by [[rankTopK]] —
+    * paid a partial+final hash aggregate over near-unique (query, doc)
+    * keys (pure overhead: map-side partials almost never combine
+    * anything) plus a SECOND exchange for the ranking window. Here the
+    * rows shuffle once by query_id, sort by doc_id inside the
+    * partition (spillable sort, no hash map of the candidate set), and
+    * a streaming pass finishes each doc's exact long sum into a
+    * k-bounded heap. Ties and ranks are bit-identical to the old shape:
+    * long sums are order-free, and the heap replicates rankTopK's
+    * (score desc, doc_id asc) contract.
+    */
+  private[graft] def sumRankTopKMicro(contribs: DataFrame, k: Int): DataFrame = {
+    val spark = contribs.sparkSession
+    import spark.implicits._
+    contribs
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("c_micro").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (q: Long, it: Iterator[(Long, Long, Long)]) =>
+        sumTopKSorted(it.map(r => (r._2, r._3, 0L)), k)
+          .iterator.map { case (d, s, _, r) => RankedSum(q, d, r, s) }
+      }
+      .toDF()
+  }
+
+  /** [[sumRankTopKMicro]] for RRF fusion: the second summed column is a
+    * per-row 1 (the number of fused lists the doc appeared in), emitted
+    * beside the rank — replaces the old rank-then-join-back-for-n_lists
+    * shape with the same one-exchange pass.
+    */
+  private[graft] def sumRankTopKFusion(contribs: DataFrame, k: Int): DataFrame = {
+    val spark = contribs.sparkSession
+    import spark.implicits._
+    contribs
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("c_micro").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (q: Long, it: Iterator[(Long, Long, Long)]) =>
+        sumTopKSorted(it.map(r => (r._2, r._3, 1L)), k)
+          .iterator.map { case (d, s, b, r) => RankedFusion(q, d, r, b, s) }
+      }
+      .toDF()
+  }
+
   /** Broadcast-build cap shared by the ANN family's probe and refine
     * joins. A `broadcast()` hint bypasses Spark's size threshold, so
     * every hint on a query-batch frame ("small by convention") is
@@ -197,8 +286,15 @@ object Similarity {
     * convention, and conventions need guards: a court-ordered
     * million-doc takedown must not OOM every probe).
     */
-  private[graft] def guardedRowBroadcast(df: DataFrame, perRowBytes: Long = 56L): DataFrame =
-    if (df.count() * perRowBytes <= BroadcastGuardBytes) broadcast(df) else df
+  private[graft] def guardedRowBroadcast(df: DataFrame, perRowBytes: Long = 56L): DataFrame = {
+    // LocalRelation rows are known driver-side (the tombstone sets the
+    // index probes hand in) — the guard must not pay a count job there
+    val rows = df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.length.toLong
+      case _ => df.count()
+    }
+    if (rows * perRowBytes <= BroadcastGuardBytes) broadcast(df) else df
+  }
 
   // ------------------------------------------------------------------ ANN
 
