@@ -89,12 +89,10 @@ object Clustering {
       // pass: |sum| <= max|x| * Scale * count; anything past 2^62
       // risks silent long wraparound, so fail loudly — the documented
       // |x| <~ 1 input bound is a runtime contract, not a comment.
-      val rows = assigned
-        .select($"cluster", $"v")
-        .as[(Int, Seq[Float])]
-        .groupByKey(_._1)
-        .agg(CentroidAgg.toColumn)
-        .collect()
+      val rows = centroidRows(
+        assigned.select($"cluster", $"v").as[(Int, Seq[Float])],
+        CentroidAgg, k.toLong,
+        centers.headOption.map(_.length).getOrElse(0).toLong)
         .map { case (c, acc) =>
           val means = Array.tabulate(acc.sums.length) { i =>
             if (acc.counts(i) == 0L) 0.0
@@ -197,6 +195,86 @@ object Clustering {
       org.apache.spark.sql.Encoders.product[CentroidAcc]
     def outputEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
       org.apache.spark.sql.Encoders.product[CentroidAcc]
+  }
+
+  /** [[CentroidAgg]] over double vectors — the PQ sub-codebook trainer's
+    * input shape ([[ProductQuantization.trainCodebooks]] accumulates
+    * per-(sub, code) sums of the already-double subvectors). Same
+    * fixed-point discipline, same accumulator.
+    */
+  object CentroidAggD
+      extends org.apache.spark.sql.expressions.Aggregator[(Int, Seq[Double]), CentroidAcc, CentroidAcc] {
+    def zero: CentroidAcc = CentroidAgg.zero
+    def reduce(b: CentroidAcc, in: (Int, Seq[Double])): CentroidAcc = {
+      val v = in._2
+      val sums = if (b.sums.length >= v.length) b.sums else java.util.Arrays.copyOf(b.sums, v.length)
+      val counts = if (b.counts.length >= v.length) b.counts else java.util.Arrays.copyOf(b.counts, v.length)
+      val mx = if (b.maxAbs.length >= v.length) b.maxAbs else java.util.Arrays.copyOf(b.maxAbs, v.length)
+      var i = 0
+      while (i < v.length) {
+        val x = v(i)
+        sums(i) += (x * CentroidAgg.Scale).toLong
+        counts(i) += 1L
+        val ax = math.abs(x); if (ax > mx(i)) mx(i) = ax
+        i += 1
+      }
+      CentroidAcc(sums, counts, mx)
+    }
+    def merge(a: CentroidAcc, b: CentroidAcc): CentroidAcc = CentroidAgg.merge(a, b)
+    def finish(r: CentroidAcc): CentroidAcc = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
+      org.apache.spark.sql.Encoders.product[CentroidAcc]
+    def outputEncoder: org.apache.spark.sql.Encoder[CentroidAcc] =
+      org.apache.spark.sql.Encoders.product[CentroidAcc]
+  }
+
+  /** Driver-combine budget for [[centroidRows]]: past it the fixed-point
+    * partials go through the shuffle path. A var only so specs can force
+    * the shuffle side; production never writes it.
+    */
+  private[graft] var DriverCombineMaxBytes: Long = 256L << 20
+
+  /** The per-key fixed-point accumulators of a (key, vector) stream —
+    * the one collect every Lloyd round runs on. Two physical shapes,
+    * identical results (long sums are exact and associative, so ANY
+    * combine order yields the same accumulator):
+    *
+    *   - driver-combine (small key spaces): per-partition partials via
+    *     mapPartitions, merged on the driver — ONE job, ZERO shuffles.
+    *     The old groupByKey shape paid a shuffle stage plus a result
+    *     stage per round (2 jobs under AQE), pure fixed overhead at
+    *     2-3 jobs per Lloyd iteration.
+    *   - shuffle (the at-scale fallback): the typed-Aggregator groupByKey
+    *     collect, whose driver traffic is k rows, not partitions * k —
+    *     taken when `defaultParallelism * keys * dim` partial bytes
+    *     could not sit on the driver.
+    */
+  private[graft] def centroidRows[V](
+      pairs: org.apache.spark.sql.Dataset[(Int, V)],
+      agg: org.apache.spark.sql.expressions.Aggregator[(Int, V), CentroidAcc, CentroidAcc],
+      keys: Long,
+      dim: Long): Array[(Int, CentroidAcc)] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val partialBytes =
+      spark.sparkContext.defaultParallelism.toLong * keys * (dim * 24L + 64L)
+    if (partialBytes <= DriverCombineMaxBytes) {
+      val parts = pairs.mapPartitions { it =>
+        val accs = new java.util.HashMap[Integer, CentroidAcc]()
+        it.foreach { in =>
+          val cur = accs.get(Integer.valueOf(in._1))
+          accs.put(Integer.valueOf(in._1),
+            agg.reduce(if (cur == null) agg.zero else cur, in))
+        }
+        val out = collection.mutable.ArrayBuffer.empty[(Int, CentroidAcc)]
+        accs.forEach((kk, vv) => out += ((kk.intValue, vv)))
+        out.iterator
+      }.collect()
+      parts.groupBy(_._1).iterator.map { case (c, as) =>
+        c -> as.iterator.map(_._2).reduceLeft(agg.merge)
+      }.toArray
+    } else
+      pairs.groupByKey(_._1).agg(agg.toColumn).collect()
   }
 
   /** IVF top-k: assign the corpus to k-means cells once, then each

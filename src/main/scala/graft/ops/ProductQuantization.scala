@@ -118,6 +118,7 @@ object ProductQuantization {
     }
 
     val Scale = (1L << 24).toDouble
+    val subDim = books.iterator.flatMap(_.iterator.map(_.length)).maxOption.getOrElse(0)
     var it = 0
     while (it < iters) {
       // Native codegen'd subcode assignment (see [[graft.functions
@@ -129,29 +130,42 @@ object ProductQuantization {
           graft.functions.ColumnBridge.toExpression($"sv"),
           graft.functions.RefTable.auto(subs.sparkSession, books,
             graft.functions.RefTable.bytes3(books, 8))))
-      // Per-(sub, code, dim) fixed-point means — exact integer sums keep
-      // the mean independent of shuffle-combine order, same contract and
-      // headroom guard as Clustering.kmeans.
-      val rows = subs
-        .withColumn("code", assignCol)
-        .select($"sub", $"code", posexplode($"sv").as(Seq("dim", "x")))
-        .groupBy($"sub", $"code", $"dim")
-        .agg(
-          (sum(($"x" * Scale).cast("long")).cast("double") /
-            (count(lit(1)).cast("double") * Scale)).as("mean"),
-          (max(abs($"x")) * Scale * count(lit(1)).cast("double")).as("hr"))
-        .groupBy($"sub", $"code")
-        .agg(sort_array(collect_list(struct($"dim", $"mean"))).as("dm"), max($"hr").as("hr"))
-        .select($"sub", $"code", $"dm.mean".as("center"), $"hr")
-        .as[(Int, Int, Seq[Double], Double)]
-        .collect()
-      val worst = rows.iterator.map(_._4).maxOption.getOrElse(0.0)
+      // Per-(sub, code) fixed-point means through the shared
+      // [[Clustering.centroidRows]] accumulator (key = sub * codes +
+      // code): the old shape posexploded every subvector to N*m*subDim
+      // (sub, code, dim, x) rows and paid TWO hash-aggregate exchanges
+      // per Lloyd round; the array accumulator does one array-add per
+      // subvector row and one job (zero exchanges under the
+      // driver-combine guard). Sums, counts, per-dim max|x| and the
+      // division below are the same exact integer/IEEE ops in the same
+      // order, so the codebooks are bit-identical.
+      val rows = Clustering.centroidRows(
+        subs.withColumn("code", assignCol)
+          .select(($"sub" * lit(codes) + $"code").as("sc"), $"sv")
+          .as[(Int, Seq[Double])],
+        Clustering.CentroidAggD, (m * codes).toLong, subDim.toLong)
+      val worst = rows.iterator.map { case (_, acc) =>
+        var hr = 0.0
+        var d = 0
+        while (d < acc.maxAbs.length) {
+          val bnd = acc.maxAbs(d) * Scale * acc.counts(d).toDouble
+          if (bnd > hr) hr = bnd
+          d += 1
+        }
+        hr
+      }.maxOption.getOrElse(0.0)
       if (worst >= math.pow(2.0, 62))
         throw new IllegalStateException(
           f"PQ fixed-point accumulator headroom exceeded ($worst%.3g >= 2^62): " +
             "inputs are outside the unit-normalized design envelope")
       val next = books.map(_.clone())
-      rows.foreach { case (s, c, mean, _) => next(s)(c) = mean.toArray }
+      rows.foreach { case (sc, acc) =>
+        val mean = Array.tabulate(acc.sums.length) { i =>
+          if (acc.counts(i) == 0L) 0.0
+          else acc.sums(i).toDouble / (acc.counts(i).toDouble * Scale)
+        }
+        next(sc / codes)(sc % codes) = mean
+      }
       books = next // codes with no members keep their previous codeword
       it += 1
     }

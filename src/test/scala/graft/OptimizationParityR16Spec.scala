@@ -182,6 +182,30 @@ class OptimizationParityR16Spec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- Lloyd-round fixed-point collect: driver-combine vs shuffle ----
+
+  test("centroidRows driver-combine path == shuffle path (kmeans and PQ bit-identity)") {
+    val rnd = new Random(5)
+    val embs = (0L until 400L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def run(): (Array[Array[Double]], graft.ops.ProductQuantization.Codebooks) = {
+      val (_, centers) = graft.ops.Clustering.kmeans(embs, k = 8, iters = 3)
+      val books = graft.ops.ProductQuantization.trainCodebooks(embs, m = 4, codes = 8, iters = 3)
+      (centers, books)
+    }
+    val (cFast, bFast) = run() // tiny key space: driver-combine path
+    val old = graft.ops.Clustering.DriverCombineMaxBytes
+    graft.ops.Clustering.DriverCombineMaxBytes = 0L // force the shuffle path
+    try {
+      val (cShuf, bShuf) = run()
+      assert(cFast.length == cShuf.length)
+      cFast.zip(cShuf).foreach { case (a, b) => assert(a.sameElements(b)) }
+      bFast.zip(bShuf).foreach { case (sa, sb) =>
+        sa.zip(sb).foreach { case (a, b) => assert(a.sameElements(b)) }
+      }
+    } finally graft.ops.Clustering.DriverCombineMaxBytes = old
+  }
+
   // ---- Spread guard cap ----
 
   test("Spread.ifNarrow leaves a large-estimate frame untouched (capped guard)") {
