@@ -283,9 +283,12 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/centers")
     val (builtRows, builtSim) =
       (buildObs.get("n").asInstanceOf[Long], buildObs.get("sim").asInstanceOf[Double])
-    Seq((builtRows, builtSim)).toDF("built_rows", "mean_center_sim")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/_build_tmp/ivf/buildinfo")
+    // one row, driver-side — the Spark write paid a full job per build
+    graft.sources.TinyParquet.writeFlatRow(
+      spark.sparkContext.hadoopConfiguration, s"$dir/_build_tmp/ivf/buildinfo",
+      overwrite = true,
+      longs = Seq("built_rows" -> builtRows),
+      doubles = Seq("mean_center_sim" -> builtSim))
     graft.sources.SwapHooks.preSwap(dir)
     // Swap, loud-before-silent:
     // 1. Retire the PQ sidecar FIRST (one atomic delete). Its codes

@@ -261,15 +261,12 @@ object Bm25Index {
     * invariant on.
     */
   private def writeMeta(
-      spark: SparkSession, path: String, nTb: Int, blockMax: Boolean): Unit = {
-    import spark.implicits._
-    if (blockMax)
-      Seq((nTb, NDblk)).toDF("n_tb", "n_dblk").repartition(1)
-        .write.mode("overwrite").parquet(path)
-    else
-      Seq(nTb).toDF("n_tb").repartition(1)
-        .write.mode("overwrite").parquet(path)
-  }
+      spark: SparkSession, path: String, nTb: Int, blockMax: Boolean): Unit =
+    // one row, driver-side ([[graft.sources.TinyParquet.writeFlatRow]])
+    // — the Spark write paid a full job per build/compact
+    graft.sources.TinyParquet.writeFlatRow(
+      spark.sparkContext.hadoopConfiguration, path, overwrite = true,
+      ints = Seq("n_tb" -> nTb) ++ (if (blockMax) Seq("n_dblk" -> NDblk) else Nil))
 
   /** Refresh the generation marker (`lex/_generation`) — ONE tiny file
     * whose content changes with every mutation, so [[generationStamp]]
@@ -488,11 +485,12 @@ object Bm25Index {
 
   private[graft] def writeStatsRow(
       spark: SparkSession, path: String, mode: String,
-      nDocs: Long, sumDl: Long, nTerms: Long): Unit = {
-    import spark.implicits._
-    Seq((nDocs, sumDl, nTerms)).toDF("n_docs", "sum_dl", "n_terms").repartition(1)
-      .write.mode(mode).parquet(path)
-  }
+      nDocs: Long, sumDl: Long, nTerms: Long): Unit =
+    // one row, driver-side ([[graft.sources.TinyParquet.writeFlatRow]])
+    // — the Spark write paid a full job per build/append/merge/compact
+    graft.sources.TinyParquet.writeFlatRow(
+      spark.sparkContext.hadoopConfiguration, path, overwrite = mode == "overwrite",
+      longs = Seq("n_docs" -> nDocs, "sum_dl" -> sumDl, "n_terms" -> nTerms))
 
   /** Count of `batchTerms` (a distinct single-column `term` frame) NOT
     * already present in the index's dfd — the vocabulary-novelty delta

@@ -66,6 +66,52 @@ private[graft] object TinyParquet {
       .toArray)
   }
 
+  /** Write ONE flat row as a parquet data file under `dirStr` —
+    * driver-side, no Spark job. The metadata tables this serves (index
+    * meta rows, per-mutation stats deltas, buildinfo) are one row each,
+    * yet a Spark `Seq(...).toDF.repartition(1).write` costs a full
+    * plan + schedule + task round trip per write — a fixed job on every
+    * build/append/merge/compact. Field types mirror what the Spark
+    * writer produced (required INT32/INT64/DOUBLE), so existing readers
+    * (driver-side [[rows]] AND `spark.read.parquet`) see an identical
+    * table; `overwrite = false` appends a uniquely-named file (the
+    * delta-table discipline).
+    */
+  def writeFlatRow(
+      conf: Configuration,
+      dirStr: String,
+      overwrite: Boolean,
+      ints: Seq[(String, Int)] = Nil,
+      longs: Seq[(String, Long)] = Nil,
+      doubles: Seq[(String, Double)] = Nil): Unit = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(conf)
+    if (overwrite) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val b = org.apache.parquet.schema.Types.buildMessage()
+    ints.foreach { case (n, _) => b.required(PrimitiveTypeName.INT32).named(n) }
+    longs.foreach { case (n, _) => b.required(PrimitiveTypeName.INT64).named(n) }
+    doubles.foreach { case (n, _) => b.required(PrimitiveTypeName.DOUBLE).named(n) }
+    val schema = b.named("spark_schema")
+    // name ends in a letter: the streamed-batch detectors regex for
+    // `b<digits>.parquet` UNANCHORED, and a raw hex uuid can end in
+    // exactly that shape
+    val file = new Path(dir,
+      s"part-${java.util.UUID.randomUUID().toString.replace("-", "")}-tiny.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .build()
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+    ints.foreach { case (n, v) => g.add(n, v) }
+    longs.foreach { case (n, v) => g.add(n, v) }
+    doubles.foreach { case (n, v) => g.add(n, v) }
+    try writer.write(g)
+    finally writer.close()
+  }
+
   /** An `array<double>` cell (Spark's standard 3-level list layout, or
     * a legacy 2-level repeated primitive) — field names are resolved
     * from the schema, not assumed.
